@@ -1,0 +1,79 @@
+"""Apply-changes-by-key: the CDC MERGE contract (SURVEY.md §2.3 J1/J2,
+§2.5 W2).
+
+Reference semantics (cited for parity, not ported):
+- upsert/delete by primary key — mongodb.go:1132-1182 (ReplaceOne
+  upsert / DeleteOne), mysql.go:524-692, postgresql.go:726-965;
+- when batching, the LAST event per key must win — the reference
+  guarantees this by strictly ordered single-threaded apply
+  (postgresql.go:602-667); we guarantee it by explicit latest-per-key
+  compaction on a monotonic ``seq``, which is shuffle-safe;
+- ``ignoreDeleteOps`` drops deletes per table (mongodb.go:1162-1169);
+- null-safe all-column matching for keyless deletes
+  (postgresql.go:933-965) maps to ``eqNullSafe``.
+
+Spark-first design: compaction is a window row_number (one shuffle on
+the key), then the merge is two hash anti-joins + a union — all
+Catalyst-planned, broadcast-able when the change set is small (AQE
+decides), and idempotent: re-applying the same compacted batch yields
+the same target, which is what makes foreachBatch restart-safe.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+OP_COL = "op"
+SEQ_COL = "seq"
+DELETE_OP = "delete"
+
+
+def compact_latest_per_key(changes: DataFrame, keys: Sequence[str], seq_col: str = SEQ_COL) -> DataFrame:
+    """Keep only the last change per key (W2). Deterministic given a
+    monotonic seq; ties broken by op so a delete at the same seq wins
+    (mirrors log order where delete follows the write)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc(), F.col(OP_COL).asc())
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def _null_safe_anti(target: DataFrame, keys_df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    cond = None
+    for k in keys:
+        c = target[k].eqNullSafe(keys_df[k])
+        cond = c if cond is None else (cond & c)
+    return target.join(keys_df, cond, "left_anti")
+
+
+def apply_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = SEQ_COL,
+    ignore_deletes: bool = False,
+    compact: bool = True,
+) -> DataFrame:
+    """MERGE INTO target USING latest-per-key changes.
+
+    ``changes`` carries the after-image in target's columns plus
+    (op, seq). Result: target rows minus deleted keys minus replaced
+    keys, plus upsert after-images (insert-or-update unified).
+    """
+    if compact:
+        changes = compact_latest_per_key(changes, keys, seq_col)
+    if ignore_deletes:
+        changes = changes.filter(F.col(OP_COL) != DELETE_OP)
+
+    upserts = changes.filter(F.col(OP_COL) != DELETE_OP).select(*target.columns)
+    deletes = changes.filter(F.col(OP_COL) == DELETE_OP).select(*keys)
+
+    touched = upserts.select(*keys).unionByName(deletes).distinct()
+    survivors = _null_safe_anti(target, touched, keys)
+    return survivors.unionByName(upserts)

