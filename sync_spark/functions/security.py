@@ -1,0 +1,131 @@
+"""Field security: masking + AES-GCM encryption, incl. nested paths
+(SURVEY.md §2.8 F1-F4).
+
+Reference semantics (pkg/syncer/security/security.go, cited for
+parity):
+- ``mask``: string value → ``'*' × len``; non-string → ``'****'``
+  (:91-98). Column types are static in Spark, so the branch is decided
+  at plan time from the schema — pure JVM expressions either way.
+- ``encrypt``: AES-256-GCM, 12-byte nonce, output base64(nonce ‖ ct ‖
+  tag) (:33-56,99-123). Spark's builtin ``aes_encrypt(..., 'GCM')``
+  emits exactly iv‖ciphertext‖tag, so base64(aes_encrypt(...)) is
+  format-compatible. Random nonce ⇒ nondeterministic by design; tests
+  verify decrypt-roundtrip. A fixed-IV deterministic mode exists for
+  tests only (documented insecure).
+- nested dotted paths ``a.b.c`` transformed in place, depth ≤ 10,
+  all sibling fields preserved (:133-287,353-430) — recursive
+  ``withField`` / ``transform`` (arrays of structs), no UDFs.
+- rule lookup per table (:289-331): list of {field, securityType}
+  compiled onto a DataFrame.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DataType, StringType, StructType
+
+from sync_spark.spec import FieldSecurity
+
+MAX_NESTING_DEPTH = 10  # security.go:366-369
+
+
+def mask_value(col: Column, dtype: DataType) -> Column:
+    """F1: '*' × len for strings, '****' otherwise."""
+    if isinstance(dtype, StringType):
+        return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+            F.repeat(F.lit("*"), F.length(col))
+        )
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(F.lit("****"))
+
+
+def encrypt_value(col: Column, key: str, dtype: DataType, iv: bytes | None = None) -> Column:
+    """F2: base64(AES-256-GCM(nonce ‖ ct ‖ tag)). Non-strings are
+    stringified first (security.go:99-123). ``iv`` (12 bytes) forces a
+    deterministic nonce — TEST ONLY, insecure for production."""
+    plain = col if isinstance(dtype, StringType) else col.cast("string")
+    key_col = F.lit(_pad_key(key))
+    if iv is not None:
+        enc = F.aes_encrypt(plain, key_col, F.lit("GCM"), F.lit("DEFAULT"), F.lit(iv))
+    else:
+        enc = F.aes_encrypt(plain, key_col, F.lit("GCM"))
+    return F.base64(enc)
+
+
+def decrypt_value(col: Column, key: str) -> Column:
+    """Inverse of encrypt_value → plaintext string."""
+    return F.aes_decrypt(F.unbase64(col), F.lit(_pad_key(key)), F.lit("GCM")).cast("string")
+
+
+def _pad_key(key: str) -> str:
+    """Reference derives a 32-byte key (AES-256); accept shorter keys
+    by zero-padding/truncating like a fixed-length key slot."""
+    b = key.encode("utf-8")[:32]
+    return (b + b"\x00" * (32 - len(b))).decode("latin-1")
+
+
+def _transform_nested(col: Column, dtype: DataType, parts: list[str], fn, depth: int = 0) -> Column:
+    """Rewrite ``parts`` path inside ``col`` (struct/array-of-struct),
+    preserving every other field."""
+    if depth > MAX_NESTING_DEPTH:
+        raise ValueError(f"nesting depth > {MAX_NESTING_DEPTH}: {'.'.join(parts)}")
+    if isinstance(dtype, ArrayType):
+        elem = dtype.elementType
+        return F.transform(col, lambda x: _transform_nested(x, elem, parts, fn, depth + 1))
+    if not isinstance(dtype, StructType):
+        raise ValueError(f"path walks through non-struct type {dtype.simpleString()}")
+    head, rest = parts[0], parts[1:]
+    field_type = None
+    for f_ in dtype.fields:
+        if f_.name == head:
+            field_type = f_.dataType
+            break
+    if field_type is None:
+        raise ValueError(f"field {head!r} not found in {dtype.simpleString()}")
+    if not rest:
+        return col.withField(head, fn(col.getField(head), field_type))
+    return col.withField(
+        head, _transform_nested(col.getField(head), field_type, rest, fn, depth + 1)
+    )
+
+
+def apply_path_transform(df: DataFrame, dotted_path: str, fn) -> DataFrame:
+    """Apply ``fn(col, dtype) -> Column`` at ``dotted_path`` (F3).
+
+    Top-level columns are replaced via withColumn; nested paths via
+    recursive withField; arrays of structs via transform() lambdas.
+    """
+    parts = dotted_path.split(".")
+    if len(parts) > MAX_NESTING_DEPTH:
+        raise ValueError(f"nesting depth > {MAX_NESTING_DEPTH}: {dotted_path}")
+    schema = df.schema
+    top = parts[0]
+    if top not in schema.names:
+        raise ValueError(f"column {top!r} not found")
+    top_type = schema[top].dataType
+    if len(parts) == 1:
+        return df.withColumn(top, fn(F.col(top), top_type))
+    return df.withColumn(top, _transform_nested(F.col(top), top_type, parts[1:], fn))
+
+
+def apply_security_rules(
+    df: DataFrame,
+    rules: Sequence[FieldSecurity],
+    key: str = "",
+    deterministic_iv: bytes | None = None,
+) -> DataFrame:
+    """F4: compile per-table {field, securityType} rules onto a
+    DataFrame."""
+    out = df
+    for rule in rules:
+        if rule.security_type == "masked":
+            out = apply_path_transform(out, rule.field, mask_value)
+        elif rule.security_type == "encrypted":
+            out = apply_path_transform(
+                out, rule.field, lambda c, t: encrypt_value(c, key, t, deterministic_iv)
+            )
+        else:
+            raise ValueError(f"unknown securityType: {rule.security_type!r}")
+    return out

@@ -1,0 +1,213 @@
+"""Scalar-function + countQuery-DSL queries (SURVEY.md §2.8, §2.2)
+with DuckDB oracles."""
+
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sync_spark.functions.security import (
+    apply_path_transform,
+    apply_security_rules,
+    decrypt_value,
+    encrypt_value,
+    mask_value,
+)
+from sync_spark.operators.countquery import count_with_query
+from sync_spark.operators.relational import _t
+from sync_spark.spec import CountCondition, CountQuery, DateRange, FieldSecurity
+
+# ---------------------------------------------------------------------------
+# F1/F4: masking via security rules
+# ---------------------------------------------------------------------------
+
+
+def f_mask_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    rules = [
+        FieldSecurity(field="c_name", security_type="masked"),
+        FieldSecurity(field="c_acctbal", security_type="masked"),
+    ]
+    return apply_security_rules(c, rules).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+
+
+F_MASK_SQL = """
+SELECT c_custkey,
+       repeat('*', length(c_name)) AS c_name,
+       CASE WHEN c_acctbal IS NULL THEN NULL ELSE '****' END AS c_acctbal,
+       c_mktsegment
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# F2: AES-GCM roundtrip (ciphertext is nondeterministic by design —
+# the oracle checks the decrypt-roundtrip invariant)
+# ---------------------------------------------------------------------------
+
+
+def f_encrypt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    key = "sync-spark-test-key"
+    enc = encrypt_value(F.col("c_name"), key, c.schema["c_name"].dataType)
+    return c.select(
+        "c_custkey",
+        (decrypt_value(enc, key) == F.col("c_name")).alias("roundtrip_ok"),
+    )
+
+
+F_ENCRYPT_SQL = """
+SELECT c_custkey, TRUE AS roundtrip_ok FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# F3: nested-path masking — build a nested document, mask a dotted
+# path in place, flatten back out
+# ---------------------------------------------------------------------------
+
+
+def f_nested_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.struct(
+                F.concat(F.lower("c_name"), F.lit("@example.com")).alias("email"),
+                F.col("c_acctbal").alias("balance"),
+            ).alias("contact"),
+        ).alias("profile"),
+    )
+    masked = apply_path_transform(c, "profile.contact.email", mask_value)
+    return masked.select(
+        "c_custkey",
+        F.col("profile.name").alias("name"),
+        F.col("profile.contact.email").alias("email_masked"),
+        F.col("profile.contact.balance").alias("balance"),
+    )
+
+
+F_NESTED_MASK_SQL = """
+SELECT c_custkey, c_name AS name,
+       repeat('*', length(lower(c_name) || '@example.com')) AS email_masked,
+       c_acctbal AS balance
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# F13: JSON extraction from the event props payload
+# ---------------------------------------------------------------------------
+
+
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("k").alias("n_k"))
+        .orderBy("event_type")
+    )
+
+
+F_JSON_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# F11/F21 + string functions: regex extraction, casing, lengths
+# ---------------------------------------------------------------------------
+
+
+def f_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("long").alias("name_id"),
+        F.upper("c_mktsegment").alias("seg_upper"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+    )
+
+
+F_STRING_SQL = """
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_id,
+       upper(c_mktsegment) AS seg_upper,
+       length(c_name) AS name_len,
+       c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR) AS seg_nation
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# F8/F9: timestamp parse + day arithmetic
+# ---------------------------------------------------------------------------
+
+
+def f_timestamp_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    s = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    parsed = F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss")
+    return o.select(
+        "o_orderkey",
+        F.unix_micros(parsed).alias("epoch_us"),
+        F.date_format(F.date_add(parsed.cast("date"), 30), "yyyy-MM-dd").alias("plus30d"),
+        F.date_format(F.date_trunc("month", parsed), "yyyy-MM-dd").alias("month_start"),
+    )
+
+
+F_TS_PARSE_SQL = """
+SELECT o_orderkey,
+       epoch_us(strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')) AS epoch_us,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30d,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# countQuery DSL (P3/P4 + P12 + A2) end-to-end
+# ---------------------------------------------------------------------------
+
+
+def cq_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String literals coerce through the int→float chain exactly like
+    query_counter.go:185-244."""
+    q = CountQuery(
+        enabled=True,
+        conditions=[
+            CountCondition(field="o_totalprice", operator=">", value="150000"),
+            CountCondition(field="o_orderstatus", operator="=", value="O"),
+            CountCondition(field="x", operator="=", value="y", table="other_table"),  # scoped out
+        ],
+    )
+    return count_with_query(_t(spark, sf_dir, "orders"), q, for_table="orders")
+
+
+CQ_CONDITIONS_SQL = """
+SELECT COUNT(*) AS cnt FROM orders
+WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+"""
+
+
+def cq_daterange_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 weekly window (Sunday-start JST) through the DSL, anchored at
+    2024-01-17 for determinism."""
+    q = CountQuery(enabled=True, date_range=DateRange(type="weekly", field="ts"))
+    return count_with_query(_t(spark, sf_dir, "events"), q, anchor=date(2024, 1, 17))
+
+
+CQ_WEEKLY_SQL = """
+SELECT COUNT(*) AS cnt FROM events
+WHERE ts >= TIMESTAMP '2024-01-13 15:00:00' AND ts < TIMESTAMP '2024-01-20 15:00:00'
+"""

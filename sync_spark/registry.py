@@ -66,3 +66,14 @@ def _populate() -> None:
     register("j_anti_semi", bq.j_anti_semi, bq.J_ANTI_SEMI_SQL)
     register("j_src_tgt_diff", bq.j_src_tgt_diff, bq.J_DIFF_SQL)
     register("j_merge_upsert", bq.j_merge_upsert, bq.J_MERGE_SQL)
+
+    from sync_spark.operators import function_queries as fq
+
+    register("f_mask_fields", fq.f_mask_fields, fq.F_MASK_SQL)
+    register("f_encrypt_roundtrip", fq.f_encrypt_roundtrip, fq.F_ENCRYPT_SQL)
+    register("f_nested_mask", fq.f_nested_mask, fq.F_NESTED_MASK_SQL)
+    register("f_json_extract", fq.f_json_extract, fq.F_JSON_SQL)
+    register("f_string_funcs", fq.f_string_funcs, fq.F_STRING_SQL)
+    register("f_timestamp_parse", fq.f_timestamp_parse, fq.F_TS_PARSE_SQL)
+    register("cq_conditions", fq.cq_conditions, fq.CQ_CONDITIONS_SQL)
+    register("cq_daterange_weekly", fq.cq_daterange_weekly, fq.CQ_WEEKLY_SQL)

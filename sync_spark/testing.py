@@ -48,15 +48,26 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def _values_equal(a, b) -> bool:
+    """Strict, driver-style: the driver hashes stringified values, so
+    int vs float representation differences (2996 vs 2996.0) are REAL
+    mismatches — do not paper over them here."""
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(_values_equal(x, y) for x, y in zip(a, b))
+    try:
+        import numpy as np
+
+        if isinstance(a, np.ndarray) or isinstance(b, np.ndarray):
+            a = list(a) if isinstance(a, np.ndarray) else a
+            b = list(b) if isinstance(b, np.ndarray) else b
+            return _values_equal(a, b)
+    except ImportError:
+        pass
+    if (a is None or a != a) and (b is None or b != b):  # NaN/None cross-engine
+        return True
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b or math.isclose(a, b, rel_tol=1e-12, abs_tol=1e-12)
-    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
-        return len(a) == len(b) and all(_values_equal(x, y) for x, y in zip(a, b))
-    if (a is None or a != a) and (b is None or b != b):  # NaN/None cross-engine
-        return True
-    return a == b
+    return str(a) == str(b)
 
 
 def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> Optional[str]:
