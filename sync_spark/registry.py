@@ -77,3 +77,16 @@ def _populate() -> None:
     register("f_timestamp_parse", fq.f_timestamp_parse, fq.F_TS_PARSE_SQL)
     register("cq_conditions", fq.cq_conditions, fq.CQ_CONDITIONS_SQL)
     register("cq_daterange_weekly", fq.cq_daterange_weekly, fq.CQ_WEEKLY_SQL)
+
+    from sync_spark.operators import text_queries as tq
+
+    register("t_text_quality", tq.t_text_quality, tq.T_QUALITY_SQL)
+    register("t_langid", tq.t_langid, tq.T_LANGID_SQL)
+    register("t_token_stats_by_lang", tq.t_token_stats_by_lang, tq.T_TOKEN_STATS_SQL)
+    register("t_fingerprint", tq.t_fingerprint, tq.T_FINGERPRINT_SQL)
+    register("d_dedup_exact", tq.d_dedup_exact, tq.D_EXACT_SQL)
+    register("d_ngram_jaccard", tq.d_ngram_jaccard, tq.D_JACCARD_SQL)
+    register("d_minhash_lsh", tq.d_minhash_lsh, None)
+    register("d_simhash_pairs", tq.d_simhash_pairs, None)
+    register("e_cosine_topk", tq.e_cosine_topk, tq.E_COSINE_SQL)
+    register("e_ann_lsh", tq.e_ann_lsh, None)

@@ -1,0 +1,99 @@
+"""CDC change-event envelope + event-log source (SURVEY.md §2.1
+S2/S4/S6/S10, §3.1 IR #2).
+
+The canonical envelope re-expresses every reference change feed
+(Mongo change stream events mongodb.go:550-607, binlog RowsEvents
+mysql.go:475-522, pgoutput messages postgresql.go:671-723, Redis
+stream entries redis.go:234-279) as one schema:
+
+    op STRING            -- insert | update | replace | delete
+    seq LONG             -- monotonic position (resume token / binlog
+                            pos / LSN / stream id) — ORDERING SOURCE
+    ts TIMESTAMP         -- event time
+    source_table STRING  -- originating table/collection
+    key_json STRING      -- JSON of the key fields
+    after_json STRING    -- JSON after-image (null for deletes)
+
+JSON payloads (not structs) so one stream carries heterogeneous
+tables — exactly how the reference's .bsonstream disk buffer kept raw
+BSON (mongodb.go:693-780). Per-table projection parses after_json
+with an explicit schema (from_json), keeping everything JVM-side.
+
+Files-in-a-directory is the transport (the Auto-Loader pattern);
+Structured Streaming checkpoints replace the reference's resume-token
+files (T3: mongodb.go:1561-1638 etc.) byte-for-byte in function.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("source_table", T.StringType(), False),
+        T.StructField("key_json", T.StringType(), False),
+        T.StructField("after_json", T.StringType(), True),
+    ]
+)
+
+OPS = ("insert", "update", "replace", "delete")
+
+
+def write_event_batch(path: str, events: Iterable[dict[str, Any]], batch_id: int) -> str:
+    """Append one JSONL event file to the log directory (test/demo
+    producer; a real deployment points the stream at Kafka or a
+    connector-emitted file feed)."""
+    os.makedirs(path, exist_ok=True)
+    fname = os.path.join(path, f"events-{batch_id:010d}.jsonl")
+    tmp = fname + ".tmp"
+    with open(tmp, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    os.rename(tmp, fname)  # atomic visibility, like the reference's
+    # write-then-rename buffer files (mongodb.go:693-780)
+    return fname
+
+
+def read_event_log(spark: SparkSession, path: str) -> DataFrame:
+    """Batch view of the event log."""
+    return spark.read.schema(ENVELOPE_SCHEMA).json(path)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming view (T1/T2: trigger sizing via maxFilesPerTrigger —
+    the analog of the reference's 100-events-or-2s / ≤256MB smart
+    batches)."""
+    reader = spark.readStream.schema(ENVELOPE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def changes_for_table(
+    envelope: DataFrame, source_table: str, row_schema: T.StructType, key_cols: list[str]
+) -> DataFrame:
+    """Project one table's events out of the envelope: parse the
+    after-image into typed columns (delete rows keep key-only), attach
+    (op, seq)."""
+    ev = envelope.filter(F.col("source_table") == source_table)
+    key_schema = T.StructType([f for f in row_schema.fields if f.name in key_cols])
+    after = F.from_json("after_json", row_schema)
+    key = F.from_json("key_json", key_schema)
+    cols = []
+    for f_ in row_schema.fields:
+        if f_.name in key_cols:
+            cols.append(F.coalesce(after[f_.name], key[f_.name]).alias(f_.name))
+        else:
+            cols.append(after[f_.name].alias(f_.name))
+    return ev.select(*cols, F.col("op"), F.col("seq"))
