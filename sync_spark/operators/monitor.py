@@ -1,0 +1,152 @@
+"""Monitoring analytics (SURVEY.md §3.3, §2.4 A1/A5-A8, §2.6 O1/O2,
+§2.3 J3).
+
+The reference's monitor loop (pkg/utils/monitor.go:164-304) counts
+every mapped table on source and target each tick and appends to a
+SQLite ``monitoring_log``; daily JST summaries and counter resets run
+on schedule (:839-959, :961-1203). Here:
+
+- ``monitoring_log`` is an append-mode parquet table,
+- the tick is a batch job producing one row per (task, table),
+- the reset-in-place daily counters become a JST tumbling-window
+  aggregation (A8→T9) — windowed GROUP BY replaces mutable state,
+- the serving queries (metrics scan, recent logs, per-table delta,
+  grand totals, src/tgt diff) are plain DataFrame plans.
+"""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+from typing import Mapping, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sync_spark import tz
+
+LOG_COLUMNS = ["task_id", "table", "src_count", "tgt_count", "logged_at"]
+
+
+def monitor_tick(
+    spark: SparkSession,
+    task_id: int,
+    pairs: Mapping[str, tuple[DataFrame, DataFrame]],
+    logged_at: datetime,
+    log_path: Optional[str] = None,
+) -> DataFrame:
+    """One monitoring tick: COUNT source and target of every mapped
+    table (A1/T11) → one appended row each.
+
+    The counts run as one union-of-aggregates job (not a Python loop
+    of .count() actions) so a 500-table task is still one Spark job.
+    """
+    parts = []
+    for table, (src, tgt) in pairs.items():
+        parts.append(
+            src.agg(F.count(F.lit(1)).alias("src_count"))
+            .crossJoin(tgt.agg(F.count(F.lit(1)).alias("tgt_count")))
+            .select(
+                F.lit(task_id).alias("task_id"),
+                F.lit(table).alias("table"),
+                "src_count",
+                "tgt_count",
+                F.lit(tz.fmt(logged_at)).cast("timestamp").alias("logged_at"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if log_path:
+        out.write.mode("append").parquet(log_path)
+    return out
+
+
+def metrics_scan(log: DataFrame, since: Optional[datetime] = None, limit: int = 1000) -> DataFrame:
+    """O1: time-ordered metric points with src/tgt/diff pivot
+    (monitor_handler.go:92-239)."""
+    df = log
+    if since is not None:
+        df = df.filter(F.col("logged_at") >= F.lit(tz.fmt(since)).cast("timestamp"))
+    return (
+        df.orderBy(F.col("logged_at").asc(), F.col("table").asc())
+        .limit(limit)
+        .select(
+            "task_id",
+            "table",
+            "logged_at",
+            "src_count",
+            "tgt_count",
+            F.abs(F.col("src_count") - F.col("tgt_count")).alias("diff"),
+        )
+    )
+
+
+def daily_table_delta(log: DataFrame, day: date) -> DataFrame:
+    """A5: today's per-table growth — MAX-MIN of the target count in
+    the JST day window (sync_handler.go:446-495)."""
+    start, end = tz.jst_day_range(day)
+    return (
+        log.filter(
+            (F.col("logged_at") >= F.lit(tz.fmt(start)).cast("timestamp"))
+            & (F.col("logged_at") < F.lit(tz.fmt(end)).cast("timestamp"))
+        )
+        .groupBy("table")
+        .agg(
+            (F.max("tgt_count") - F.min("tgt_count")).alias("rows_added"),
+            F.max("tgt_count").alias("latest_count"),
+            F.max("logged_at").alias("latest_at"),
+        )
+    )
+
+
+def grand_totals(log: DataFrame) -> DataFrame:
+    """A7: grand totals across all monitored streams
+    (monitor_handler.go:399-484): latest row per (task, table), then
+    sums + distinct task count."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("task_id", "table").orderBy(F.col("logged_at").desc())
+    latest = log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return latest.agg(
+        F.countDistinct("task_id").alias("n_tasks"),
+        F.count(F.lit(1)).alias("n_tables"),
+        F.sum("src_count").alias("total_src"),
+        F.sum("tgt_count").alias("total_tgt"),
+        F.sum(F.abs(F.col("src_count") - F.col("tgt_count"))).alias("total_diff"),
+    )
+
+
+def jst_daily_stats(log: DataFrame) -> DataFrame:
+    """A8 as a window: per-JST-day per-table latest counts — the
+    engine-native replacement for reset-in-place daily counters
+    (monitor.go:839-933)."""
+    jst_day = F.date_format(F.from_utc_timestamp("logged_at", "Asia/Tokyo"), "yyyy-MM-dd")
+    return (
+        log.groupBy(jst_day.alias("jst_day"), F.col("table"))
+        .agg(
+            F.max("src_count").alias("src_max"),
+            F.max("tgt_count").alias("tgt_max"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .orderBy("jst_day", "table")
+    )
+
+
+def consistency_alerts(log: DataFrame, day: date, tolerance: int = 0) -> DataFrame:
+    """Daily summary alert rows: tables whose latest src/tgt counts
+    in yesterday's JST window differ (monitor.go:961-1203 → Slack)."""
+    start, end = tz.jst_day_range(day)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("table").orderBy(F.col("logged_at").desc())
+    latest = (
+        log.filter(
+            (F.col("logged_at") >= F.lit(tz.fmt(start)).cast("timestamp"))
+            & (F.col("logged_at") < F.lit(tz.fmt(end)).cast("timestamp"))
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return latest.filter(
+        F.abs(F.col("src_count") - F.col("tgt_count")) > tolerance
+    ).select("task_id", "table", "src_count", "tgt_count", "logged_at")

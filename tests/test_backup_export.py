@@ -1,0 +1,131 @@
+"""Backup planning + export writers: regex expansion, prefix
+grouping, date-suffix pruning, JSONL/CSV artifacts with the
+reference's quoting/NULL conventions."""
+
+from __future__ import annotations
+
+import csv
+import glob
+import gzip
+from datetime import date, datetime
+
+from pyspark.sql import Row
+
+from sync_spark.plans.backup import (
+    ExportUnit,
+    expand_tables,
+    group_by_prefix,
+    plan_export,
+    prune_tables,
+    render_file_name,
+    split_suffix,
+    table_time_range,
+)
+from sync_spark.sources.writers import export_group, read_export_jsonl
+
+CATALOG = [
+    "users",
+    "orders_202401",
+    "orders_202402",
+    "orders_202403",
+    "logs_20240115",
+    "logs_20240116",
+    "archive_2023",
+    "misc_7",
+]
+
+
+def test_expand_literal_and_regex():
+    assert expand_tables(CATALOG, ["users", "nope"], is_regex=False) == ["users"]
+    assert expand_tables(CATALOG, [r"^orders_"], is_regex=True) == [
+        "orders_202401",
+        "orders_202402",
+        "orders_202403",
+    ]
+
+
+def test_split_and_group():
+    assert split_suffix("orders_202401") == ("orders", "202401", "month")
+    assert split_suffix("logs_20240115") == ("logs", "20240115", "day")
+    assert split_suffix("archive_2023") == ("archive", "2023", "year")
+    assert split_suffix("misc_7") == ("misc", "7", "numeric")
+    assert split_suffix("users") == ("users", None, None)
+    groups = group_by_prefix(CATALOG)
+    assert groups["orders"] == ["orders_202401", "orders_202402", "orders_202403"]
+    assert groups["users"] == ["users"]
+
+
+def test_time_ranges_and_pruning():
+    assert table_time_range("orders_202401") == (datetime(2024, 1, 1), datetime(2024, 2, 1))
+    assert table_time_range("orders_202412") == (datetime(2024, 12, 1), datetime(2025, 1, 1))
+    assert table_time_range("logs_20240115") == (datetime(2024, 1, 15), datetime(2024, 1, 16))
+    assert table_time_range("archive_2023") == (datetime(2023, 1, 1), datetime(2024, 1, 1))
+    assert table_time_range("misc_7") is None
+    window = (datetime(2024, 2, 10), datetime(2024, 3, 5))
+    kept = prune_tables(
+        ["orders_202401", "orders_202402", "orders_202403", "users"], window
+    )
+    assert kept == ["orders_202402", "orders_202403", "users"]  # undated kept
+
+
+def test_plan_export_end_to_end():
+    units = plan_export(
+        catalog=CATALOG,
+        patterns=[r"^orders_", r"^users$"],
+        is_regex=True,
+        fields_by_table={"orders": ["id", "amount"], "*": ["all"]},
+        window=(datetime(2024, 2, 1), datetime(2024, 2, 15)),
+        file_pattern="{table}_{YYYY}-{MM}-{DD}",
+        run_day=date(2024, 2, 15),
+    )
+    by_group = {u.group: u for u in units}
+    assert by_group["orders"].tables == ["orders_202402"]
+    assert by_group["orders"].fields == ["id", "amount"]
+    assert by_group["orders"].file_name == "orders_2024-02-15"
+    assert by_group["users"].fields == []  # "all" sentinel → *
+
+
+def test_render_file_name():
+    assert render_file_name("{table}_{YYYY}{MM}{DD}.json", "t", date(2024, 3, 7)) == "t_20240307.json"
+
+
+def test_export_jsonl_roundtrip(spark, tmp_path):
+    t1 = spark.createDataFrame([Row(id=1, v="a", ts=datetime(2024, 1, 10))])
+    t2 = spark.createDataFrame([Row(id=2, v="b", ts=datetime(2024, 2, 10))])
+    unit = ExportUnit(group="t", tables=["t_202401", "t_202402"], fields=[], file_name="t_out")
+    path = export_group(
+        spark,
+        unit,
+        load_table={"t_202401": t1, "t_202402": t2}.get,
+        out_dir=str(tmp_path),
+        file_format="jsonl",
+        window=(datetime(2024, 1, 1), datetime(2024, 3, 1)),
+        compression="gzip",
+    )
+    back = read_export_jsonl(spark, path)
+    assert back.count() == 2  # A9 record count
+    assert {r.v for r in back.collect()} == {"a", "b"}
+    assert all(f.endswith(".gz") for f in glob.glob(f"{path}/part-*"))
+
+
+def test_export_csv_quote_all_null_empty(spark, tmp_path):
+    df = spark.createDataFrame([Row(id=1, v="x,y"), Row(id=2, v=None)])
+    unit = ExportUnit(group="c", tables=["c"], fields=[], file_name="c_out")
+    path = export_group(
+        spark,
+        unit,
+        load_table={"c": df}.get,
+        out_dir=str(tmp_path),
+        file_format="csv",
+        compression=None,
+    )
+    files = glob.glob(f"{path}/part-*.csv")
+    rows = []
+    for fp in files:
+        with open(fp) as f:
+            rows.extend(f.read().splitlines())
+    header = [r for r in rows if r.startswith('"id"')]
+    assert header, "header must be fully quoted (QUOTE_ALL)"
+    data = sorted(r for r in rows if not r.startswith('"id"'))
+    assert data[0] == '"1","x,y"'
+    assert data[1] == '"2",""'  # NULL → empty string, still quoted

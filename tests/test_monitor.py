@@ -1,0 +1,79 @@
+"""Monitoring analytics: tick job, metrics scan, daily delta, grand
+totals, JST daily windows, consistency alerts."""
+
+from __future__ import annotations
+
+from datetime import date, datetime
+
+from pyspark.sql import Row
+
+from sync_spark.operators.monitor import (
+    consistency_alerts,
+    daily_table_delta,
+    grand_totals,
+    jst_daily_stats,
+    metrics_scan,
+    monitor_tick,
+)
+
+
+def _log_df(spark):
+    rows = [
+        # (task, table, src, tgt, logged_at UTC)
+        Row(task_id=1, table="users", src_count=100, tgt_count=100, logged_at=datetime(2024, 1, 14, 16, 0)),
+        Row(task_id=1, table="users", src_count=110, tgt_count=108, logged_at=datetime(2024, 1, 14, 20, 0)),
+        Row(task_id=1, table="orders", src_count=50, tgt_count=50, logged_at=datetime(2024, 1, 14, 20, 0)),
+        # next JST day (UTC 15:00+ = JST next day)
+        Row(task_id=1, table="users", src_count=120, tgt_count=120, logged_at=datetime(2024, 1, 15, 16, 0)),
+        Row(task_id=2, table="kv", src_count=7, tgt_count=7, logged_at=datetime(2024, 1, 15, 16, 0)),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_monitor_tick_appends_counts(spark, tmp_path):
+    src = spark.createDataFrame([Row(x=i) for i in range(5)])
+    tgt = spark.createDataFrame([Row(x=i) for i in range(4)])
+    out = monitor_tick(
+        spark,
+        task_id=9,
+        pairs={"users": (src, tgt)},
+        logged_at=datetime(2024, 1, 15, 12, 0),
+        log_path=str(tmp_path / "log"),
+    ).collect()
+    assert out[0].src_count == 5 and out[0].tgt_count == 4
+    back = spark.read.parquet(str(tmp_path / "log")).collect()
+    assert len(back) == 1 and back[0].table == "users"
+
+
+def test_metrics_scan_since_and_diff(spark):
+    out = metrics_scan(_log_df(spark), since=datetime(2024, 1, 14, 18, 0)).collect()
+    assert [r.table for r in out] == ["orders", "users", "kv", "users"]
+    assert out[1].diff == 2
+
+
+def test_daily_table_delta_jst(spark):
+    # JST day 2024-01-15 covers UTC [01-14 15:00, 01-15 15:00)
+    out = {r.table: r for r in daily_table_delta(_log_df(spark), date(2024, 1, 15)).collect()}
+    assert out["users"].rows_added == 8  # 108 - 100
+    assert out["users"].latest_count == 108
+    assert out["orders"].rows_added == 0
+
+
+def test_grand_totals_latest_per_stream(spark):
+    row = grand_totals(_log_df(spark)).collect()[0]
+    assert row.n_tasks == 2
+    assert row.n_tables == 3
+    # latest per (task,table): users@01-15(120/120), orders(50/50), kv(7/7)
+    assert row.total_src == 177 and row.total_tgt == 177
+
+
+def test_jst_daily_stats_window(spark):
+    out = {(r.jst_day, r.table): r for r in jst_daily_stats(_log_df(spark)).collect()}
+    assert out[("2024-01-15", "users")].n_ticks == 2
+    assert out[("2024-01-16", "users")].tgt_max == 120
+
+
+def test_consistency_alerts(spark):
+    alerts = consistency_alerts(_log_df(spark), date(2024, 1, 15)).collect()
+    assert len(alerts) == 1
+    assert alerts[0].table == "users" and alerts[0].tgt_count == 108
