@@ -1,0 +1,155 @@
+"""Top-level task runner — the engine's equivalent of the reference's
+main dispatch loop (cmd/sync/main.go:91-179, §3.1).
+
+A ``SyncSpec`` drives: snapshot-if-empty per mapped table, then a CDC
+tail from the envelope event log with masking + MERGE apply. A
+``BackupSpec`` drives: expand → group → prune → export artifacts. A
+monitor tick counts source/target rows per mapping into the metrics
+table. The reference runs these as goroutines + cron + a 10s config
+poll; here each is an explicit entry point a scheduler (Airflow, cron,
+Databricks jobs) calls — hot-reload (T10) becomes "stop the streaming
+query, rebuild from the new spec, start", exposed via
+``CdcPipeline.start``'s returned StreamingQuery handle.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import date, datetime
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from sync_spark.operators.monitor import monitor_tick
+from sync_spark.plans.backup import plan_export
+from sync_spark.sources.writers import export_group
+from sync_spark.spec import BackupSpec, SyncSpec
+from sync_spark.streaming.pipeline import CdcPipeline, TableTarget, snapshot_if_empty
+from sync_spark import tz
+
+
+class SyncTask:
+    """One configured sync task: snapshot + CDC tail + monitoring."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        spec: SyncSpec,
+        source_loader: Callable[[str], DataFrame],
+        row_schemas: dict[str, T.StructType],
+        target_root: str,
+        event_log_dir: str,
+        checkpoint_root: str,
+        security_key: str = "",
+    ) -> None:
+        self.spark = spark
+        self.spec = spec
+        self.source_loader = source_loader
+        self.row_schemas = row_schemas
+        self.target_root = target_root
+        self.event_log_dir = event_log_dir
+        self.checkpoint_root = checkpoint_root
+        self.security_key = security_key
+
+    def _targets(self) -> list[TableTarget]:
+        out = []
+        for m in self.spec.mappings:
+            for t in m.tables:
+                out.append(
+                    TableTarget(
+                        source_table=t.source_table,
+                        target_path=os.path.join(self.target_root, t.target_table),
+                        row_schema=self.row_schemas[t.source_table],
+                        key_cols=self.spec.pk_columns.get(t.source_table, ["id"]),
+                        ignore_deletes=t.ignore_delete_ops,
+                    )
+                )
+        return out
+
+    def snapshot(self) -> dict[str, bool]:
+        """Initial copy per mapping, skipped for non-empty targets.
+        Masking rules apply to the snapshot too (security.go is in the
+        write path for both phases)."""
+        from sync_spark.functions.security import apply_security_rules
+
+        ran = {}
+        for t in self._targets():
+            src = self.source_loader(t.source_table)
+            rules = self.spec.field_security.get(t.source_table, [])
+            if rules:
+                src = apply_security_rules(src, rules, key=self.security_key)
+            ran[t.source_table] = snapshot_if_empty(self.spark, src, t.target_path)
+        return ran
+
+    def pipeline(self) -> CdcPipeline:
+        return CdcPipeline(
+            self.spark,
+            self.spec,
+            self._targets(),
+            event_log_dir=self.event_log_dir,
+            checkpoint_dir=os.path.join(self.checkpoint_root, f"task-{self.spec.task_id}"),
+            dlq_path=os.path.join(self.target_root, "_dlq"),
+            security_key=self.security_key,
+        )
+
+    def run_cdc_available(self) -> None:
+        """Drain the event log (batch-style catch-up)."""
+        self.pipeline().run_available()
+
+    def monitor(self, logged_at: Optional[datetime] = None) -> DataFrame:
+        """T11 tick: source vs target counts per mapping."""
+        pairs = {}
+        for t in self._targets():
+            src = self.source_loader(t.source_table)
+            tgt = self.spark.read.parquet(t.target_path)
+            pairs[t.source_table] = (src, tgt)
+        return monitor_tick(
+            self.spark,
+            self.spec.task_id,
+            pairs,
+            logged_at or datetime.utcnow(),
+            log_path=os.path.join(self.target_root, "_monitoring_log"),
+        )
+
+
+def run_backup_task(
+    spark: SparkSession,
+    spec: BackupSpec,
+    catalog: list[str],
+    load_table: Callable[[str], DataFrame],
+    out_dir: str,
+    run_day: Optional[date] = None,
+    ts_col: str = "ts",
+) -> list[str]:
+    """§3.2: expand → group → prune → export; returns artifact paths."""
+    run_day = run_day or date.today()
+    window = None
+    if spec.date_range is not None:
+        window = tz.jst_offset_day_range(
+            run_day, spec.date_range.start_offset, spec.date_range.end_offset
+        )
+    units = plan_export(
+        catalog=catalog,
+        patterns=spec.tables,
+        is_regex=spec.is_regex,
+        fields_by_table=spec.fields,
+        window=window,
+        file_pattern=spec.file_name_pattern,
+        run_day=run_day,
+    )
+    paths = []
+    for unit in units:
+        paths.append(
+            export_group(
+                spark,
+                unit,
+                load_table,
+                out_dir,
+                file_format=spec.file_format,
+                window=window,
+                ts_col=ts_col,
+                compression=spec.compression,
+            )
+        )
+    return paths

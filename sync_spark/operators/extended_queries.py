@@ -1,0 +1,202 @@
+"""Extended coverage queries: as-of join, sessionization, SQL
+passthrough, pivot, rollup, approximate distinct (SURVEY.md §2.1 S21,
+§2.4 A3/A7, §2.9 extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sync_spark.operators.relational import _t, dec
+from sync_spark.operators.temporal import asof_join, sessionize
+from sync_spark.session import load_tables
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's most recent click
+# ---------------------------------------------------------------------------
+
+
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    # unique per (user, ts): keep max event_id (tie discipline shared
+    # with the oracle)
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = clicks.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    joined = asof_join(
+        purchases, clicks, key="user_id", left_ts="ts", right_ts="ts", right_cols=["event_id"]
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "value",
+        F.col("event_id_right").alias("click_event_id"),
+    )
+
+
+X_ASOF_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str,
+       p.value, c.click_event_id
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: 30-minute-gap sessions per user
+# ---------------------------------------------------------------------------
+
+
+def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800, order_tiebreak="event_id")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.sum(dec("value")).cast("double").alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+X_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sessions AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# S21: ad-hoc SQL passthrough — the SAME ANSI string runs on Spark and
+# DuckDB (strictly more general than the reference's pattern-matched
+# passthrough, auth_handler.go:1267-1883)
+# ---------------------------------------------------------------------------
+
+_PASSTHROUGH_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_big_spenders,
+       CAST(MIN(total_spent) AS BIGINT) AS min_spent
+FROM (
+  SELECT c.c_custkey, c.c_mktsegment,
+         -- FLOOR before the BIGINT cast: decimal->int casts truncate
+         -- in Spark but round in DuckDB; FLOOR agrees everywhere
+         CAST(FLOOR(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))) AS BIGINT) AS total_spent
+  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey, c.c_mktsegment
+  HAVING SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) > 1000000
+) t
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Register the corpus as temp views and run arbitrary SQL."""
+    load_tables(spark, sf_dir)
+    return spark.sql(query)
+
+
+def s21_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sql(spark, sf_dir, _PASSTHROUGH_SQL)
+
+
+S21_SQL = _PASSTHROUGH_SQL
+
+
+# ---------------------------------------------------------------------------
+# Pivot + rollup (Catalyst-native operators the reference lacks;
+# exposed per SURVEY §2.4 A7 note)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def a_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return (
+        ev.groupBy(day)
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+        .orderBy("day")
+    )
+
+
+A_PIVOT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*) FILTER (event_type = 'click') AS click,
+       COUNT(*) FILTER (event_type = 'view') AS view,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS signup,
+       COUNT(*) FILTER (event_type = 'error') AS error
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name", "c_mktsegment")
+    )
+
+
+A_ROLLUP_SQL = """
+SELECT n_name, c_mktsegment,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+ORDER BY n_name, c_mktsegment
+"""
+
+
+def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: approximate distinct (HLL++). Deterministic for fixed data
+    but engine-specific → rows-only check; the exact companion column
+    bounds the relative error in tests."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

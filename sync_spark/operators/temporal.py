@@ -1,0 +1,97 @@
+"""Temporal operators Spark lacks natively: as-of join and
+sessionization (SURVEY.md §2.9 extension surface; pyspark guide's
+"common OLAP patterns").
+
+As-of join, Spark-first: instead of a range join (which Catalyst
+would plan as a broadcast-nested-loop), we UNION the two sides tagged,
+sort once per key, and propagate the last-seen right row with
+``last(..., ignorenulls=True)`` over an unbounded-preceding window.
+One shuffle on the key, O(n log n) per key, no cartesian anywhere —
+this is the plan you want at 100 TB (merge_asof via applyInPandas
+would ship every row through Arrow; this stays JVM-side).
+
+Sessionization: classic lag + gap-flag + running-sum session ids —
+two window passes over one key-shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: for each left row, the right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` within the same ``key``.
+
+    ``right`` must be unique per (key, right_ts) — pre-compact it if
+    not (ties would be ambiguous in any engine).
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*lcols).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    tagged_right = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            tagged_left.schema["__l"].dataType
+        ).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    # right sorts before left at equal ts → ties match (ASOF >= semantics)
+    unioned = tagged_left.unionByName(tagged_right)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        "__is_left",
+        "__l",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rf_{c}") for c in right_cols],
+    ).filter(F.col("__is_left") == 1)
+    return filled.select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__rf_{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: int,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign session ids per key: a new session starts when the gap
+    from the previous event exceeds ``gap_seconds``. Adds
+    ``session_id`` (1-based per key)."""
+    order = [F.col(ts).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    gap_us = F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts)), 1).over(w)
+    new_session = F.when(
+        gap_us.isNull() | (gap_us > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return df.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )

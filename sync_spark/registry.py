@@ -90,3 +90,12 @@ def _populate() -> None:
     register("d_simhash_pairs", tq.d_simhash_pairs, None)
     register("e_cosine_topk", tq.e_cosine_topk, tq.E_COSINE_SQL)
     register("e_ann_lsh", tq.e_ann_lsh, None)
+
+    from sync_spark.operators import extended_queries as xq
+
+    register("x_asof_join", xq.x_asof_join, xq.X_ASOF_SQL)
+    register("x_sessionize", xq.x_sessionize, xq.X_SESSION_SQL)
+    register("s21_sql_passthrough", xq.s21_sql_passthrough, xq.S21_SQL)
+    register("a_pivot_daily_types", xq.a_pivot_daily_types, xq.A_PIVOT_SQL)
+    register("a_rollup_revenue", xq.a_rollup_revenue, xq.A_ROLLUP_SQL)
+    register("a_approx_distinct", xq.a_approx_distinct, None)

@@ -63,11 +63,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
         "documents",
         "embeddings",
     ]
+    from sync_spark.sources.readers import read_parquet
+
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = spark.read.parquet(path)
+            df = read_parquet(spark, path)  # handles TIMESTAMP(NANOS)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

@@ -1,0 +1,79 @@
+"""Plan-quality regression guards: the properties that matter at
+100 TB, asserted against the physical plan so they can't silently
+regress (the brief's `.explain` discipline, SURVEY.md §4).
+
+- filters + projections reach the parquet scan (PushedFilters /
+  ReadSchema);
+- dimension joins broadcast (no shuffle of the fact side);
+- global top-k plans TakeOrderedAndProject (no full sort);
+- hot paths stay in WholeStageCodegen (no Python evaluation);
+- the similarity brute-force broadcast-joins the query side.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sync_spark.operators import batch_queries as bq
+from sync_spark.operators import text_queries as tq
+from sync_spark.operators.relational import q1_pricing_summary
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown(spark, sf_small):
+    plan = plan_of(bq.s_scan_project_filter(spark, sf_small))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_orderstatus)" in plan or "EqualTo(o_orderstatus,O)" in plan
+    # column pruning: only the needed columns are read
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderdate" not in read_schema  # unused column NOT read
+
+
+def test_date_filter_pushdown(spark, sf_small):
+    plan = plan_of(bq.p_daterange_daily_jst(spark, sf_small))
+    assert "PushedFilters: [" in plan and "ts" in plan.split("PushedFilters:")[1][:200]
+
+
+def test_star_join_broadcasts_dims(spark, sf_small):
+    plan = plan_of(bq.j_revenue_per_nation(spark, sf_small))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_full_sort(spark, sf_small):
+    plan = plan_of(bq.o_topk_orders(spark, sf_small))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q1_wholestage_codegen(spark, sf_small):
+    df = q1_pricing_summary(spark, sf_small)
+    df.collect()  # AQE shows codegen spans only in the FINAL plan
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    # codegen stages print as "*(n) Operator" in the final plan
+    assert "*(1)" in plan or "*(2)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_no_python_udfs_in_text_pipeline(spark, sf_small):
+    plan = plan_of(tq.t_text_quality(spark, sf_small))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cosine_broadcasts_queries(spark, sf_small):
+    plan = plan_of(tq.e_cosine_topk(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the corpus side must NOT be broadcast: only one broadcast exchange
+    assert plan.count("BroadcastExchange") == 1
+
+
+def test_merge_partial_aggregation(spark, sf_small):
+    """groupBy aggregations must be map-side partial (two HashAggregate
+    nodes around the exchange)."""
+    plan = plan_of(bq.a_grand_total(spark, sf_small))
+    assert plan.count("HashAggregate") >= 2
