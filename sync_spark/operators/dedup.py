@@ -57,7 +57,19 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
         F.when(F.size("toks") >= n, F.array_distinct(gram))
         .otherwise(F.array().cast("array<string>"))
         .alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
+    )
+
+
+def _doc_shingles_cached(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Persisted shingle table with derived size column.
+
+    ORDER MATTERS: persist BEFORE attaching size(sh)/filters. Catalyst
+    pushes projections and predicates through the shingle projection,
+    substituting the full transform expression into each consumer —
+    measured 3× the shingling cost when n_sh and the >0 filter sat
+    below the cache barrier."""
+    base = _doc_shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    return base.withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
 
 
 def ngram_jaccard_pairs(
@@ -83,14 +95,10 @@ def ngram_jaccard_pairs(
     At scale this turns Σ|posting|² on ubiquitous shingles into
     Σ|prefix-posting|² on rare ones — the candidate join stays
     band-partitioned and never approaches n²."""
-    # persist: the shingle table feeds the prefix index AND both sides
-    # of the verification join; recomputing the interpreted
-    # higher-order shingling 3× measured ~3× slower end-to-end
-    docs = (
-        _doc_shingles(df, text_col, id_col, n)
-        .filter(F.col("n_sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # cached shingle table: feeds the prefix index AND both sides of
+    # the verification join (see _doc_shingles_cached for why the
+    # cache barrier must come first)
+    docs = _doc_shingles_cached(df, text_col, id_col, n)
     docs = docs.withColumn("sh_sorted", F.array_sort("sh"))
     prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
     prefix = docs.select(
@@ -131,7 +139,7 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
     """k seeded xxhash64-min signatures per doc (deterministic)."""
-    docs = _doc_shingles(df, text_col, id_col, n).filter(F.size("sh") > 0)
+    docs = _doc_shingles_cached(df, text_col, id_col, n)
     posting = docs.select("doc_id", F.explode("sh").alias("shingle"))
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
@@ -158,11 +166,7 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    docs_cached = (
-        _doc_shingles(df, text_col, id_col, n)
-        .filter(F.col("n_sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    docs_cached = _doc_shingles_cached(df, text_col, id_col, n)
     posting = docs_cached.select("doc_id", F.explode("sh").alias("shingle"))
     mins = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
     sig = posting.groupBy("doc_id").agg(*mins).select(
