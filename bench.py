@@ -35,6 +35,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        # queries are independent: drop any operator-internal caches so
+        # memory doesn't accumulate and timings stay isolated
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

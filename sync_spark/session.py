@@ -10,6 +10,7 @@ the DuckDB oracle and stable across machines.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -39,6 +40,14 @@ def get_spark(app_name: str = "sync_spark", shuffle_partitions: int | None = Non
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # static conf: set at build time so bucketed saveAsTable has a
+        # writable warehouse without polluting the repo cwd
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_WAREHOUSE_DIR", os.path.join(tempfile.gettempdir(), "sync_spark_warehouse")
+            ),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
