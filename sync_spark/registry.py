@@ -99,3 +99,9 @@ def _populate() -> None:
     register("a_pivot_daily_types", xq.a_pivot_daily_types, xq.A_PIVOT_SQL)
     register("a_rollup_revenue", xq.a_rollup_revenue, xq.A_ROLLUP_SQL)
     register("a_approx_distinct", xq.a_approx_distinct, None)
+
+    from sync_spark.operators import tpch_queries as th
+
+    register("q3_shipping_priority", th.q3_shipping_priority, th.Q3_SQL)
+    register("q10_returned_items", th.q10_returned_items, th.Q10_SQL)
+    register("q18_large_orders", th.q18_large_orders, th.Q18_SQL)
