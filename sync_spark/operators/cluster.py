@@ -1,0 +1,88 @@
+"""Connected components over near-duplicate pair graphs — the final
+dedup step: a SURVIVOR PER CLUSTER, not per pair (transitively, A~B
+and B~C must collapse to one survivor even when A≁C directly).
+
+Algorithm: iterative min-label propagation (the DataFrame-native
+variant of large-star/small-star; Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — public algorithm).
+Each round every node takes the min label among itself and its
+neighbors; converges in O(graph diameter) rounds. Near-dup clusters
+have tiny diameters (pairs share most shingles), so 3-5 rounds
+typically suffice; the loop checks an actual convergence counter
+rather than trusting a fixed count.
+
+Scale notes: each round is one join + one aggregation, both keyed by
+node id. Lineage is cut per round with localCheckpoint — iterative
+joins otherwise build exponentially deep plans (the classic iterative-
+Spark trap). Label state is 16 bytes/node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, id_col: str = "id", max_iter: int = 20
+) -> DataFrame:
+    """nodes(id), edges(id_a, id_b) undirected → (id, cluster_id)
+    where cluster_id = min node id reachable."""
+    both = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    both = both.localCheckpoint(eager=True)
+
+    # only edge-touched nodes participate in propagation; singletons
+    # are trivially their own cluster and skip the loop entirely
+    touched = both.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    labels = touched.withColumn("label", F.col("node"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("nmin"))
+        )
+        # ONE materialization per round: checkpoint the (old, new)
+        # pair, then both the convergence check and the next round's
+        # input are cheap reads of the checkpointed data
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.col("label"),
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "new_label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    cc_touched = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
+    singletons = (
+        nodes.select(F.col(id_col))
+        .join(touched.withColumnRenamed("node", id_col), id_col, "left_anti")
+        .withColumn("cluster_id", F.col(id_col))
+    )
+    return cc_touched.unionByName(singletons)
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """docs + near-dup pairs → (doc_id, cluster_id, is_survivor).
+    Survivor = min doc_id per cluster (deterministic), singletons are
+    their own cluster."""
+    nodes = docs.select(id_col)
+    cc = connected_components(nodes, pairs, id_col=id_col)
+    return cc.select(
+        id_col,
+        "cluster_id",
+        (F.col(id_col) == F.col("cluster_id")).alias("is_survivor"),
+    )

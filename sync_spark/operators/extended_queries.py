@@ -191,6 +191,31 @@ ORDER BY n_name, c_mktsegment
 """
 
 
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per event type —
+    Spark `percentile` vs DuckDB `quantile_cont`, rounded to 6dp to
+    absorb last-bit interpolation differences."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+A_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: approximate distinct (HLL++). Deterministic for fixed data
     but engine-specific → rows-only check; the exact companion column

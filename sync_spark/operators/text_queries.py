@@ -165,6 +165,48 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: Jaccard≥0.8 pairs → connected
+    components → survivor per cluster. Oracle: recursive-CTE
+    transitive closure over the same pair set."""
+    from sync_spark.operators.cluster import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    return dedup_clusters(d, pairs).orderBy("doc_id")
+
+
+D_CLUSTERS_SQL = """
+WITH RECURSIVE pairs AS (
+  WITH d AS (
+    SELECT doc_id,
+           list_distinct([ string_split(trim(text),' ')[i] || ' ' || string_split(trim(text),' ')[i+1] || ' ' || string_split(trim(text),' ')[i+2]
+                           for i in range(1, len(string_split(trim(text),' ')) - 1) ]) AS sh
+    FROM documents
+  )
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM d a, d b
+  WHERE a.doc_id < b.doc_id
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(root, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT root AS doc_id,
+       MIN(node) AS cluster_id,
+       root = MIN(node) AS is_survivor
+FROM reach GROUP BY root ORDER BY doc_id
+"""
+
+
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (rows-only: banding is approximate).
     Deterministic given fixed seeds; candidates are verified with

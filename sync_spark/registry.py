@@ -85,6 +85,7 @@ def _populate() -> None:
     register("t_token_stats_by_lang", tq.t_token_stats_by_lang, tq.T_TOKEN_STATS_SQL)
     register("t_fingerprint", tq.t_fingerprint, tq.T_FINGERPRINT_SQL)
     register("d_dedup_exact", tq.d_dedup_exact, tq.D_EXACT_SQL)
+    register("d_dedup_clusters", tq.d_dedup_clusters, tq.D_CLUSTERS_SQL)
     register("d_ngram_jaccard", tq.d_ngram_jaccard, tq.D_JACCARD_SQL)
     register("d_minhash_lsh", tq.d_minhash_lsh, None)
     register("d_simhash_pairs", tq.d_simhash_pairs, None)
@@ -99,6 +100,7 @@ def _populate() -> None:
     register("a_pivot_daily_types", xq.a_pivot_daily_types, xq.A_PIVOT_SQL)
     register("a_rollup_revenue", xq.a_rollup_revenue, xq.A_ROLLUP_SQL)
     register("a_approx_distinct", xq.a_approx_distinct, None)
+    register("a_percentiles", xq.a_percentiles, xq.A_PERCENTILES_SQL)
 
     from sync_spark.operators import tpch_queries as th
 

@@ -1,0 +1,33 @@
+"""Connected-components unit tests: chains, multiple clusters,
+singletons, convergence on deeper-than-one-round graphs."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from sync_spark.operators.cluster import connected_components, dedup_clusters
+
+
+def test_chain_collapses_transitively(spark):
+    # chain 1-2-3-4-5: diameter 4, needs multiple propagation rounds
+    nodes = spark.createDataFrame([Row(id=i) for i in range(1, 6)])
+    edges = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4), Row(id_a=4, id_b=5)]
+    )
+    out = {r.id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_multiple_clusters_and_singletons(spark):
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(7)])
+    pairs = spark.createDataFrame(
+        [Row(id_a=0, id_b=1), Row(id_a=1, id_b=2), Row(id_a=4, id_b=5)]
+    )
+    out = {r.doc_id: (r.cluster_id, r.is_survivor) for r in dedup_clusters(nodes, pairs).collect()}
+    assert out[0] == (0, True) and out[1] == (0, False) and out[2] == (0, False)
+    assert out[3] == (3, True)  # singleton survives
+    assert out[4] == (4, True) and out[5] == (4, False)
+    assert out[6] == (6, True)
+    # exactly one survivor per cluster
+    survivors = [k for k, (c, s) in out.items() if s]
+    assert sorted(survivors) == [0, 3, 4, 6]
