@@ -22,10 +22,19 @@ from pyspark.sql.types import LongType
 _NANOS_HINT = {"ts"}
 
 
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Runtime-settable confs every query depends on, applied
+    defensively so queries are correct even on a session we didn't
+    build (the driver passes its own): UTC session time (timestamp
+    formatting / JST math) and nanos-parquet tolerance."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def read_parquet(spark: SparkSession, path: str, nanos_cols: set[str] | None = None) -> DataFrame:
     """Read parquet, converting TIMESTAMP(NANOS) columns to
     microsecond TimestampType."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_session_conf(spark)
     df = spark.read.parquet(path)
     hint = _NANOS_HINT if nanos_cols is None else nanos_cols
     for field in df.schema.fields:
