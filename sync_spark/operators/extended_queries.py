@@ -216,6 +216,50 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def f_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface (SURVEY §2.8 note): tokenize → explode → top-20
+    token frequencies. The explode is the generic nested-array
+    flattening path (Mongo array fields)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+F_ARRAY_EXPLODE_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+"""
+
+
+def a_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations
+    (§2.4 note: full cube exposed via builtin)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+A_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
 def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: approximate distinct (HLL++). Deterministic for fixed data
     but engine-specific → rows-only check; the exact companion column
