@@ -77,8 +77,13 @@ class SyncTask:
         for t in self._targets():
             src = self.source_loader(t.source_table)
             rules = self.spec.field_security.get(t.source_table, [])
-            if rules:
-                src = apply_security_rules(src, rules, key=self.security_key)
+            # same invariant as the CDC path (pipeline._apply_batch):
+            # key columns are never masked/encrypted, otherwise CDC
+            # events (which carry real keys) could never match
+            # snapshot rows and every update would duplicate
+            data_rules = [r for r in rules if r.field.split(".")[0] not in t.key_cols]
+            if data_rules:
+                src = apply_security_rules(src, data_rules, key=self.security_key)
             ran[t.source_table] = snapshot_if_empty(self.spark, src, t.target_path)
         return ran
 

@@ -59,11 +59,13 @@ def decrypt_value(col: Column, key: str) -> Column:
     return F.aes_decrypt(F.unbase64(col), F.lit(_pad_key(key)), F.lit("GCM")).cast("string")
 
 
-def _pad_key(key: str) -> str:
-    """Reference derives a 32-byte key (AES-256); accept shorter keys
-    by zero-padding/truncating like a fixed-length key slot."""
+def _pad_key(key: str) -> bytes:
+    """Reference derives a 32-byte key (AES-256); accept arbitrary
+    keys by utf-8 encode + zero-pad/truncate. Returned as BYTES (a
+    binary literal): routing through a str would be re-encoded as
+    UTF-8 by Spark and change the byte length for non-ASCII keys."""
     b = key.encode("utf-8")[:32]
-    return (b + b"\x00" * (32 - len(b))).decode("latin-1")
+    return b + b"\x00" * (32 - len(b))
 
 
 def _transform_nested(col: Column, dtype: DataType, parts: list[str], fn, depth: int = 0) -> Column:

@@ -37,6 +37,7 @@ def connected_components(
     # are trivially their own cluster and skip the loop entirely
     touched = both.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     labels = touched.withColumn("label", F.col("node"))
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             both.join(labels, both.src == labels.node)
@@ -61,7 +62,15 @@ def connected_components(
         changed = updated.filter(F.col("new_label") != F.col("label")).limit(1).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # a silently-split component would leak duplicate "survivors";
+        # fail loudly instead (raise max_iter for huge-diameter graphs)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter)"
+        )
     cc_touched = labels.select(F.col("node").alias(id_col), F.col("label").alias("cluster_id"))
     singletons = (
         nodes.select(F.col(id_col))

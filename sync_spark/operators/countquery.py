@@ -42,8 +42,10 @@ def coerce_literal(value: Any) -> Any:
 
 def compile_condition(cond: CountCondition, for_table: Optional[str] = None) -> Optional[Column]:
     """One condition → Column predicate; None when scoped to another
-    table (P12)."""
-    if cond.table and for_table and cond.table != for_table:
+    table (P12). A table-scoped condition applies ONLY when the
+    queried table is known to match — with no table context it is
+    skipped, not applied everywhere."""
+    if cond.table and cond.table != for_table:
         return None
     op = cond.operator.strip()
     if op not in _OPS:

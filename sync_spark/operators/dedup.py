@@ -60,6 +60,11 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     )
 
 
+# most-recent persisted shingle table; bounded-leak discipline for
+# long-lived sessions (see _doc_shingles_cached)
+_live_shingle_cache: list[DataFrame] = []
+
+
 def _doc_shingles_cached(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """Persisted shingle table with derived size column.
 
@@ -67,8 +72,20 @@ def _doc_shingles_cached(df: DataFrame, text_col: str, id_col: str, n: int) -> D
     pushes projections and predicates through the shingle projection,
     substituting the full transform expression into each consumer —
     measured 3× the shingling cost when n_sh and the >0 filter sat
-    below the cache barrier."""
+    below the cache barrier.
+
+    Cache lifetime: results are lazy, so the operator can't know when
+    the caller is done — instead each new shingle cache evicts the
+    previous one (bounded to ONE live cache per session). A still-lazy
+    older result simply recomputes; long-lived sessions never
+    accumulate stale shingle tables."""
     base = _doc_shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    while _live_shingle_cache:
+        try:
+            _live_shingle_cache.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+    _live_shingle_cache.append(base)
     return base.withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
 
 

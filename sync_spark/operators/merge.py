@@ -66,10 +66,14 @@ def apply_changes(
     (op, seq). Result: target rows minus deleted keys minus replaced
     keys, plus upsert after-images (insert-or-update unified).
     """
-    if compact:
-        changes = compact_latest_per_key(changes, keys, seq_col)
+    # ignore_deletes BEFORE compaction: with deletes ignored they are
+    # no-ops, so an upsert superseded by a later delete in the same
+    # batch must still land (compacting first would keep only the
+    # delete and silently drop the upsert)
     if ignore_deletes:
         changes = changes.filter(F.col(OP_COL) != DELETE_OP)
+    if compact:
+        changes = compact_latest_per_key(changes, keys, seq_col)
 
     upserts = changes.filter(F.col(OP_COL) != DELETE_OP).select(*target.columns)
     deletes = changes.filter(F.col(OP_COL) == DELETE_OP).select(*keys)

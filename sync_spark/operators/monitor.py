@@ -40,6 +40,9 @@ def monitor_tick(
     The counts run as one union-of-aggregates job (not a Python loop
     of .count() actions) so a 500-table task is still one Spark job.
     """
+    if not pairs:
+        schema = "task_id long, table string, src_count long, tgt_count long, logged_at timestamp"
+        return spark.createDataFrame([], schema)
     parts = []
     for table, (src, tgt) in pairs.items():
         parts.append(

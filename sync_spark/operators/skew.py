@@ -41,9 +41,13 @@ def salted_agg(
                    {"cnt": F.count(F.lit(1)), "s": F.sum("v")},
                    {"cnt": F.sum("cnt"), "s": F.sum("s")})
     """
-    # any row→salt assignment works (the merged result is invariant);
-    # monotonically_increasing_id spreads rows evenly without a hash
-    salted = df.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salts)))
+    # the salt must be DETERMINISTIC per row content: a positional id
+    # (monotonically_increasing_id) changes on task retry after a
+    # shuffle recompute, double-counting/dropping rows in the partial
+    # stage (the SPARK-23207 failure class). Content-hash salting is
+    # stable across retries; rows with identical full content share a
+    # salt, which only matters if a hot key is also all-duplicate rows.
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(*df.columns), F.lit(salts)))
     partial = salted.groupBy(key, "__salt").agg(
         *[c.alias(name) for name, c in partial_aggs.items()]
     )

@@ -80,10 +80,16 @@ def table_time_range(table: str) -> Optional[tuple[datetime, datetime]]:
     that year; half-open; None for unsuffixed/numeric tables."""
     _, digits, kind = split_suffix(table)
     if kind == "day":
-        d = datetime.strptime(digits, "%Y%m%d")
+        try:
+            d = datetime.strptime(digits, "%Y%m%d")
+        except ValueError:
+            return None  # 8-digit suffix that isn't a date (t_99999999)
         return d, d + timedelta(days=1)
     if kind == "month":
-        d = datetime.strptime(digits, "%Y%m")
+        try:
+            d = datetime.strptime(digits, "%Y%m")
+        except ValueError:
+            return None  # 6-digit suffix that isn't a month (t_999999)
         nxt = datetime(d.year + (d.month == 12), d.month % 12 + 1, 1)
         return d, nxt
     if kind == "year":

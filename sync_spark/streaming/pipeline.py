@@ -115,13 +115,17 @@ class CdcPipeline:
                 bad = changes.filter(null_key)
                 good = changes.filter(~null_key)
                 if self.dlq_path and bad.limit(1).count() > 0:
+                    # partition-dir overwrite keyed by (table, batch):
+                    # replaying a crashed batch rewrites the SAME dir
+                    # instead of appending duplicates, keeping the DLQ
+                    # as idempotent as the merge itself
                     (
-                        bad.withColumn("batch_id", F.lit(batch_id))
-                        .withColumn("table", F.lit(t.source_table))
-                        .withColumn("reason", F.lit("null_key"))
-                        .select("table", "batch_id", "op", "seq", "reason")
-                        .write.mode("append")
-                        .parquet(self.dlq_path)
+                        bad.withColumn("reason", F.lit("null_key"))
+                        .select("op", "seq", "reason")
+                        .write.mode("overwrite")
+                        .parquet(
+                            f"{self.dlq_path}/table={t.source_table}/batch_id={batch_id}"
+                        )
                     )
                 rules = self.spec.field_security.get(t.source_table, [])
                 if rules:
