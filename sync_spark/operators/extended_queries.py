@@ -260,6 +260,35 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+def f_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack): wide per-day event counts back to long form —
+    round-trips the pivot surface (§2.4 note)."""
+    wide = a_pivot_daily_types(spark, sf_dir)
+    return wide.select(
+        "day",
+        F.expr(
+            "stack(5, 'click', click, 'view', view, 'purchase', purchase, "
+            "'signup', signup, 'error', error) AS (event_type, n)"
+        ),
+    ).orderBy("day", "event_type")
+
+
+F_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         COUNT(*) FILTER (event_type = 'click') AS click,
+         COUNT(*) FILTER (event_type = 'view') AS view,
+         COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+         COUNT(*) FILTER (event_type = 'signup') AS signup,
+         COUNT(*) FILTER (event_type = 'error') AS error
+  FROM events GROUP BY 1
+)
+SELECT day, event_type, CAST(n AS BIGINT) AS n
+FROM (UNPIVOT wide ON click, view, purchase, signup, error INTO NAME event_type VALUE n)
+ORDER BY day, event_type
+"""
+
+
 def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3: approximate distinct (HLL++). Deterministic for fixed data
     but engine-specific → rows-only check; the exact companion column

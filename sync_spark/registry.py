@@ -103,6 +103,7 @@ def _populate() -> None:
     register("a_percentiles", xq.a_percentiles, xq.A_PERCENTILES_SQL)
     register("f_array_explode", xq.f_array_explode, xq.F_ARRAY_EXPLODE_SQL)
     register("a_cube_revenue", xq.a_cube_revenue, xq.A_CUBE_SQL)
+    register("f_unpivot", xq.f_unpivot, xq.F_UNPIVOT_SQL)
 
     from sync_spark.operators import tpch_queries as th
 
