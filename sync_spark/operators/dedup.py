@@ -79,12 +79,15 @@ def _doc_shingles_cached(df: DataFrame, text_col: str, id_col: str, n: int) -> D
     previous one (bounded to ONE live cache per session). A still-lazy
     older result simply recomputes; long-lived sessions never
     accumulate stale shingle tables."""
-    base = _doc_shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # evict BEFORE persisting the replacement: Spark's cache manager
+    # keys on the LOGICAL PLAN, so unpersisting an old handle whose
+    # plan equals the new one would evict the fresh cache too
     while _live_shingle_cache:
         try:
             _live_shingle_cache.pop().unpersist()
         except Exception:
             pass  # session already stopped
+    base = _doc_shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     _live_shingle_cache.append(base)
     return base.withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
 

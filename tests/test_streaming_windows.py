@@ -54,6 +54,39 @@ def test_tumbling_window_with_watermark(spark, tmp_path):
     assert [(r.s, r.n) for r in rows] == [("00:00", 2), ("00:05", 1), ("01:00", 1)]
 
 
+def test_streaming_session_window(spark, tmp_path):
+    """Native session_window in streaming (T9 extension): events gap
+    > 10 min split sessions per table."""
+    log = str(tmp_path / "sev")
+    write_event_batch(
+        log,
+        [
+            _ev(1, "2024-01-01T00:00:00Z"),
+            _ev(2, "2024-01-01T00:05:00Z"),  # same session (gap 5m)
+            _ev(3, "2024-01-01T00:30:00Z"),  # new session (gap 25m)
+        ],
+        1,
+    )
+    stream = read_event_stream(spark, log)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "source_table")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessout")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT date_format(w.start, 'HH:mm') AS s, n FROM sessout ORDER BY s"
+    ).collect()
+    assert [(r.s, r.n) for r in rows] == [("00:00", 2), ("00:30", 1)]
+
+
 def test_max_files_per_trigger_batches(spark, tmp_path):
     log = str(tmp_path / "ev2")
     for b in range(3):
