@@ -260,6 +260,52 @@ ORDER BY o_orderstatus, o_orderpriority
 """
 
 
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the same ANSI string runs on both engines
+    (partial-cube shapes the reference's rollups never had)."""
+    return run_sql(spark, sf_dir, _GROUPING_SETS_SQL)
+
+
+A_GROUPING_SETS_SQL = _GROUPING_SETS_SQL
+
+
+def f_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function surface (§2.8 note): per-user map of
+    event_type → count built with map_from_entries, then key lookups
+    and size. The oracle checks the extracted VALUES (map literals
+    stringify engine-specifically)."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return as_map.select(
+        "user_id",
+        F.coalesce(F.element_at("m", "click"), F.lit(0)).alias("clicks"),
+        F.coalesce(F.element_at("m", "purchase"), F.lit(0)).alias("purchases"),
+        F.size("m").alias("n_types"),
+    ).orderBy("user_id")
+
+
+F_MAP_SQL = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS clicks,
+       COUNT(*) FILTER (event_type = 'purchase') AS purchases,
+       CAST(COUNT(DISTINCT event_type) AS INTEGER) AS n_types
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def f_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (stack): wide per-day event counts back to long form —
     round-trips the pivot surface (§2.4 note)."""

@@ -104,6 +104,8 @@ def _populate() -> None:
     register("f_array_explode", xq.f_array_explode, xq.F_ARRAY_EXPLODE_SQL)
     register("a_cube_revenue", xq.a_cube_revenue, xq.A_CUBE_SQL)
     register("f_unpivot", xq.f_unpivot, xq.F_UNPIVOT_SQL)
+    register("a_grouping_sets", xq.a_grouping_sets, xq.A_GROUPING_SETS_SQL)
+    register("f_map_funcs", xq.f_map_funcs, xq.F_MAP_SQL)
 
     from sync_spark.operators import tpch_queries as th
 
