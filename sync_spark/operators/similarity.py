@@ -102,6 +102,88 @@ def _bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: cluster the corpus into ``n_lists``
+    cells with seeded KMeans, assign each vector to its nearest
+    centroid, and answer queries by scanning only the ``n_probe``
+    nearest cells — the production-style scale path (a trained
+    codebook version of the same bucketed-join shape as LSH).
+
+    Scale: the corpus shuffles once on cell id; each query touches
+    n_probe/n_lists of the data. Centroids are tiny and broadcast
+    driver-side as literals. KMeans itself runs on a sample at real
+    scale (here: the full corpus, which IS the sample at test sizes).
+    Deterministic given the seed. Recall < 1 by design → rows-only.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # few iterations suffice for BUCKETING quality (cells need to be
+    # balanced, not optimal); each KMeans iteration is a Spark job, so
+    # iteration count is the local-latency knob
+    train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=n_lists, seed=seed, maxIter=8).fit(train)
+    centroids = [list(c) for c in model.clusterCenters()]
+
+    def nearest_cells(vec: Column, n: int) -> Column:
+        """Array of the n nearest centroid ids (exact L2, tiny k)."""
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        vec,
+                        F.array(*[F.lit(v) for v in c]),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for c in centroids
+            ]
+        )
+        idx = F.array(*[F.struct(dists[i].alias("d"), F.lit(i).alias("cell")) for i in range(len(centroids))])
+        return F.slice(F.transform(F.array_sort(idx), lambda s: s["cell"]), 1, n)
+
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("craw"))
+        .withColumn("cell", nearest_cells(F.col("craw"), 1)[0])
+        .withColumn("cv", _quantize(F.col("craw")))
+        .withColumn("cn", _norm2(F.col("cv")))
+        .drop("craw")
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qraw"))
+        .withColumn("cell", F.explode(nearest_cells(F.col("qraw"), n_probe)))
+        .withColumn("qv", _quantize(F.col("qraw")))
+        .withColumn("qn", _norm2(F.col("qv")))
+        .drop("qraw")
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("qv"), F.col("cv")).cast("double")
+            / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

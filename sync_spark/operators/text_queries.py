@@ -261,3 +261,10 @@ def e_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate NN (rows-only: recall < 1 by design)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=4)
+
+
+def e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans codebook) approximate NN — the trained-codebook
+    scale path (rows-only: recall < 1 by design, deterministic seed)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_lists=16, n_probe=4)

@@ -91,6 +91,7 @@ def _populate() -> None:
     register("d_simhash_pairs", tq.d_simhash_pairs, None)
     register("e_cosine_topk", tq.e_cosine_topk, tq.E_COSINE_SQL)
     register("e_ann_lsh", tq.e_ann_lsh, None)
+    register("e_ann_ivf", tq.e_ann_ivf, None)
 
     from sync_spark.operators import extended_queries as xq
 

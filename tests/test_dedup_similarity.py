@@ -63,6 +63,22 @@ def test_ann_lsh_subset_of_exact_rankings(spark, sf_small):
     assert sorted(map(tuple, approx)) == sorted(map(tuple, approx2))
 
 
+def test_ivf_deterministic_and_correct_cosines(spark, sf_small):
+    emb = _t(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(q, emb, k=50).collect()
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    ivf = similarity.ivf_topk(q, emb, k=5, n_lists=8, n_probe=3).collect()
+    assert len(ivf) > 0
+    # every IVF hit reports the TRUE cosine (same quantized math)
+    for r in ivf:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert r.cosine == exact_cos[key]
+    ivf2 = similarity.ivf_topk(q, emb, k=5, n_lists=8, n_probe=3).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
+
+
 def test_exact_dedup_counts(spark):
     df = spark.createDataFrame(
         [
