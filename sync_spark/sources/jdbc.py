@@ -1,0 +1,107 @@
+"""JDBC source/sink scaffolding (SURVEY.md §2.1 S3/S5/S11).
+
+On a real cluster the relational snapshot paths read via
+``spark.read.jdbc`` — the scale-critical part is PARTITIONED reads:
+one executor per key range instead of one giant serial cursor (the
+reference reads serially in 100-row batches, mysql.go:154-267; Spark
+replaces that with N parallel range scans).
+
+This container has no databases or JDBC drivers, so the connection
+call is a thin wrapper; the partitioning math — numeric ranges and
+explicit predicate lists (for string/date keys) — is pure logic,
+tested locally, and is what actually matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def range_partition_options(
+    partition_column: str, lower: int, upper: int, num_partitions: int
+) -> dict[str, str]:
+    """Options for Spark's built-in numeric range partitioning:
+    numPartitions ranges of ~(upper-lower)/n each. Spark generates
+    WHERE clauses server-side; rows outside [lower, upper] still land
+    in the first/last partition (no data loss)."""
+    if upper < lower:
+        raise ValueError(f"upper {upper} < lower {lower}")
+    if num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
+    return {
+        "partitionColumn": partition_column,
+        "lowerBound": str(lower),
+        "upperBound": str(upper),
+        "numPartitions": str(num_partitions),
+    }
+
+
+def predicate_partitions(
+    column: str, boundaries: Sequence[Any], quote: bool = False
+) -> list[str]:
+    """Explicit per-partition WHERE predicates for non-numeric keys
+    (dates, uuids): boundaries [b0, b1, ..., bn] → n+1 half-open
+    predicates covering (-inf, b0), [b0, b1), ..., [bn, +inf).
+    Together they cover every row exactly once (incl. NULLs in the
+    first partition)."""
+    if not boundaries:
+        raise ValueError("need at least one boundary")
+
+    def lit(v: Any) -> str:
+        return f"'{v}'" if quote else str(v)
+
+    preds = [f"{column} < {lit(boundaries[0])} OR {column} IS NULL"]
+    for lo, hi in zip(boundaries, boundaries[1:]):
+        preds.append(f"{column} >= {lit(lo)} AND {column} < {lit(hi)}")
+    preds.append(f"{column} >= {lit(boundaries[-1])}")
+    return preds
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: Optional[dict[str, str]] = None,
+    partition_column: Optional[str] = None,
+    lower: Optional[int] = None,
+    upper: Optional[int] = None,
+    num_partitions: int = 8,
+    predicates: Optional[list[str]] = None,
+) -> DataFrame:
+    """Partitioned JDBC read. Pick ONE of (partition_column + bounds)
+    or explicit predicates; neither → single-partition read (only for
+    tiny tables)."""
+    props = dict(properties or {})
+    if predicates is not None:
+        return spark.read.jdbc(url, table, predicates=predicates, properties=props)
+    if partition_column is not None:
+        if lower is None or upper is None:
+            raise ValueError("partition_column needs lower/upper bounds")
+        return spark.read.jdbc(
+            url,
+            table,
+            column=partition_column,
+            lowerBound=lower,
+            upperBound=upper,
+            numPartitions=num_partitions,
+            properties=props,
+        )
+    return spark.read.jdbc(url, table, properties=props)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: Optional[dict[str, str]] = None,
+    batch_size: int = 1000,
+) -> None:
+    """S11 batch-insert sink: Spark batches inserts per partition
+    (batchsize option replaces the reference's hand-built multi-row
+    VALUES, mysql.go:338-393)."""
+    props = dict(properties or {})
+    props.setdefault("batchsize", str(batch_size))
+    df.write.jdbc(url, table, mode=mode, properties=props)
