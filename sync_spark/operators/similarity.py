@@ -47,6 +47,26 @@ def _norm2(a: Column) -> Column:
     )
 
 
+def _scored_topk(c, q, k: int, on=None):
+    """Shared scoring tail: join corpus(c: neighbor_id, cv, cn) with
+    broadcast queries(q: query_id, qv, qn), exact quantized cosine,
+    per-query top-k with id tiebreak. One definition so the rounding/
+    tiebreak/quantization discipline can't drift between the exact,
+    LSH, and IVF variants."""
+    joined = c.crossJoin(F.broadcast(q)) if on is None else c.join(F.broadcast(q), on)
+    scored = joined.filter(F.col("neighbor_id") != F.col("query_id")).withColumn(
+        "cosine",
+        _dot(F.col("qv"), F.col("cv")).cast("double")
+        / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -62,21 +82,7 @@ def cosine_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _quantize(F.col(vec_col)).alias("cv")
     ).withColumn("cn", _norm2(F.col("cv")))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("qv"), F.col("cv")).cast("double")
-            / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
-    )
+    return _scored_topk(c, q, k)
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -136,21 +142,22 @@ def ivf_topk(
 
     def nearest_cells(vec: Column, n: int) -> Column:
         """Array of the n nearest centroid ids (exact L2, tiny k)."""
-        dists = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(v) for v in c]),
-                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                for c in centroids
-            ]
-        )
-        idx = F.array(*[F.struct(dists[i].alias("d"), F.lit(i).alias("cell")) for i in range(len(centroids))])
+        # one distance expression per centroid, each referenced exactly
+        # once (indexing into an F.array would embed the WHOLE array per
+        # struct -> O(n_lists^2) expression-tree blowup)
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(v) for v in c]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+        idx = F.array(*[F.struct(d.alias("d"), F.lit(i).alias("cell")) for i, d in enumerate(dists)])
         return F.slice(F.transform(F.array_sort(idx), lambda s: s["cell"]), 1, n)
 
     c = (
@@ -167,21 +174,7 @@ def ivf_topk(
         .withColumn("qn", _norm2(F.col("qv")))
         .drop("qraw")
     )
-    scored = (
-        c.join(F.broadcast(q), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("qv"), F.col("cv")).cast("double")
-            / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
-    )
+    return _scored_topk(c, q, k, on="cell")
 
 
 def ann_lsh_topk(
@@ -212,18 +205,4 @@ def ann_lsh_topk(
         .withColumn("cn", _norm2(F.col("cv")))
         .drop("craw")
     )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("qv"), F.col("cv")).cast("double")
-            / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
-    )
+    return _scored_topk(c, q, k, on="bucket")

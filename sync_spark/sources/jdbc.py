@@ -48,9 +48,16 @@ def predicate_partitions(
     first partition)."""
     if not boundaries:
         raise ValueError("need at least one boundary")
+    bl = list(boundaries)
+    if any(not (a < b) for a, b in zip(bl, bl[1:])):
+        # unsorted/duplicate boundaries would create OVERLAPPING
+        # predicates → silent row duplication on read
+        raise ValueError(f"boundaries must be strictly increasing: {bl!r}")
 
     def lit(v: Any) -> str:
-        return f"'{v}'" if quote else str(v)
+        if quote:
+            return "'" + str(v).replace("'", "''") + "'"  # escape embedded quotes
+        return str(v)
 
     preds = [f"{column} < {lit(boundaries[0])} OR {column} IS NULL"]
     for lo, hi in zip(boundaries, boundaries[1:]):
@@ -74,11 +81,14 @@ def read_jdbc(
     or explicit predicates; neither → single-partition read (only for
     tiny tables)."""
     props = dict(properties or {})
+    if predicates is not None and partition_column is not None:
+        raise ValueError("pass either predicates or partition_column, not both")
     if predicates is not None:
         return spark.read.jdbc(url, table, predicates=predicates, properties=props)
     if partition_column is not None:
         if lower is None or upper is None:
             raise ValueError("partition_column needs lower/upper bounds")
+        range_partition_options(partition_column, lower, upper, num_partitions)  # validate early
         return spark.read.jdbc(
             url,
             table,

@@ -10,6 +10,7 @@ same checkpoint dir).
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 import time
 from typing import Callable, Optional
@@ -17,6 +18,8 @@ from typing import Callable, Optional
 from sync_spark.spec import SyncSpec
 
 POLL_INTERVAL_S = 10  # main.go:92
+
+log = logging.getLogger(__name__)
 
 
 class SpecWatcher:
@@ -31,30 +34,43 @@ class SpecWatcher:
         self.query = None
         self.reload_count = 0
 
-    def _read(self) -> tuple[str, SyncSpec]:
-        with open(self.spec_path) as f:
-            raw = f.read()
-        return hashlib.sha256(raw.encode()).hexdigest(), SyncSpec.from_json(raw)
-
     def poll_once(self) -> bool:
         """Check the file; (re)start on change. Returns True if a
-        (re)start happened."""
+        (re)start happened. A failed build leaves the watcher in a
+        'nothing running, retry next poll' state rather than a
+        stopped-forever one."""
         if not os.path.exists(self.spec_path):
             return False
-        digest, spec = self._read()
+        with open(self.spec_path) as f:
+            raw = f.read()
+        digest = hashlib.sha256(raw.encode()).hexdigest()
         if digest == self._digest:
             return False
+        # parse only on change (unchanged files are not re-parsed)
+        spec = SyncSpec.from_json(raw)
         if self.query is not None:
             self.query.stop()
+            self.query = None
             self.reload_count += 1
-        self.query = self.build(spec)
+        try:
+            self.query = self.build(spec)
+        except Exception:
+            # old query already stopped; forget the digest so the next
+            # poll retries the build instead of considering it live
+            self._digest = None
+            raise
         self._digest = digest
         return True
 
     def run(self, max_polls: Optional[int] = None, interval_s: float = POLL_INTERVAL_S) -> None:
+        """Daemon loop: survives torn reads / bad specs / transient
+        build failures (the reference's loop polls forever too)."""
         polls = 0
         while max_polls is None or polls < max_polls:
-            self.poll_once()
+            try:
+                self.poll_once()
+            except Exception:
+                log.exception("spec reload failed; retrying next poll")
             polls += 1
             time.sleep(interval_s)
 
@@ -62,3 +78,6 @@ class SpecWatcher:
         if self.query is not None:
             self.query.stop()
             self.query = None
+        # forget the digest: a later poll/run must restart even if the
+        # file is unchanged (nothing is running anymore)
+        self._digest = None

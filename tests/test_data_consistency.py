@@ -27,7 +27,7 @@ NASTY = [
     "emoji 🎉🚀💥 mixed",
     "tab\there\nnewline",
     "quote's \"and\" `backticks`; DROP TABLE users; --",
-    "null byte next:",
+    "null byte next:\x00end",
     "x" * 100_000,  # large field
     "",  # empty string
     None,  # NULL
