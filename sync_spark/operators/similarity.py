@@ -22,6 +22,9 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd  # module scope: pandas_udf resolves string type
+# hints (from __future__ annotations) against the defining module
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -117,6 +120,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 8,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: cluster the corpus into ``n_lists``
     cells with seeded KMeans, assign each vector to its nearest
@@ -137,39 +141,43 @@ def ivf_topk(
     # balanced, not optimal); each KMeans iteration is a Spark job, so
     # iteration count is the local-latency knob
     train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=8).fit(train)
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(train)
     centroids = [list(c) for c in model.clusterCenters()]
 
-    def nearest_cells(vec: Column, n: int) -> Column:
-        """Array of the n nearest centroid ids (exact L2, tiny k)."""
-        # one distance expression per centroid, each referenced exactly
-        # once (indexing into an F.array would embed the WHOLE array per
-        # struct -> O(n_lists^2) expression-tree blowup)
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(v) for v in c]),
-                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in centroids
-        ]
-        idx = F.array(*[F.struct(d.alias("d"), F.lit(i).alias("cell")) for i, d in enumerate(dists)])
-        return F.slice(F.transform(F.array_sort(idx), lambda s: s["cell"]), 1, n)
+    # cell assignment is a dense numeric kernel (corpus × centroids
+    # distance matrix): interpreted Column HOFs measured ~10× slower
+    # than one Arrow-batched numpy matmul per partition — this is the
+    # legitimate pandas_udf case (vectorized, no per-row Python)
+    from pyspark.sql.functions import pandas_udf
+
+    cent = np.asarray(centroids, dtype=np.float64)  # (n_lists, dim)
+    cent_sq = (cent * cent).sum(axis=1)  # ‖c‖² per centroid
+
+    def _cells_batch(embs: pd.Series, n: int) -> pd.Series:
+        x = np.asarray(list(embs), dtype=np.float64)  # (batch, dim)
+        # argpartition on  ‖x-c‖² = ‖x‖² - 2x·c + ‖c‖²  (‖x‖² constant per row)
+        d = cent_sq[None, :] - 2.0 * (x @ cent.T)
+        order = np.argsort(d, axis=1)[:, :n].astype(np.int32)
+        return pd.Series(list(order))
+
+    @pandas_udf("int")
+    def nearest_cell_udf(embs: pd.Series) -> pd.Series:
+        return _cells_batch(embs, 1).map(lambda a: int(a[0]))
+
+    @pandas_udf("array<int>")
+    def probe_cells_udf(embs: pd.Series) -> pd.Series:
+        return _cells_batch(embs, n_probe).map(list)
 
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("craw"))
-        .withColumn("cell", nearest_cells(F.col("craw"), 1)[0])
+        .withColumn("cell", nearest_cell_udf(F.col("craw")))
         .withColumn("cv", _quantize(F.col("craw")))
         .withColumn("cn", _norm2(F.col("cv")))
         .drop("craw")
     )
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qraw"))
-        .withColumn("cell", F.explode(nearest_cells(F.col("qraw"), n_probe)))
+        .withColumn("cell", F.explode(probe_cells_udf(F.col("qraw"))))
         .withColumn("qv", _quantize(F.col("qraw")))
         .withColumn("qn", _norm2(F.col("qv")))
         .drop("qraw")

@@ -267,4 +267,8 @@ def e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans codebook) approximate NN — the trained-codebook
     scale path (rows-only: recall < 1 by design, deterministic seed)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_lists=16, n_probe=4)
+    # few KMeans iterations: each is a Spark job and bucket BALANCE,
+    # not centroid optimality, is what IVF needs
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_lists=16, n_probe=4, max_iter=3
+    )
