@@ -135,6 +135,18 @@ def jst_daily_stats(log: DataFrame) -> DataFrame:
     )
 
 
+def apply_stats_totals(spark: SparkSession, stats_path: str) -> DataFrame:
+    """A6 rollup over the pipeline's per-batch apply counters
+    (CdcPipeline stats_path): totals per table per op across all
+    batches — the changestream_statistics serving query."""
+    stats = spark.read.parquet(stats_path)  # partition cols: table, batch_id
+    return (
+        stats.groupBy("table", "op")
+        .agg(F.sum("n").alias("total"), F.countDistinct("batch_id").alias("n_batches"))
+        .orderBy("table", "op")
+    )
+
+
 def consistency_alerts(log: DataFrame, day: date, tolerance: int = 0) -> DataFrame:
     """Daily summary alert rows: tables whose latest src/tgt counts
     in yesterday's JST window differ (monitor.go:961-1203 → Slack)."""

@@ -86,6 +86,7 @@ class CdcPipeline:
         dlq_path: Optional[str] = None,
         security_key: str = "",
         max_files_per_trigger: int | None = None,
+        stats_path: Optional[str] = None,
     ) -> None:
         self.spark = spark
         self.spec = spec
@@ -95,6 +96,7 @@ class CdcPipeline:
         self.dlq_path = dlq_path
         self.security_key = security_key
         self.max_files_per_trigger = max_files_per_trigger
+        self.stats_path = stats_path
 
     # -- micro-batch apply ------------------------------------------------
 
@@ -133,6 +135,19 @@ class CdcPipeline:
                     # seq stay intact for the merge
                     data_rules = [r for r in rules if r.field.split(".")[0] not in t.key_cols]
                     good = apply_security_rules(good, data_rules, key=self.security_key)
+                if self.stats_path is not None:
+                    # per-batch apply counters (A6, changestream_statistics
+                    # analog: monitor.go:96-110): written with the same
+                    # per-(table,batch) overwrite discipline as the DLQ,
+                    # so crash-replays do not double-count
+                    (
+                        good.groupBy("op")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .write.mode("overwrite")
+                        .parquet(
+                            f"{self.stats_path}/table={t.source_table}/batch_id={batch_id}"
+                        )
+                    )
                 if good.limit(1).count() == 0:
                     continue
                 target = self.spark.read.parquet(t.target_path)
