@@ -344,3 +344,22 @@ def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch via
+    percentile_approx) next to their exact companions — the
+    mergeable-sketch path for 100 TB where exact percentiles would
+    need a full sort. Engine-specific sketch → rows-only; the error
+    bound is asserted in tests."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, 1000).alias("p50_approx"),
+            F.expr("percentile(value, 0.5)").alias("p50_exact"),
+            F.percentile_approx("value", 0.99, 1000).alias("p99_approx"),
+            F.expr("percentile(value, 0.99)").alias("p99_exact"),
+        )
+        .orderBy("event_type")
+    )

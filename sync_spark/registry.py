@@ -101,6 +101,7 @@ def _populate() -> None:
     register("a_pivot_daily_types", xq.a_pivot_daily_types, xq.A_PIVOT_SQL)
     register("a_rollup_revenue", xq.a_rollup_revenue, xq.A_ROLLUP_SQL)
     register("a_approx_distinct", xq.a_approx_distinct, None)
+    register("a_quantile_sketch", xq.a_quantile_sketch, None)
     register("a_percentiles", xq.a_percentiles, xq.A_PERCENTILES_SQL)
     register("f_array_explode", xq.f_array_explode, xq.F_ARRAY_EXPLODE_SQL)
     register("a_cube_revenue", xq.a_cube_revenue, xq.A_CUBE_SQL)

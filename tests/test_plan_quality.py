@@ -72,6 +72,14 @@ def test_cosine_broadcasts_queries(spark, sf_small):
     assert plan.count("BroadcastExchange") == 1
 
 
+def test_map_unpivot_stay_jvm_side(spark, sf_small):
+    from sync_spark.operators import extended_queries as xq
+
+    for q in (xq.f_map_funcs, xq.f_unpivot, xq.a_grouping_sets):
+        plan = plan_of(q(spark, sf_small))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_merge_partial_aggregation(spark, sf_small):
     """groupBy aggregations must be map-side partial (two HashAggregate
     nodes around the exchange)."""
