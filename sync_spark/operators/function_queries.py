@@ -180,6 +180,43 @@ FROM orders
 # ---------------------------------------------------------------------------
 
 
+def f_misc_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19/F20 coverage: byte-count humanization (slack.go:236-247
+    semantics) and uuid() generation. uuid values are random, so the
+    oracle checks the FORMAT invariant, which is deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    fake_bytes = (F.col("o_totalprice") * 1000).cast("long")
+    humanized = (
+        F.when(fake_bytes >= 1024 * 1024 * 1024, F.concat(F.round(fake_bytes / (1024 * 1024 * 1024), 1).cast("string"), F.lit(" GB")))
+        .when(fake_bytes >= 1024 * 1024, F.concat(F.round(fake_bytes / (1024 * 1024), 1).cast("string"), F.lit(" MB")))
+        .when(fake_bytes >= 1024, F.concat(F.round(fake_bytes / 1024, 1).cast("string"), F.lit(" KB")))
+        .otherwise(F.concat(fake_bytes.cast("string"), F.lit(" B")))
+    )
+    return (
+        o.filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            humanized.alias("size_human"),
+            F.expr("uuid() rlike '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$'").alias("uuid_ok"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+F_MISC_SQL = """
+SELECT o_orderkey,
+       CASE
+         WHEN fb >= 1073741824 THEN CAST(round(fb / 1073741824.0, 1) AS VARCHAR) || ' GB'
+         WHEN fb >= 1048576 THEN CAST(round(fb / 1048576.0, 1) AS VARCHAR) || ' MB'
+         WHEN fb >= 1024 THEN CAST(round(fb / 1024.0, 1) AS VARCHAR) || ' KB'
+         ELSE CAST(fb AS VARCHAR) || ' B'
+       END AS size_human,
+       TRUE AS uuid_ok
+FROM (SELECT o_orderkey, CAST(o_totalprice * 1000 AS BIGINT) AS fb FROM orders WHERE o_orderkey < 100)
+ORDER BY o_orderkey
+"""
+
+
 def cq_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String literals coerce through the int→float chain exactly like
     query_counter.go:185-244."""
