@@ -185,7 +185,9 @@ def f_misc_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics) and uuid() generation. uuid values are random, so the
     oracle checks the FORMAT invariant, which is deterministic."""
     o = _t(spark, sf_dir, "orders")
-    fake_bytes = (F.col("o_totalprice") * 1000).cast("long")
+    # explicit floor: double→int CASTS truncate in Spark but round in
+    # DuckDB; floor agrees everywhere
+    fake_bytes = F.floor(F.col("o_totalprice") * 1000).cast("long")
     humanized = (
         F.when(fake_bytes >= 1024 * 1024 * 1024, F.concat(F.round(fake_bytes / (1024 * 1024 * 1024), 1).cast("string"), F.lit(" GB")))
         .when(fake_bytes >= 1024 * 1024, F.concat(F.round(fake_bytes / (1024 * 1024), 1).cast("string"), F.lit(" MB")))
@@ -212,7 +214,7 @@ SELECT o_orderkey,
          ELSE CAST(fb AS VARCHAR) || ' B'
        END AS size_human,
        TRUE AS uuid_ok
-FROM (SELECT o_orderkey, CAST(o_totalprice * 1000 AS BIGINT) AS fb FROM orders WHERE o_orderkey < 100)
+FROM (SELECT o_orderkey, CAST(FLOOR(o_totalprice * 1000) AS BIGINT) AS fb FROM orders WHERE o_orderkey < 100)
 ORDER BY o_orderkey
 """
 

@@ -8,8 +8,10 @@ even between Spark partitionings. For the oracle-checked exact
 operator we quantize each component to int64 (×10^6) so dot products
 and norms are EXACT integers (order-free), then do one deterministic
 double division+sqrt at the end. The quantization error (~1e-6
-relative) is far below any ranking that matters, and the plan stays
-fully JVM-side.
+relative) is far below any ranking that matters. The exact and LSH
+plans stay fully JVM-side; the IVF variant deliberately uses ONE
+Arrow-batched numpy kernel for cell assignment (a dense distance
+matrix is the case where vectorized Python beats Column expressions).
 
 Scale notes: brute-force is a broadcast of the (small) query set
 against the corpus — no shuffle on the corpus at all; the LSH variant
@@ -140,7 +142,9 @@ def ivf_topk(
     # few iterations suffice for BUCKETING quality (cells need to be
     # balanced, not optimal); each KMeans iteration is a Spark job, so
     # iteration count is the local-latency knob
-    train = corpus.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    train = corpus.filter(F.col(vec_col).isNotNull()).select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
     model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(train)
     centroids = [list(c) for c in model.clusterCenters()]
 
@@ -155,9 +159,16 @@ def ivf_topk(
 
     def _cells_batch(embs: pd.Series, n: int) -> pd.Series:
         x = np.asarray(list(embs), dtype=np.float64)  # (batch, dim)
-        # argpartition on  ‖x-c‖² = ‖x‖² - 2x·c + ‖c‖²  (‖x‖² constant per row)
+        # rank by ‖x-c‖² = ‖x‖² - 2x·c + ‖c‖² (‖x‖² constant per row)
         d = cent_sq[None, :] - 2.0 * (x @ cent.T)
-        order = np.argsort(d, axis=1)[:, :n].astype(np.int32)
+        if n == 1:
+            order = np.argmin(d, axis=1).astype(np.int32)[:, None]
+        else:
+            # partial selection, then order the selected n (cheaper
+            # than a full sort when n_lists is large)
+            top = np.argpartition(d, n - 1, axis=1)[:, :n]
+            row_d = np.take_along_axis(d, top, axis=1)
+            order = np.take_along_axis(top, np.argsort(row_d, axis=1), axis=1).astype(np.int32)
         return pd.Series(list(order))
 
     @pandas_udf("int")
@@ -168,15 +179,20 @@ def ivf_topk(
     def probe_cells_udf(embs: pd.Series) -> pd.Series:
         return _cells_batch(embs, n_probe).map(list)
 
+    # NULL embeddings are dropped up front (the numpy kernel would
+    # crash on a None element; the old Column path silently dropped
+    # them from the equi-join — the filter keeps that behavior)
     c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("craw"))
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("craw"))
         .withColumn("cell", nearest_cell_udf(F.col("craw")))
         .withColumn("cv", _quantize(F.col("craw")))
         .withColumn("cn", _norm2(F.col("cv")))
         .drop("craw")
     )
     q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qraw"))
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qraw"))
         .withColumn("cell", F.explode(probe_cells_udf(F.col("qraw"))))
         .withColumn("qv", _quantize(F.col("qraw")))
         .withColumn("qn", _norm2(F.col("qv")))

@@ -135,21 +135,27 @@ class CdcPipeline:
                     # seq stay intact for the merge
                     data_rules = [r for r in rules if r.field.split(".")[0] not in t.key_cols]
                     good = apply_security_rules(good, data_rules, key=self.security_key)
+                if good.limit(1).count() == 0:
+                    continue
                 if self.stats_path is not None:
                     # per-batch apply counters (A6, changestream_statistics
-                    # analog: monitor.go:96-110): written with the same
-                    # per-(table,batch) overwrite discipline as the DLQ,
-                    # so crash-replays do not double-count
+                    # analog: monitor.go:96-110): same per-(table,batch)
+                    # overwrite discipline as the DLQ so crash-replays do
+                    # not double-count; gated on nonempty batches so idle
+                    # tables produce no files/jobs; counts only events the
+                    # merge will actually consider (ignored deletes are
+                    # excluded, mirroring what gets executed)
+                    stats_src = (
+                        good.filter(F.col("op") != "delete") if t.ignore_deletes else good
+                    )
                     (
-                        good.groupBy("op")
+                        stats_src.groupBy("op")
                         .agg(F.count(F.lit(1)).alias("n"))
                         .write.mode("overwrite")
                         .parquet(
                             f"{self.stats_path}/table={t.source_table}/batch_id={batch_id}"
                         )
                     )
-                if good.limit(1).count() == 0:
-                    continue
                 target = self.spark.read.parquet(t.target_path)
                 merged = apply_changes(
                     target,

@@ -58,3 +58,21 @@ def test_apply_stats_and_replay(spark, tmp_path):
     run()
     totals2 = {(r.table, r.op): (r.total, r.n_batches) for r in apply_stats_totals(spark, str(tmp_path / "stats")).collect()}
     assert totals2 == totals
+
+
+def test_stats_exclude_ignored_deletes(spark, tmp_path):
+    """ignoreDeleteOps tables must not count deletes as executed."""
+    tgt = str(tmp_path / "t")
+    snapshot_if_empty(spark, spark.createDataFrame([Row(id=1, v="a")], SCHEMA), tgt)
+    write_event_batch(str(tmp_path / "ev"), [_ev(1, "insert", 2), _ev(2, "delete", 1)], 1)
+    CdcPipeline(
+        spark,
+        SyncSpec(task_id=1, type="parquet"),
+        [TableTarget("users", tgt, SCHEMA, ["id"], ignore_deletes=True)],
+        event_log_dir=str(tmp_path / "ev"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        stats_path=str(tmp_path / "stats"),
+    ).run_available()
+    totals = {(r.table, r.op) for r in apply_stats_totals(spark, str(tmp_path / "stats")).collect()}
+    assert totals == {("users", "insert")}  # delete never executed
+    assert {r.id for r in spark.read.parquet(tgt).collect()} == {1, 2}
