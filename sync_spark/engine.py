@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 
 from sync_spark.operators.monitor import monitor_tick
 from sync_spark.plans.backup import plan_export
+from sync_spark.sources.bucketed import read_target
 from sync_spark.sources.writers import export_group
 from sync_spark.spec import BackupSpec, SyncSpec
 from sync_spark.streaming.pipeline import CdcPipeline, TableTarget, snapshot_if_empty
@@ -84,7 +85,9 @@ class SyncTask:
             data_rules = [r for r in rules if r.field.split(".")[0] not in t.key_cols]
             if data_rules:
                 src = apply_security_rules(src, data_rules, key=self.security_key)
-            ran[t.source_table] = snapshot_if_empty(self.spark, src, t.target_path)
+            ran[t.source_table] = snapshot_if_empty(
+                self.spark, src, t.target_path, key_cols=t.key_cols
+            )
         return ran
 
     def pipeline(self) -> CdcPipeline:
@@ -107,7 +110,7 @@ class SyncTask:
         pairs = {}
         for t in self._targets():
             src = self.source_loader(t.source_table)
-            tgt = self.spark.read.parquet(t.target_path)
+            tgt = read_target(self.spark, t.target_path)
             pairs[t.source_table] = (src, tgt)
         return monitor_tick(
             self.spark,

@@ -1,5 +1,6 @@
 """CDC sync pipeline: snapshot-if-empty + streaming tail with
-foreachBatch MERGE (SURVEY.md §3.1 re-expression, §2.9 T1-T8).
+foreachBatch incremental MERGE (SURVEY.md §3.1 re-expression, §2.9
+T1-T8).
 
 Reference parity map:
 - initial snapshot gated on empty target (mongodb.go:458-525,
@@ -9,36 +10,61 @@ Reference parity map:
 - per-event apply with latest-wins ordering (T4/W2) →
   latest-per-key compaction + ``apply_changes`` MERGE per micro-batch,
   idempotent so at-least-once delivery yields effectively-once;
+- **incremental apply cost** — the reference applies row-wise against
+  an indexed store (mongodb.go:1184-1235 BulkWrite upsert/delete,
+  mysql.go:524-692 UPDATE/DELETE by PK), i.e. O(batch) per batch, not
+  O(target). The target here is a hash-bucketed parquet layout
+  (sources/bucketed.py): each batch derives its touched bucket set
+  from the change keys, reads ONLY those buckets (partition pruning),
+  merges, and atomically swaps only those directories. Untouched
+  buckets are byte-identical across batches;
 - ``ignoreDeleteOps`` (P11) honored per table mapping;
 - fieldSecurity masking/encryption applied to the after-image BEFORE
   it reaches the target (security.go semantics);
 - dead-letter queue (S14/T6: mongodb.go:1310-1443): rows with null
-  keys (unappliable) are quarantined to a DLQ table instead of
-  poisoning the batch.
+  keys (unappliable) are quarantined — WITH their full payload so
+  they can be diagnosed and replayed, matching the reference's
+  storeToDeadLetterQueue serializing the whole WriteModel.
 
-Target storage is a parquet directory rewritten per micro-batch
-(read-merge-overwrite). On a production deployment the same
-``apply_changes`` feeds Delta/Iceberg ``MERGE INTO`` — the swap is
-one writer function; plain parquet keeps this repo dependency-free.
-The rewrite is atomic at the directory level via write-new + rename.
+Driver job discipline: one micro-batch issues ONE summary aggregation
+over the persisted batch (per-table × per-op counts + touched bucket
+sets via collect_set), and every skip/DLQ/stats decision branches off
+that single collected result — not 2 probe jobs × N tables (the
+round-1 anti-pattern; at the reference's 500-table scale that was
+~1000 scheduler round-trips per trigger). Per non-idle table the only
+further jobs are the merge's staged write (+ a DLQ write when bad
+rows exist).
+
+On a deployment with a table format the same ``apply_changes`` plan
+feeds Delta/Iceberg ``MERGE INTO``; the bucketed store is the
+dependency-free equivalent with the same asymptotic write cost.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 import uuid
 from dataclasses import dataclass
-from typing import Callable, Optional
+from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sync_spark.functions.security import apply_security_rules
-from sync_spark.operators.merge import apply_changes, compact_latest_per_key
+from sync_spark.operators.merge import DELETE_OP, apply_changes
+from sync_spark.sources.bucketed import (
+    bucketize_in_place,
+    is_bucketed,
+    overwrite_buckets,
+    read_buckets,
+    read_target,
+    write_bucketed,
+)
 from sync_spark.sources.cdc import changes_for_table, read_event_stream
 from sync_spark.spec import SyncSpec
+
+DEFAULT_N_BUCKETS = 16  # tests/local; size so one bucket ≈ a few GB at scale
 
 
 @dataclass
@@ -51,30 +77,44 @@ class TableTarget:
 
 
 def _write_atomic(df: DataFrame, path: str) -> None:
-    """Overwrite ``path`` with df, staging to a sibling temp dir first
-    so readers never observe a half-written table."""
+    """Overwrite ``path`` with df via stage + rename-aside swap: the
+    old dir is renamed aside before the new one lands, so there is no
+    window where neither version exists (crash mid-swap leaves
+    ``path__old`` for recovery)."""
+    from sync_spark.sources.bucketed import _swap_dir
+
     tmp = f"{path}__stage_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    _swap_dir(tmp, path)
 
 
-def snapshot_if_empty(spark: SparkSession, source: DataFrame, target_path: str) -> bool:
+def snapshot_if_empty(
+    spark: SparkSession,
+    source: DataFrame,
+    target_path: str,
+    key_cols: Optional[list[str]] = None,
+    n_buckets: int = DEFAULT_N_BUCKETS,
+) -> bool:
     """Initial full copy, skipped when the target already has data
-    (mongodb.go:459-465). Returns True if the snapshot ran."""
+    (mongodb.go:459-465). Returns True if the snapshot ran. When
+    ``key_cols`` is given the target is written in the bucketed layout
+    directly (otherwise the pipeline migrates it on first merge)."""
     if os.path.exists(target_path):
         try:
-            if spark.read.parquet(target_path).limit(1).count() > 0:
+            if read_target(spark, target_path).limit(1).count() > 0:
                 return False
         except Exception:
             pass  # unreadable/empty dir → re-snapshot
-    _write_atomic(source, target_path)
+    if key_cols:
+        write_bucketed(source, target_path, key_cols, n_buckets)
+    else:
+        _write_atomic(source, target_path)
     return True
 
 
 class CdcPipeline:
-    """One sync task: envelope event log → per-table MERGE targets."""
+    """One sync task: envelope event log → per-table incremental MERGE
+    targets."""
 
     def __init__(
         self,
@@ -87,6 +127,7 @@ class CdcPipeline:
         security_key: str = "",
         max_files_per_trigger: int | None = None,
         stats_path: Optional[str] = None,
+        n_buckets: int = DEFAULT_N_BUCKETS,
     ) -> None:
         self.spark = spark
         self.spec = spec
@@ -97,76 +138,160 @@ class CdcPipeline:
         self.security_key = security_key
         self.max_files_per_trigger = max_files_per_trigger
         self.stats_path = stats_path
+        self.n_buckets = n_buckets
 
     # -- micro-batch apply ------------------------------------------------
 
+    def _null_key_pred(self, t: TableTarget) -> F.Column:
+        """Unappliable ⇔ every key column is null (T6)."""
+        pred = None
+        for k in t.key_cols:
+            c = F.col(k).isNull()
+            pred = c if pred is None else (pred & c)
+        return pred
+
+    def _batch_summary(self, batch: DataFrame) -> list:
+        """THE one probe/stats job per micro-batch: per (table, op,
+        bad) counts + touched bucket sets.
+
+        Computed in the ENVELOPE domain with per-table CASE branches
+        (each branch parses that table's key with its own schema) —
+        one scan + one shuffle, NOT a union of N per-table projections
+        (AQE compiles each union branch into its own shuffle-map job,
+        which would put the job count right back at O(tables))."""
+        bad_expr, bucket_col = None, None
+        for t in self.tables:
+            key_schema = T.StructType(
+                [f for f in t.row_schema.fields if f.name in t.key_cols]
+            )
+            after = F.from_json("after_json", t.row_schema)
+            key = F.from_json("key_json", key_schema)
+            vals = [F.coalesce(after[k], key[k]) for k in t.key_cols]
+            pred = vals[0].isNull()
+            for v in vals[1:]:
+                pred = pred & v.isNull()
+            # same hash inputs (typed key values, key_cols order) as
+            # bucketed.bucket_expr on the projected changes
+            bucket = F.pmod(F.xxhash64(*vals), F.lit(self.n_buckets)).cast("int")
+            cond = F.col("source_table") == t.source_table
+            bad_expr = (
+                F.when(cond, pred) if bad_expr is None else bad_expr.when(cond, pred)
+            )
+            bucket_col = (
+                F.when(cond, bucket)
+                if bucket_col is None
+                else bucket_col.when(cond, bucket)
+            )
+        return (
+            batch.select(
+                F.col("source_table").alias("table"),
+                F.col("op"),
+                bad_expr.alias("bad"),
+                bucket_col.alias("b"),
+            )
+            .groupBy("table", "op", "bad")
+            .agg(F.count(F.lit(1)).alias("n"), F.collect_set("b").alias("buckets"))
+            .collect()
+        )
+
     def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
-        """foreachBatch body. Idempotent: compaction + MERGE means
+        """foreachBatch body. Idempotent: compaction + MERGE + per-
+        (table,batch) overwrite discipline for DLQ/stats means
         replaying a batch after a crash converges to the same target
         state (T4)."""
         batch = batch.persist()
         try:
+            summary = self._batch_summary(batch)
             for t in self.tables:
-                changes = changes_for_table(batch, t.source_table, t.row_schema, t.key_cols)
-                # DLQ: events whose key is unappliable (all key cols
-                # null) are quarantined, never block the stream (T6)
-                null_key = None
-                for k in t.key_cols:
-                    c = F.col(k).isNull()
-                    null_key = c if null_key is None else (null_key & c)
-                bad = changes.filter(null_key)
-                good = changes.filter(~null_key)
-                if self.dlq_path and bad.limit(1).count() > 0:
+                rows = [r for r in summary if r["table"] == t.source_table]
+                if not rows:
+                    continue  # idle table: zero further jobs
+                bad_n = sum(r["n"] for r in rows if r["bad"])
+                good_rows = [r for r in rows if not r["bad"]]
+                # ops the merge will actually execute (ignored deletes
+                # excluded, mirroring what the reference counts in
+                # changestream_statistics, monitor.go:96-110)
+                applied = [
+                    r
+                    for r in good_rows
+                    if not (t.ignore_deletes and r["op"] == DELETE_OP)
+                ]
+
+                changes = changes_for_table(
+                    batch, t.source_table, t.row_schema, t.key_cols
+                )
+                if self.dlq_path and bad_n:
+                    # full payload travels with the quarantined event so
+                    # it can be diagnosed/replayed (mongodb.go
+                    # storeToDeadLetterQueue serializes the WriteModel);
                     # partition-dir overwrite keyed by (table, batch):
-                    # replaying a crashed batch rewrites the SAME dir
-                    # instead of appending duplicates, keeping the DLQ
-                    # as idempotent as the merge itself
+                    # crash-replays rewrite the SAME dir, keeping the
+                    # DLQ as idempotent as the merge
                     (
-                        bad.withColumn("reason", F.lit("null_key"))
-                        .select("op", "seq", "reason")
+                        changes.filter(self._null_key_pred(t))
+                        .withColumn("reason", F.lit("null_key"))
+                        .withColumn(
+                            "payload",
+                            F.to_json(
+                                F.struct(*[f.name for f in t.row_schema.fields])
+                            ),
+                        )
+                        .select("op", "seq", "reason", "payload")
                         .write.mode("overwrite")
                         .parquet(
                             f"{self.dlq_path}/table={t.source_table}/batch_id={batch_id}"
                         )
                     )
-                rules = self.spec.field_security.get(t.source_table, [])
-                if rules:
-                    # mask/encrypt the after-image columns; key + op +
-                    # seq stay intact for the merge
-                    data_rules = [r for r in rules if r.field.split(".")[0] not in t.key_cols]
-                    good = apply_security_rules(good, data_rules, key=self.security_key)
-                if good.limit(1).count() == 0:
+                if not good_rows:
                     continue
                 if self.stats_path is not None:
-                    # per-batch apply counters (A6, changestream_statistics
-                    # analog: monitor.go:96-110): same per-(table,batch)
-                    # overwrite discipline as the DLQ so crash-replays do
-                    # not double-count; gated on nonempty batches so idle
-                    # tables produce no files/jobs; counts only events the
-                    # merge will actually consider (ignored deletes are
-                    # excluded, mirroring what gets executed)
-                    stats_src = (
-                        good.filter(F.col("op") != "delete") if t.ignore_deletes else good
+                    # apply counters come straight from the collected
+                    # summary — a driver-local 2-column frame, not
+                    # another aggregation job over the batch
+                    stats = self.spark.createDataFrame(
+                        [(r["op"], r["n"]) for r in applied],
+                        "op string, n long",
                     )
                     (
-                        stats_src.groupBy("op")
-                        .agg(F.count(F.lit(1)).alias("n"))
+                        stats.coalesce(1)
                         .write.mode("overwrite")
                         .parquet(
                             f"{self.stats_path}/table={t.source_table}/batch_id={batch_id}"
                         )
                     )
-                target = self.spark.read.parquet(t.target_path)
+                if not applied:
+                    continue  # e.g. only ignored deletes: target untouched
+                touched = sorted({b for r in applied for bs in [r["buckets"]] for b in bs})
+
+                good = changes.filter(~self._null_key_pred(t))
+                rules = self.spec.field_security.get(t.source_table, [])
+                if rules:
+                    # mask/encrypt the after-image columns; key + op +
+                    # seq stay intact for the merge (masking never
+                    # touches key columns, so bucket ids are unchanged)
+                    data_rules = [
+                        r for r in rules if r.field.split(".")[0] not in t.key_cols
+                    ]
+                    good = apply_security_rules(good, data_rules, key=self.security_key)
+
+                if not is_bucketed(t.target_path):
+                    # one-time migration of a legacy flat target
+                    bucketize_in_place(
+                        self.spark, t.target_path, t.key_cols, self.n_buckets
+                    )
+                target = read_buckets(self.spark, t.target_path, touched)
                 merged = apply_changes(
                     target,
                     good,
                     keys=t.key_cols,
                     ignore_deletes=t.ignore_deletes,
                 )
-                # localCheckpoint BEFORE the overwrite: `merged` reads
-                # the same files it is about to replace
-                merged = merged.localCheckpoint(eager=True)
-                _write_atomic(merged, t.target_path)
+                # merged reads the OLD bucket files while staging; the
+                # swap happens only after the staged write completes,
+                # so no localCheckpoint barrier is needed
+                overwrite_buckets(
+                    merged, t.target_path, t.key_cols, self.n_buckets, touched
+                )
         finally:
             batch.unpersist()
 
