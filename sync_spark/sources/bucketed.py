@@ -19,10 +19,21 @@ per batch. This module restores the reference's cost model on files:
   PartitionFilters in the scan), merges, and atomically swaps only
   those bucket directories. Untouched buckets are never read, never
   rewritten — byte-identical across batches (tested);
-- per-bucket swap is rename-aside (old → ``*__old``, stage → live,
-  drop old) so a reader in another process never observes a missing
-  or half-written bucket, and a crash mid-swap leaves either the old
-  or the new complete directory.
+- per-bucket swap is rename-aside (live → hidden ``.old_*`` parking
+  dir, stage → live, drop parking dir). The guarantee is *crash
+  safety*, not reader isolation: a crash at any point leaves the old
+  data recoverable (``recover_interrupted_swaps`` restores or clears
+  parked dirs before every read/merge), but a concurrent reader may
+  transiently miss a bucket between the two renames, and multi-bucket
+  swaps are not mutually atomic. Deployments needing snapshot
+  isolation should feed the same ``apply_changes`` plan to
+  Delta/Iceberg ``MERGE INTO`` instead. Parking dirs are dot-prefixed
+  so Spark's file listing never sees them — a leftover can't poison
+  the ``__bucket=`` partition namespace;
+- the layout is self-describing: ``write_bucketed`` persists
+  ``.sync_meta.json`` (n_buckets, key_cols) at the table root and
+  every merge validates it, so a pipeline configured with different
+  bucketing can't silently read/swap the wrong buckets.
 
 At 100 TB: n_buckets sizes so one bucket ≈ a few GB (e.g. 8192
 buckets for 20 TB targets); the touched-set collect is bounded by
@@ -34,6 +45,7 @@ write cost.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -44,6 +56,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 BUCKET_COL = "__bucket"
+META_FILE = ".sync_meta.json"  # dot-prefixed: invisible to Spark listings
+OLD_PREFIX = ".old_"  # parking dir prefix for rename-aside swaps
 
 
 def bucket_expr(keys: Sequence[str], n_buckets: int) -> F.Column:
@@ -54,18 +68,24 @@ def bucket_expr(keys: Sequence[str], n_buckets: int) -> F.Column:
 
 
 def is_bucketed(path: str) -> bool:
+    recover_interrupted_swaps(path)
     if not os.path.isdir(path):
         return False
     return any(e.startswith(f"{BUCKET_COL}=") for e in os.listdir(path))
 
 
+def _old_name(dst: str) -> str:
+    return os.path.join(os.path.dirname(dst), f"{OLD_PREFIX}{os.path.basename(dst)}")
+
+
 def _swap_dir(src: str, dst: str) -> None:
-    """Atomic-ish directory replace: rename the live dir aside, rename
-    the staged dir into place, then drop the old one. A crash between
-    the two renames leaves ``dst__old`` intact for manual recovery —
-    never a window with neither version (the round-1 _write_atomic had
-    exactly that window)."""
-    old = f"{dst}__old"
+    """Crash-safe directory replace: park the live dir under a hidden
+    ``.old_<name>`` sibling, rename the staged dir into place, then
+    drop the parking dir. A crash at any point leaves the old data
+    recoverable (see ``recover_interrupted_swaps``); the parking name
+    is dot-prefixed so Spark file listings / partition discovery never
+    observe it."""
+    old = _old_name(dst)
     if os.path.exists(old):
         shutil.rmtree(old)
     if os.path.exists(dst):
@@ -76,11 +96,81 @@ def _swap_dir(src: str, dst: str) -> None:
         shutil.rmtree(old)
 
 
+def recover_interrupted_swaps(path: str) -> None:
+    """Heal crash leftovers from ``_swap_dir`` before any read/merge.
+
+    For each parked ``.old_X`` (or legacy ``X__old``) entry under
+    ``path``: if the live ``X`` is missing the crash hit between the
+    two renames — restore the parked dir (the merge that staged the
+    replacement never committed its swap, so the old data is the
+    truth); if the live ``X`` exists the crash hit after the second
+    rename — the swap committed, drop the leftover. Without this, a
+    foreachBatch replay would read an apparently-empty bucket and
+    silently drop every pre-existing row in it (T4 violation).
+
+    Also heals a crash during a ROOT-level swap (snapshot path): when
+    ``path`` itself is missing but its parked ``.old_<name>`` sibling
+    exists, the sibling is restored."""
+    if not os.path.isdir(path):
+        parked_root = _old_name(path)
+        if os.path.isdir(parked_root):
+            os.rename(parked_root, path)
+    if not os.path.isdir(path):
+        return
+    for entry in os.listdir(path):
+        if entry.startswith(OLD_PREFIX):
+            live = os.path.join(path, entry[len(OLD_PREFIX):])
+        elif entry.endswith("__old"):
+            live = os.path.join(path, entry[: -len("__old")])
+        else:
+            continue
+        parked = os.path.join(path, entry)
+        if os.path.exists(live):
+            shutil.rmtree(parked)
+        else:
+            os.rename(parked, live)
+
+
+def write_meta(path: str, keys: Sequence[str], n_buckets: int) -> None:
+    """Persist the bucketing contract at the table root. Dot-prefixed
+    → never picked up by Spark's partition discovery."""
+    with open(os.path.join(path, META_FILE), "w") as fh:
+        json.dump({"n_buckets": n_buckets, "key_cols": list(keys)}, fh)
+
+
+def read_meta(path: str) -> dict | None:
+    p = os.path.join(path, META_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def check_meta(path: str, keys: Sequence[str], n_buckets: int) -> bool:
+    """Validate (or adopt) the persisted bucketing contract.
+
+    Returns True when the layout matches the caller's (keys,
+    n_buckets); False on mismatch — the caller must re-bucketize or
+    raise, NEVER merge, because touched-bucket derivation under a
+    different n_buckets reads/swaps the wrong buckets and leaves stale
+    duplicates behind. A meta-less bucketed target (written before
+    this contract existed) is grandfathered: current settings are
+    persisted and trusted."""
+    meta = read_meta(path)
+    if meta is None:
+        write_meta(path, keys, n_buckets)
+        return True
+    return meta["n_buckets"] == n_buckets and meta["key_cols"] == list(keys)
+
+
 def write_bucketed(
     df: DataFrame, path: str, keys: Sequence[str], n_buckets: int
 ) -> None:
     """Full (re)write of a bucketed target — the snapshot path. Stages
-    the whole layout then swaps the root directory."""
+    the whole layout then swaps the root directory. An empty source
+    still yields a readable, schema-bearing layout (one empty
+    ``__bucket=0`` dir) so ``is_bucketed``/``read_target``/first-merge
+    work the same as on the legacy flat path."""
     stage = f"{path}__stage_{uuid.uuid4().hex[:8]}"
     (
         df.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
@@ -88,6 +178,13 @@ def write_bucketed(
         .mode("overwrite")
         .parquet(stage)
     )
+    if not any(e.startswith(f"{BUCKET_COL}=") for e in os.listdir(stage)):
+        # partitionBy on an empty frame writes only _SUCCESS: stage a
+        # schema-only bucket dir so the layout stays self-describing
+        df.limit(0).write.mode("overwrite").parquet(
+            os.path.join(stage, f"{BUCKET_COL}=0")
+        )
+    write_meta(stage, keys, n_buckets)
     _swap_dir(stage, path)
 
 
@@ -95,6 +192,7 @@ def read_target(spark: SparkSession, path: str) -> DataFrame:
     """Read a target table, bucketed or legacy-flat, WITHOUT the
     bucket column — the one schema callers (monitor, tests, queries)
     should see."""
+    recover_interrupted_swaps(path)
     df = spark.read.option("basePath", path).parquet(path)
     if BUCKET_COL in df.columns:
         df = df.drop(BUCKET_COL)
@@ -107,6 +205,7 @@ def read_buckets(
     """Pruned read of only the given buckets. The isin filter on the
     partition column becomes PartitionFilters — untouched buckets'
     files are never opened."""
+    recover_interrupted_swaps(path)
     df = spark.read.option("basePath", path).parquet(path)
     return df.filter(F.col(BUCKET_COL).isin(list(buckets))).drop(BUCKET_COL)
 
@@ -126,6 +225,14 @@ def overwrite_buckets(
     touched = sorted(set(touched))
     if not touched:
         return
+    recover_interrupted_swaps(path)
+    if not check_meta(path, keys, n_buckets):
+        raise ValueError(
+            f"bucketed layout at {path!r} was written with "
+            f"{read_meta(path)} but this merge is configured with "
+            f"n_buckets={n_buckets}, key_cols={list(keys)}; merging "
+            "would swap the wrong buckets — re-bucketize first"
+        )
     stage = f"{path}__stage_{uuid.uuid4().hex[:8]}"
     (
         merged.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
@@ -136,6 +243,23 @@ def overwrite_buckets(
     spark = merged.sparkSession
     schema = merged.schema
     try:
+        # every staged bucket must be in the touched set: rows hashing
+        # elsewhere mean the caller's touched-set derivation disagrees
+        # with bucket_expr (e.g. key-type drift) — deleting them in the
+        # finally would be SILENT row loss, so fail loudly instead
+        staged = {
+            int(e.split("=", 1)[1])
+            for e in os.listdir(stage)
+            if e.startswith(f"{BUCKET_COL}=")
+        }
+        stray = staged - set(touched)
+        if stray:
+            raise ValueError(
+                f"merged rows hash into buckets {sorted(stray)} outside the "
+                f"touched set {touched} — touched-set derivation and "
+                "bucket_expr disagree (key type drift?); aborting swap "
+                "to avoid silent row loss"
+            )
         for b in touched:
             src = os.path.join(stage, f"{BUCKET_COL}={b}")
             dst = os.path.join(path, f"{BUCKET_COL}={b}")
@@ -153,6 +277,9 @@ def bucketize_in_place(
 ) -> None:
     """One-time migration of a legacy flat parquet target into the
     bucketed layout (used when a pipeline attaches to a target written
-    by an older snapshot)."""
-    df = spark.read.parquet(path).localCheckpoint(eager=True)
+    by an older snapshot), and re-bucketization when the persisted
+    contract (n_buckets/key_cols) differs from the pipeline's. Reads
+    via read_target so an existing ``__bucket`` partition column is
+    dropped before re-hashing."""
+    df = read_target(spark, path).localCheckpoint(eager=True)
     write_bucketed(df, path, keys, n_buckets)

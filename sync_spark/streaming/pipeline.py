@@ -55,6 +55,7 @@ from sync_spark.functions.security import apply_security_rules
 from sync_spark.operators.merge import DELETE_OP, apply_changes
 from sync_spark.sources.bucketed import (
     bucketize_in_place,
+    check_meta,
     is_bucketed,
     overwrite_buckets,
     read_buckets,
@@ -99,6 +100,9 @@ def snapshot_if_empty(
     (mongodb.go:459-465). Returns True if the snapshot ran. When
     ``key_cols`` is given the target is written in the bucketed layout
     directly (otherwise the pipeline migrates it on first merge)."""
+    from sync_spark.sources.bucketed import recover_interrupted_swaps
+
+    recover_interrupted_swaps(target_path)
     if os.path.exists(target_path):
         try:
             if read_target(spark, target_path).limit(1).count() > 0:
@@ -276,6 +280,14 @@ class CdcPipeline:
 
                 if not is_bucketed(t.target_path):
                     # one-time migration of a legacy flat target
+                    bucketize_in_place(
+                        self.spark, t.target_path, t.key_cols, self.n_buckets
+                    )
+                elif not check_meta(t.target_path, t.key_cols, self.n_buckets):
+                    # layout was bucketed under a different contract
+                    # (n_buckets/key_cols): touched-bucket derivation
+                    # would read/swap the wrong dirs — re-bucketize
+                    # under the current one before merging
                     bucketize_in_place(
                         self.spark, t.target_path, t.key_cols, self.n_buckets
                     )

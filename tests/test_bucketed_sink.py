@@ -16,10 +16,15 @@ from pyspark.sql import types as T
 
 from sync_spark.sources.bucketed import (
     BUCKET_COL,
+    OLD_PREFIX,
     bucket_expr,
     is_bucketed,
+    overwrite_buckets,
     read_buckets,
+    read_meta,
     read_target,
+    recover_interrupted_swaps,
+    write_bucketed,
 )
 from sync_spark.sources.cdc import read_event_log, write_event_batch
 from sync_spark.spec import SyncSpec
@@ -188,3 +193,135 @@ def test_one_probe_job_per_batch_not_per_table(spark, tmp_path):
     # 1 summary + merge staging (+ a couple of AQE sub-jobs); the old
     # per-table probing alone was 16 jobs for this shape
     assert 0 < n_jobs <= 10, f"micro-batch ran {n_jobs} jobs"
+
+
+# ---------------------------------------------------------------------------
+# crash-safety / contract hardening
+# ---------------------------------------------------------------------------
+
+
+def _snapshot40(spark, tgt):
+    rows = [Row(id=i, v=f"r{i}") for i in range(1, 41)]
+    snapshot_if_empty(
+        spark,
+        spark.createDataFrame(rows, SCHEMA),
+        tgt,
+        key_cols=["id"],
+        n_buckets=N_BUCKETS,
+    )
+
+
+def test_crash_between_renames_recovers_old_bucket(spark, tmp_path):
+    """Simulate a crash between _swap_dir's two renames: the live
+    bucket dir is gone, only the parked copy exists. A replayed merge
+    must see the parked rows, not an empty bucket (ADVICE T4 item)."""
+    tgt = str(tmp_path / "t_users")
+    _snapshot40(spark, tgt)
+    b = _bucket_of(spark, 1)
+    live = os.path.join(tgt, f"{BUCKET_COL}={b}")
+    os.rename(live, os.path.join(tgt, f"{OLD_PREFIX}{BUCKET_COL}={b}"))
+
+    # read path recovers transparently
+    got = {r.id: r.v for r in read_target(spark, tgt).collect()}
+    assert len(got) == 40 and got[1] == "r1"
+    assert os.path.isdir(live)
+
+    # and a replayed merge through the pipeline sees the restored rows
+    os.rename(live, os.path.join(tgt, f"{OLD_PREFIX}{BUCKET_COL}={b}"))
+    write_event_batch(str(tmp_path / "ev"), [_ev(1, "update", 1)], 1)
+    _pipeline(spark, tmp_path).run_available()
+    got = {r.id: r.v for r in read_target(spark, tgt).collect()}
+    assert len(got) == 40 and got[1] == "v1"  # no silent row loss
+
+
+def test_completed_swap_leftover_is_dropped(spark, tmp_path):
+    """Crash after the second rename: both live and parked exist →
+    recovery drops the stale parked dir."""
+    tgt = str(tmp_path / "t_users")
+    _snapshot40(spark, tgt)
+    b = _bucket_of(spark, 1)
+    parked = os.path.join(tgt, f"{OLD_PREFIX}{BUCKET_COL}={b}")
+    import shutil
+
+    shutil.copytree(os.path.join(tgt, f"{BUCKET_COL}={b}"), parked)
+    recover_interrupted_swaps(tgt)
+    assert not os.path.exists(parked)
+    assert len(read_target(spark, tgt).collect()) == 40
+
+
+def test_legacy_dunder_old_leftover_recovers(spark, tmp_path):
+    """Pre-hardening layouts parked old dirs as ``__bucket=N__old``
+    INSIDE the partition namespace; recovery must heal those too."""
+    tgt = str(tmp_path / "t_users")
+    _snapshot40(spark, tgt)
+    b = _bucket_of(spark, 1)
+    live = os.path.join(tgt, f"{BUCKET_COL}={b}")
+    os.rename(live, f"{live}__old")
+    got = {r.id for r in read_target(spark, tgt).collect()}
+    assert len(got) == 40 and os.path.isdir(live)
+
+
+def test_n_buckets_mismatch_rebucketizes_not_corrupts(spark, tmp_path):
+    """Target snapshotted with 32 buckets, pipeline configured with 8:
+    without the persisted contract the touched-set math would swap the
+    wrong dirs and leave stale duplicates. The pipeline must detect
+    the mismatch and re-bucketize before merging (ADVICE item)."""
+    tgt = str(tmp_path / "t_users")
+    rows = [Row(id=i, v=f"r{i}") for i in range(1, 41)]
+    write_bucketed(spark.createDataFrame(rows, SCHEMA), tgt, ["id"], 32)
+    assert read_meta(tgt)["n_buckets"] == 32
+
+    write_event_batch(str(tmp_path / "ev"), [_ev(1, "update", 1)], 1)
+    _pipeline(spark, tmp_path).run_available()  # pipeline uses N_BUCKETS=8
+
+    got = {r.id: r.v for r in read_target(spark, tgt).collect()}
+    assert len(got) == 40 and got[1] == "v1"  # no stale duplicate of id=1
+    assert read_meta(tgt) == {"n_buckets": N_BUCKETS, "key_cols": ["id"]}
+
+
+def test_overwrite_buckets_raises_on_contract_mismatch(spark, tmp_path):
+    tgt = str(tmp_path / "t_users")
+    write_bucketed(
+        spark.createDataFrame([Row(id=1, v="a")], SCHEMA), tgt, ["id"], 32
+    )
+    df = spark.createDataFrame([Row(id=1, v="b")], SCHEMA)
+    import pytest
+
+    with pytest.raises(ValueError, match="re-bucketize"):
+        overwrite_buckets(df, tgt, ["id"], N_BUCKETS, [0])
+
+
+def test_overwrite_buckets_raises_on_stray_bucket(spark, tmp_path):
+    """Rows hashing outside the declared touched set must abort the
+    swap loudly instead of being dropped in the finally (VERDICT
+    silent-row-loss item)."""
+    tgt = str(tmp_path / "t_users")
+    rows = [Row(id=i, v=f"r{i}") for i in range(1, 41)]
+    write_bucketed(spark.createDataFrame(rows, SCHEMA), tgt, ["id"], N_BUCKETS)
+    before = {r.id: r.v for r in read_target(spark, tgt).collect()}
+    df = spark.createDataFrame(rows, SCHEMA)  # hashes into many buckets
+    b = _bucket_of(spark, 1)
+    import pytest
+
+    with pytest.raises(ValueError, match="outside the"):
+        overwrite_buckets(df, tgt, ["id"], N_BUCKETS, [b])
+    # target untouched by the aborted swap
+    assert {r.id: r.v for r in read_target(spark, tgt).collect()} == before
+
+
+def test_empty_source_snapshot_is_readable_and_mergeable(spark, tmp_path):
+    """partitionBy on an empty frame writes only _SUCCESS; the sink
+    must still leave a schema-bearing bucketed layout so is_bucketed /
+    read_target / the first merge behave like the flat path (ADVICE
+    item)."""
+    tgt = str(tmp_path / "t_users")
+    empty = spark.createDataFrame([], SCHEMA)
+    assert snapshot_if_empty(spark, empty, tgt, key_cols=["id"], n_buckets=N_BUCKETS)
+    assert is_bucketed(tgt)
+    assert read_target(spark, tgt).count() == 0
+
+    # first merge into the empty bucketed target works
+    write_event_batch(str(tmp_path / "ev"), [_ev(1, "insert", 7)], 1)
+    _pipeline(spark, tmp_path).run_available()
+    got = {r.id: r.v for r in read_target(spark, tgt).collect()}
+    assert got == {7: "v1"}
