@@ -1,0 +1,310 @@
+"""Non-ANSI passthrough dialects (SURVEY.md §2.1 S21 extension).
+
+The reference's /sql/execute endpoint pattern-matches, besides plain
+SQL, two other dialects (pkg/api/auth_handler.go:1267-1883 — cited for
+parity, not ported):
+
+- **Mongo JS**: ``db.<coll>.find({filter}[, {projection}])`` with
+  optional chained ``.sort({...})`` / ``.limit(n)`` / ``.skip(n)``,
+  plus ``db.<coll>.countDocuments({filter})``. Here the chain parses
+  into a small AST and compiles onto the same Column-predicate
+  machinery as the countQuery DSL — filters stay Catalyst-pushdown-able
+  (a ``$gt`` on a parquet column becomes PushedFilters, exactly like
+  the SQL branch).
+- **Redis**: ``KEYS pattern`` / ``GET key`` / ``MGET k1 k2`` /
+  ``EXISTS key`` / ``DBSIZE`` / ``SET key value`` / ``DEL key...``
+  against the relational KV model (operators/kv.py). Read commands
+  return DataFrames; write commands return the post-state KV frame
+  (the caller persists it — same model as restore_replace).
+
+Filter subset: equality ``{f: v}``, operator objects ``{f: {$gt: v,
+$gte, $lt, $lte, $ne, $eq, $in: [...]}}``, ``$and`` / ``$or`` / ``$not``.
+JS-style relaxed JSON (unquoted keys, single quotes) is normalized
+before parsing, like the reference's tolerant matcher.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+import re
+import shlex
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sync_spark.operators.countquery import coerce_literal
+
+# ---------------------------------------------------------------------------
+# Mongo JS
+# ---------------------------------------------------------------------------
+
+_FIND_RE = re.compile(
+    r"^\s*db\.(?P<coll>\w+)\.(?P<method>find|countDocuments|count)\s*\(",
+    re.DOTALL,
+)
+_CHAIN_RE = re.compile(r"\.\s*(?P<method>sort|limit|skip)\s*\(")
+
+
+@dataclass
+class MongoFind:
+    collection: str
+    filter: dict = field(default_factory=dict)
+    projection: dict = field(default_factory=dict)
+    sort: list[tuple[str, int]] = field(default_factory=list)
+    limit: Optional[int] = None
+    skip: int = 0
+    count: bool = False
+
+
+def _js_to_json(src: str) -> str:
+    """Normalize relaxed JS object syntax to strict JSON: quote bare
+    keys, single→double quotes. Good for the query subset (no string
+    values containing quotes-in-quotes edge cases the reference's
+    matcher doesn't handle either)."""
+    out = re.sub(r"'([^']*)'", r'"\1"', src)
+    out = re.sub(r"([{,]\s*)([A-Za-z_$][\w$.]*)\s*:", r'\1"\2":', out)
+    return out
+
+
+def _split_args(src: str, open_at: int) -> tuple[list[str], int]:
+    """Split the top-level comma-separated args of the paren group
+    opening at ``open_at``; returns (args, index-after-close)."""
+    depth, i, start, args, in_str = 0, open_at, open_at + 1, [], None
+    for i in range(open_at, len(src)):
+        ch = src[i]
+        if in_str:
+            if ch == in_str and src[i - 1] != "\\":
+                in_str = None
+            continue
+        if ch in "'\"":
+            in_str = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+            if depth == 0:
+                args.append(src[start:i])
+                return [a.strip() for a in args if a.strip()], i + 1
+        elif ch == "," and depth == 1:
+            args.append(src[start:i])
+            start = i + 1
+    raise ValueError("unbalanced parentheses in Mongo query")
+
+
+def parse_mongo_js(src: str) -> MongoFind:
+    m = _FIND_RE.match(src)
+    if not m:
+        raise ValueError(f"not a recognized Mongo JS query: {src[:60]!r}")
+    args, pos = _split_args(src, src.index("(", m.start("method")))
+    q = MongoFind(collection=m.group("coll"), count=m.group("method") != "find")
+    if args:
+        q.filter = json.loads(_js_to_json(args[0])) if args[0] else {}
+    if len(args) > 1 and not q.count:
+        q.projection = json.loads(_js_to_json(args[1]))
+    rest = src[pos:]
+    while True:
+        cm = _CHAIN_RE.search(rest)
+        if not cm:
+            break
+        cargs, cpos = _split_args(rest, rest.index("(", cm.start()))
+        meth = cm.group("method")
+        if meth == "sort":
+            spec = json.loads(_js_to_json(cargs[0]))
+            q.sort = [(k, int(v)) for k, v in spec.items()]
+        elif meth == "limit":
+            q.limit = int(cargs[0])
+        else:
+            q.skip = int(cargs[0])
+        rest = rest[cpos:]
+    return q
+
+
+_CMP_OPS: dict[str, Callable[[Column, Any], Column]] = {
+    "$eq": lambda c, v: c == v,
+    "$ne": lambda c, v: c != v,
+    "$gt": lambda c, v: c > v,
+    "$gte": lambda c, v: c >= v,
+    "$lt": lambda c, v: c < v,
+    "$lte": lambda c, v: c <= v,
+}
+
+
+def mongo_filter_to_column(filt: dict) -> Optional[Column]:
+    """Compile a Mongo filter document → one Column predicate (None =
+    match-all). Dotted field names address nested struct fields, same
+    as Mongo."""
+    preds: list[Column] = []
+    for k, v in filt.items():
+        if k == "$and":
+            sub = [mongo_filter_to_column(f) for f in v]
+            preds.extend(p for p in sub if p is not None)
+        elif k == "$or":
+            sub = [p for p in (mongo_filter_to_column(f) for f in v) if p is not None]
+            if sub:
+                out = sub[0]
+                for p in sub[1:]:
+                    out = out | p
+                preds.append(out)
+        elif k == "$not":
+            p = mongo_filter_to_column(v)
+            if p is not None:
+                preds.append(~p)
+        elif isinstance(v, dict):
+            col = F.col(k)
+            for op, val in v.items():
+                if op == "$in":
+                    preds.append(col.isin([coerce_literal(x) for x in val]))
+                elif op == "$nin":
+                    preds.append(~col.isin([coerce_literal(x) for x in val]))
+                elif op == "$exists":
+                    preds.append(col.isNotNull() if val else col.isNull())
+                elif op in _CMP_OPS:
+                    preds.append(_CMP_OPS[op](col, F.lit(coerce_literal(val))))
+                else:
+                    raise ValueError(f"unsupported Mongo operator: {op!r}")
+        else:
+            preds.append(F.col(k) == F.lit(coerce_literal(v)))
+    if not preds:
+        return None
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def run_mongo_js(
+    src: str, resolve: Callable[[str], DataFrame]
+) -> DataFrame:
+    """Execute a Mongo-JS query string against ``resolve(collection)``.
+
+    skip+limit compiles to a single global sort + limit(skip+n) then a
+    driver-free offset window only when skip>0 — for the common
+    sort/limit chain the plan is the same TakeOrderedAndProject Spark
+    gives ORDER BY ... LIMIT n."""
+    q = parse_mongo_js(src)
+    df = resolve(q.collection)
+    pred = mongo_filter_to_column(q.filter)
+    if pred is not None:
+        df = df.filter(pred)
+    if q.count:
+        return df.agg(F.count(F.lit(1)).alias("n"))
+    if q.projection:
+        keep = [k for k, v in q.projection.items() if v]
+        if keep:
+            df = df.select(*keep)
+    if q.sort:
+        df = df.orderBy(
+            *[F.col(k).asc() if d >= 0 else F.col(k).desc() for k, d in q.sort]
+        )
+    if q.skip:
+        df = df.offset(q.skip)
+    if q.limit is not None:
+        df = df.limit(q.limit)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Redis
+# ---------------------------------------------------------------------------
+
+
+def _glob_to_regex(pattern: str) -> str:
+    """Redis KEYS glob (*, ?, [..]) → anchored Java-compatible regex.
+    fnmatch.translate emits (?s:...)\\Z; rlike is a *find*, so anchor
+    the start too."""
+    return "\\A" + fnmatch.translate(pattern)
+
+
+def run_redis(
+    cmd: str,
+    kv: DataFrame,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Execute one Redis command against the KV frame.
+
+    Read commands (KEYS/GET/MGET/EXISTS/DBSIZE) return result frames;
+    write commands (SET/DEL) return the NEW KV state frame."""
+    parts = shlex.split(cmd.strip())
+    if not parts:
+        raise ValueError("empty Redis command")
+    op, args = parts[0].upper(), parts[1:]
+    key, value = F.col(key_col), F.col(value_col)
+    if op == "KEYS":
+        return (
+            kv.filter(key.rlike(_glob_to_regex(args[0])))
+            .select(key.alias("key"))
+            .orderBy("key")
+        )
+    if op == "GET":
+        return kv.filter(key == args[0]).select(value.alias("value"))
+    if op == "MGET":
+        return (
+            kv.filter(key.isin(args))
+            .select(key.alias("key"), value.alias("value"))
+            .orderBy("key")
+        )
+    if op == "EXISTS":
+        return kv.filter(key.isin(args)).agg(F.count(F.lit(1)).alias("n"))
+    if op == "DBSIZE":
+        return kv.agg(F.count(F.lit(1)).alias("dbsize"))
+    if op == "SET":
+        k, v = args[0], args[1]
+        row = kv.sparkSession.createDataFrame(
+            [(k, v)], f"{key_col} string, {value_col} string"
+        )
+        return kv.filter(key != k).unionByName(row, allowMissingColumns=True)
+    if op == "DEL":
+        return kv.filter(~key.isin(args))
+    raise ValueError(f"unsupported Redis command: {op!r}")
+
+
+# ---------------------------------------------------------------------------
+# registry queries (driver-verified against DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _t(spark, sf_dir: str, name: str) -> DataFrame:
+    from sync_spark.sources.readers import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+MONGO_JS_QUERY = (
+    "db.orders.find({o_orderstatus: 'F', o_totalprice: {$gt: 200000}}, "
+    "{o_orderkey: 1, o_custkey: 1, o_totalprice: 1})"
+    ".sort({o_totalprice: -1, o_orderkey: 1}).limit(20)"
+)
+
+
+def pt_mongo_find(spark, sf_dir: str) -> DataFrame:
+    return run_mongo_js(MONGO_JS_QUERY, lambda c: _t(spark, sf_dir, c))
+
+
+PT_MONGO_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice > 200000
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+def pt_redis_keys(spark, sf_dir: str) -> DataFrame:
+    """KEYS glob over a KV projection of documents (key = doc:<id>)."""
+    kv = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("key"),
+        F.col("text").alias("value"),
+    )
+    return run_redis("KEYS doc:1?3*", kv)
+
+
+PT_REDIS_SQL = """
+SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS key
+FROM documents
+WHERE ('doc:' || CAST(doc_id AS VARCHAR)) LIKE 'doc:1_3%'
+ORDER BY key
+"""

@@ -110,6 +110,11 @@ def _populate() -> None:
     register("a_grouping_sets", xq.a_grouping_sets, xq.A_GROUPING_SETS_SQL)
     register("f_map_funcs", xq.f_map_funcs, xq.F_MAP_SQL)
 
+    from sync_spark.operators import passthrough as pt
+
+    register("pt_mongo_find", pt.pt_mongo_find, pt.PT_MONGO_SQL)
+    register("pt_redis_keys", pt.pt_redis_keys, pt.PT_REDIS_SQL)
+
     from sync_spark.operators import tpch_queries as th
 
     register("q3_shipping_priority", th.q3_shipping_priority, th.Q3_SQL)

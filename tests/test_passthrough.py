@@ -1,0 +1,161 @@
+"""Mongo-JS and Redis passthrough dialects (operators/passthrough.py)
+— the reference's /sql/execute pattern-matched branches
+(pkg/api/auth_handler.go:1267-1883) re-expressed on DataFrames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sync_spark.operators.passthrough import (
+    mongo_filter_to_column,
+    parse_mongo_js,
+    run_mongo_js,
+    run_redis,
+)
+
+
+@pytest.fixture()
+def users(spark):
+    return spark.createDataFrame(
+        [
+            Row(uid=1, name="ann", age=30, city="tokyo"),
+            Row(uid=2, name="bob", age=25, city="osaka"),
+            Row(uid=3, name="cho", age=35, city="tokyo"),
+            Row(uid=4, name="dee", age=28, city="kyoto"),
+            Row(uid=5, name="eve", age=35, city="tokyo"),
+        ]
+    )
+
+
+def _resolve(df):
+    return lambda coll: df
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+
+def test_parse_find_chain():
+    q = parse_mongo_js(
+        "db.users.find({age: {$gte: 28}}, {name: 1, age: 1})"
+        ".sort({age: -1, name: 1}).skip(1).limit(2)"
+    )
+    assert q.collection == "users" and not q.count
+    assert q.filter == {"age": {"$gte": 28}}
+    assert q.projection == {"name": 1, "age": 1}
+    assert q.sort == [("age", -1), ("name", 1)]
+    assert q.skip == 1 and q.limit == 2
+
+
+def test_parse_relaxed_js_and_count():
+    q = parse_mongo_js("db.users.countDocuments({city: 'tokyo'})")
+    assert q.count and q.filter == {"city": "tokyo"}
+    with pytest.raises(ValueError, match="not a recognized"):
+        parse_mongo_js("SELECT 1")
+
+
+# ---------------------------------------------------------------------------
+# execution
+# ---------------------------------------------------------------------------
+
+
+def test_find_filter_sort_limit(users):
+    out = run_mongo_js(
+        "db.users.find({city: 'tokyo'}, {name: 1, age: 1}).sort({age: -1, name: 1}).limit(2)",
+        _resolve(users),
+    ).collect()
+    assert [(r.name, r.age) for r in out] == [("cho", 35), ("eve", 35)]
+
+
+def test_find_operators_and_or_in(users):
+    out = run_mongo_js(
+        "db.users.find({$or: [{age: {$lt: 26}}, {city: {$in: ['kyoto']}}]}).sort({uid: 1})",
+        _resolve(users),
+    ).collect()
+    assert [r.uid for r in out] == [2, 4]
+
+    out = run_mongo_js(
+        "db.users.find({age: {$gte: 28, $lte: 35}, city: {$ne: 'tokyo'}})",
+        _resolve(users),
+    ).collect()
+    assert [r.uid for r in out] == [4]
+
+
+def test_find_skip_offset(users):
+    out = run_mongo_js(
+        "db.users.find({}).sort({uid: 1}).skip(3).limit(5)", _resolve(users)
+    ).collect()
+    assert [r.uid for r in out] == [4, 5]
+
+
+def test_count_documents(users):
+    out = run_mongo_js(
+        "db.users.countDocuments({city: 'tokyo'})", _resolve(users)
+    ).collect()
+    assert out[0].n == 3
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    """The Mongo branch must compile to the SAME pushdown-able plan as
+    the SQL branch: a $gt filter shows up in PushedFilters."""
+    p = str(tmp_path / "u")
+    spark.createDataFrame([Row(uid=i, age=20 + i) for i in range(50)]).write.parquet(p)
+    df = run_mongo_js(
+        "db.u.find({age: {$gt: 40}})", lambda c: spark.read.parquet(p)
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(age,40)" in plan
+
+
+def test_unsupported_mongo_operator(users):
+    with pytest.raises(ValueError, match="unsupported Mongo operator"):
+        mongo_filter_to_column({"age": {"$regex": "x"}})
+
+
+# ---------------------------------------------------------------------------
+# Redis
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def kv(spark):
+    return spark.createDataFrame(
+        [Row(key=f"user:{i}", value=f"v{i}") for i in range(1, 6)]
+        + [Row(key="cfg:mode", value="on")]
+    )
+
+
+def test_redis_keys_glob(kv):
+    assert [r.key for r in run_redis("KEYS user:*", kv).collect()] == [
+        f"user:{i}" for i in range(1, 6)
+    ]
+    assert [r.key for r in run_redis("KEYS user:?", kv).collect()] == [
+        f"user:{i}" for i in range(1, 6)
+    ]
+    assert [r.key for r in run_redis("KEYS *:mode", kv).collect()] == ["cfg:mode"]
+    # glob is anchored: no substring matches
+    assert run_redis("KEYS ser:*", kv).count() == 0
+
+
+def test_redis_get_mget_exists_dbsize(kv):
+    assert run_redis("GET user:3", kv).collect()[0].value == "v3"
+    assert run_redis("GET nope", kv).count() == 0
+    got = run_redis("MGET user:1 user:4 nope", kv).collect()
+    assert [(r.key, r.value) for r in got] == [("user:1", "v1"), ("user:4", "v4")]
+    assert run_redis("EXISTS user:1 nope", kv).collect()[0].n == 1
+    assert run_redis("DBSIZE", kv).collect()[0].dbsize == 6
+
+
+def test_redis_set_del_state(kv):
+    kv2 = run_redis("SET user:3 updated", kv)
+    assert kv2.filter(F.col("key") == "user:3").collect()[0].value == "updated"
+    assert kv2.count() == 6  # upsert, not append
+    kv3 = run_redis("SET brand:new x", kv2)
+    assert kv3.count() == 7
+    kv4 = run_redis("DEL user:1 user:2 nope", kv3)
+    assert kv4.count() == 5
+    with pytest.raises(ValueError, match="unsupported Redis"):
+        run_redis("FLUSHALL", kv)
