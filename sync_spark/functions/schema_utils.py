@@ -65,12 +65,29 @@ def flatten_schema(schema: T.StructType, prefix: str = "", max_depth: int = 10) 
 
 
 def infer_json_schema(
-    spark: SparkSession, docs: DataFrame, json_col: str, sample: int = 10
+    spark: SparkSession,
+    docs: DataFrame,
+    json_col: str,
+    sample: int = 10,
+    order_col: str | None = None,
 ) -> T.StructType:
     """Sample-based inference for a JSON string column (the
     schemaless-source path): latest-N sample → spark.read.json
-    inference — W1's sort+limit feeding §1.2's inference."""
-    sample_rows = [r[0] for r in docs.select(json_col).limit(sample).collect() if r[0]]
+    inference — W1's sort+limit feeding §1.2's inference.
+
+    ``order_col`` names the recency column (the reference samples the
+    latest N documents by natural order, schema_handler.go:160-171);
+    when omitted we fall back to ``_seq``/``seq`` if present so the
+    sampled set — and therefore the inferred schema — is stable
+    across partitionings instead of depending on scan order.
+    """
+    if order_col is None:
+        names = set(docs.columns)
+        order_col = next((c for c in ("_seq", "seq", "doc_id", "id") if c in names), None)
+    sampled = docs.select(json_col, *([order_col] if order_col else []))
+    if order_col:
+        sampled = sampled.orderBy(F.col(order_col).desc())
+    sample_rows = [r[0] for r in sampled.limit(sample).collect() if r[0]]
     rdd = spark.sparkContext.parallelize(sample_rows)
     return spark.read.json(rdd).schema
 

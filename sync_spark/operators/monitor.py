@@ -71,7 +71,12 @@ def metrics_scan(log: DataFrame, since: Optional[datetime] = None, limit: int = 
     if since is not None:
         df = df.filter(F.col("logged_at") >= F.lit(tz.fmt(since)).cast("timestamp"))
     return (
-        df.orderBy(F.col("logged_at").asc(), F.col("table").asc())
+        df.orderBy(
+            F.col("logged_at").asc(),
+            F.col("table").asc(),
+            F.col("task_id").asc(),
+            F.col("src_count").asc(),
+        )
         .limit(limit)
         .select(
             "task_id",
@@ -108,7 +113,12 @@ def grand_totals(log: DataFrame) -> DataFrame:
     sums + distinct task count."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("task_id", "table").orderBy(F.col("logged_at").desc())
+    w = Window.partitionBy("task_id", "table").orderBy(
+        F.col("logged_at").desc(),
+        # deterministic tiebreak when two ticks share a timestamp
+        F.col("tgt_count").desc(),
+        F.col("src_count").desc(),
+    )
     latest = log.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return latest.agg(
         F.countDistinct("task_id").alias("n_tasks"),
@@ -153,7 +163,9 @@ def consistency_alerts(log: DataFrame, day: date, tolerance: int = 0) -> DataFra
     start, end = tz.jst_day_range(day)
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("table").orderBy(F.col("logged_at").desc())
+    w = Window.partitionBy("table").orderBy(
+        F.col("logged_at").desc(), F.col("tgt_count").desc(), F.col("src_count").desc()
+    )
     latest = (
         log.filter(
             (F.col("logged_at") >= F.lit(tz.fmt(start)).cast("timestamp"))

@@ -15,7 +15,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 # columns known to be event-time nanos in the test corpus; the check
 # below is schema-driven, this is only a fallback naming hint
@@ -29,6 +29,11 @@ def ensure_session_conf(spark: SparkSession) -> None:
     formatting / JST math) and nanos-parquet tolerance."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # naive (isAdjustedToUTC=false) parquet timestamps must mean
+    # "micros since epoch UTC" exactly as DuckDB treats them; Spark 4
+    # would otherwise surface them as TIMESTAMP_NTZ, which functions
+    # like unix_micros() reject
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def read_parquet(spark: SparkSession, path: str, nanos_cols: set[str] | None = None) -> DataFrame:
@@ -36,6 +41,12 @@ def read_parquet(spark: SparkSession, path: str, nanos_cols: set[str] | None = N
     microsecond TimestampType."""
     ensure_session_conf(spark)
     df = spark.read.parquet(path)
+    # defensive second layer for sessions where inferTimestampNTZ was
+    # already baked into a cached plan: with session tz pinned to UTC
+    # above, cast(ntz as timestamp) is the same epoch reinterpretation
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     hint = _NANOS_HINT if nanos_cols is None else nanos_cols
     for field in df.schema.fields:
         if field.name in hint and isinstance(field.dataType, LongType):

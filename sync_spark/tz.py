@@ -67,5 +67,11 @@ def jst_month_range(day: date) -> tuple[datetime, datetime]:
 
 
 def fmt(dt: datetime) -> str:
-    """Literal for embedding into SQL / Column expressions."""
-    return dt.strftime("%Y-%m-%d %H:%M:%S")
+    """Literal for embedding into SQL / Column expressions.
+
+    Microsecond precision: two monitor ticks in the same second must
+    stay distinguishable or latest-row windows become nondeterministic
+    (monitor.go logs full precision; whole-second range boundaries
+    just render a .000000 suffix).
+    """
+    return dt.strftime("%Y-%m-%d %H:%M:%S.%f")

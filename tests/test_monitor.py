@@ -77,3 +77,32 @@ def test_consistency_alerts(spark):
     alerts = consistency_alerts(_log_df(spark), date(2024, 1, 15)).collect()
     assert len(alerts) == 1
     assert alerts[0].table == "users" and alerts[0].tgt_count == 108
+
+
+def test_microsecond_ticks_and_same_second_determinism(spark, tmp_path):
+    """Two ticks in the same second: logged_at keeps microseconds so
+    the rows stay ordered, and even exact-timestamp collisions pick a
+    deterministic latest row (tiebreak on counts)."""
+    path = str(tmp_path / "log")
+    src = spark.range(5)
+    tgt = spark.range(5)
+    t0 = datetime(2024, 1, 15, 12, 0, 0, 250_000)
+    t1 = datetime(2024, 1, 15, 12, 0, 0, 750_000)
+    monitor_tick(spark, 1, {"users": (src, tgt)}, logged_at=t0, log_path=path)
+    monitor_tick(spark, 1, {"users": (src, tgt)}, logged_at=t1, log_path=path)
+    log = spark.read.parquet(path)
+    stamps = sorted(r.logged_at for r in log.collect())
+    assert stamps == [t0, t1]  # microseconds survived the round trip
+
+    # exact-collision case: same timestamp, different counts → the
+    # tiebreak must make grand_totals stable across re-runs/shuffles
+    coll = spark.createDataFrame(
+        [
+            Row(task_id=1, table="users", src_count=100, tgt_count=90, logged_at=t1),
+            Row(task_id=1, table="users", src_count=120, tgt_count=120, logged_at=t1),
+        ]
+    )
+    outs = {tuple(sorted(map(tuple, grand_totals(coll.repartition(n)).collect()))) for n in (1, 4, 9)}
+    assert len(outs) == 1
+    row = grand_totals(coll).collect()[0]
+    assert row.total_src == 120 and row.total_tgt == 120

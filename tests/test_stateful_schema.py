@@ -105,3 +105,24 @@ def test_infer_and_select_dotted(spark):
     parsed = docs.select(F.from_json("j", schema).alias("doc")).select("doc.*")
     out = select_dotted(parsed, ["a.b", "a.c"]).collect()
     assert [(r.a_b, r.a_c) for r in out] == [(1, "x"), (2, None)]
+
+
+def test_infer_schema_latest_n_partition_invariant(spark):
+    """The sampled set is the latest N by seq, so the inferred schema
+    must not change when the input's partitioning (scan order) does.
+    Older docs carry an extra field that must NOT appear when the
+    sample covers only the newest 2."""
+    rows = [
+        Row(seq=1, j='{"old_only": 1, "a": 1}'),
+        Row(seq=2, j='{"old_only": 2, "a": 2}'),
+        Row(seq=3, j='{"a": 3, "fresh": "x"}'),
+        Row(seq=4, j='{"a": 4, "fresh": "y"}'),
+    ]
+    docs = spark.createDataFrame(rows)
+    schemas = set()
+    for n_parts in (1, 3, 7):
+        s = infer_json_schema(spark, docs.repartition(n_parts), "j", sample=2)
+        schemas.add(s.simpleString())
+        flat = flatten_schema(s)
+        assert "fresh" in flat and "old_only" not in flat
+    assert len(schemas) == 1
