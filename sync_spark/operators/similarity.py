@@ -52,18 +52,22 @@ def _norm2(a: Column) -> Column:
     )
 
 
-def _scored_topk(c, q, k: int, on=None):
+def _scored_topk(c, q, k: int, on=None, dedup=False):
     """Shared scoring tail: join corpus(c: neighbor_id, cv, cn) with
     broadcast queries(q: query_id, qv, qn), exact quantized cosine,
     per-query top-k with id tiebreak. One definition so the rounding/
     tiebreak/quantization discipline can't drift between the exact,
-    LSH, and IVF variants."""
+    LSH, and IVF variants. ``dedup`` collapses candidate pairs that
+    collide in more than one hash table (multi-table LSH) so the rank
+    window never sees duplicates."""
     joined = c.crossJoin(F.broadcast(q)) if on is None else c.join(F.broadcast(q), on)
     scored = joined.filter(F.col("neighbor_id") != F.col("query_id")).withColumn(
         "cosine",
         _dot(F.col("qv"), F.col("cv")).cast("double")
         / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))),
     )
+    if dedup:
+        scored = scored.dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -201,32 +205,55 @@ def ivf_topk(
     return _scored_topk(c, q, k, on="cell")
 
 
+def _table_buckets(vec: Column, plane_sets: list[list[list[float]]]) -> Column:
+    """Array of (tbl, bucket) structs — one signature per hash table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).cast("int").alias("tbl"), _bucket(vec, planes).alias("bucket")
+            )
+            for t, planes in enumerate(plane_sets)
+        ]
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     n_planes: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate NN: random-hyperplane LSH bucket equi-join, exact
-    cosine within the bucket. Recall < 1 by design; the bucket join
-    replaces the full corpus scan with a 2^-n_planes slice per query."""
-    planes = hyperplanes(dim, n_planes, seed)
+    """Approximate NN: multi-table random-hyperplane LSH. Each of the
+    ``n_tables`` independent tables hashes a vector to a
+    ``n_planes``-bit sign bucket; candidates are the UNION of same-
+    bucket collisions across tables (classic LSH amplification: a
+    near pair with per-plane collision prob p is found with
+    1-(1-p^n_planes)^n_tables), then scored with the exact quantized
+    cosine and deduped before ranking.
+
+    Scale: the corpus is exploded ×n_tables — the standard L-index-
+    copies LSH trade (at 100 TB you persist this index once, bucketed
+    by (tbl, bucket), instead of rebuilding per query batch); each
+    query then scans ~n_tables/2^n_planes of the corpus instead of
+    all of it. Recall < 1 by design → rows-only + chk_ floor."""
+    plane_sets = [hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)]
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qraw"))
-        .withColumn("bucket", _bucket(F.col("qraw"), planes))
+        .withColumn("tb", F.explode(_table_buckets(F.col("qraw"), plane_sets)))
         .withColumn("qv", _quantize(F.col("qraw")))
         .withColumn("qn", _norm2(F.col("qv")))
-        .drop("qraw")
+        .select("query_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"), "qv", "qn")
     )
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("craw"))
-        .withColumn("bucket", _bucket(F.col("craw"), planes))
+        .withColumn("tb", F.explode(_table_buckets(F.col("craw"), plane_sets)))
         .withColumn("cv", _quantize(F.col("craw")))
         .withColumn("cn", _norm2(F.col("cv")))
-        .drop("craw")
+        .select("neighbor_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"), "cv", "cn")
     )
-    return _scored_topk(c, q, k, on="bucket")
+    return _scored_topk(c, q, k, on=["tbl", "bucket"], dedup=True)

@@ -260,7 +260,9 @@ SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
 def e_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate NN (rows-only: recall < 1 by design)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.ann_lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=4)
+    return similarity.ann_lsh_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_planes=4, n_tables=16
+    )
 
 
 def e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,5 +272,5 @@ def e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # few KMeans iterations: each is a Spark job and bucket BALANCE,
     # not centroid optimality, is what IVF needs
     return similarity.ivf_topk(
-        emb.filter(F.col("vec_id") < 10), emb, k=5, n_lists=16, n_probe=4, max_iter=3
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_lists=16, n_probe=6, max_iter=3
     )

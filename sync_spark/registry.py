@@ -110,6 +110,15 @@ def _populate() -> None:
     register("a_grouping_sets", xq.a_grouping_sets, xq.A_GROUPING_SETS_SQL)
     register("f_map_funcs", xq.f_map_funcs, xq.F_MAP_SQL)
 
+    from sync_spark.operators import check_queries as ck
+
+    register("chk_minhash_lsh", ck.chk_minhash_lsh, ck.CHK_MINHASH_SQL)
+    register("chk_simhash", ck.chk_simhash, ck.CHK_SIMHASH_SQL)
+    register("chk_ann_lsh", ck.chk_ann_lsh, ck.CHK_ANN_LSH_SQL)
+    register("chk_ann_ivf", ck.chk_ann_ivf, ck.CHK_ANN_IVF_SQL)
+    register("chk_approx_distinct", ck.chk_approx_distinct, ck.CHK_APPROX_DISTINCT_SQL)
+    register("chk_quantile_sketch", ck.chk_quantile_sketch, ck.CHK_QUANTILE_SQL)
+
     from sync_spark.operators import passthrough as pt
 
     register("pt_mongo_find", pt.pt_mongo_find, pt.PT_MONGO_SQL)
