@@ -1,0 +1,49 @@
+"""T9: event-time tumbling JST-day windows over the change stream.
+
+The reference's daily counters are mutable rows reset on a JST
+schedule (pkg/utils/monitor.go:961-1155); the engine-native
+re-expression is a watermarked event-time window: out-of-order events
+within the watermark still land in their JST day, a day is FINALIZED
+(emitted, state evicted) once the watermark passes its end, and
+later-than-watermark stragglers are dropped instead of corrupting a
+closed day — the exact semantics the reference approximates with
+"reset at midnight JST, hope the stream is on time".
+
+JST has no DST, so "+9 hours then 1-day tumbling window" is exactly
+the JST calendar day (same trick as tz.jst_day_range for batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def jst_daily_window_stats(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    value: Column | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-(JST day, source_table) event count + value sum with
+    late-data handling delegated to the watermark. Works on the CDC
+    envelope (value defaults to ``after_json.$.value``) and on any
+    frame with an event-time column.
+
+    Output (append mode): one FINAL row per closed window — the
+    streaming analog of the batch `a_daily_window_jst` query.
+    """
+    if value is None:
+        value = F.get_json_object("after_json", "$.value").cast("double")
+    shifted = stream.withColumn("ts_jst", F.col(ts_col) + F.expr("INTERVAL 9 HOURS"))
+    return (
+        shifted.withWatermark("ts_jst", watermark)
+        .groupBy(F.window("ts_jst", "1 day").alias("w"), "source_table")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(value).alias("total"))
+        .select(
+            F.to_date("w.start").alias("jst_day"),
+            "source_table",
+            "n_events",
+            "total",
+        )
+    )
