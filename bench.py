@@ -22,7 +22,12 @@ def main() -> None:
     from sync_spark.session import get_spark
 
     spark = get_spark("sync_spark_bench")
-    specs = all_queries()
+    # chk_* entries are the driver's correctness gate for the
+    # approximate operators: each re-runs an operator that is already
+    # benchmarked under its own name (e_ann_*, d_minhash_lsh, ...) plus
+    # its exact ground truth, so timing them here would double-count
+    # the same work without measuring anything new
+    specs = {n: s for n, s in all_queries().items() if not n.startswith("chk_")}
 
     # warm the JVM + parquet footers once so per-query numbers measure
     # the queries, not session startup

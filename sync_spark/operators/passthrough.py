@@ -206,6 +206,74 @@ def run_mongo_js(
     return df
 
 
+_WRITE_RE = re.compile(
+    r"^\s*db\.(?P<coll>\w+)\.(?P<method>insertMany|updateMany|deleteMany)\s*\(",
+    re.DOTALL,
+)
+
+
+def run_mongo_js_write(src: str, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Execute a Mongo-JS WRITE statement against the collection frame
+    — the dialect's other half (the reference's /sql/execute also
+    accepts insertMany / updateMany-with-$set / deleteMany,
+    pkg/api/auth_handler.go:1536-1745, cited for parity not ported).
+
+    Returns ``(new_state, affected)`` where ``affected`` is a 1-row
+    frame ``(op, affected_rows)`` — the lazy analog of the reference's
+    "N documents" message; the caller persists ``new_state`` (same
+    contract as the Redis SET/DEL branch).
+    """
+    m = _WRITE_RE.match(src)
+    if not m:
+        raise ValueError(f"not a recognized Mongo JS write: {src[:60]!r}")
+    args, _ = _split_args(src, src.index("(", m.start("method")))
+    meth = m.group("method")
+    if meth == "insertMany":
+        docs = json.loads(_js_to_json(args[0]))
+        if not isinstance(docs, list) or not docs:
+            raise ValueError("insertMany expects a non-empty array of documents")
+        cols = df.columns
+        rows = [tuple(d.get(c) for c in cols) for d in docs]
+        unknown = {k for d in docs for k in d} - set(cols)
+        if unknown:
+            raise ValueError(f"insertMany fields not in collection schema: {sorted(unknown)}")
+        new_rows = df.sparkSession.createDataFrame(rows, df.schema)
+        affected = new_rows.agg(
+            F.lit("insertMany").alias("op"), F.count(F.lit(1)).alias("affected_rows")
+        )
+        return df.unionByName(new_rows), affected
+    pred = mongo_filter_to_column(json.loads(_js_to_json(args[0])) if args else {})
+    matched = df if pred is None else df.filter(pred)
+    affected_n = matched.agg(
+        F.lit(meth).alias("op"), F.count(F.lit(1)).alias("affected_rows")
+    )
+    if meth == "deleteMany":
+        new_state = df if pred is None else df.filter(~F.coalesce(pred, F.lit(False)))
+        if pred is None:
+            new_state = df.limit(0)
+        return new_state, affected_n
+    # updateMany: only the {$set: {...}} form, like the reference
+    if len(args) < 2:
+        raise ValueError("updateMany expects (filter, update) arguments")
+    update = json.loads(_js_to_json(args[1]))
+    setter = update.get("$set")
+    if not isinstance(setter, dict) or not setter:
+        raise ValueError("only updateMany with a non-empty $set document is supported")
+    unknown = set(setter) - set(df.columns)
+    if unknown:
+        raise ValueError(f"$set fields not in collection schema: {sorted(unknown)}")
+    new_state = df
+    for fname, val in setter.items():
+        lit = F.lit(coerce_literal(val)).cast(df.schema[fname].dataType)
+        if pred is None:
+            new_state = new_state.withColumn(fname, lit)
+        else:
+            new_state = new_state.withColumn(
+                fname, F.when(pred, lit).otherwise(F.col(fname))
+            )
+    return new_state, affected_n
+
+
 # ---------------------------------------------------------------------------
 # Redis
 # ---------------------------------------------------------------------------

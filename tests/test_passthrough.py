@@ -159,3 +159,57 @@ def test_redis_set_del_state(kv):
     assert kv4.count() == 5
     with pytest.raises(ValueError, match="unsupported Redis"):
         run_redis("FLUSHALL", kv)
+
+
+# ---------------------------------------------------------------------------
+# Mongo JS write verbs
+# ---------------------------------------------------------------------------
+
+
+def test_mongo_insert_many(users):
+    from sync_spark.operators.passthrough import run_mongo_js_write
+
+    new, affected = run_mongo_js_write(
+        "db.users.insertMany([{uid: 6, name: 'fox', age: 40, city: 'nara'},"
+        " {uid: 7, name: 'gil', age: 22, city: 'kobe'}])",
+        users,
+    )
+    assert new.count() == 7
+    a = affected.collect()[0]
+    assert (a.op, a.affected_rows) == ("insertMany", 2)
+    assert new.filter(F.col("uid") == 6).collect()[0].name == "fox"
+
+
+def test_mongo_insert_unknown_field_raises(users):
+    from sync_spark.operators.passthrough import run_mongo_js_write
+
+    with pytest.raises(ValueError, match="not in collection schema"):
+        run_mongo_js_write("db.users.insertMany([{uid: 9, bogus: 1}])", users)
+
+
+def test_mongo_update_many_set(users):
+    from sync_spark.operators.passthrough import run_mongo_js_write
+
+    new, affected = run_mongo_js_write(
+        "db.users.updateMany({city: 'tokyo'}, {$set: {age: 99}})", users
+    )
+    rows = {r.uid: r.age for r in new.collect()}
+    assert rows == {1: 99, 2: 25, 3: 99, 4: 28, 5: 99}
+    assert affected.collect()[0].affected_rows == 3
+    # non-$set update forms rejected, like the reference
+    with pytest.raises(ValueError, match="\\$set"):
+        run_mongo_js_write("db.users.updateMany({}, {$inc: {age: 1}})", users)
+
+
+def test_mongo_delete_many(users):
+    from sync_spark.operators.passthrough import run_mongo_js_write
+
+    new, affected = run_mongo_js_write(
+        "db.users.deleteMany({age: {$gte: 30}})", users
+    )
+    assert sorted(r.uid for r in new.collect()) == [2, 4]
+    assert affected.collect()[0].affected_rows == 3
+    # match-all delete empties the collection but keeps the schema
+    emptied, aff2 = run_mongo_js_write("db.users.deleteMany({})", users)
+    assert emptied.count() == 0 and emptied.columns == users.columns
+    assert aff2.collect()[0].affected_rows == 5
