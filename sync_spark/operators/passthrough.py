@@ -376,3 +376,40 @@ FROM documents
 WHERE ('doc:' || CAST(doc_id AS VARCHAR)) LIKE 'doc:1_3%'
 ORDER BY key
 """
+
+
+MONGO_UPDATE_STMT = (
+    "db.customer.updateMany({c_mktsegment: 'BUILDING', c_acctbal: {$lt: 0}}, "
+    "{$set: {c_mktsegment: 'REVIEW'}})"
+)
+
+
+def pt_mongo_update(spark, sf_dir: str) -> DataFrame:
+    """updateMany new-state (the write verb's full output is a pure
+    projection, so DuckDB can oracle it with a CASE expression)."""
+    new_state, _ = run_mongo_js_write(MONGO_UPDATE_STMT, _t(spark, sf_dir, "customer"))
+    return new_state
+
+
+PT_MONGO_UPDATE_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+       CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal < 0
+            THEN 'REVIEW' ELSE c_mktsegment END AS c_mktsegment
+FROM customer
+"""
+
+
+MONGO_DELETE_STMT = "db.customer.deleteMany({c_acctbal: {$lt: 0}})"
+
+
+def pt_mongo_delete(spark, sf_dir: str) -> DataFrame:
+    """deleteMany new-state = negated-predicate filter (NULL-matching
+    rows are kept, like Mongo, which only deletes matching docs)."""
+    new_state, _ = run_mongo_js_write(MONGO_DELETE_STMT, _t(spark, sf_dir, "customer"))
+    return new_state
+
+
+PT_MONGO_DELETE_SQL = """
+SELECT * FROM customer
+WHERE NOT coalesce(c_acctbal < 0, FALSE)
+"""

@@ -205,18 +205,6 @@ def ivf_topk(
     return _scored_topk(c, q, k, on="cell")
 
 
-def _table_buckets(vec: Column, plane_sets: list[list[list[float]]]) -> Column:
-    """Array of (tbl, bucket) structs — one signature per hash table."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).cast("int").alias("tbl"), _bucket(vec, planes).alias("bucket")
-            )
-            for t, planes in enumerate(plane_sets)
-        ]
-    )
-
-
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -236,24 +224,48 @@ def ann_lsh_topk(
     1-(1-p^n_planes)^n_tables), then scored with the exact quantized
     cosine and deduped before ranking.
 
+    All n_tables × n_planes plane dot products per vector are ONE
+    Arrow-batched numpy matmul (same justified-pandas_udf case as the
+    IVF cell kernel: a dense vectors × planes matrix; the Column-HOF
+    version measured ~10× slower). Quantized vectors and norms are
+    computed once per vector BEFORE the ×n_tables explode; scoring
+    stays JVM-side.
+
     Scale: the corpus is exploded ×n_tables — the standard L-index-
     copies LSH trade (at 100 TB you persist this index once, bucketed
     by (tbl, bucket), instead of rebuilding per query batch); each
     query then scans ~n_tables/2^n_planes of the corpus instead of
     all of it. Recall < 1 by design → rows-only + chk_ floor."""
+    from pyspark.sql.functions import pandas_udf
+
     plane_sets = [hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)]
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qraw"))
-        .withColumn("tb", F.explode(_table_buckets(F.col("qraw"), plane_sets)))
-        .withColumn("qv", _quantize(F.col("qraw")))
-        .withColumn("qn", _norm2(F.col("qv")))
-        .select("query_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"), "qv", "qn")
-    )
-    c = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("craw"))
-        .withColumn("tb", F.explode(_table_buckets(F.col("craw"), plane_sets)))
-        .withColumn("cv", _quantize(F.col("craw")))
-        .withColumn("cn", _norm2(F.col("cv")))
-        .select("neighbor_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"), "cv", "cn")
-    )
+    planes_np = np.asarray(
+        [p for table in plane_sets for p in table], dtype=np.float64
+    )  # (n_tables*n_planes, dim)
+    weights = 1 << np.arange(n_planes)
+
+    @pandas_udf("array<int>")
+    def bucket_ids_udf(embs: pd.Series) -> pd.Series:
+        x = np.asarray(list(embs), dtype=np.float64)  # (batch, dim)
+        bits = (x @ planes_np.T) > 0  # (batch, n_tables*n_planes)
+        ids = bits.reshape(len(x), n_tables, n_planes) @ weights  # (batch, n_tables)
+        return pd.Series(list(ids.astype(np.int32)))
+
+    def _prep(df: DataFrame, out_id: str, vec: str, norm: str) -> DataFrame:
+        return (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias(out_id), F.col(vec_col).alias("raw"))
+            .withColumn(vec, _quantize(F.col("raw")))
+            .withColumn(norm, _norm2(F.col(vec)))
+            .withColumn("bids", bucket_ids_udf(F.col("raw")))
+            .select(
+                out_id,
+                vec,
+                norm,
+                F.posexplode("bids").alias("tbl", "bucket"),
+            )
+        )
+
+    q = _prep(queries, "query_id", "qv", "qn")
+    c = _prep(corpus, "neighbor_id", "cv", "cn")
     return _scored_topk(c, q, k, on=["tbl", "bucket"], dedup=True)

@@ -123,6 +123,8 @@ def _populate() -> None:
 
     register("pt_mongo_find", pt.pt_mongo_find, pt.PT_MONGO_SQL)
     register("pt_redis_keys", pt.pt_redis_keys, pt.PT_REDIS_SQL)
+    register("pt_mongo_update", pt.pt_mongo_update, pt.PT_MONGO_UPDATE_SQL)
+    register("pt_mongo_delete", pt.pt_mongo_delete, pt.PT_MONGO_DELETE_SQL)
 
     from sync_spark.operators import tpch_queries as th
 
