@@ -269,8 +269,9 @@ def e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans codebook) approximate NN — the trained-codebook
     scale path (rows-only: recall < 1 by design, deterministic seed)."""
     emb = _t(spark, sf_dir, "embeddings")
-    # few KMeans iterations: each is a Spark job and bucket BALANCE,
-    # not centroid optimality, is what IVF needs
+    # Lloyd iterations are driver-side numpy over the bounded sample,
+    # so converging the codebook properly costs microseconds — only
+    # the ONE cell-assignment pass over the corpus is a Spark job
     return similarity.ivf_topk(
-        emb.filter(F.col("vec_id") < 10), emb, k=5, n_lists=16, n_probe=6, max_iter=3
+        emb.filter(F.col("vec_id") < 10), emb, k=5, n_lists=16, n_probe=6, max_iter=25
     )
