@@ -211,6 +211,12 @@ def ivf_topk(
     def probe_cells_udf(embs: pd.Series) -> pd.Series:
         return _cells_batch(embs, n_probe).map(list)
 
+    # deterministic kernels; the flag stops CollapseProject from
+    # substituting the udf into the explode projection and running
+    # the distance matmul twice per row (see bucket_ids_udf)
+    nearest_cell_udf = nearest_cell_udf.asNondeterministic()
+    probe_cells_udf = probe_cells_udf.asNondeterministic()
+
     # NULL embeddings are dropped up front (the numpy kernel would
     # crash on a None element; the old Column path silently dropped
     # them from the equi-join — the filter keeps that behavior)
@@ -278,6 +284,11 @@ def ann_lsh_topk(
         bits = (x @ planes_np.T) > 0  # (batch, n_tables*n_planes)
         ids = bits.reshape(len(x), n_tables, n_planes) @ weights  # (batch, n_tables)
         return pd.Series(list(ids.astype(np.int32)))
+
+    # the kernel IS deterministic; the flag is an optimizer barrier —
+    # CollapseProject otherwise substitutes the udf expression into
+    # the posexplode projection and evaluates the matmul twice per row
+    bucket_ids_udf = bucket_ids_udf.asNondeterministic()
 
     def _prep(df: DataFrame, out_id: str, vec: str, norm: str) -> DataFrame:
         return (

@@ -85,3 +85,25 @@ def test_merge_partial_aggregation(spark, sf_small):
     nodes around the exchange)."""
     plan = plan_of(bq.a_grand_total(spark, sf_small))
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ann_plans_use_one_arrow_kernel_only(spark, sf_small):
+    """The ANN operators are allowed ONE vectorized Python node per
+    input side (bucket/cell assignment as an Arrow-batched matmul —
+    query side + corpus side = at most 2); scoring must stay JVM-side
+    and nothing may fall back to row-at-a-time BatchEvalPython."""
+    for fn in (tq.e_ann_lsh, tq.e_ann_ivf):
+        plan = plan_of(fn(spark, sf_small))
+        assert "BatchEvalPython" not in plan
+        n_arrow = plan.count("ArrowEvalPython")
+        assert 1 <= n_arrow <= 2, plan[:800]
+
+
+def test_mongo_passthrough_filter_pushdown(spark, sf_small):
+    """The Mongo-JS dialect compiles onto Column predicates, so its
+    filters must reach the parquet scan like the SQL branch."""
+    from sync_spark.operators.passthrough import pt_mongo_find
+
+    plan = plan_of(pt_mongo_find(spark, sf_small))
+    assert "PushedFilters: [" in plan
+    assert "o_totalprice" in plan.split("PushedFilters")[1][:200]
