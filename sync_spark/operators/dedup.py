@@ -241,22 +241,25 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
     """64-bit SimHash over the token bag: bit_i = sign of Σ ±1 votes
-    from xxhash64(token) bit i. Returned as a signed long."""
-    toks = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = F.xxhash64("tok")
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"v{i}")
+    from xxhash64(token) bit i. Returned as a signed long.
+
+    The hash is materialized ONCE per token before the aggregation
+    (an expression inside 64 agg functions is evaluated 64×/row), and
+    the ±1 vote sums are rewritten as plain bit sums: sign(Σ±1) > 0 ⇔
+    2·ones > n — same signature, conditional-free aggregates."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).select("doc_id", F.xxhash64("tok").alias("h"))
+    ones = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"o{i}")
         for i in range(bits)
     ]
-    agg = toks.groupBy("doc_id").agg(*votes)
+    agg = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"), *ones)
     sig = F.lit(0).cast("long")
     for i in range(bits):
         sig = sig.bitwiseOR(
-            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(F.col(f"o{i}") * 2 > F.col("n_tok"), F.shiftleft(F.lit(1).cast("long"), i))
+            .otherwise(F.lit(0).cast("long"))
         )
     return agg.select("doc_id", sig.alias("simhash"))
 
