@@ -31,3 +31,22 @@ def test_multiple_clusters_and_singletons(spark):
     # exactly one survivor per cluster
     survivors = [k for k, (c, s) in out.items() if s]
     assert sorted(survivors) == [0, 3, 4, 6]
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """Same labels from the small-graph union-find and the
+    label-propagation loop (driver_threshold=0 forces the loop)."""
+    from pyspark.sql import Row
+
+    nodes = spark.createDataFrame([Row(id=i) for i in range(12)])
+    edges = spark.createDataFrame(
+        [Row(id_a=1, id_b=4), Row(id_a=4, id_b=7), Row(id_a=2, id_b=9),
+         Row(id_a=10, id_b=11), Row(id_a=7, id_b=8)]
+    )
+    fast = {r.id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    slow = {
+        r.id: r.cluster_id
+        for r in connected_components(nodes, edges, driver_threshold=0).collect()
+    }
+    assert fast == slow
+    assert fast[8] == 1 and fast[9] == 2 and fast[11] == 10 and fast[0] == 0
