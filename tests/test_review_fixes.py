@@ -90,8 +90,10 @@ def test_monitor_tick_empty_pairs(spark):
 def test_cc_raises_on_non_convergence(spark):
     nodes = spark.createDataFrame([Row(id=i) for i in range(6)])
     edges = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(5)])
+    # driver_threshold=0 forces the distributed propagation loop —
+    # the union-find path has no iteration cap to trip
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(nodes, edges, max_iter=2)
+        connected_components(nodes, edges, max_iter=2, driver_threshold=0)
 
 
 def test_dlq_replay_is_idempotent(spark, tmp_path):
