@@ -20,7 +20,10 @@ parity, not ported):
 Filter subset: equality ``{f: v}``, operator objects ``{f: {$gt: v,
 $gte, $lt, $lte, $ne, $eq, $in: [...]}}``, ``$and`` / ``$or`` / ``$not``.
 JS-style relaxed JSON (unquoted keys, single quotes) is normalized
-before parsing, like the reference's tolerant matcher.
+before parsing, like the reference's tolerant matcher. Null semantics
+follow MONGO, not SQL: ``$ne``/``$nin`` match null/missing fields and
+``{f: null}`` / ``{$eq: null}`` match nulls — the compiler adds the
+``isNull`` arms SQL three-valued logic would drop.
 """
 
 from __future__ import annotations
@@ -158,13 +161,29 @@ def mongo_filter_to_column(filt: dict) -> Optional[Column]:
                 if op == "$in":
                     preds.append(col.isin([coerce_literal(x) for x in val]))
                 elif op == "$nin":
-                    preds.append(~col.isin([coerce_literal(x) for x in val]))
+                    # Mongo negations MATCH null/missing fields (SQL
+                    # three-valued logic would silently drop them)
+                    preds.append(
+                        ~col.isin([coerce_literal(x) for x in val]) | col.isNull()
+                    )
                 elif op == "$exists":
                     preds.append(col.isNotNull() if val else col.isNull())
+                elif op == "$ne":
+                    if val is None:
+                        preds.append(col.isNotNull())
+                    else:
+                        preds.append(
+                            (col != F.lit(coerce_literal(val))) | col.isNull()
+                        )
+                elif op == "$eq" and val is None:
+                    preds.append(col.isNull())
                 elif op in _CMP_OPS:
                     preds.append(_CMP_OPS[op](col, F.lit(coerce_literal(val))))
                 else:
                     raise ValueError(f"unsupported Mongo operator: {op!r}")
+        elif v is None:
+            # {f: null} matches null/missing, like Mongo
+            preds.append(F.col(k).isNull())
         else:
             preds.append(F.col(k) == F.lit(coerce_literal(v)))
     if not preds:

@@ -1,0 +1,122 @@
+"""Mongo-filter compiler vs DuckDB: null-semantics units plus a
+hypothesis sweep. Every generated filter document is compiled two
+ways — onto a Column predicate (run_mongo_js countDocuments) and onto
+an equivalent SQL WHERE with Mongo's null semantics spelled out — and
+the counts must agree on a frame that contains NULLs."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from sync_spark.operators.passthrough import run_mongo_js
+
+ROWS = [
+    (1, "ann", 30.0, "tokyo"),
+    (2, "bob", 25.0, None),
+    (3, None, 35.0, "tokyo"),
+    (4, "dee", None, "kyoto"),
+    (5, "eve", 35.0, None),
+    (6, "fox", 25.0, "osaka"),
+    (7, None, None, None),
+]
+COLS = ["uid", "name", "age", "city"]
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    df = spark.createDataFrame(
+        [Row(uid=u, name=n, age=a, city=c) for u, n, a, c in ROWS],
+        "uid long, name string, age double, city string",
+    )
+    df.cache().count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def ducks():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE users (uid BIGINT, name VARCHAR, age DOUBLE, city VARCHAR)")
+    con.executemany("INSERT INTO users VALUES (?, ?, ?, ?)", ROWS)
+    return con
+
+
+def _count(df, src):
+    return run_mongo_js(src, lambda c: df).collect()[0][0]
+
+
+def test_ne_matches_nulls(frame, ducks):
+    # Mongo: {city: {$ne: 'tokyo'}} matches rows with city null
+    got = _count(frame, "db.users.find({city: {$ne: 'tokyo'}}).limit(99)")
+    # find returns rows; count via countDocuments for the same filter
+    got = _count(frame, "db.users.countDocuments({city: {$ne: 'tokyo'}})")
+    want = ducks.execute(
+        "SELECT COUNT(*) FROM users WHERE city <> 'tokyo' OR city IS NULL"
+    ).fetchone()[0]
+    assert got == want == 5
+
+
+def test_eq_null_and_nin(frame):
+    assert _count(frame, "db.users.countDocuments({name: null})") == 2
+    assert _count(frame, "db.users.countDocuments({name: {$ne: null}})") == 5
+    assert (
+        _count(frame, "db.users.countDocuments({city: {$nin: ['tokyo', 'osaka']}})") == 4
+    )  # kyoto + 3 nulls
+
+
+# value pools intentionally overlap the data (plus misses)
+_STR_VALS = ["tokyo", "osaka", "kyoto", "nara", "ann", "eve"]
+_NUM_VALS = [25.0, 30.0, 35.0, 40.0]
+
+_leaf = st.one_of(
+    st.tuples(st.just("city"), st.sampled_from(["$eq", "$ne"]), st.sampled_from(_STR_VALS)),
+    st.tuples(
+        st.just("age"),
+        st.sampled_from(["$gt", "$gte", "$lt", "$lte", "$ne", "$eq"]),
+        st.sampled_from(_NUM_VALS),
+    ),
+    st.tuples(st.just("name"), st.just("$in"), st.lists(st.sampled_from(_STR_VALS), min_size=1, max_size=3)),
+    st.tuples(st.just("city"), st.just("$nin"), st.lists(st.sampled_from(_STR_VALS), min_size=1, max_size=2)),
+)
+
+
+def _leaf_to_js(leaf):
+    f, op, v = leaf
+
+    def lit(x):
+        return f"'{x}'" if isinstance(x, str) else str(x)
+
+    val = f"[{', '.join(lit(x) for x in v)}]" if isinstance(v, list) else lit(v)
+    return f"{{{f}: {{{op}: {val}}}}}"
+
+
+def _leaf_to_sql(leaf):
+    f, op, v = leaf
+
+    def lit(x):
+        return f"'{x}'" if isinstance(x, str) else str(x)
+
+    if op == "$in":
+        return f"{f} IN ({', '.join(lit(x) for x in v)})"
+    if op == "$nin":
+        return f"({f} NOT IN ({', '.join(lit(x) for x in v)}) OR {f} IS NULL)"
+    if op == "$ne":
+        return f"({f} <> {lit(v)} OR {f} IS NULL)"
+    sql_op = {"$eq": "=", "$gt": ">", "$gte": ">=", "$lt": "<", "$lte": "<="}[op]
+    return f"{f} {sql_op} {lit(v)}"
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(leaves=st.lists(_leaf, min_size=1, max_size=3), conj=st.sampled_from(["$and", "$or"]))
+def test_filter_compiler_matches_duckdb(frame, ducks, leaves, conj):
+    js_filter = f"{{{conj}: [{', '.join(_leaf_to_js(l) for l in leaves)}]}}"
+    got = _count(frame, f"db.users.countDocuments({js_filter})")
+    glue = " AND " if conj == "$and" else " OR "
+    want = ducks.execute(
+        f"SELECT COUNT(*) FROM users WHERE {glue.join(_leaf_to_sql(l) for l in leaves)}"
+    ).fetchone()[0]
+    assert got == want, js_filter
