@@ -275,3 +275,62 @@ def e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb.filter(F.col("vec_id") < 10), emb, k=5, n_lists=16, n_probe=6, max_iter=25
     )
+
+
+def t_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus selection under a token budget: keep the
+    highest-quality documents whose cumulative token count fits in
+    half the corpus' tokens.
+
+    Scale shape (the reason this is NOT a global quality sort): per-doc
+    scoring is embarrassingly parallel; the budget cutoff is found on a
+    ≤1000-row score-bucket histogram (tiny single-partition window);
+    the final selection is a broadcast semi-join of kept buckets
+    against the scored scan. A documents-wide ORDER BY + running sum
+    would funnel 100 TB through one partition for the same answer
+    (granularity: one bucket).
+    """
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        F.least(
+            F.floor(T.quality_score(F.col("text")) * 1000).cast("int"), F.lit(999)
+        ).alias("qbucket"),
+    )
+    hist = scored.groupBy("qbucket").agg(F.sum("n_tokens").alias("btok"))
+    w = Window.orderBy(F.col("qbucket").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    run = hist.crossJoin(hist.agg(F.sum("btok").alias("total"))).withColumn(
+        "cum", F.sum("btok").over(w)
+    )
+    keep = run.filter(F.col("cum") <= 0.5 * F.col("total")).select("qbucket")
+    return scored.join(F.broadcast(keep), "qbucket").select("doc_id", "n_tokens", "qbucket")
+
+
+T_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS toks, text FROM documents
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+         least(CAST(floor(round(
+           0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+           + 0.3 * (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END * 5, 1.0))
+           + 0.3 * least(CASE WHEN len(toks) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(toks, x -> x IN ({_SW_EN}))) AS DOUBLE) / len(toks) END * 5, 1.0),
+           6) * 1000) AS INT), 999) AS qbucket
+  FROM t
+), hist AS (
+  SELECT qbucket, SUM(n_tokens) AS btok FROM scored GROUP BY qbucket
+), run AS (
+  SELECT qbucket,
+         SUM(btok) OVER (ORDER BY qbucket DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+), keep AS (
+  SELECT qbucket FROM run WHERE cum <= 0.5 * (SELECT SUM(n_tokens) FROM scored)
+)
+SELECT s.doc_id, s.n_tokens, s.qbucket FROM scored s JOIN keep k USING (qbucket)
+"""

@@ -85,6 +85,7 @@ def _populate() -> None:
     register("t_langid", tq.t_langid, tq.T_LANGID_SQL)
     register("t_token_stats_by_lang", tq.t_token_stats_by_lang, tq.T_TOKEN_STATS_SQL)
     register("t_fingerprint", tq.t_fingerprint, tq.T_FINGERPRINT_SQL)
+    register("t_token_budget_sample", tq.t_token_budget_sample, tq.T_BUDGET_SQL)
     register("d_dedup_exact", tq.d_dedup_exact, tq.D_EXACT_SQL)
     register("d_dedup_clusters", tq.d_dedup_clusters, tq.D_CLUSTERS_SQL)
     register("d_ngram_jaccard", tq.d_ngram_jaccard, tq.D_JACCARD_SQL)
