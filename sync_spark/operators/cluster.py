@@ -28,7 +28,7 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "id",
     max_iter: int = 20,
-    driver_threshold: int = 1_000_000,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """nodes(id), edges(id_a, id_b) undirected → (id, cluster_id)
     where cluster_id = min node id reachable.
@@ -37,9 +37,12 @@ def connected_components(
     - edge list ≤ ``driver_threshold``: union-find on the driver. The
       near-dup pair graph is normally MINUSCULE next to the corpus
       (256 edges for 5000 docs on the test data), and the distributed
-      loop's per-round jobs are pure scheduling overhead there. Even
-      at 100 TB of documents a million-edge pair graph collects in
-      tens of MB — the corpus never does.
+      loop's per-round jobs are pure scheduling overhead there. The
+      threshold bounds the probe collect to ~tens of MB of Row
+      objects; a graph that exceeds it pays one threshold-bounded
+      wasted collect before the distributed loop re-evaluates the
+      pair lineage — the price of probing with the same action that
+      feeds union-find in the (overwhelmingly common) small case.
     - larger: the checkpointed min-label-propagation loop below, one
       join + one aggregation per round.
     """

@@ -38,8 +38,6 @@ from typing import Any, Callable, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sync_spark.operators.countquery import coerce_literal
-
 # ---------------------------------------------------------------------------
 # Mongo JS
 # ---------------------------------------------------------------------------
@@ -64,12 +62,16 @@ class MongoFind:
 
 def _js_to_json(src: str) -> str:
     """Normalize relaxed JS object syntax to strict JSON: quote bare
-    keys, single→double quotes. Good for the query subset (no string
-    values containing quotes-in-quotes edge cases the reference's
-    matcher doesn't handle either)."""
+    keys, single→double quotes. Bare-key quoting is applied only
+    OUTSIDE string literals, so values like 'a, b: c' survive.
+    (Apostrophes inside single-quoted strings remain out of scope —
+    the reference's matcher doesn't handle them either.)"""
     out = re.sub(r"'([^']*)'", r'"\1"', src)
-    out = re.sub(r"([{,]\s*)([A-Za-z_$][\w$.]*)\s*:", r'\1"\2":', out)
-    return out
+    # split on double-quoted strings; rewrite keys only in the gaps
+    parts = re.split(r'("(?:[^"\\]|\\.)*")', out)
+    for i in range(0, len(parts), 2):
+        parts[i] = re.sub(r"([{,]\s*)([A-Za-z_$][\w$.]*)\s*:", r'\1"\2":', parts[i])
+    return "".join(parts)
 
 
 def _split_args(src: str, open_at: int) -> tuple[list[str], int]:
@@ -138,14 +140,23 @@ _CMP_OPS: dict[str, Callable[[Column, Any], Column]] = {
 def mongo_filter_to_column(filt: dict) -> Optional[Column]:
     """Compile a Mongo filter document → one Column predicate (None =
     match-all). Dotted field names address nested struct fields, same
-    as Mongo."""
+    as Mongo.
+
+    Values come from ``json.loads`` and are ALREADY typed (ints stay
+    ints, '01234' stays a string) — no string coercion happens here;
+    that belongs to the string-only countQuery DSL.
+    """
     preds: list[Column] = []
     for k, v in filt.items():
         if k == "$and":
             sub = [mongo_filter_to_column(f) for f in v]
             preds.extend(p for p in sub if p is not None)
         elif k == "$or":
-            sub = [p for p in (mongo_filter_to_column(f) for f in v) if p is not None]
+            sub = [mongo_filter_to_column(f) for f in v]
+            if any(p is None for p in sub):
+                # an empty {} branch matches everything in Mongo, so
+                # the whole $or is match-all — contribute nothing
+                continue
             if sub:
                 out = sub[0]
                 for p in sub[1:]:
@@ -154,44 +165,57 @@ def mongo_filter_to_column(filt: dict) -> Optional[Column]:
         elif k == "$not":
             p = mongo_filter_to_column(v)
             if p is not None:
-                preds.append(~p)
+                # Mongo $not matches docs FAILING the predicate,
+                # including null/missing fields (SQL ~NULL is NULL)
+                preds.append(~F.coalesce(p, F.lit(False)))
         elif isinstance(v, dict):
-            col = F.col(k)
-            for op, val in v.items():
-                if op == "$in":
-                    preds.append(col.isin([coerce_literal(x) for x in val]))
-                elif op == "$nin":
-                    # Mongo negations MATCH null/missing fields (SQL
-                    # three-valued logic would silently drop them)
-                    preds.append(
-                        ~col.isin([coerce_literal(x) for x in val]) | col.isNull()
-                    )
-                elif op == "$exists":
-                    preds.append(col.isNotNull() if val else col.isNull())
-                elif op == "$ne":
-                    if val is None:
-                        preds.append(col.isNotNull())
-                    else:
-                        preds.append(
-                            (col != F.lit(coerce_literal(val))) | col.isNull()
-                        )
-                elif op == "$eq" and val is None:
-                    preds.append(col.isNull())
-                elif op in _CMP_OPS:
-                    preds.append(_CMP_OPS[op](col, F.lit(coerce_literal(val))))
-                else:
-                    raise ValueError(f"unsupported Mongo operator: {op!r}")
+            preds.extend(_field_ops_to_columns(k, v))
         elif v is None:
             # {f: null} matches null/missing, like Mongo
             preds.append(F.col(k).isNull())
         else:
-            preds.append(F.col(k) == F.lit(coerce_literal(v)))
+            preds.append(F.col(k) == F.lit(v))
     if not preds:
         return None
     out = preds[0]
     for p in preds[1:]:
         out = out & p
     return out
+
+
+def _field_ops_to_columns(field: str, ops: dict) -> list[Column]:
+    """Operator document for one field → predicate list."""
+    col = F.col(field)
+    preds: list[Column] = []
+    for op, val in ops.items():
+        if op == "$in":
+            preds.append(col.isin(list(val)))
+        elif op == "$nin":
+            # Mongo negations MATCH null/missing fields (SQL
+            # three-valued logic would silently drop them)
+            preds.append(~col.isin(list(val)) | col.isNull())
+        elif op == "$exists":
+            preds.append(col.isNotNull() if val else col.isNull())
+        elif op == "$ne":
+            if val is None:
+                preds.append(col.isNotNull())
+            else:
+                preds.append((col != F.lit(val)) | col.isNull())
+        elif op == "$eq" and val is None:
+            preds.append(col.isNull())
+        elif op == "$not":
+            # field-level $not (the position Mongo actually allows):
+            # negate the inner operator document, matching null rows
+            inner = _field_ops_to_columns(field, val)
+            whole = inner[0]
+            for p in inner[1:]:
+                whole = whole & p
+            preds.append(~F.coalesce(whole, F.lit(False)))
+        elif op in _CMP_OPS:
+            preds.append(_CMP_OPS[op](col, F.lit(val)))
+        else:
+            raise ValueError(f"unsupported Mongo operator: {op!r}")
+    return preds
 
 
 def run_mongo_js(
@@ -212,8 +236,17 @@ def run_mongo_js(
         return df.agg(F.count(F.lit(1)).alias("n"))
     if q.projection:
         keep = [k for k, v in q.projection.items() if v]
+        drop = [k for k, v in q.projection.items() if not v]
+        if keep and drop:
+            raise ValueError(
+                "Mongo projections cannot mix inclusion and exclusion"
+            )
         if keep:
             df = df.select(*keep)
+        elif drop:
+            # exclusion projection ({field: 0}) — silently returning
+            # the suppressed field would be an over-share
+            df = df.drop(*drop)
     if q.sort:
         df = df.orderBy(
             *[F.col(k).asc() if d >= 0 else F.col(k).desc() for k, d in q.sort]
@@ -252,10 +285,26 @@ def run_mongo_js_write(src: str, df: DataFrame) -> tuple[DataFrame, DataFrame]:
         if not isinstance(docs, list) or not docs:
             raise ValueError("insertMany expects a non-empty array of documents")
         cols = df.columns
-        rows = [tuple(d.get(c) for c in cols) for d in docs]
         unknown = {k for d in docs for k in d} - set(cols)
         if unknown:
             raise ValueError(f"insertMany fields not in collection schema: {sorted(unknown)}")
+        # JS has one number type: coerce ints into float fields (40 ≡
+        # 40.0 in Mongo) instead of crashing createDataFrame
+        import pyspark.sql.types as _T
+
+        def _coerce(v, dt):
+            if v is None:
+                return None
+            if isinstance(dt, (_T.DoubleType, _T.FloatType)) and isinstance(v, int):
+                return float(v)
+            if isinstance(dt, (_T.LongType, _T.IntegerType)) and isinstance(v, float) and v.is_integer():
+                return int(v)
+            return v
+
+        rows = [
+            tuple(_coerce(d.get(f.name), f.dataType) for f in df.schema.fields)
+            for d in docs
+        ]
         new_rows = df.sparkSession.createDataFrame(rows, df.schema)
         affected = new_rows.agg(
             F.lit("insertMany").alias("op"), F.count(F.lit(1)).alias("affected_rows")
@@ -281,16 +330,24 @@ def run_mongo_js_write(src: str, df: DataFrame) -> tuple[DataFrame, DataFrame]:
     unknown = set(setter) - set(df.columns)
     if unknown:
         raise ValueError(f"$set fields not in collection schema: {sorted(unknown)}")
-    new_state = df
-    for fname, val in setter.items():
-        lit = F.lit(coerce_literal(val)).cast(df.schema[fname].dataType)
-        if pred is None:
-            new_state = new_state.withColumn(fname, lit)
-        else:
+    if pred is None:
+        new_state = df
+        for fname, val in setter.items():
             new_state = new_state.withColumn(
-                fname, F.when(pred, lit).otherwise(F.col(fname))
+                fname, F.lit(val).cast(df.schema[fname].dataType)
             )
-    return new_state, affected_n
+        return new_state, affected_n
+    # evaluate the filter ONCE against the pre-update row: applying it
+    # per-withColumn would re-resolve against already-$set columns and
+    # silently skip later fields when $set touches a filtered field
+    marker = "__mongo_match"
+    new_state = df.withColumn(marker, F.coalesce(pred, F.lit(False)))
+    for fname, val in setter.items():
+        lit = F.lit(val).cast(df.schema[fname].dataType)
+        new_state = new_state.withColumn(
+            fname, F.when(F.col(marker), lit).otherwise(F.col(fname))
+        )
+    return new_state.drop(marker), affected_n
 
 
 # ---------------------------------------------------------------------------
@@ -343,7 +400,9 @@ def run_redis(
         row = kv.sparkSession.createDataFrame(
             [(k, v)], f"{key_col} string, {value_col} string"
         )
-        return kv.filter(key != k).unionByName(row, allowMissingColumns=True)
+        # null-safe: plain != drops NULL-key rows (3VL), deleting
+        # unrelated data on every SET
+        return kv.filter(~key.eqNullSafe(k)).unionByName(row, allowMissingColumns=True)
     if op == "DEL":
         return kv.filter(~key.isin(args))
     raise ValueError(f"unsupported Redis command: {op!r}")

@@ -120,3 +120,71 @@ def test_filter_compiler_matches_duckdb(frame, ducks, leaves, conj):
         f"SELECT COUNT(*) FROM users WHERE {glue.join(_leaf_to_sql(l) for l in leaves)}"
     ).fetchone()[0]
     assert got == want, js_filter
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions (each was an executed-confirmed bug)
+# ---------------------------------------------------------------------------
+
+
+def test_or_with_empty_branch_is_match_all(frame):
+    assert _count(frame, "db.u.countDocuments({$or: [{}, {uid: {$gt: 100}}]})") == 7
+
+
+def test_string_values_stay_strings(spark):
+    df = spark.createDataFrame([Row(zip="01234"), Row(zip="1234"), Row(zip="7")])
+    got = run_mongo_js("db.z.countDocuments({zip: '01234'})", lambda c: df).collect()[0][0]
+    assert got == 1
+
+
+def test_field_level_not_matches_nulls(frame):
+    # $not matches rows FAILING the inner predicate, including nulls
+    got = _count(frame, "db.u.countDocuments({age: {$not: {$gt: 30}}})")
+    assert got == 5  # 25, 25, 30 and the two null ages
+
+
+def test_exclusion_projection_drops_field(frame):
+    out = run_mongo_js("db.u.find({}, {name: 0})", lambda c: frame)
+    assert out.columns == ["uid", "age", "city"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="mix"):
+        run_mongo_js("db.u.find({}, {name: 0, uid: 1})", lambda c: frame)
+
+
+def test_string_value_with_comma_colon(frame):
+    from sync_spark.operators.passthrough import parse_mongo_js
+
+    q = parse_mongo_js("db.u.find({name: 'a, b: c'})")
+    assert q.filter == {"name": "a, b: c"}
+
+
+def test_update_set_on_filtered_field_applies_all_fields(spark):
+    from sync_spark.operators.passthrough import run_mongo_js_write
+
+    df = spark.createDataFrame(
+        [Row(uid=1, status="old", flag=0), Row(uid=2, status="new", flag=0)]
+    )
+    new, _ = run_mongo_js_write(
+        "db.t.updateMany({status: 'old'}, {$set: {status: 'done', flag: 1}})", df
+    )
+    rows = {r.uid: (r.status, r.flag) for r in new.collect()}
+    assert rows == {1: ("done", 1), 2: ("new", 0)}
+
+
+def test_insert_int_into_double_column(spark):
+    from sync_spark.operators.passthrough import run_mongo_js_write
+
+    df = spark.createDataFrame([Row(uid=1, age=30.0)])
+    new, _ = run_mongo_js_write("db.t.insertMany([{uid: 2, age: 40}])", df)
+    assert {(r.uid, r.age) for r in new.collect()} == {(1, 30.0), (2, 40.0)}
+
+
+def test_redis_set_keeps_null_key_rows(spark):
+    from sync_spark.operators.passthrough import run_redis
+
+    kv = spark.createDataFrame(
+        [Row(key="a", value="1"), Row(key=None, value="orphan")]
+    )
+    out = run_redis("SET b 2", kv)
+    assert out.count() == 3  # a, the NULL-key row, and the new b
