@@ -491,3 +491,49 @@ PT_MONGO_DELETE_SQL = """
 SELECT * FROM customer
 WHERE NOT coalesce(c_acctbal < 0, FALSE)
 """
+
+
+# ---------------------------------------------------------------------------
+# unified dispatch — the reference's /sql/execute entry point
+# ---------------------------------------------------------------------------
+
+_REDIS_VERBS = {"KEYS", "GET", "MGET", "EXISTS", "DBSIZE", "SET", "DEL"}
+
+
+def dispatch_execute(
+    query: str,
+    *,
+    resolve: Callable[[str], DataFrame],
+    kv: Optional[DataFrame] = None,
+    run_sql: Optional[Callable[[str], DataFrame]] = None,
+) -> tuple[str, DataFrame, Optional[DataFrame]]:
+    """One entry point for all three dialects, like the reference's
+    /sql/execute (pkg/api/auth_handler.go:1267-1883): pattern-match
+    into Mongo-JS read, Mongo-JS write, Redis command, else ANSI SQL.
+
+    Returns ``(kind, result, new_state)``: for reads ``new_state`` is
+    None; for Mongo/Redis writes ``result`` is the affected-rows frame
+    (the reference's "N documents" message) and ``new_state`` is the
+    post-write collection/KV frame the caller persists.
+    """
+    q = query.strip()
+    if _FIND_RE.match(q):
+        return ("mongo_find", run_mongo_js(q, resolve), None)
+    wm = _WRITE_RE.match(q)
+    if wm:
+        new_state, affected = run_mongo_js_write(q, resolve(wm.group("coll")))
+        return ("mongo_write", affected, new_state)
+    first = q.split(None, 1)[0].upper() if q else ""
+    if first in _REDIS_VERBS:
+        if kv is None:
+            raise ValueError(f"Redis command {first!r} needs a KV frame")
+        out = run_redis(q, kv)
+        if first in {"SET", "DEL"}:
+            affected = out.agg(F.count(F.lit(1)).alias("n_keys")).select(
+                F.lit(first).alias("op"), F.col("n_keys")
+            )
+            return ("redis_write", affected, out)
+        return ("redis", out, None)
+    if run_sql is None:
+        raise ValueError("not a Mongo/Redis query and no SQL runner provided")
+    return ("sql", run_sql(q), None)

@@ -213,3 +213,33 @@ def test_mongo_delete_many(users):
     emptied, aff2 = run_mongo_js_write("db.users.deleteMany({})", users)
     assert emptied.count() == 0 and emptied.columns == users.columns
     assert aff2.collect()[0].affected_rows == 5
+
+
+def test_dispatch_execute_routes_all_dialects(spark, users):
+    from sync_spark.operators.passthrough import dispatch_execute
+
+    kv = spark.createDataFrame([Row(key="a", value="1"), Row(key="b", value="2")])
+    users.createOrReplaceTempView("users_v")
+
+    kind, out, st = dispatch_execute(
+        "db.users.find({age: {$gte: 30}}).limit(2)", resolve=lambda c: users
+    )
+    assert kind == "mongo_find" and st is None and out.count() == 2
+
+    kind, affected, new_state = dispatch_execute(
+        "db.users.deleteMany({age: {$lt: 30}})", resolve=lambda c: users
+    )
+    assert kind == "mongo_write" and affected.collect()[0].affected_rows == 2
+    assert new_state.count() == 3
+
+    kind, out, st = dispatch_execute("KEYS *", resolve=lambda c: users, kv=kv)
+    assert kind == "redis" and [r.key for r in out.collect()] == ["a", "b"]
+
+    kind, affected, new_kv = dispatch_execute("DEL a", resolve=lambda c: users, kv=kv)
+    assert kind == "redis_write" and new_kv.count() == 1
+
+    kind, out, st = dispatch_execute(
+        "SELECT COUNT(*) AS n FROM users_v", resolve=lambda c: users, kv=kv,
+        run_sql=lambda q: spark.sql(q),
+    )
+    assert kind == "sql" and out.collect()[0].n == 5
