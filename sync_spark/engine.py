@@ -19,6 +19,7 @@ from datetime import date, datetime
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sync_spark.operators.monitor import monitor_tick
@@ -83,6 +84,19 @@ class SyncTask:
             # events (which carry real keys) could never match
             # snapshot rows and every update would duplicate
             data_rules = [r for r in rules if r.field.split(".")[0] not in t.key_cols]
+            schema = self.row_schemas.get(t.source_table)
+            if schema is not None:
+                # pin source types to the declared row_schema BEFORE
+                # masking (encryption may re-type a column to string,
+                # which a post-mask cast would corrupt); a drifting
+                # key type would bucket under a different xxhash64
+                # and wedge every merge on the stray-bucket guard
+                src = src.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
             if data_rules:
                 src = apply_security_rules(src, data_rules, key=self.security_key)
             ran[t.source_table] = snapshot_if_empty(

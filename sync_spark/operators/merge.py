@@ -35,7 +35,13 @@ DELETE_OP = "delete"
 def compact_latest_per_key(changes: DataFrame, keys: Sequence[str], seq_col: str = SEQ_COL) -> DataFrame:
     """Keep only the last change per key (W2). Deterministic given a
     monotonic seq; ties broken by op so a delete at the same seq wins
-    (mirrors log order where delete follows the write)."""
+    (mirrors log order where delete follows the write).
+
+    CONTRACT: the envelope producer must assign DISTINCT seq values to
+    the delete+insert pair a REPLACE expands into (ours does — seq is
+    per-event, not per-binlog-position). If a producer reused one seq
+    for such a pair, this tie-break would keep the delete and drop the
+    re-inserted row."""
     w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc(), F.col(OP_COL).asc())
     return (
         changes.withColumn("__rn", F.row_number().over(w))

@@ -60,11 +60,19 @@ META_FILE = ".sync_meta.json"  # dot-prefixed: invisible to Spark listings
 OLD_PREFIX = ".old_"  # parking dir prefix for rename-aside swaps
 
 
+def bucket_expr_vals(vals: Sequence[F.Column], n_buckets: int) -> F.Column:
+    """Bucket id from already-projected key value Columns — the ONE
+    definition of the layout hash. pipeline._batch_summary derives
+    touched-bucket sets with this same expression; keeping a second
+    inline copy there would let the two hashes silently diverge."""
+    return F.pmod(F.xxhash64(*vals), F.lit(n_buckets)).cast("int")
+
+
 def bucket_expr(keys: Sequence[str], n_buckets: int) -> F.Column:
     """Deterministic bucket id for a key tuple. xxhash64 is a content
     hash (stable under task retry, unlike monotonically_increasing_id)
     and pmod keeps the result in [0, n)."""
-    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
+    return bucket_expr_vals([F.col(k) for k in keys], n_buckets)
 
 
 def is_bucketed(path: str) -> bool:
@@ -110,7 +118,15 @@ def recover_interrupted_swaps(path: str) -> None:
 
     Also heals a crash during a ROOT-level swap (snapshot path): when
     ``path`` itself is missing but its parked ``.old_<name>`` sibling
-    exists, the sibling is restored."""
+    exists, the sibling is restored. Stale ``<name>__stage_*`` dirs
+    (a writer killed mid-staged-write) are deleted — safe under the
+    pipeline's single-writer discipline, and without it every crash
+    would leak a bucket-sized staged copy forever."""
+    parent, base = os.path.dirname(path) or ".", os.path.basename(path)
+    if os.path.isdir(parent):
+        for entry in os.listdir(parent):
+            if entry.startswith(f"{base}__stage_"):
+                shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
     if not os.path.isdir(path):
         parked_root = _old_name(path)
         if os.path.isdir(parked_root):
@@ -147,19 +163,21 @@ def read_meta(path: str) -> dict | None:
 
 
 def check_meta(path: str, keys: Sequence[str], n_buckets: int) -> bool:
-    """Validate (or adopt) the persisted bucketing contract.
+    """Validate the persisted bucketing contract.
 
     Returns True when the layout matches the caller's (keys,
-    n_buckets); False on mismatch — the caller must re-bucketize or
-    raise, NEVER merge, because touched-bucket derivation under a
-    different n_buckets reads/swaps the wrong buckets and leaves stale
-    duplicates behind. A meta-less bucketed target (written before
-    this contract existed) is grandfathered: current settings are
-    persisted and trusted."""
+    n_buckets); False on mismatch OR when no meta exists — the caller
+    must re-bucketize or raise, NEVER merge, because touched-bucket
+    derivation under a different n_buckets reads/swaps the wrong
+    buckets and leaves stale duplicates behind. A meta-less bucketed
+    layout is NOT trusted: it may have been written by a pre-meta
+    version under a different n_buckets, and adopting the caller's
+    settings would make that divergence silently permanent (the
+    stray-bucket guard can't catch it — merged rows consistently hash
+    under the NEW n_buckets)."""
     meta = read_meta(path)
     if meta is None:
-        write_meta(path, keys, n_buckets)
-        return True
+        return False
     return meta["n_buckets"] == n_buckets and meta["key_cols"] == list(keys)
 
 

@@ -54,6 +54,7 @@ from pyspark.sql import types as T
 from sync_spark.functions.security import apply_security_rules
 from sync_spark.operators.merge import DELETE_OP, apply_changes
 from sync_spark.sources.bucketed import (
+    bucket_expr_vals,
     bucketize_in_place,
     check_meta,
     is_bucketed,
@@ -95,6 +96,7 @@ def snapshot_if_empty(
     target_path: str,
     key_cols: Optional[list[str]] = None,
     n_buckets: int = DEFAULT_N_BUCKETS,
+    row_schema: Optional[T.StructType] = None,
 ) -> bool:
     """Initial full copy, skipped when the target already has data
     (mongodb.go:459-465). Returns True if the snapshot ran. When
@@ -102,6 +104,14 @@ def snapshot_if_empty(
     directly (otherwise the pipeline migrates it on first merge)."""
     from sync_spark.sources.bucketed import recover_interrupted_swaps
 
+    if row_schema is not None:
+        # pin the snapshot to the CDC row_schema: a drifting source
+        # type (e.g. int key vs declared long) would bucket by a
+        # different xxhash64 and wedge every subsequent merge on the
+        # stray-bucket guard
+        source = source.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in row_schema.fields]
+        )
     recover_interrupted_swaps(target_path)
     if os.path.exists(target_path):
         try:
@@ -143,6 +153,23 @@ class CdcPipeline:
         self.max_files_per_trigger = max_files_per_trigger
         self.stats_path = stats_path
         self.n_buckets = n_buckets
+        # fail LOUDLY on a security rule targeting a key column: keys
+        # can never be masked/encrypted (CDC events carry real keys —
+        # a transformed key would never match the target and every
+        # update would duplicate), and silently ignoring a configured
+        # security control would be worse than refusing to start
+        for t in tables:
+            bad = [
+                r.field
+                for r in spec.field_security.get(t.source_table, [])
+                if r.field.split(".")[0] in t.key_cols
+            ]
+            if bad:
+                raise ValueError(
+                    f"fieldSecurity rules on key columns of "
+                    f"{t.source_table!r} are unsupported: {bad} — key "
+                    "values must stay matchable for the MERGE"
+                )
 
     # -- micro-batch apply ------------------------------------------------
 
@@ -174,9 +201,9 @@ class CdcPipeline:
             pred = vals[0].isNull()
             for v in vals[1:]:
                 pred = pred & v.isNull()
-            # same hash inputs (typed key values, key_cols order) as
-            # bucketed.bucket_expr on the projected changes
-            bucket = F.pmod(F.xxhash64(*vals), F.lit(self.n_buckets)).cast("int")
+            # THE layout hash (same definition object as the bucketed
+            # writer — typed key values in key_cols order)
+            bucket = bucket_expr_vals(vals, self.n_buckets)
             cond = F.col("source_table") == t.source_table
             bad_expr = (
                 F.when(cond, pred) if bad_expr is None else bad_expr.when(cond, pred)
@@ -224,6 +251,8 @@ class CdcPipeline:
                 changes = changes_for_table(
                     batch, t.source_table, t.row_schema, t.key_cols
                 )
+                rules = self.spec.field_security.get(t.source_table, [])
+                # constructor guarantees no rule targets a key column
                 if self.dlq_path and bad_n:
                     # full payload travels with the quarantined event so
                     # it can be diagnosed/replayed (mongodb.go
@@ -231,8 +260,17 @@ class CdcPipeline:
                     # partition-dir overwrite keyed by (table, batch):
                     # crash-replays rewrite the SAME dir, keeping the
                     # DLQ as idempotent as the merge
+                    quarantined = changes.filter(self._null_key_pred(t))
+                    if rules:
+                        # the DLQ is a retained, replayable copy — it
+                        # must honor fieldSecurity like the target, or
+                        # it becomes a plaintext side-channel for the
+                        # very fields configured as protected
+                        quarantined = apply_security_rules(
+                            quarantined, rules, key=self.security_key
+                        )
                     (
-                        changes.filter(self._null_key_pred(t))
+                        quarantined
                         .withColumn("reason", F.lit("null_key"))
                         .withColumn(
                             "payload",
@@ -265,19 +303,28 @@ class CdcPipeline:
                     )
                 if not applied:
                     continue  # e.g. only ignored deletes: target untouched
-                touched = sorted({b for r in applied for bs in [r["buckets"]] for b in bs})
+                touched = sorted({b for r in applied for b in r["buckets"]})
 
                 good = changes.filter(~self._null_key_pred(t))
-                rules = self.spec.field_security.get(t.source_table, [])
                 if rules:
                     # mask/encrypt the after-image columns; key + op +
-                    # seq stay intact for the merge (masking never
-                    # touches key columns, so bucket ids are unchanged)
-                    data_rules = [
-                        r for r in rules if r.field.split(".")[0] not in t.key_cols
-                    ]
-                    good = apply_security_rules(good, data_rules, key=self.security_key)
+                    # seq stay intact for the merge (the constructor
+                    # rejects rules on key columns, so bucket ids are
+                    # unchanged)
+                    good = apply_security_rules(good, rules, key=self.security_key)
 
+                if not os.path.exists(t.target_path):
+                    # first events for a table that was never
+                    # snapshotted (insert-only mapping, or a mapping
+                    # added mid-stream): bootstrap an empty bucketed
+                    # target instead of dying on PATH_NOT_FOUND at
+                    # every checkpoint replay
+                    write_bucketed(
+                        self.spark.createDataFrame([], t.row_schema),
+                        t.target_path,
+                        t.key_cols,
+                        self.n_buckets,
+                    )
                 if not is_bucketed(t.target_path):
                     # one-time migration of a legacy flat target
                     bucketize_in_place(

@@ -325,3 +325,33 @@ def test_empty_source_snapshot_is_readable_and_mergeable(spark, tmp_path):
     _pipeline(spark, tmp_path).run_available()
     got = {r.id: r.v for r in read_target(spark, tgt).collect()}
     assert got == {7: "v1"}
+
+
+def test_meta_less_bucketed_layout_is_not_trusted(spark, tmp_path):
+    """A bucketed layout without .sync_meta.json may predate the meta
+    contract and use ANY n_buckets — check_meta must return False so
+    the caller re-bucketizes, never adopt the caller's settings
+    (review finding: adoption makes a divergence silently permanent)."""
+    from sync_spark.sources.bucketed import check_meta, write_bucketed, META_FILE
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")])
+    write_bucketed(df, path, ["id"], n_buckets=8)
+    os.remove(os.path.join(path, META_FILE))
+    assert check_meta(path, ["id"], 8) is False  # even same settings: unknowable
+    # and a meta-bearing layout only matches its own contract
+    write_bucketed(df, path, ["id"], n_buckets=8)
+    assert check_meta(path, ["id"], 8) is True
+    assert check_meta(path, ["id"], 16) is False
+
+
+def test_stale_stage_dirs_are_cleaned(spark, tmp_path):
+    from sync_spark.sources.bucketed import recover_interrupted_swaps, write_bucketed
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([Row(id=1, v="a")])
+    write_bucketed(df, path, ["id"], n_buckets=4)
+    stale = path + "__stage_deadbeef"
+    os.makedirs(os.path.join(stale, "__bucket=0"))
+    recover_interrupted_swaps(path)
+    assert not os.path.exists(stale)

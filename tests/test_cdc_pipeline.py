@@ -201,3 +201,46 @@ def test_masking_on_stream(spark, pipeline_dirs):
     state = _read_target(spark, pipeline_dirs["target"])
     assert state[2]["name"] == "******"
     assert state[1]["name"] == "a"  # pre-existing rows untouched
+
+
+def test_dlq_payload_honors_field_security(spark, pipeline_dirs):
+    """The DLQ is a retained, replayable copy — a rule-masked field
+    must not appear in it in plaintext (review finding)."""
+    spec = SyncSpec(
+        task_id=1,
+        type="parquet",
+        field_security={"users": [FieldSecurity(field="name", security_type="masked")]},
+    )
+    _snapshot(spark, pipeline_dirs, [Row(id=1, name="a", balance=1.0)])
+    write_event_batch(
+        pipeline_dirs["events"],
+        [_event("insert", 1, "users", {"id": None},
+                {"id": None, "name": "topsecret", "balance": 0.0})],
+        1,
+    )
+    _mk_pipeline(spark, pipeline_dirs, spec=spec).run_available()
+    dlq = spark.read.parquet(pipeline_dirs["dlq"]).collect()
+    assert len(dlq) == 1
+    assert "topsecret" not in dlq[0].payload
+
+
+def test_security_rule_on_key_column_refused(spark, pipeline_dirs):
+    spec = SyncSpec(
+        task_id=1,
+        type="parquet",
+        field_security={"users": [FieldSecurity(field="id", security_type="encrypted")]},
+    )
+    with pytest.raises(ValueError, match="key columns"):
+        _mk_pipeline(spark, pipeline_dirs, spec=spec, key="k" * 16)
+
+
+def test_events_bootstrap_missing_target(spark, pipeline_dirs):
+    """First CDC events for a never-snapshotted table must create the
+    target instead of wedging the stream on PATH_NOT_FOUND."""
+    events = [
+        _event("insert", 1, "users", {"id": 5}, {"id": 5, "name": "new", "balance": 9.0}),
+    ]
+    write_event_batch(pipeline_dirs["events"], events, 1)
+    _mk_pipeline(spark, pipeline_dirs).run_available()
+    state = _read_target(spark, pipeline_dirs["target"])
+    assert state == {5: {"name": "new", "balance": 9.0}} or state[5]["name"] == "new"
