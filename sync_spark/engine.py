@@ -142,15 +142,24 @@ def run_backup_task(
     load_table: Callable[[str], DataFrame],
     out_dir: str,
     run_day: Optional[date] = None,
-    ts_col: str = "ts",
+    ts_col: Optional[str] = None,
 ) -> list[str]:
-    """§3.2: expand → group → prune → export; returns artifact paths."""
+    """§3.2: expand → group → prune → export; returns artifact paths.
+
+    The window column comes from the spec's ``date_range.field`` (the
+    reference's query field), falling back to the ``ts_col`` argument
+    and then ``"ts"`` — a spec that names a field must be windowed on
+    THAT field, not a hardcoded default."""
     run_day = run_day or date.today()
     window = None
     if spec.date_range is not None:
         window = tz.jst_offset_day_range(
             run_day, spec.date_range.start_offset, spec.date_range.end_offset
         )
+        spec_field = getattr(spec.date_range, "field", None)
+        ts_col = spec_field or ts_col or "ts"
+    else:
+        ts_col = ts_col or "ts"
     units = plan_export(
         catalog=catalog,
         patterns=spec.tables,

@@ -37,9 +37,18 @@ _SUFFIXES = [
 
 
 def expand_tables(catalog: list[str], patterns: list[str], is_regex: bool) -> list[str]:
-    """P13: resolve the spec's table list against the live catalog."""
+    """P13: resolve the spec's table list against the live catalog.
+    Both branches dedup — a duplicated pattern must not double-export
+    a table's rows through the group union."""
     if not is_regex:
-        return [t for t in patterns if t in set(catalog)]
+        cat = set(catalog)
+        seen_lit: set[str] = set()
+        out_lit = []
+        for t in patterns:
+            if t in cat and t not in seen_lit:
+                seen_lit.add(t)
+                out_lit.append(t)
+        return out_lit
     out: list[str] = []
     for pat in patterns:
         rx = re.compile(pat)
@@ -152,7 +161,15 @@ def plan_export(
         kept = prune_tables(members, window)
         if not kept:
             continue
-        fields = fields_by_table.get(prefix, fields_by_table.get("*", []))
+        # projections may be keyed by the group prefix OR by a real
+        # (suffixed) member table name — spec.py documents "table →
+        # projection", so the member-name key must work too
+        fields = fields_by_table.get(prefix)
+        if fields is None:
+            fields = next(
+                (fields_by_table[t] for t in kept if t in fields_by_table),
+                fields_by_table.get("*", []),
+            )
         if fields == ["all"]:
             fields = []
         units.append(
@@ -162,5 +179,15 @@ def plan_export(
                 fields=fields,
                 file_name=render_file_name(file_pattern, prefix, run_day),
             )
+        )
+    names = [u.file_name for u in units]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
+        # mode('overwrite') on a shared path would silently keep only
+        # the LAST group's artifact — a lost backup, not a warning
+        raise ValueError(
+            f"file_name_pattern {file_pattern!r} renders the same artifact "
+            f"path for multiple table groups ({sorted(dupes)}); include "
+            "{table} in the pattern"
         )
     return units

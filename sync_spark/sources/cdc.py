@@ -54,12 +54,16 @@ def write_event_batch(path: str, events: Iterable[dict[str, Any]], batch_id: int
     connector-emitted file feed)."""
     os.makedirs(path, exist_ok=True)
     fname = os.path.join(path, f"events-{batch_id:010d}.jsonl")
-    tmp = fname + ".tmp"
+    # DOT-prefixed temp: Spark's file listing ignores only '.'/'_'
+    # prefixes, so a sibling 'x.tmp' would be visible mid-write and
+    # the half-written file could be ingested (then again after the
+    # rename) — the dot prefix is what makes write-then-rename atomic
+    # TO SPARK, like the reference's buffer files (mongodb.go:693-780)
+    tmp = os.path.join(path, f".events-{batch_id:010d}.jsonl.tmp")
     with open(tmp, "w") as f:
         for e in events:
             f.write(json.dumps(e) + "\n")
-    os.rename(tmp, fname)  # atomic visibility, like the reference's
-    # write-then-rename buffer files (mongodb.go:693-780)
+    os.rename(tmp, fname)
     return fname
 
 

@@ -11,9 +11,10 @@
   each row renders to one `INSERT INTO t (cols) VALUES (...);` line
   with pure JVM expressions (concat/regexp_replace — no UDFs) and the
   dump writes as distributed text parts, so a 100 TB export
-  parallelizes like any other scan→write. String literals use ANSI
-  quoting ('' doubling; load into MySQL with NO_BACKSLASH_ESCAPES or
-  any ANSI engine). `--where` = the same window pushdown as every
+  parallelizes like any other scan→write. String literals use
+  MySQL-default-mode escaping like mysqldump ('' doubling plus
+  backslash escapes for \\, newline, CR, NUL — keeping one INSERT per
+  physical line). `--where` = the same window pushdown as every
   other format; optional DDL header per mysqldump's CREATE TABLE
   preamble;
 - compression = gzip codec on the writer (S18's zip step collapses
@@ -81,8 +82,16 @@ def sql_create_table(table: str, schema: T.StructType) -> str:
 
 def _sql_literal(name: str, dt: T.DataType) -> F.Column:
     """Render one column as a SQL literal — NULL, bare numerics, or a
-    single-quoted ANSI-escaped string — entirely JVM-side."""
+    quoted escaped string — entirely JVM-side.
+
+    String escaping is MySQL-default-mode (like mysqldump): backslash
+    escapes for \\\\, newline, CR and NUL — which also keeps every
+    INSERT on ONE physical line, the property the text writer and any
+    line-oriented splitter depend on — plus '' doubling for quotes
+    (valid in both default and ANSI modes). Non-finite doubles render
+    NULL (bare NaN/Infinity tokens are not valid SQL)."""
     col = F.col(name)
+    null_pred = col.isNull()
     if isinstance(
         dt,
         (
@@ -97,6 +106,8 @@ def _sql_literal(name: str, dt: T.DataType) -> F.Column:
         ),
     ):
         body = col.cast("string")
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            null_pred = null_pred | F.isnan(col) | (F.abs(col) == F.lit(float("inf")))
     elif isinstance(dt, T.BinaryType):
         body = F.concat(F.lit("X'"), F.hex(col), F.lit("'"))
     else:
@@ -106,8 +117,13 @@ def _sql_literal(name: str, dt: T.DataType) -> F.Column:
             s = F.to_json(col)
         else:
             s = col.cast("string")
-        body = F.concat(F.lit("'"), F.regexp_replace(s, "'", "''"), F.lit("'"))
-    return F.when(col.isNull(), F.lit("NULL")).otherwise(body)
+        s = F.regexp_replace(s, r"\\", r"\\\\")
+        s = F.regexp_replace(s, "'", "''")
+        s = F.regexp_replace(s, "\n", r"\\n")
+        s = F.regexp_replace(s, "\r", r"\\r")
+        s = F.regexp_replace(s, "\x00", r"\\0")
+        body = F.concat(F.lit("'"), s, F.lit("'"))
+    return F.when(null_pred, F.lit("NULL")).otherwise(body)
 
 
 def sql_insert_lines(df: DataFrame, table: str) -> DataFrame:
@@ -150,7 +166,15 @@ def export_group(
     dfs = []
     for t in unit.tables:
         df = load_table(t)
-        if window is not None and ts_col in df.columns:
+        if window is not None:
+            if ts_col not in df.columns:
+                # silently exporting the FULL history when a window was
+                # configured would be a wrong (and over-sharing) artifact
+                raise ValueError(
+                    f"date-range export of {t!r} needs window column "
+                    f"{ts_col!r}, which the table does not have "
+                    f"(columns: {df.columns})"
+                )
             df = df.filter(
                 (F.col(ts_col) >= F.lit(window[0])) & (F.col(ts_col) < F.lit(window[1]))
             )
@@ -159,23 +183,22 @@ def export_group(
         dfs.append(df)
     merged = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
     path = f"{out_dir.rstrip('/')}/{unit.file_name}"
-    writer = merged.write.mode("overwrite")
-    if compression:
-        writer = writer.option("compression", compression)
+
+    def _writer(frame):
+        w = frame.write.mode("overwrite")
+        return w.option("compression", compression) if compression else w
+
     if file_format == "jsonl":
-        writer.json(path)
+        _writer(merged).json(path)
     elif file_format == "csv":
         # reference conventions (mysql.go:196-280): every field quoted,
         # NULL → empty string, header row
-        writer.option("quoteAll", True).option("nullValue", "").option("header", True).option(
-            "escape", '"'
-        ).csv(path)
+        _writer(merged).option("quoteAll", True).option("nullValue", "").option(
+            "header", True
+        ).option("escape", '"').csv(path)
     elif file_format == "sql":
         lines = sql_insert_lines(merged, unit.group)
-        w = lines.write.mode("overwrite")
-        if compression:
-            w = w.option("compression", compression)
-        w.text(path)
+        _writer(lines).text(path)
         if include_ddl:
             ddl = sql_create_table(unit.group, merged.schema)
             (

@@ -222,3 +222,75 @@ def test_export_scheme_prefixed_path(spark, tmp_path):
     assert path.startswith("file://")
     back = read_export_jsonl(spark, path)
     assert [(r.id, r.v) for r in back.collect()] == [(1, "a")]
+
+
+def test_sql_literal_escapes_newlines_and_nonfinite(spark):
+    from sync_spark.sources.writers import sql_insert_lines
+
+    df = spark.createDataFrame(
+        [Row(id=1, note="line1\nline2", x=float("nan")),
+         Row(id=2, note="back\\slash", x=float("inf"))],
+        "id long, note string, x double",
+    )
+    lines = [r.value for r in sql_insert_lines(df, "t").collect()]
+    assert all("\n" not in l for l in lines)  # one INSERT per physical line
+    by_id = {l.split("(")[2][:1]: l for l in lines}
+    assert "NULL" in by_id["1"] and "line1\\nline2" in by_id["1"]
+    assert "NULL" in by_id["2"] and "back\\\\slash" in by_id["2"]
+
+
+def test_plan_export_raises_on_colliding_artifact_names():
+    import pytest
+    from datetime import date
+
+    from sync_spark.plans.backup import plan_export
+
+    with pytest.raises(ValueError, match="same artifact"):
+        plan_export(
+            catalog=["orders", "users"],
+            patterns=["orders", "users"],
+            is_regex=False,
+            fields_by_table={},
+            window=None,
+            file_pattern="backup_{YYYY}{MM}{DD}",  # no {table}
+            run_day=date(2026, 8, 13),
+        )
+
+
+def test_expand_tables_dedups_literal_patterns():
+    from sync_spark.plans.backup import expand_tables
+
+    assert expand_tables(["orders"], ["orders", "orders"], is_regex=False) == ["orders"]
+
+
+def test_fields_keyed_by_member_table_name():
+    from datetime import date
+
+    from sync_spark.plans.backup import plan_export
+
+    units = plan_export(
+        catalog=["ev_202401", "ev_202402"],
+        patterns=["^ev_"],
+        is_regex=True,
+        fields_by_table={"ev_202401": ["event_id"]},
+        window=None,
+        file_pattern="{table}_{YYYY}",
+        run_day=date(2026, 1, 1),
+    )
+    assert units[0].fields == ["event_id"]
+
+
+def test_windowed_export_raises_on_missing_column(spark, tmp_path):
+    import pytest
+    from datetime import datetime
+
+    from sync_spark.plans.backup import ExportUnit
+    from sync_spark.sources.writers import export_group
+
+    df = spark.createDataFrame([Row(a=1)])
+    unit = ExportUnit(group="t", tables=["t"], fields=[], file_name="t_x")
+    with pytest.raises(ValueError, match="window column"):
+        export_group(
+            spark, unit, lambda n: df, str(tmp_path),
+            window=(datetime(2024, 1, 1), datetime(2024, 1, 2)), ts_col="ts",
+        )

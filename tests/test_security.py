@@ -159,3 +159,21 @@ def test_mask_credentials_col(spark):
         "run: mysqldump -u r -p*** app",
         "clean string",
     ]
+
+
+def test_mask_uri_credentials_fails_closed():
+    from sync_spark.functions.security import mask_uri_credentials
+
+    # '/' in password: the whole secret must still mask
+    assert mask_uri_credentials("mysql://root:pa/ss@h/db") == "mysql://***:***@h/db"
+    # '@' in password: greedy to the LAST @, no suffix leak
+    assert mask_uri_credentials("mongodb://u:p@ss@h") == "mongodb://***:***@h"
+    # no credentials: untouched
+    assert mask_uri_credentials("http://host:8080/x") == "http://host:8080/x"
+
+
+def test_cli_masking_scoped_to_mysql_commands():
+    from sync_spark.functions.security import mask_cli_password
+
+    assert mask_cli_password("rsync -progress src dst") == "rsync -progress src dst"
+    assert mask_cli_password("mysqldump -psecret db") == "mysqldump -p*** db"
