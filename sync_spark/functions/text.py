@@ -49,14 +49,17 @@ def _shingle_expr(toks: Column, n: int) -> Column:
 
 def stopword_hits(text: Column, lang: str) -> Column:
     """Count of tokens in the language's stopword set (bag count, not
-    distinct)."""
+    distinct). Case-insensitive — 'The' at sentence start is still a
+    stopword."""
     sw = STOPWORDS[lang]
-    return F.size(F.filter(tokens(text), lambda t: t.isin(*sw)))
+    return F.size(F.filter(tokens(text), lambda t: F.lower(t).isin(*sw)))
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are not alphanumeric/space."""
-    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    """Fraction of characters that are neither letters (any script)
+    nor digits nor whitespace. Unicode classes, not [A-Za-z]: accented
+    and non-Latin text must not score as punctuation."""
+    stripped = F.regexp_replace(text, r"[\p{L}\p{N}\s]", "")
     return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
         F.length(stripped).cast("double") / F.length(text).cast("double")
     )

@@ -93,7 +93,11 @@ def compile_date_range(dr: DateRange, anchor: date) -> Column:
 def compile_query(
     q: CountQuery, for_table: Optional[str] = None, anchor: Optional[date] = None
 ) -> Optional[Column]:
-    """Full countQuery → single AND-ed predicate (or None = match all)."""
+    """Full countQuery → single AND-ed predicate (or None = match all).
+    A disabled countQuery compiles to match-all — the reference only
+    applies the filter when ``enabled`` is set."""
+    if not getattr(q, "enabled", True):
+        return None
     preds: list[Column] = []
     for cond in q.conditions:
         p = compile_condition(cond, for_table)

@@ -47,7 +47,13 @@ def salted_agg(
     # stage (the SPARK-23207 failure class). Content-hash salting is
     # stable across retries; rows with identical full content share a
     # salt, which only matters if a hot key is also all-duplicate rows.
-    salted = df.withColumn("__salt", F.pmod(F.xxhash64(*df.columns), F.lit(salts)))
+    # Map columns are not hashable (AnalysisException) and are skipped.
+    from pyspark.sql.types import MapType
+
+    hash_cols = [f.name for f in df.schema.fields if not isinstance(f.dataType, MapType)]
+    if not hash_cols:
+        hash_cols = [key]
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(*hash_cols), F.lit(salts)))
     partial = salted.groupBy(key, "__salt").agg(
         *[c.alias(name) for name, c in partial_aggs.items()]
     )
@@ -77,10 +83,13 @@ def skew_broadcast_join(
     if not hot:
         return left.join(right, key, how)
     hot_lit = list(hot)
+    # NULL keys: isin → NULL routes them out of BOTH branches under
+    # plain negation (3VL), silently dropping rows an outer join must
+    # keep — they belong to the tail (never hot, never matching)
     left_hot = left.filter(F.col(key).isin(hot_lit))
-    left_tail = left.filter(~F.col(key).isin(hot_lit))
+    left_tail = left.filter(~F.col(key).isin(hot_lit) | F.col(key).isNull())
     right_hot = right.filter(F.col(key).isin(hot_lit))
-    right_tail = right.filter(~F.col(key).isin(hot_lit))
+    right_tail = right.filter(~F.col(key).isin(hot_lit) | F.col(key).isNull())
     joined_hot = left_hot.join(F.broadcast(right_hot), key, how)
     joined_tail = left_tail.join(right_tail, key, how)
     return joined_hot.unionByName(joined_tail)

@@ -39,12 +39,20 @@ def asof_join(
     not (ties would be ambiguous in any engine).
     """
     lcols = left.columns
+    # right columns travel as ONE struct: per-column last(ignorenulls)
+    # would skip a genuinely-NULL value in the matched right row and
+    # backfill it from an OLDER right row — a mixed-row result no ASOF
+    # engine produces. The single struct is non-null exactly on right
+    # rows, so ignorenulls only skips left-tagged rows.
+    right_struct = F.struct(*[F.col(c) for c in right_cols])
     tagged_left = left.select(
         F.col(key).alias("__k"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         F.struct(*lcols).alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None)
+        .cast(right.select(right_struct.alias("__r")).schema["__r"].dataType)
+        .alias("__r"),
     )
     tagged_right = right.select(
         F.col(key).alias("__k"),
@@ -53,7 +61,7 @@ def asof_join(
         F.lit(None).cast(
             tagged_left.schema["__l"].dataType
         ).alias("__l"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        right_struct.alias("__r"),
     )
     # right sorts before left at equal ts → ties match (ASOF >= semantics)
     unioned = tagged_left.unionByName(tagged_right)
@@ -65,11 +73,11 @@ def asof_join(
     filled = unioned.select(
         "__is_left",
         "__l",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__rf_{c}") for c in right_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__rf"),
     ).filter(F.col("__is_left") == 1)
     return filled.select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
-        *[F.col(f"__rf_{c}").alias(f"{c}{suffix}") for c in right_cols],
+        *[F.col(f"__rf.{c}").alias(f"{c}{suffix}") for c in right_cols],
     )
 
 

@@ -32,20 +32,20 @@ _SW_EN = "'the','a','of','and','to','is'"
 
 T_QUALITY_SQL = f"""
 WITH t AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS toks, text FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks, text FROM documents
 )
 SELECT doc_id,
        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
        CASE WHEN length(trim(text)) = 0 OR len(toks) = 0 THEN 0.0
             ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END AS avg_token_len,
        CASE WHEN length(text) = 0 THEN 0.0
-            ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
+            ELSE CAST(length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) AS DOUBLE) / length(text) END AS punct_ratio,
        round(
          0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
          + 0.3 * (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
-                 ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END * 5, 1.0))
+                 ELSE CAST(length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) AS DOUBLE) / length(text) END * 5, 1.0))
          + 0.3 * least(CASE WHEN len(toks) = 0 THEN 0.0
-                 ELSE CAST(len(list_filter(toks, x -> x IN ({_SW_EN}))) AS DOUBLE) / len(toks) END * 5, 1.0),
+                 ELSE CAST(len(list_filter(toks, x -> lower(x) IN ({_SW_EN}))) AS DOUBLE) / len(toks) END * 5, 1.0),
          6) AS quality
 FROM t
 """
@@ -63,7 +63,7 @@ def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _langid_oracle_sql() -> str:
     langs = sorted(T.STOPWORDS)
     hits = {
-        lang: f"len(list_filter(string_split(trim(text), ' '), x -> x IN ({', '.join(repr(w) for w in T.STOPWORDS[lang])})))"
+        lang: f"len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> lower(x) IN ({', '.join(repr(w) for w in T.STOPWORDS[lang])})))"
         for lang in langs
     }
     # same fold as the Spark side: alphabetically-first language wins ties
@@ -101,7 +101,7 @@ def t_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T_TOKEN_STATS_SQL = """
 SELECT lang, COUNT(*) AS n_docs,
-       CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang ORDER BY lang
 """
@@ -151,8 +151,8 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 D_JACCARD_SQL = """
 WITH d AS (
   SELECT doc_id,
-         list_distinct([ string_split(trim(text),' ')[i] || ' ' || string_split(trim(text),' ')[i+1] || ' ' || string_split(trim(text),' ')[i+2]
-                         for i in range(1, len(string_split(trim(text),' ')) - 1) ]) AS sh
+         list_distinct([ regexp_split_to_array(trim(text), '\s+')[i] || ' ' || regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' || regexp_split_to_array(trim(text), '\s+')[i+2]
+                         for i in range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1) ]) AS sh
   FROM documents
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -182,8 +182,8 @@ D_CLUSTERS_SQL = """
 WITH RECURSIVE pairs AS (
   WITH d AS (
     SELECT doc_id,
-           list_distinct([ string_split(trim(text),' ')[i] || ' ' || string_split(trim(text),' ')[i+1] || ' ' || string_split(trim(text),' ')[i+2]
-                           for i in range(1, len(string_split(trim(text),' ')) - 1) ]) AS sh
+           list_distinct([ regexp_split_to_array(trim(text), '\s+')[i] || ' ' || regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' || regexp_split_to_array(trim(text), '\s+')[i+2]
+                           for i in range(1, len(regexp_split_to_array(trim(text), '\s+')) - 1) ]) AS sh
     FROM documents
   )
   SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -311,16 +311,16 @@ def t_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T_BUDGET_SQL = f"""
 WITH t AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS toks, text FROM documents
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks, text FROM documents
 ), scored AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END AS n_tokens,
          least(CAST(floor(round(
            0.4 * least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
            + 0.3 * (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
-                   ELSE CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END * 5, 1.0))
+                   ELSE CAST(length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) AS DOUBLE) / length(text) END * 5, 1.0))
            + 0.3 * least(CASE WHEN len(toks) = 0 THEN 0.0
-                   ELSE CAST(len(list_filter(toks, x -> x IN ({_SW_EN}))) AS DOUBLE) / len(toks) END * 5, 1.0),
+                   ELSE CAST(len(list_filter(toks, x -> lower(x) IN ({_SW_EN}))) AS DOUBLE) / len(toks) END * 5, 1.0),
            6) * 1000) AS INT), 999) AS qbucket
   FROM t
 ), hist AS (

@@ -33,8 +33,24 @@ RECOVERABLE_MARKERS = (
 )
 
 
+# permanent-failure markers take precedence: an auth error whose
+# message happens to mention a connection must NOT burn the full
+# 10-attempt/5-min-cap schedule before alerting
+PERMANENT_MARKERS = (
+    "auth",
+    "credential",
+    "password",
+    "permission",
+    "denied",
+    "unauthorized",
+    "forbidden",
+)
+
+
 def is_recoverable(exc: BaseException) -> bool:
     msg = str(exc).lower()
+    if any(m in msg for m in PERMANENT_MARKERS):
+        return False
     return any(m.lower() in msg for m in RECOVERABLE_MARKERS)
 
 

@@ -137,3 +137,61 @@ def test_dlq_replay_is_idempotent(spark, tmp_path):
     run()
     dlq = spark.read.parquet(str(tmp_path / "dlq")).collect()
     assert len(dlq) == 1 and dlq[0].seq == 5
+
+
+def test_asof_join_null_right_value_not_backfilled(spark):
+    """A NULL in the matched right row must stay NULL — per-column
+    ignorenulls fill would graft the value from an OLDER right row
+    (review finding: frankenstein rows)."""
+    from datetime import datetime
+
+    from sync_spark.operators.temporal import asof_join
+
+    right = spark.createDataFrame(
+        [
+            Row(k="a", rts=datetime(2024, 1, 1), x=5, y=9),
+            Row(k="a", rts=datetime(2024, 1, 2), x=None, y=10),
+        ]
+    )
+    left = spark.createDataFrame([Row(k="a", lts=datetime(2024, 1, 3), lv=1)])
+    out = asof_join(left, right, "k", "lts", "rts", ["x", "y"]).collect()[0]
+    assert out.y_right == 10
+    assert out.x_right is None  # NOT 5 from the older row
+
+
+def test_countquery_disabled_compiles_to_match_all(spark):
+    from sync_spark.operators.countquery import count_with_query
+    from sync_spark.spec import CountCondition, CountQuery
+
+    df = spark.createDataFrame([Row(status="a"), Row(status="b")])
+    q = CountQuery(
+        enabled=False,
+        conditions=[CountCondition(field="status", operator="=", value="a")],
+    )
+    assert count_with_query(df, q).collect()[0].cnt == 2
+
+
+def test_retry_permanent_markers_beat_connection():
+    from sync_spark.streaming.retry import is_recoverable
+
+    assert not is_recoverable(RuntimeError("Connection auth failed: bad password"))
+    assert is_recoverable(RuntimeError("connection reset by peer"))
+
+
+def test_text_functions_handle_messy_input(spark):
+    """Multi-space/tab tokens, title-case stopwords, non-Latin text —
+    each was a silent divergence between the Column functions and
+    their DuckDB oracles (review findings)."""
+    from sync_spark.functions import text as TX
+
+    df = spark.createDataFrame(
+        [Row(t="The  Cat\tAnd The Dog"), Row(t="schöne Grüße für müde Bären")]
+    )
+    rows = df.select(
+        TX.token_count(F.col("t")).alias("n"),
+        TX.stopword_hits(F.col("t"), "en").alias("sw"),
+        TX.punct_ratio(F.col("t")).alias("p"),
+    ).collect()
+    assert rows[0].n == 5          # \s+ split: no empty tokens
+    assert rows[0].sw == 3         # 'The' x2 + 'And', case-insensitive
+    assert rows[1].p == 0.0        # umlauts are letters, not punctuation

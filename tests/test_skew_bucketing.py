@@ -74,3 +74,27 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql(f"DROP TABLE IF EXISTS {a}")
         spark.sql(f"DROP TABLE IF EXISTS {b}")
+
+
+def test_skew_outer_join_keeps_null_keys(spark):
+    left = spark.createDataFrame(
+        [Row(k="hot", v=1), Row(k="cold", v=2), Row(k=None, v=3)]
+    )
+    right = spark.createDataFrame([Row(k="hot", w=10), Row(k="cold", w=20)])
+    out = skew_broadcast_join(left, right, "k", hot=["hot"], how="left").collect()
+    plain = left.join(right, "k", "left").collect()
+    key = lambda t: (str(t[0]), t[1], str(t[2]))  # None-safe ordering
+    assert sorted(((r.k, r.v, r.w) for r in out), key=key) == sorted(
+        ((r.k, r.v, r.w) for r in plain), key=key
+    )
+    assert any(r.k is None for r in out)  # the NULL-key row survived
+
+
+def test_salted_agg_tolerates_map_columns(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", v=1, m={"x": "1"}), Row(k="a", v=2, m={"y": "2"})]
+    )
+    out = salted_agg(
+        df, "k", {"s": F.sum("v")}, {"s": F.sum("s")}
+    ).collect()
+    assert out[0].s == 3
