@@ -79,26 +79,29 @@ class SyncTask:
         for t in self._targets():
             src = self.source_loader(t.source_table)
             rules = self.spec.field_security.get(t.source_table, [])
-            # same invariant as the CDC path (pipeline._apply_batch):
-            # key columns are never masked/encrypted, otherwise CDC
-            # events (which carry real keys) could never match
-            # snapshot rows and every update would duplicate
-            data_rules = [r for r in rules if r.field.split(".")[0] not in t.key_cols]
-            schema = self.row_schemas.get(t.source_table)
-            if schema is not None:
-                # pin source types to the declared row_schema BEFORE
-                # masking (encryption may re-type a column to string,
-                # which a post-mask cast would corrupt); a drifting
-                # key type would bucket under a different xxhash64
-                # and wedge every merge on the stray-bucket guard
-                src = src.select(
-                    *[
-                        F.col(f.name).cast(f.dataType).alias(f.name)
-                        for f in schema.fields
-                    ]
+            # same contract as CdcPipeline.__init__: a rule on a key
+            # column is refused LOUDLY — silently filtering it here
+            # would write one unprotected full copy before the CDC
+            # phase raises the very same error
+            bad = [r.field for r in rules if r.field.split(".")[0] in t.key_cols]
+            if bad:
+                raise ValueError(
+                    f"fieldSecurity rules on key columns of "
+                    f"{t.source_table!r} are unsupported: {bad} — key "
+                    "values must stay matchable for the MERGE"
                 )
-            if data_rules:
-                src = apply_security_rules(src, data_rules, key=self.security_key)
+            # _targets() already requires a schema per mapped table
+            schema = self.row_schemas[t.source_table]
+            # pin source types to the declared row_schema BEFORE
+            # masking (encryption may re-type a column to string,
+            # which a post-mask cast would corrupt); a drifting
+            # key type would bucket under a different xxhash64
+            # and wedge every merge on the stray-bucket guard
+            src = src.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+            if rules:
+                src = apply_security_rules(src, rules, key=self.security_key)
             ran[t.source_table] = snapshot_if_empty(
                 self.spark, src, t.target_path, key_cols=t.key_cols
             )
@@ -120,11 +123,23 @@ class SyncTask:
         self.pipeline().run_available()
 
     def monitor(self, logged_at: Optional[datetime] = None) -> DataFrame:
-        """T11 tick: source vs target counts per mapping."""
+        """T11 tick: source vs target counts per mapping. When the
+        spec carries an ENABLED countQuery, both sides count only the
+        matching rows (the reference's filtered monitor counts,
+        sync_handler.go countQuery path) — a disabled/absent
+        countQuery counts full tables."""
+        from sync_spark.operators.countquery import compile_query
+
         pairs = {}
         for t in self._targets():
             src = self.source_loader(t.source_table)
             tgt = read_target(self.spark, t.target_path)
+            cq = getattr(self.spec, "count_query", None)
+            if cq is not None and getattr(cq, "enabled", False):
+                pred = compile_query(cq, for_table=t.source_table)
+                if pred is not None:
+                    src = src.filter(pred)
+                    tgt = tgt.filter(pred)
             pairs[t.source_table] = (src, tgt)
         return monitor_tick(
             self.spark,
@@ -153,11 +168,16 @@ def run_backup_task(
     run_day = run_day or date.today()
     window = None
     if spec.date_range is not None:
-        window = tz.jst_offset_day_range(
-            run_day, spec.date_range.start_offset, spec.date_range.end_offset
-        )
-        spec_field = getattr(spec.date_range, "field", None)
-        ts_col = spec_field or ts_col or "ts"
+        from sync_spark.operators.countquery import window_for_range
+
+        # the shared type dispatcher: weekly/monthly/yesterday specs
+        # must get their full window, not a 1-day offset default
+        window = window_for_range(spec.date_range, run_day)
+        # an EXPLICIT ts_col argument wins over the spec field's
+        # "updated_at" dataclass default (unreachable otherwise);
+        # specs that name a field and callers that don't still window
+        # on the spec field
+        ts_col = ts_col or getattr(spec.date_range, "field", None) or "ts"
     else:
         ts_col = ts_col or "ts"
     units = plan_export(

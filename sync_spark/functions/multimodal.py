@@ -59,12 +59,17 @@ def fake_payload(media_id: int, kind: str, width: int, height: int, duration_ms:
     return _FAKE_MAGIC + struct.pack("<iii", width, height, duration_ms) + body
 
 
-def _decode_payload(payload: bytes) -> tuple[int, int, int]:
+def _decode_payload(payload: bytes | None) -> tuple[int | None, int | None, int | None]:
     """STUB decode step → (width, height, duration_ms).
 
-    Fake-header payloads decode deterministically; anything else would
-    need a real codec (PIL/av), which this container does not ship.
+    NULL / too-short payloads decode to NULL metadata (the schema
+    declares payload nullable; one bad row must not kill the whole
+    Arrow batch). Fake-header payloads decode deterministically;
+    anything else would need a real codec (PIL/av), which this
+    container does not ship.
     """
+    if payload is None or len(payload) < 16:
+        return (None, None, None)
     if payload[:4] == _FAKE_MAGIC:
         return struct.unpack("<iii", payload[4:16])
     raise NotImplementedError(
@@ -99,7 +104,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
                     "duration_ms": [d[2] for d in decoded],
-                    "size_bytes": [len(p) for p in pdf["payload"]],
+                    "size_bytes": [len(p) if p is not None else None for p in pdf["payload"]],
                 }
             )
 
@@ -125,6 +130,9 @@ def extract_features(df: DataFrame) -> DataFrame:
         for pdf in it:
             feats = []
             for p in pdf["payload"]:
+                if p is None:
+                    feats.append(None)
+                    continue
                 dig = hashlib.sha256(p).digest()
                 feats.append(
                     [int.from_bytes(dig[2 * i : 2 * i + 2], "little") / 65535.0 for i in range(FEATURE_DIM)]
@@ -169,6 +177,8 @@ def sample_frames(df: DataFrame, every_ms: int) -> DataFrame:
             out = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_digest": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 _, _, duration_ms = _decode_payload(payload)
+                if duration_ms is None:
+                    continue  # null/undecodable payload: no frames
                 for idx, ts in enumerate(range(0, max(duration_ms, 1), every_ms)):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)

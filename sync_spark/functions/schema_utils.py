@@ -85,10 +85,16 @@ def infer_json_schema(
         names = set(docs.columns)
         order_col = next((c for c in ("_seq", "seq", "doc_id", "id") if c in names), None)
     sampled = docs.select(json_col, *([order_col] if order_col else []))
+    # drop null/empty docs BEFORE the limit so the sample is the
+    # latest N USABLE documents (tombstones sorted to the top would
+    # otherwise shrink — or empty — the inference input)
+    sampled = sampled.filter(F.col(json_col).isNotNull() & (F.length(json_col) > 0))
     if order_col:
         sampled = sampled.orderBy(F.col(order_col).desc())
-    sample_rows = [r[0] for r in sampled.limit(sample).collect() if r[0]]
+    sample_rows = [r[0] for r in sampled.limit(sample).collect()]
     rdd = spark.sparkContext.parallelize(sample_rows)
+    # all-null/empty input yields StructType([]) — callers treating a
+    # schemaless source as "no fields yet" is the Mongo behavior
     return spark.read.json(rdd).schema
 
 

@@ -14,7 +14,7 @@ Reference semantics (pkg/utils/query_counter.go):
 
 from __future__ import annotations
 
-from datetime import date
+from datetime import date, datetime
 from typing import Any, Optional
 
 from pyspark.sql import Column, DataFrame
@@ -65,25 +65,32 @@ def compile_condition(cond: CountCondition, for_table: Optional[str] = None) -> 
     return c != lit  # != / <>
 
 
+def window_for_range(dr: DateRange, anchor: date) -> tuple[datetime, datetime]:
+    """dateRange type → half-open UTC (start, end) window — the ONE
+    type dispatcher, shared by the countQuery compiler and the backup
+    planner (a backup that ignored ``type`` would silently export
+    1/7th of a weekly window)."""
+    kind = dr.type
+    if kind == "daily" or kind == "today":
+        return tz.jst_day_range(anchor)
+    if kind == "yesterday":
+        return tz.jst_offset_day_range(anchor, -1, 0)
+    if kind == "weekly":
+        return tz.jst_week_range(anchor)
+    if kind == "monthly":
+        return tz.jst_month_range(anchor)
+    if kind == "offset":
+        return tz.jst_offset_day_range(anchor, dr.start_offset, dr.end_offset)
+    raise ValueError(f"unsupported dateRange type: {kind!r}")
+
+
 def compile_date_range(dr: DateRange, anchor: date) -> Column:
     """dateRange → half-open UTC literal range on ``dr.field``.
 
     ``anchor`` stands in for the reference's "now" so plans are
     deterministic and testable; production callers pass date.today().
     """
-    kind = dr.type
-    if kind == "daily" or kind == "today":
-        start, end = tz.jst_day_range(anchor)
-    elif kind == "yesterday":
-        start, end = tz.jst_offset_day_range(anchor, -1, 0)
-    elif kind == "weekly":
-        start, end = tz.jst_week_range(anchor)
-    elif kind == "monthly":
-        start, end = tz.jst_month_range(anchor)
-    elif kind == "offset":
-        start, end = tz.jst_offset_day_range(anchor, dr.start_offset, dr.end_offset)
-    else:
-        raise ValueError(f"unsupported dateRange type: {kind!r}")
+    start, end = window_for_range(dr, anchor)
     c = F.col(dr.field)
     return (c >= F.lit(tz.fmt(start)).cast("timestamp")) & (
         c < F.lit(tz.fmt(end)).cast("timestamp")

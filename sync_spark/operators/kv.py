@@ -35,5 +35,13 @@ def keyspace_size(kv: DataFrame, now: datetime, epoch_col: str = "expires_at") -
 
 
 def restore_replace(target: DataFrame, dump: DataFrame, key_col: str = "key") -> DataFrame:
-    """S7 apply: RESTORE REPLACE = upsert by key (idempotent)."""
-    return target.join(dump.select(key_col), key_col, "left_anti").unionByName(dump)
+    """S7 apply: RESTORE REPLACE = upsert by key (idempotent).
+
+    The dump is compacted to one row per key first — Redis SCAN may
+    emit a key more than once mid-rehash (redis.io SCAN guarantees),
+    and a duplicate surviving the union would violate last-write-wins.
+    The anti-join is null-safe so a NULL-key row replaces rather than
+    duplicates."""
+    compacted = dump.dropDuplicates([key_col])
+    cond = target[key_col].eqNullSafe(compacted[key_col])
+    return target.join(compacted, cond, "left_anti").unionByName(compacted)

@@ -17,7 +17,15 @@ from pyspark.sql import functions as F
 def write_partitioned_by_day(
     df: DataFrame, path: str, ts_col: str, mode: str = "overwrite"
 ) -> None:
-    """Materialize with a derived dt=YYYY-MM-DD partition column."""
+    """Materialize with a derived dt=YYYY-MM-DD partition column.
+
+    The dt rendering is pinned to UTC via the session conf —
+    date_format renders in spark.sql.session.timeZone, so an unpinned
+    session would assign rows near midnight to a timezone-dependent
+    partition and day-range readers on a UTC cluster would miss them."""
+    from sync_spark.sources.readers import ensure_session_conf
+
+    ensure_session_conf(df.sparkSession)
     (
         df.withColumn("dt", F.date_format(F.col(ts_col), "yyyy-MM-dd"))
         .write.mode(mode)

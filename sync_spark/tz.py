@@ -73,5 +73,13 @@ def fmt(dt: datetime) -> str:
     stay distinguishable or latest-row windows become nondeterministic
     (monitor.go logs full precision; whole-second range boundaries
     just render a .000000 suffix).
+
+    Timezone-AWARE datetimes are converted to UTC first — a bare
+    strftime would render the foreign wall clock and shift every
+    comparison by the zone offset.
     """
+    if dt.tzinfo is not None:
+        from datetime import timezone
+
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
     return dt.strftime("%Y-%m-%d %H:%M:%S.%f")

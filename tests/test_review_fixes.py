@@ -32,30 +32,40 @@ def test_ignore_deletes_keeps_superseded_upsert(spark):
 
 
 def test_snapshot_never_masks_key_columns(spark, tmp_path):
+    """A rule on a key column is REFUSED before anything is written
+    (same contract as CdcPipeline — a silently-filtered rule would
+    write one unprotected full copy first); data-column rules apply."""
     from sync_spark.engine import SyncTask
 
     schema = T.StructType([T.StructField("id", T.LongType()), T.StructField("email", T.StringType())])
-    spec = SyncSpec(
-        task_id=1,
-        type="parquet",
-        field_security={
-            "users": [
-                FieldSecurity(field="id", security_type="masked"),  # must be ignored
-                FieldSecurity(field="email", security_type="masked"),
-            ]
-        },
-        pk_columns={"users": ["id"]},
-    )
-    spec.mappings = SyncSpec.from_json(
-        '{"mappings": [{"tables": [{"sourceTable": "users"}]}]}'
-    ).mappings
+
+    def mk_spec(rules):
+        spec = SyncSpec(
+            task_id=1, type="parquet",
+            field_security={"users": rules},
+            pk_columns={"users": ["id"]},
+        )
+        spec.mappings = SyncSpec.from_json(
+            '{"mappings": [{"tables": [{"sourceTable": "users"}]}]}'
+        ).mappings
+        return spec
+
     src = spark.createDataFrame([Row(id=7, email="x@y.z")], schema)
-    task = SyncTask(
-        spark, spec, {"users": src}.get, {"users": schema},
-        str(tmp_path / "t"), str(tmp_path / "e"), str(tmp_path / "c"),
-    )
-    task.snapshot()
-    row = spark.read.parquet(str(tmp_path / "t" / "users")).collect()[0]
+
+    def mk_task(spec, sub):
+        return SyncTask(
+            spark, spec, {"users": src}.get, {"users": schema},
+            str(tmp_path / sub), str(tmp_path / "e"), str(tmp_path / "c"),
+        )
+
+    bad = mk_task(mk_spec([FieldSecurity(field="id", security_type="masked")]), "t_bad")
+    with pytest.raises(ValueError, match="key columns"):
+        bad.snapshot()
+    assert not (tmp_path / "t_bad" / "users").exists()  # nothing written
+
+    ok = mk_task(mk_spec([FieldSecurity(field="email", security_type="masked")]), "t_ok")
+    ok.snapshot()
+    row = spark.read.parquet(str(tmp_path / "t_ok" / "users")).collect()[0]
     assert row.id == 7  # key intact
     assert row.email == "*****"
 
@@ -195,3 +205,65 @@ def test_text_functions_handle_messy_input(spark):
     assert rows[0].n == 5          # \s+ split: no empty tokens
     assert rows[0].sw == 3         # 'The' x2 + 'And', case-insensitive
     assert rows[1].p == 0.0        # umlauts are letters, not punctuation
+
+
+def test_backup_window_respects_range_type():
+    """weekly/monthly/yesterday specs get their FULL window — the
+    offset-only path silently exported 1/7th of a weekly window."""
+    from datetime import date as _date
+
+    from sync_spark.operators.countquery import window_for_range
+    from sync_spark.spec import DateRange
+
+    anchor = _date(2024, 1, 17)  # a Wednesday
+    ws, we = window_for_range(DateRange(type="weekly", field="ts"), anchor)
+    assert (we - ws).days == 7
+    ms, me = window_for_range(DateRange(type="monthly", field="ts"), anchor)
+    assert (me - ms).days == 31 and ms.hour == 15  # Jan in JST, UTC-shifted
+    ys, ye = window_for_range(DateRange(type="yesterday", field="ts"), anchor)
+    assert (ye - ys).days == 1
+    with pytest.raises(ValueError, match="unsupported"):
+        window_for_range(DateRange(type="fortnightly", field="ts"), anchor)
+
+
+def test_restore_replace_compacts_duplicate_and_null_keys(spark):
+    from sync_spark.operators.kv import restore_replace
+
+    target = spark.createDataFrame([Row(key="a", value="old"), Row(key=None, value="t-null")])
+    dump = spark.createDataFrame(
+        [Row(key="a", value="new"), Row(key="a", value="new"), Row(key=None, value="d-null")]
+    )
+    out = restore_replace(target, dump).collect()
+    assert len(out) == 2  # one 'a', one null-key row — no duplicates
+    vals = {r.key: r.value for r in out}
+    assert vals["a"] == "new" and vals[None] == "d-null"
+
+
+def test_tz_fmt_converts_aware_datetimes():
+    from datetime import timedelta, timezone
+
+    from sync_spark import tz
+
+    jst = timezone(timedelta(hours=9))
+    aware = datetime(2024, 1, 10, 9, 0, 0, tzinfo=jst)  # = 00:00 UTC
+    assert tz.fmt(aware) == "2024-01-10 00:00:00.000000"
+
+
+def test_multimodal_null_payload_rows_survive(spark):
+    from sync_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        decode_media,
+        extract_features,
+        fake_payload,
+    )
+
+    rows = [
+        Row(media_id=1, kind="image", payload=fake_payload(1, "image", 64, 48, 0), meta=None),
+        Row(media_id=2, kind="image", payload=None, meta=None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    dec = {r.media_id: r for r in decode_media(df).collect()}
+    assert dec[1].width == 64
+    assert dec[2].width is None and dec[2].size_bytes is None
+    feats = {r.media_id: r.features for r in extract_features(df).collect()}
+    assert feats[1] is not None and feats[2] is None
