@@ -75,15 +75,17 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 X_SESSION_SQL = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), sessions AS (
+  -- same (ts, event_id) tiebreak as the flag window: an untied ORDER
+  -- BY ts would assign ambiguous session ids to same-timestamp events
   SELECT user_id, ts, value,
-         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,

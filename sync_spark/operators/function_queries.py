@@ -141,7 +141,7 @@ def f_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 F_STRING_SQL = """
 SELECT c_custkey,
-       CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_id,
+       TRY_CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS name_id,
        upper(c_mktsegment) AS seg_upper,
        length(c_name) AS name_len,
        c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR) AS seg_nation

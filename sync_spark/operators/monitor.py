@@ -49,7 +49,7 @@ def monitor_tick(
             src.agg(F.count(F.lit(1)).alias("src_count"))
             .crossJoin(tgt.agg(F.count(F.lit(1)).alias("tgt_count")))
             .select(
-                F.lit(task_id).alias("task_id"),
+                F.lit(task_id).cast("long").alias("task_id"),
                 F.lit(table).alias("table"),
                 "src_count",
                 "tgt_count",
@@ -60,6 +60,11 @@ def monitor_tick(
     for p in parts[1:]:
         out = out.unionByName(p)
     if log_path:
+        # materialize ONCE: the write and the returned frame must see
+        # the SAME counts (re-running the union-of-aggregates for the
+        # caller's collect would double the count jobs and could
+        # diverge if a source received rows in between)
+        out = out.localCheckpoint(eager=True)
         out.write.mode("append").parquet(log_path)
     return out
 
@@ -98,7 +103,7 @@ def daily_table_delta(log: DataFrame, day: date) -> DataFrame:
             (F.col("logged_at") >= F.lit(tz.fmt(start)).cast("timestamp"))
             & (F.col("logged_at") < F.lit(tz.fmt(end)).cast("timestamp"))
         )
-        .groupBy("table")
+        .groupBy("task_id", "table")
         .agg(
             (F.max("tgt_count") - F.min("tgt_count")).alias("rows_added"),
             F.max("tgt_count").alias("latest_count"),
@@ -135,13 +140,13 @@ def jst_daily_stats(log: DataFrame) -> DataFrame:
     (monitor.go:839-933)."""
     jst_day = F.date_format(F.from_utc_timestamp("logged_at", "Asia/Tokyo"), "yyyy-MM-dd")
     return (
-        log.groupBy(jst_day.alias("jst_day"), F.col("table"))
+        log.groupBy(jst_day.alias("jst_day"), F.col("task_id"), F.col("table"))
         .agg(
             F.max("src_count").alias("src_max"),
             F.max("tgt_count").alias("tgt_max"),
             F.count(F.lit(1)).alias("n_ticks"),
         )
-        .orderBy("jst_day", "table")
+        .orderBy("jst_day", "task_id", "table")
     )
 
 
@@ -163,7 +168,7 @@ def consistency_alerts(log: DataFrame, day: date, tolerance: int = 0) -> DataFra
     start, end = tz.jst_day_range(day)
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("table").orderBy(
+    w = Window.partitionBy("task_id", "table").orderBy(
         F.col("logged_at").desc(), F.col("tgt_count").desc(), F.col("src_count").desc()
     )
     latest = (

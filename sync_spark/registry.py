@@ -40,7 +40,6 @@ def _populate() -> None:
     global _populated
     if _populated:
         return
-    _populated = True
 
     from sync_spark.operators import batch_queries as bq
     from sync_spark.operators import relational
@@ -132,3 +131,9 @@ def _populate() -> None:
     register("q3_shipping_priority", th.q3_shipping_priority, th.Q3_SQL)
     register("q10_returned_items", th.q10_returned_items, th.Q10_SQL)
     register("q18_large_orders", th.q18_large_orders, th.Q18_SQL)
+
+    # flag flips only AFTER every registration succeeded — setting it
+    # first would make a mid-populate exception leave a silently
+    # partial registry for every later call (the driver's gate would
+    # then skip dozens of queries with no error)
+    _populated = True

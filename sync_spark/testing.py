@@ -62,11 +62,13 @@ def _values_equal(a, b) -> bool:
             return _values_equal(a, b)
     except ImportError:
         pass
-    if (a is None or a != a) and (b is None or b != b):  # NaN/None cross-engine
+    # None==None and NaN==NaN, but NOT None==NaN: the driver compares
+    # stringified values ('None' != 'nan'), so conflating them here
+    # would pass locally a query the driver's gate fails
+    if a is None and b is None:
         return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
+    if a is not None and b is not None and a != a and b != b:  # both NaN
+        return True
     return str(a) == str(b)
 
 
