@@ -118,3 +118,32 @@ def quality_score(text: Column) -> Column:
         F.lit(0.4) * len_score + F.lit(0.3) * (F.lit(1.0) - F.least(punct * 5, F.lit(1.0))) + F.lit(0.3) * F.least(sw_ratio * 5, F.lit(1.0)),
         6,
     )
+
+
+# --- PII redaction (training-pipeline extension; conservative regex
+# subset that parses identically under Java regex and RE2 so the
+# DuckDB oracle can replay it) ---
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{3,4}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, +CC-NNN-NNNN phone numbers, and IPv4 literals
+    with typed placeholders. Email first (its domain may contain
+    dotted digits an IP pass would half-eat), then phone, then IP."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) — counted on the same pass order
+    as redact_pii so counts equal the number of placeholders."""
+    n_email = F.regexp_count(text, F.lit(EMAIL_RE))
+    after_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    n_phone = F.regexp_count(after_email, F.lit(PHONE_RE))
+    after_phone = F.regexp_replace(after_email, PHONE_RE, "<PHONE>")
+    n_ip = F.regexp_count(after_phone, F.lit(IPV4_RE))
+    return n_email, n_phone, n_ip

@@ -217,3 +217,49 @@ SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_groups,
        CAST(0 AS BIGINT) AS bad_p99
 FROM events
 """
+
+
+EMBED_NEARDUP_RECALL_FLOOR = 0.6
+
+
+def chk_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup contract: the LSH variant must emit ONLY
+    true ≥-threshold pairs (nonsubset_pairs = 0 — candidate-verify
+    cross-checked against the independent block-tile exact operator),
+    agree on every pair's rounded cosine, and recall ≥60% of the exact
+    pair set (measured 0.85-0.95 at sf0.001-0.1; 16 tables × 4 planes
+    at cos 0.35 ⇒ analytic recall ≈ 0.92)."""
+    exact = tq.e_embed_neardup(spark, sf_dir).select(
+        "id1", "id2", F.col("cosine").alias("exact_cos")
+    )
+    lsh = tq.d_embed_neardup_lsh(spark, sf_dir).select(
+        "id1", "id2", F.col("cosine").alias("lsh_cos")
+    )
+    j = exact.join(lsh, ["id1", "id2"], "full")
+    n_exact = F.sum(F.when(F.col("exact_cos").isNotNull(), 1).otherwise(0))
+    matched = F.sum(
+        F.when(F.col("exact_cos").isNotNull() & F.col("lsh_cos").isNotNull(), 1).otherwise(0)
+    )
+    return j.agg(
+        n_exact.cast("long").alias("n_exact_pairs"),
+        F.sum(F.when(F.col("exact_cos").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("nonsubset_pairs"),
+        F.sum(
+            F.when(
+                F.col("lsh_cos").isNotNull() & (F.col("lsh_cos") != F.col("exact_cos")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("cosine_mismatches"),
+        (matched >= n_exact * F.lit(EMBED_NEARDUP_RECALL_FLOOR)).alias("recall_ok"),
+    )
+
+
+CHK_EMBED_NEARDUP_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       CAST(0 AS BIGINT) AS nonsubset_pairs,
+       CAST(0 AS BIGINT) AS cosine_mismatches,
+       TRUE AS recall_ok
+FROM ({tq.E_NEARDUP_SQL}) exact_pairs
+"""

@@ -334,3 +334,203 @@ WITH t AS (
 )
 SELECT s.doc_id, s.n_tokens, s.qbucket FROM scored s JOIN keep k USING (qbucket)
 """
+
+
+def e_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs (round(cos,6) ≥ 0.35):
+    block-tile theta join, int64-quantized dots — oracle does the
+    O(n²) cross join, Spark does the tiled distributed plan; results
+    must agree exactly. (The synthetic embeddings are near-orthogonal,
+    so the threshold sits in the observed upper tail: ~270 pairs at
+    sf0.01, ~4.1k at sf0.1.)"""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embed_neardup_exact(emb, threshold=0.35, n_blocks=8)
+
+
+E_NEARDUP_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+), s AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round(
+           CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+             / (sqrt(CAST(list_sum(list_transform(a.qv, x -> x * x)) AS DOUBLE))
+                * sqrt(CAST(list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE))),
+           6) AS cosine
+  FROM v a, v b WHERE a.vec_id < b.vec_id
+)
+SELECT id1, id2, cosine FROM s WHERE cosine >= 0.35
+"""
+
+
+def d_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate embedding near-dup pairs: LSH candidates + exact
+    cosine verify (rows-only: recall < 1 by design; every emitted
+    pair is a true ≥-threshold pair)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embed_neardup_lsh(emb, threshold=0.35, n_planes=4, n_tables=16)
+
+
+def repetition_signals(d: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher/C4-style repetition signals per document: duplicate-token
+    fraction, most-frequent-token share, most-frequent-bigram share.
+    (The reference has no text-quality surface; this is the
+    training-pipeline extension — repetitious documents are the #1
+    C4/Gopher removal class.)
+
+    Scale shape: token/bigram mode-counts are explode → two-level
+    partial-aggregated groupBy keyed by doc_id (map-side combines do
+    most of the work; no document ever leaves one reducer), then three
+    same-key joins that AQE plans as local joins on the doc_id
+    partitioning. No UDFs, no driver loops."""
+    toks = d.select(
+        F.col(id_col).alias("doc_id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
+    )
+    base = toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    tok_top = (
+        toks.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_tok_n"))
+    )
+    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, n1),
+                F.slice("toks", 2, n1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    big_top = (
+        bigrams.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram_n"))
+    )
+    out = (
+        base.join(tok_top, "doc_id", "left")
+        .join(big_top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_token_frac"),
+            F.round(
+                F.coalesce(F.col("top_tok_n"), F.lit(0)).cast("double") / F.col("n_tokens"), 6
+            ).alias("top_token_share"),
+            F.when(F.col("n_tokens") <= 1, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("double")
+                    / (F.col("n_tokens") - 1),
+                    6,
+                )
+            )
+            .alias("top_bigram_share"),
+        )
+    )
+    return out
+
+
+def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry wrapper: repetition_signals over the documents table."""
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+T_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), base AS (
+  SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct FROM t
+), tok AS (
+  SELECT doc_id, unnest(toks) AS tok FROM t
+), tc AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+), tt AS (
+  SELECT doc_id, MAX(c) AS top_tok_n FROM tc GROUP BY doc_id
+), big AS (
+  SELECT doc_id, unnest([ toks[i] || ' ' || toks[i+1] for i in range(1, len(toks)) ]) AS bg FROM t
+), bc AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg
+), tb AS (
+  SELECT doc_id, MAX(c) AS top_bigram_n FROM bc GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       round(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS dup_token_frac,
+       round(CAST(COALESCE(tt.top_tok_n, 0) AS DOUBLE) / b.n_tokens, 6) AS top_token_share,
+       CASE WHEN b.n_tokens <= 1 THEN 0.0
+            ELSE round(CAST(COALESCE(tb.top_bigram_n, 0) AS DOUBLE) / (b.n_tokens - 1), 6)
+       END AS top_bigram_share
+FROM base b LEFT JOIN tt ON b.doc_id = tt.doc_id LEFT JOIN tb ON b.doc_id = tb.doc_id
+"""
+
+
+def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (training-pipeline extension): emails / phone
+    numbers / IPv4 literals → typed placeholders, with per-doc counts.
+
+    The synthetic documents carry no PII, so the query appends a
+    DETERMINISTIC contact line derived from doc_id before redacting —
+    the regexes are genuinely exercised on every row and the oracle
+    rebuilds the identical input. Pure regexp_replace/regexp_count
+    Column expressions (JVM-side; patterns restricted to the
+    Java-regex ∩ RE2 subset so both engines parse them identically)."""
+    d = _t(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or +1-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+        F.lit("."),
+        F.pmod(F.col("doc_id") * 7, F.lit(256)).cast("string"),
+    )
+    full = d.select("doc_id", contact.alias("full_text"))
+    n_email, n_phone, n_ip = T.pii_counts(F.col("full_text"))
+    return full.select(
+        "doc_id",
+        T.redact_pii(F.col("full_text")).alias("redacted"),
+        n_email.cast("int").alias("n_emails"),
+        n_phone.cast("int").alias("n_phones"),
+        n_ip.cast("int").alias("n_ips"),
+    )
+
+
+T_PII_SQL = r"""
+WITH contact AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS full_text
+  FROM documents
+), stages AS (
+  SELECT doc_id, full_text,
+         regexp_replace(full_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+  FROM contact
+), stage2 AS (
+  SELECT doc_id, full_text, after_email,
+         regexp_replace(after_email, '\+\d{1,2}-\d{3}-\d{3,4}', '<PHONE>', 'g') AS after_phone
+  FROM stages
+)
+SELECT doc_id,
+       regexp_replace(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(full_text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(after_email, '\+\d{1,2}-\d{3}-\d{3,4}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips
+FROM stage2
+"""

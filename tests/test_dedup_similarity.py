@@ -89,3 +89,111 @@ def test_exact_dedup_counts(spark):
     )
     out = {r.survivor_id: r.n_dups for r in dedup.exact_dedup(df, "text", "doc_id").collect()}
     assert out == {1: 2, 3: 1}
+
+
+# --- embedding-cosine near-dup ---
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in rows]
+    )
+
+
+def test_embed_neardup_exact_known_pairs(spark):
+    """Crafted 4-vector set: (0,1) parallel (cos 1), (0,2) orthogonal,
+    (0,3)/(1,3) at cos≈0.894. Exercises cross-block id normalization:
+    with n_blocks=4 and xxhash64 block assignment the near pairs land
+    in off-diagonal tiles in both id orders."""
+    df = _vec_df(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [2.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [2.0, 1.0, 0.0, 0.0]),
+        ],
+    )
+    got = {
+        (r.id1, r.id2): r.cosine
+        for r in similarity.embed_neardup_exact(df, threshold=0.5, n_blocks=4).collect()
+    }
+    assert set(got) == {(0, 1), (0, 3), (1, 3)}
+    assert got[(0, 1)] == 1.0
+    assert abs(got[(0, 3)] - 0.894427) < 1e-6
+    assert abs(got[(1, 3)] - 0.894427) < 1e-6
+
+
+def test_embed_neardup_exact_matches_bruteforce(spark, sf_small):
+    """Tiled plan ≡ naive plan on the real table (independent code
+    paths: applyInPandas numpy tiles vs a plain crossJoin)."""
+    emb = _t(spark, sf_small, "embeddings")
+    tiled = {
+        (r.id1, r.id2): r.cosine
+        for r in similarity.embed_neardup_exact(emb, threshold=0.3, n_blocks=8).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("e2"))
+    naive = (
+        a.crossJoin(b)
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.transform("e1", lambda x: F.round(x.cast("double") * 1000000).cast("long")),
+                        F.transform("e2", lambda x: F.round(x.cast("double") * 1000000).cast("long")),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).cast("double")
+                / (
+                    F.sqrt(
+                        F.aggregate(
+                            F.transform("e1", lambda x: F.round(x.cast("double") * 1000000).cast("long")),
+                            F.lit(0).cast("long"),
+                            lambda acc, v: acc + v * v,
+                        ).cast("double")
+                    )
+                    * F.sqrt(
+                        F.aggregate(
+                            F.transform("e2", lambda x: F.round(x.cast("double") * 1000000).cast("long")),
+                            F.lit(0).cast("long"),
+                            lambda acc, v: acc + v * v,
+                        ).cast("double")
+                    )
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )
+    expect = {(r.id1, r.id2): r.cosine for r in naive.collect()}
+    assert tiled == expect
+
+
+def test_embed_neardup_lsh_subset_and_recall(spark, sf_small):
+    emb = _t(spark, sf_small, "embeddings")
+    exact = {
+        (r.id1, r.id2)
+        for r in similarity.embed_neardup_exact(emb, threshold=0.35).collect()
+    }
+    lsh = {
+        (r.id1, r.id2)
+        for r in similarity.embed_neardup_lsh(emb, threshold=0.35).collect()
+    }
+    assert lsh <= exact  # exact verification ⇒ precision 1
+    if exact:
+        assert len(lsh) / len(exact) >= 0.6
+
+
+def test_embed_neardup_null_embedding_dropped(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 0.0]), Row(vec_id=1, embedding=None),
+         Row(vec_id=2, embedding=[1.0, 0.0])]
+    )
+    got = similarity.embed_neardup_exact(df, threshold=0.5, n_blocks=2).collect()
+    assert {(r.id1, r.id2) for r in got} == {(0, 2)}

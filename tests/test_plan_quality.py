@@ -107,3 +107,36 @@ def test_mongo_passthrough_filter_pushdown(spark, sf_small):
     plan = plan_of(pt_mongo_find(spark, sf_small))
     assert "PushedFilters: [" in plan
     assert "o_totalprice" in plan.split("PushedFilters")[1][:200]
+
+
+def test_embed_neardup_exact_tiled_no_cartesian(spark, sf_small):
+    """The exact near-dup plan must be the block-tile shape: one
+    grouped Arrow kernel, no cartesian/broadcast-nested-loop pair
+    materialization, no row-at-a-time Python."""
+    plan = plan_of(tq.e_embed_neardup(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_embed_neardup_lsh_verifies_in_kernel(spark, sf_small):
+    """The LSH variant must verify candidates inside the bucket kernel
+    — no equi-self-join materializing candidate pairs (one Arrow
+    bucket-assignment node + one grouped kernel, no SortMergeJoin)."""
+    plan = plan_of(tq.d_embed_neardup_lsh(spark, sf_small))
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_repetition_and_pii_stay_jvm_side(spark, sf_small):
+    """Repetition signals and PII redaction are pure Column pipelines:
+    no Python evaluation nodes of any kind, and the aggregations keep
+    map-side partial aggregates."""
+    for fn in (tq.t_repetition, tq.t_pii_redact):
+        plan = plan_of(fn(spark, sf_small))
+        assert "EvalPython" not in plan
+    rep = plan_of(tq.t_repetition(spark, sf_small))
+    assert "partial_max" in rep or "HashAggregate" in rep

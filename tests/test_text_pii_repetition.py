@@ -1,0 +1,77 @@
+"""Unit tests for the PII-redaction scalar functions and the
+Gopher-style repetition signals on crafted documents (the registry
+queries exercise them on the synthetic tables against the DuckDB
+oracle; these pin the semantics on hand-built edge cases)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sync_spark.functions import text as T
+from sync_spark.operators.text_queries import repetition_signals
+
+
+def _redact_one(spark, s: str) -> str:
+    df = spark.createDataFrame([Row(t=s)]).select(T.redact_pii(F.col("t")).alias("r"))
+    return df.collect()[0].r
+
+
+def test_redact_email_with_dotted_digit_domain(spark):
+    assert (
+        _redact_one(spark, "mail bob.smith+tag@host3.sub.example.co now")
+        == "mail <EMAIL> now"
+    )
+
+
+def test_redact_phone_and_ip(spark):
+    assert (
+        _redact_one(spark, "call +1-555-0199 from 192.168.3.45 ok")
+        == "call <PHONE> from <IP> ok"
+    )
+
+
+def test_redact_order_email_before_ip(spark):
+    # a dotted-quad inside an email's host must not be half-eaten by
+    # the IP pass: the email is replaced first, whole
+    assert _redact_one(spark, "x a@12.34.56.78.example.com y") == "x <EMAIL> y"
+    # but user@IP (numeric TLD = not a valid email per the pattern)
+    # still gets its IP redacted rather than leaking
+    assert _redact_one(spark, "x a@1.2.3.44 y") == "x a@<IP> y"
+
+
+def test_redact_no_pii_passthrough(spark):
+    s = "just words 12 and a-b, nothing to hide"
+    assert _redact_one(spark, s) == s
+
+
+def test_pii_counts_match_placeholders(spark):
+    s = "a@b.co c@d.io +1-555-0000 9.9.9.9"
+    df = spark.createDataFrame([Row(t=s)])
+    ne, np_, ni = T.pii_counts(F.col("t"))
+    row = df.select(ne.alias("e"), np_.alias("p"), ni.alias("i")).collect()[0]
+    assert (row.e, row.p, row.i) == (2, 1, 1)
+    red = _redact_one(spark, s)
+    assert red.count("<EMAIL>") == 2 and red.count("<PHONE>") == 1 and red.count("<IP>") == 1
+
+
+def test_repetition_signals_crafted(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a a b"),
+            Row(doc_id=2, text="x y z w"),
+            Row(doc_id=3, text="solo"),
+        ]
+    )
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    r1 = got[1]
+    # 4 tokens, 2 distinct -> dup frac 0.5; 'a' appears 3/4; bigrams
+    # ('a a','a a','a b') -> top share 2/3
+    assert r1.n_tokens == 4
+    assert r1.dup_token_frac == 0.5
+    assert r1.top_token_share == 0.75
+    assert abs(r1.top_bigram_share - 0.666667) < 1e-6
+    r2 = got[2]
+    assert r2.dup_token_frac == 0.0 and r2.top_token_share == 0.25
+    r3 = got[3]
+    assert r3.n_tokens == 1 and r3.top_bigram_share == 0.0
