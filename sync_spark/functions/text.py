@@ -43,8 +43,14 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def _shingle_expr(toks: Column, n: int) -> Column:
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    # sequence() generates DESCENDING when start > stop, and slice()
+    # then throws on start 0 — even when a guarding CASE branch is
+    # not taken, codegen may still evaluate this expression. Clamp
+    # the stop and filter, so docs shorter than n tokens yield []
+    # with every slice start ≥ 1.
+    last = F.size(toks) - n + 1
+    idx = F.filter(F.sequence(F.lit(1), F.greatest(last, F.lit(1))), lambda i: i <= last)
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
 def stopword_hits(text: Column, lang: str) -> Column:
@@ -147,3 +153,38 @@ def pii_counts(text: Column) -> tuple[Column, Column, Column]:
     after_phone = F.regexp_replace(after_email, PHONE_RE, "<PHONE>")
     n_ip = F.regexp_count(after_phone, F.lit(IPV4_RE))
     return n_email, n_phone, n_ip
+
+
+# --- BPE-style subword pre-tokenization + winnowing fingerprints ---
+
+# GPT-2-style pre-tokenizer, restricted to the Java-regex ∩ RE2 subset
+# (no lookahead): a leading space glues to the following word, runs of
+# letters / digits / other symbols split, residual whitespace is its
+# own token. Counted tokens approximate BPE pre-token counts (each BPE
+# merge happens INSIDE one pre-token, so this upper-bounds fused
+# tokens ~1:1 for natural text).
+BPE_PRETOKEN_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """Array of GPT-2-style pre-tokens. Group index 0 = whole match
+    (Spark defaults to group 1, which errors on a group-less
+    pattern)."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Budget-grade token estimate: BPE pre-token count (whitespace
+    token_count undercounts punctuation-heavy and CJK-adjacent text;
+    this is the standard cheap stand-in when the real tokenizer can't
+    run in the engine)."""
+    return F.size(bpe_pretokens(text))
+
+
+def winnow_hash(gram: Column) -> Column:
+    """56-bit k-gram hash for winnowing: first 14 hex digits of md5 —
+    chosen because DuckDB computes the identical value
+    (``CAST('0x'||substring(md5(g),1,14) AS BIGINT)``), making the
+    whole fingerprint pipeline oracle-checkable. At 100 TB swap in
+    xxhash64 (same structure, ~5× cheaper, no cross-engine need)."""
+    return F.conv(F.substring(F.md5(gram), 1, 14), 16, 10).cast("long")

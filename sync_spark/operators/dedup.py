@@ -310,3 +310,82 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def winnow_fingerprint_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken MOSS
+    scheme, public algorithm) as (doc_id, fp) rows: hash every token
+    k-gram, keep the MINIMUM hash of each ``window`` consecutive
+    k-grams, emit the distinct selected hashes.
+
+    Guarantee: any shared token run of length ≥ k + window - 1 between
+    two documents yields at least one shared fingerprint — the basis
+    for local (substring-level) near-dup detection, which
+    whole-document md5 (``fingerprint``) cannot see.
+
+    Shape: posexplode the k-grams (the shingle expression evaluates
+    ONCE per document in the generator — a nested Column-HOF sliding
+    window re-evaluated the whole hash array per window element,
+    quadratic in document length and measured minutes at sf0.1), then
+    one sliding ``min`` window frame over (doc_id, pos). ONE shuffle
+    on doc_id; rowsBetween truncates at the partition end, which IS
+    the short-document fallback (a doc with fewer k-grams than the
+    window keeps pos 0 = its global min). Hash is the 56-bit md5
+    prefix (see functions.text.winnow_hash) for DuckDB oracle parity.
+    """
+    from pyspark.sql.window import Window
+    from sync_spark.functions.text import winnow_hash
+    from sync_spark.functions.text import _shingle_expr  # noqa: internal by design
+
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+    grams = toks.select("doc_id", F.posexplode(_shingle_expr(F.col("toks"), k)).alias("pos", "g"))
+    hashed = grams.select("doc_id", "pos", winnow_hash(F.col("g")).alias("h"))
+    frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.currentRow, window - 1)
+    )
+    per_doc = Window.partitionBy("doc_id")
+    wins = hashed.withColumn("wmin", F.min("h").over(frame)).withColumn(
+        "n_hashes", F.count(F.lit(1)).over(per_doc)
+    )
+    picked = wins.filter((F.col("pos") <= F.col("n_hashes") - window) | (F.col("pos") == 0))
+    return picked.select("doc_id", F.col("wmin").alias("fp")).dropDuplicates(["doc_id", "fp"])
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_posting: int = 100,
+) -> DataFrame:
+    """Local near-dup candidate pairs: documents sharing ≥
+    ``min_shared`` winnowing fingerprints, with the shared count.
+    The MOSS shape: inverted index on fingerprint (boilerplate prints
+    appearing in > ``max_posting`` docs dropped — same hot-shingle
+    discipline as ngram_jaccard), pair counts from within-posting
+    joins. Σ posting² work, never n²; detects SHARED RUNS
+    (≥ k + window - 1 tokens) rather than whole-document similarity."""
+    from pyspark.sql.window import Window
+
+    fps = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window)
+    posting = Window.partitionBy("fp")
+    fps = fps.withColumn("posting", F.count(F.lit(1)).over(posting)).filter(
+        F.col("posting") <= max_posting
+    )
+    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

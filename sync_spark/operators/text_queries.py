@@ -534,3 +534,103 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips
 FROM stage2
 """
+
+
+def t_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: per language, whitespace token count
+    vs GPT-2-style pre-token count (the budget-grade estimate when the
+    real tokenizer can't run engine-side). Pure regexp Column exprs."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count(F.col("text"))).alias("ws_tokens"),
+            F.sum(T.bpe_token_count(F.col("text"))).alias("bpe_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+T_BPE_SQL = r"""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))) AS BIGINT) AS bpe_tokens
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# winnowing parameters for the registry queries (k-gram size, window)
+_WINNOW_K = 5
+_WINNOW_W = 4
+# fingerprints shared by more than this many docs are boilerplate —
+# dropped before pair generation (bounds posting-list join fan-out,
+# the same hot-shingle discipline as ngram_jaccard's max_posting)
+_WINNOW_MAX_POSTING = 100
+
+
+def t_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints per document as (doc_id, fp)
+    rows — the driver compares the full selected-hash sets
+    scalar-by-scalar against the DuckDB replay."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprint_rows(d, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W)
+
+
+def _winnow_sql_fragment() -> str:
+    """DuckDB replay of winnow_fingerprints(k=5, window=4): same
+    k-grams, same 56-bit md5-prefix hash, same window minima and
+    short-doc fallback."""
+    k, w = _WINNOW_K, _WINNOW_W
+    gram = " || ' ' || ".join(f"toks[i+{j}]" for j in range(k))
+    # same clamped window count as winnow_fingerprints: short docs
+    # take one truncated slice (= global min); list slicing past the
+    # end truncates in DuckDB exactly like F.slice in Spark
+    return f"""
+  SELECT doc_id,
+         list_sort(list_distinct(
+           CASE WHEN len(hashes) > 0 THEN
+             [ list_min(hashes[i : i + {w} - 1])
+               for i in range(1, greatest(len(hashes) - {w} + 1, 1) + 1) ]
+           ELSE CAST([] AS BIGINT[]) END
+         )) AS fps
+  FROM (
+    SELECT doc_id,
+           list_transform(
+             [ {gram} for i in range(1, len(toks) - {k} + 2) ],
+             g -> CAST('0x' || substring(md5(g), 1, 14) AS BIGINT)
+           ) AS hashes
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+  )
+"""
+
+
+T_WINNOW_SQL = f"""
+SELECT doc_id, unnest(fps) AS fp FROM ({_winnow_sql_fragment()})
+"""
+
+
+def d_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local (substring-level) near-dup candidate pairs: documents
+    sharing ≥ 2 winnowing fingerprints — see dedup.winnow_pairs."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.winnow_pairs(
+        d, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W,
+        min_shared=2, max_posting=_WINNOW_MAX_POSTING,
+    )
+
+
+D_WINNOW_PAIRS_SQL = f"""
+WITH fps AS (
+  SELECT doc_id, unnest(fps) AS fp FROM ({_winnow_sql_fragment()})
+), bounded AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, COUNT(*) OVER (PARTITION BY fp) AS posting FROM fps
+  ) WHERE posting <= {_WINNOW_MAX_POSTING}
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM bounded a JOIN bounded b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) >= 2
+"""

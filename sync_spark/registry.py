@@ -97,6 +97,9 @@ def _populate() -> None:
     register("d_embed_neardup_lsh", tq.d_embed_neardup_lsh, None)
     register("t_repetition", tq.t_repetition, tq.T_REPETITION_SQL)
     register("t_pii_redact", tq.t_pii_redact, tq.T_PII_SQL)
+    register("t_bpe_token_stats", tq.t_bpe_token_stats, tq.T_BPE_SQL)
+    register("t_winnow_fingerprints", tq.t_winnow_fingerprints, tq.T_WINNOW_SQL)
+    register("d_winnow_pairs", tq.d_winnow_pairs, tq.D_WINNOW_PAIRS_SQL)
 
     from sync_spark.operators import extended_queries as xq
 

@@ -47,3 +47,30 @@ def jst_daily_window_stats(
             "total",
         )
     )
+
+
+def dedup_events_within_watermark(
+    stream: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """At-least-once delivery dedup: drop redelivered change events
+    (same key + seq) inside the watermark horizon.
+
+    The reference's sources redeliver on reconnect (resume tokens /
+    binlog positions replay from the last checkpoint, e.g. the Mongo
+    resume path pkg/syncer/mongodb/mongodb.go:1561-1638 — cited for
+    parity) and rely on idempotent APPLY to absorb duplicates. That
+    absorbs them at the sink; this operator absorbs them IN-STREAM,
+    which matters when the consumer is an aggregation (a window count
+    would double-count a redelivered event — the sink MERGE can't help
+    there).
+
+    ``dropDuplicatesWithinWatermark`` keys state eviction to the
+    watermark: state is O(events inside the horizon), not O(all keys
+    ever seen) — the property that makes this safe on an unbounded
+    100 TB stream where plain dropDuplicates would grow state forever.
+    """
+    keys = key_cols if key_cols is not None else ["source_table", "key_json", "seq"]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

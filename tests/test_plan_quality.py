@@ -140,3 +140,13 @@ def test_repetition_and_pii_stay_jvm_side(spark, sf_small):
         assert "EvalPython" not in plan
     rep = plan_of(tq.t_repetition(spark, sf_small))
     assert "partial_max" in rep or "HashAggregate" in rep
+
+
+def test_winnow_pipeline_jvm_side(spark, sf_small):
+    """Winnowing is generator + window-function work: no Python nodes
+    anywhere, and the fingerprint/pair plans keep partial aggregation."""
+    for fn in (tq.t_winnow_fingerprints, tq.d_winnow_pairs, tq.t_bpe_token_stats):
+        plan = plan_of(fn(spark, sf_small))
+        assert "EvalPython" not in plan, plan[:500]
+    pairs = plan_of(tq.d_winnow_pairs(spark, sf_small))
+    assert "HashAggregate" in pairs

@@ -202,3 +202,47 @@ def test_jst_daily_watermark_replay(spark, tmp_path):
         ("2024-01-10", 3, 60.0),  # 10+20+30: out-of-order e3 counted, late e5 dropped
         ("2024-01-11", 2, 100.0),  # 40+60
     ]
+
+
+def test_dedup_within_watermark_protects_window_counts(spark, tmp_path):
+    """At-least-once redelivery: the same (key, seq) arriving twice
+    must not double-count in a downstream windowed aggregation.
+    dropDuplicatesWithinWatermark absorbs the replay in-stream."""
+    from sync_spark.streaming.windows import dedup_events_within_watermark
+
+    log = str(tmp_path / "dev")
+    write_event_batch(
+        log,
+        [
+            _ev(1, "2024-01-01T00:01:00Z"),
+            _ev(2, "2024-01-01T00:04:00Z"),
+        ],
+        1,
+    )
+    # simulated reconnect: seq 2 redelivered in a later file, plus a
+    # genuinely new event
+    write_event_batch(
+        log,
+        [
+            _ev(2, "2024-01-01T00:04:00Z"),
+            _ev(3, "2024-01-01T00:07:00Z"),
+        ],
+        2,
+    )
+    stream = dedup_events_within_watermark(read_event_stream(spark, log), watermark="30 minutes")
+    agg = stream.groupBy(F.window("ts", "5 minutes").alias("w"), "source_table").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("dedupout")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT date_format(w.start, 'HH:mm') AS s, n FROM dedupout ORDER BY s"
+    ).collect()
+    # without dedup this would read [("00:00", 3), ("00:05", 1)]
+    assert [(r.s, r.n) for r in rows] == [("00:00", 2), ("00:05", 1)]

@@ -75,3 +75,72 @@ def test_repetition_signals_crafted(spark):
     assert r2.dup_token_frac == 0.0 and r2.top_token_share == 0.25
     r3 = got[3]
     assert r3.n_tokens == 1 and r3.top_bigram_share == 0.0
+
+
+# --- BPE pre-tokens + winnowing fingerprints ---
+
+
+def test_bpe_token_count_vs_whitespace(spark):
+    df = spark.createDataFrame([Row(t="hello, world! 42x")])
+    row = df.select(
+        T.token_count(F.col("t")).alias("ws"),
+        T.bpe_token_count(F.col("t")).alias("bpe"),
+        T.bpe_pretokens(F.col("t")).alias("pre"),
+    ).collect()[0]
+    # whitespace sees 3 tokens; the pre-tokenizer splits punctuation
+    # and the digit/letter boundary: hello , _world ! _42 x
+    assert row.ws == 3
+    assert row.pre == ["hello", ",", " world", "!", " 42", "x"]
+    assert row.bpe == 6
+
+
+def _winnow_sets(df):
+    from sync_spark.operators.dedup import winnow_fingerprint_rows
+
+    out = {}
+    for r in winnow_fingerprint_rows(df, "text", "doc_id", k=5, window=4).collect():
+        out.setdefault(r.doc_id, set()).add(r.fp)
+    return out
+
+
+def test_winnow_shared_run_guarantees_shared_fingerprint(spark):
+    # guarantee: a shared token run of length >= k + w - 1 (= 8 with
+    # k=5, w=4) yields at least one common fingerprint
+    run = "q w e r t y u i"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aa bb " + run + " cc"),
+            Row(doc_id=2, text="zz " + run + " xx yy"),
+            Row(doc_id=3, text="totally different words here for contrast pad pad"),
+        ]
+    )
+    by_id = _winnow_sets(df)
+    assert by_id[1] & by_id[2], "shared 8-token run must share a fingerprint"
+    assert not (by_id[1] & by_id[3])
+
+
+def test_winnow_short_doc_fallbacks(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e f"),  # 2 k-grams < window -> 1 global-min fp
+            Row(doc_id=2, text="a b c"),  # < k tokens -> no fingerprints
+        ]
+    )
+    got = _winnow_sets(df)
+    assert len(got[1]) == 1
+    assert 2 not in got  # no k-grams -> no rows
+
+
+def test_winnow_pairs_crafted(spark):
+    from sync_spark.operators.dedup import winnow_pairs
+
+    run = "q w e r t y u i o p a s"  # 12 shared tokens
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aa bb " + run + " cc dd"),
+            Row(doc_id=2, text="zz " + run + " xx yy ww"),
+            Row(doc_id=3, text="totally different words here for contrast pad pad"),
+        ]
+    )
+    pairs = winnow_pairs(df, "text", "doc_id", k=5, window=4, min_shared=1).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
