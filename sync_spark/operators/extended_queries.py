@@ -365,3 +365,60 @@ def a_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join: events inside derived "campaign windows" (no equi key)
+# ---------------------------------------------------------------------------
+
+
+def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join with NO equi key: campaign windows =
+    [first event of each (type, day), +2h); count/sum every event —
+    any type, any user — falling inside each window. Binned equi-join
+    rewrite (see temporal.range_join_binned); the oracle does the
+    naive BETWEEN join."""
+    from sync_spark.operators.temporal import range_join_binned
+
+    ev = _t(spark, sf_dir, "events")
+    windows = (
+        ev.groupBy(F.col("event_type").alias("w_type"), F.to_date("ts").alias("w_day"))
+        .agg(F.min("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 2 HOURS"))
+    )
+    joined = range_join_binned(
+        ev.select("event_id", "ts", "value"),
+        windows,
+        ts_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bin_seconds=7200,
+    )
+    return (
+        joined.groupBy("w_type", "w_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_window"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "w_type",
+            F.date_format("w_day", "yyyy-MM-dd").alias("w_day_str"),
+            "n_in_window",
+            "sum_value",
+        )
+    )
+
+
+X_RANGE_SQL = """
+WITH windows AS (
+  SELECT event_type AS w_type, CAST(ts AS DATE) AS w_day, MIN(ts) AS w_start,
+         MIN(ts) + INTERVAL 2 HOUR AS w_end
+  FROM events GROUP BY 1, 2
+)
+SELECT w.w_type, strftime(w.w_day, '%Y-%m-%d') AS w_day_str,
+       COUNT(*) AS n_in_window,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e JOIN windows w
+  ON e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY 1, 2
+"""

@@ -103,3 +103,47 @@ def sessionize(
         "session_id",
         F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def range_join_binned(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Range (interval-containment) join without an equi key:
+    ``left.ts ∈ [start, end)`` — half-open, so touching intervals
+    never double-match a boundary timestamp.
+
+    Spark's planner turns a bare range predicate into
+    BroadcastNestedLoopJoin (O(|left|·|intervals|) — the 100 TB
+    killer). This rewrites it as an equi join on a time BIN: each
+    left row carries floor(ts / bin), each interval explodes into
+    the bins it touches, and bin equality becomes the join key with
+    the exact range predicate as a post-filter. A (row, interval)
+    match lands in exactly ONE bin — the row's own — so no dedup is
+    needed. Work is |left| + Σ interval_bins candidate rows through
+    one shuffle; choose ``bin_seconds`` ≈ the typical interval length
+    (each interval then explodes into ~2 bins).
+
+    Binning uses second-truncated timestamps on BOTH sides —
+    truncation is monotonic, so candidate bins only ever widen and
+    the exact predicate keeps correctness to the microsecond.
+    """
+    lb = left.withColumn("__bin", F.floor(F.unix_timestamp(F.col(ts_col)) / bin_seconds))
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start_col)) / bin_seconds),
+                F.floor(F.unix_timestamp(F.col(end_col)) / bin_seconds),
+            )
+        ),
+    )
+    return (
+        lb.join(iv, "__bin")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("__bin")
+    )

@@ -104,6 +104,7 @@ def _populate() -> None:
     from sync_spark.operators import extended_queries as xq
 
     register("x_asof_join", xq.x_asof_join, xq.X_ASOF_SQL)
+    register("x_range_join", xq.x_range_join, xq.X_RANGE_SQL)
     register("x_sessionize", xq.x_sessionize, xq.X_SESSION_SQL)
     register("s21_sql_passthrough", xq.s21_sql_passthrough, xq.S21_SQL)
     register("a_pivot_daily_types", xq.a_pivot_daily_types, xq.A_PIVOT_SQL)

@@ -197,3 +197,38 @@ def test_embed_neardup_null_embedding_dropped(spark):
     )
     got = similarity.embed_neardup_exact(df, threshold=0.5, n_blocks=2).collect()
     assert {(r.id1, r.id2) for r in got} == {(0, 2)}
+
+
+# --- binned range join ---
+
+
+def test_range_join_binned_boundaries(spark):
+    """Half-open [start, end): start included, end excluded; matches
+    across bin boundaries are found; no duplicate matches when an
+    interval spans several bins."""
+    import datetime as dt
+
+    from sync_spark.operators.temporal import range_join_binned
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes, micros=0):
+        return t0 + dt.timedelta(minutes=minutes, microseconds=micros)
+
+    left = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=ts(0)),        # == start -> in
+            Row(event_id=2, ts=ts(90)),       # mid-interval, crosses 1h bin
+            Row(event_id=3, ts=ts(120)),      # == end -> out
+            Row(event_id=4, ts=ts(119, 999999)),  # just inside
+            Row(event_id=5, ts=ts(-1)),       # before -> out
+        ]
+    )
+    intervals = spark.createDataFrame([Row(w_id=10, s=ts(0), e=ts(120))])
+    got = sorted(
+        r.event_id
+        for r in range_join_binned(
+            left, intervals, ts_col="ts", start_col="s", end_col="e", bin_seconds=3600
+        ).collect()
+    )
+    assert got == [1, 2, 4]

@@ -150,3 +150,16 @@ def test_winnow_pipeline_jvm_side(spark, sf_small):
         assert "EvalPython" not in plan, plan[:500]
     pairs = plan_of(tq.d_winnow_pairs(spark, sf_small))
     assert "HashAggregate" in pairs
+
+
+def test_range_join_no_nested_loop(spark, sf_small):
+    """The bare range predicate would plan BroadcastNestedLoopJoin;
+    the binned rewrite must plan an equi join (hash or sort-merge)."""
+    from sync_spark.operators.extended_queries import x_range_join
+
+    plan = plan_of(x_range_join(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
