@@ -46,16 +46,19 @@ def connected_components(
     - larger: the checkpointed min-label-propagation loop below, one
       join + one aggregation per round.
     """
-    # ONE capped collect decides the regime AND feeds union-find —
-    # a separate count() probe would evaluate the (expensive)
-    # pair-join lineage twice
-    head = edges.select("id_a", "id_b").limit(driver_threshold + 1).collect()
+    # materialize the (expensive) pair lineage exactly ONCE, fully in
+    # parallel: a bare limit().collect() executes CollectLimit's
+    # incremental partial jobs (measured +20% on the sf0.1 pair join),
+    # and the distributed loop would re-evaluate the whole pair join a
+    # second time when building `both`. MEMORY_AND_DISK checkpoint
+    # storage spills rather than OOMs if the edge list is huge.
+    edges_m = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    head = edges_m.limit(driver_threshold + 1).collect()
     if len(head) <= driver_threshold:
         return _driver_union_find(nodes, head, id_col)
-    both = edges.select(
+    both = edges_m.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    both = both.localCheckpoint(eager=True)
+    ).unionByName(edges_m.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
 
     # only edge-touched nodes participate in propagation; singletons
     # are trivially their own cluster and skip the loop entirely
