@@ -404,3 +404,46 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share
+    ≥ ``min_shared`` winnowing fingerprints with ANY benchmark
+    document — i.e. contain a verbatim token run of ≥ k + window - 1
+    tokens from the eval set (the standard n-gram-overlap
+    decontamination criterion for training corpora).
+
+    Returns (doc_id, n_hits, contaminated): every corpus doc, with the
+    count of distinct (fingerprint, benchmark-doc) collisions.
+
+    Scale: both sides reduce to fingerprint rows (winnowing keeps
+    ~1/window of the k-grams); the probe is a broadcast-size join when
+    the benchmark is small (the usual case — eval sets are MBs against
+    a 100 TB corpus), falling back to a shuffle join on fp otherwise —
+    Spark picks via size estimate, no operator change needed."""
+    cfp = winnow_fingerprint_rows(corpus, text_col, id_col, k=k, window=window)
+    bfp = winnow_fingerprint_rows(benchmark, text_col, id_col, k=k, window=window).select(
+        F.col("fp"), F.col("doc_id").alias("bench_id")
+    )
+    hits = (
+        cfp.join(bfp, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_shared).alias("contaminated"),
+        )
+    )

@@ -634,3 +634,38 @@ WHERE a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING COUNT(*) >= 2
 """
+
+
+def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the synthetic corpus: docs from
+    source 'src0' act as the held-out eval set; every other document
+    is flagged if it shares a winnowing fingerprint (≥ 8-token
+    verbatim run) with any eval doc. See dedup.decontaminate."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    return dedup.decontaminate(
+        corpus, bench, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W, min_shared=1
+    )
+
+
+D_DECONTAM_SQL = f"""
+WITH allfps AS (
+  SELECT f.doc_id, f.fp, d.source
+  FROM (SELECT doc_id, unnest(fps) AS fp FROM ({_winnow_sql_fragment()})) f
+  JOIN documents d USING (doc_id)
+), cfp AS (
+  SELECT doc_id, fp FROM allfps WHERE source <> 'src0'
+), bfp AS (
+  SELECT doc_id AS bench_id, fp FROM allfps WHERE source = 'src0'
+), hits AS (
+  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM cfp c JOIN bfp b USING (fp)
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN hits h USING (doc_id)
+"""

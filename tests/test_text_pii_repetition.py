@@ -144,3 +144,20 @@ def test_winnow_pairs_crafted(spark):
     )
     pairs = winnow_pairs(df, "text", "doc_id", k=5, window=4, min_shared=1).collect()
     assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+
+
+def test_decontaminate_crafted(spark):
+    from sync_spark.operators.dedup import decontaminate
+
+    leak = "alpha beta gamma delta epsilon zeta eta theta"  # 8-token run
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text="eval question: " + leak + " answer here")]
+    )
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="training doc with " + leak + " copied verbatim"),
+            Row(doc_id=2, text="a perfectly clean training document about other things"),
+        ]
+    )
+    got = {r.doc_id: r.contaminated for r in decontaminate(corpus, bench, k=5, window=4).collect()}
+    assert got == {1: True, 2: False}
