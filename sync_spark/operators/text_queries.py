@@ -669,3 +669,44 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
 LEFT JOIN hits h USING (doc_id)
 """
+
+
+# per-language sampling rates (percent) for the stratified-sample
+# registry query: downsample overrepresented languages, keep the rest
+_STRATA_PCT = {"en": 40, "zh": 60, "es": 80}
+_STRATA_DEFAULT_PCT = 100
+
+
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the reproducible
+    alternative to rng sampling for corpus curation: a document is
+    kept iff md5_56(doc_id) mod 100 < rate(lang). Same doc set on
+    every run, every engine, any partitioning (the property rand()
+    sampling can't give); rates per stratum rebalance the language
+    mix. The hash is the same 56-bit md5 prefix as winnowing, so the
+    DuckDB oracle reproduces the exact sample."""
+    d = _t(spark, sf_dir, "documents")
+    rate = F.lit(_STRATA_DEFAULT_PCT)
+    for lang, pct in sorted(_STRATA_PCT.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    bucket = F.pmod(T.winnow_hash(F.col("doc_id").cast("string")), F.lit(100))
+    return (
+        d.withColumn("rate_pct", rate)
+        .filter(bucket < F.col("rate_pct"))
+        .select("doc_id", "lang", "rate_pct")
+    )
+
+
+def _strata_sql_case() -> str:
+    arms = "".join(
+        f" WHEN lang = '{lang}' THEN {pct}" for lang, pct in sorted(_STRATA_PCT.items())
+    )
+    return f"CASE{arms} ELSE {_STRATA_DEFAULT_PCT} END"
+
+
+T_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, {_strata_sql_case()} AS rate_pct
+FROM documents
+WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT) % 100
+      < {_strata_sql_case()}
+"""

@@ -161,3 +161,23 @@ def test_decontaminate_crafted(spark):
     )
     got = {r.doc_id: r.contaminated for r in decontaminate(corpus, bench, k=5, window=4).collect()}
     assert got == {1: True, 2: False}
+
+
+def test_stratified_sample_deterministic_and_rate(spark, sf_small):
+    from sync_spark.operators.text_queries import t_stratified_sample
+
+    a = {r.doc_id for r in t_stratified_sample(spark, sf_small).collect()}
+    b = {r.doc_id for r in t_stratified_sample(spark, sf_small).collect()}
+    assert a == b  # hash sampling: same set every run
+    # en stratum targets 40%: binomial bound, generous at 500 docs
+    from sync_spark.operators.relational import _t
+    from pyspark.sql import functions as FF
+
+    docs = _t(spark, sf_small, "documents")
+    n_en = docs.filter(FF.col("lang") == "en").count()
+    kept_en = (
+        docs.filter(FF.col("lang") == "en")
+        .join(spark.createDataFrame([(i,) for i in a], "doc_id long"), "doc_id")
+        .count()
+    )
+    assert 0.2 <= kept_en / n_en <= 0.6
