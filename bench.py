@@ -32,6 +32,10 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query numbers measure
     # the queries, not session startup
     next(iter(specs.values())).spark_fn(spark, sf_dir).count()
+    # spin up the Python worker pool too (daemon fork + numpy/pandas
+    # imports, ~4s one-time): otherwise the alphabetically-first
+    # pandas-kernel query eats session infrastructure cost
+    spark.range(32).repartition(32).mapInArrow(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
