@@ -236,19 +236,28 @@ def chk_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id1", "id2", F.col("cosine").alias("lsh_cos")
     )
     j = exact.join(lsh, ["id1", "id2"], "full")
-    n_exact = F.sum(F.when(F.col("exact_cos").isNotNull(), 1).otherwise(0))
-    matched = F.sum(
-        F.when(F.col("exact_cos").isNotNull() & F.col("lsh_cos").isNotNull(), 1).otherwise(0)
+    # coalesce every ungrouped sum: with ZERO near-dup pairs (data /
+    # threshold dependent) the join is empty and bare sums would all
+    # be NULL — turning the gate row itself into a hash mismatch
+    n_exact = F.coalesce(F.sum(F.when(F.col("exact_cos").isNotNull(), 1).otherwise(0)), F.lit(0))
+    matched = F.coalesce(
+        F.sum(
+            F.when(F.col("exact_cos").isNotNull() & F.col("lsh_cos").isNotNull(), 1).otherwise(0)
+        ),
+        F.lit(0),
     )
     return j.agg(
         n_exact.cast("long").alias("n_exact_pairs"),
-        F.sum(F.when(F.col("exact_cos").isNull(), 1).otherwise(0))
+        F.coalesce(F.sum(F.when(F.col("exact_cos").isNull(), 1).otherwise(0)), F.lit(0))
         .cast("long")
         .alias("nonsubset_pairs"),
-        F.sum(
-            F.when(
-                F.col("lsh_cos").isNotNull() & (F.col("lsh_cos") != F.col("exact_cos")), 1
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("lsh_cos").isNotNull() & (F.col("lsh_cos") != F.col("exact_cos")), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("long")
         .alias("cosine_mismatches"),

@@ -243,7 +243,9 @@ def embed_neardup_exact(
     matmul is where vectorized Python beats Column HOFs ~100×; 4M
     zip_with/aggregate pairs measured minutes where the tiled kernel
     takes <1s). No collect, no driver broadcast of the corpus:
-    replication is ×(n_blocks+1) rows through one shuffle, work is
+    replication is ×n_blocks rows through one shuffle (a block-b
+    vector joins tiles (b, b..B-1) as side a and (0..b-1, b) as
+    side b — B copies total), work is
     Σ|bi|·|bj| spread over B(B+1)/2 independent tasks. At 100 TB you
     raise n_blocks so a tile fits executor memory (tasks grow as B²,
     per-task memory shrinks as 1/B) — or switch to the LSH variant

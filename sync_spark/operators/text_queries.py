@@ -385,9 +385,9 @@ def repetition_signals(d: DataFrame, text_col: str = "text", id_col: str = "doc_
     most of the work; no document ever leaves one reducer), then three
     same-key joins that AQE plans as local joins on the doc_id
     partitioning. No UDFs, no driver loops."""
-    toks = d.select(
-        F.col(id_col).alias("doc_id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
-    )
+    # shared tokens() helper: empty/whitespace-only text → [] (raw
+    # split would yield [''] and report a phantom token)
+    toks = d.select(F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("toks"))
     base = toks.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
@@ -423,12 +423,22 @@ def repetition_signals(d: DataFrame, text_col: str = "text", id_col: str = "doc_
         .select(
             "doc_id",
             "n_tokens",
-            F.round(
-                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
-            ).alias("dup_token_frac"),
-            F.round(
-                F.coalesce(F.col("top_tok_n"), F.lit(0)).cast("double") / F.col("n_tokens"), 6
-            ).alias("top_token_share"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+                )
+            )
+            .alias("dup_token_frac"),
+            F.when(F.col("n_tokens") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce(F.col("top_tok_n"), F.lit(0)).cast("double")
+                    / F.col("n_tokens"),
+                    6,
+                )
+            )
+            .alias("top_token_share"),
             F.when(F.col("n_tokens") <= 1, F.lit(0.0))
             .otherwise(
                 F.round(
@@ -450,7 +460,10 @@ def t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T_REPETITION_SQL = r"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
 ), base AS (
   SELECT doc_id, len(toks) AS n_tokens, len(list_distinct(toks)) AS n_distinct FROM t
 ), tok AS (
@@ -467,8 +480,10 @@ WITH t AS (
   SELECT doc_id, MAX(c) AS top_bigram_n FROM bc GROUP BY doc_id
 )
 SELECT b.doc_id, b.n_tokens,
-       round(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) AS dup_token_frac,
-       round(CAST(COALESCE(tt.top_tok_n, 0) AS DOUBLE) / b.n_tokens, 6) AS top_token_share,
+       CASE WHEN b.n_tokens = 0 THEN 0.0
+            ELSE round(1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_tokens, 6) END AS dup_token_frac,
+       CASE WHEN b.n_tokens = 0 THEN 0.0
+            ELSE round(CAST(COALESCE(tt.top_tok_n, 0) AS DOUBLE) / b.n_tokens, 6) END AS top_token_share,
        CASE WHEN b.n_tokens <= 1 THEN 0.0
             ELSE round(CAST(COALESCE(tb.top_bigram_n, 0) AS DOUBLE) / (b.n_tokens - 1), 6)
        END AS top_bigram_share
@@ -554,7 +569,8 @@ def t_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T_BPE_SQL = r"""
 SELECT lang, COUNT(*) AS n_docs,
-       CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS ws_tokens,
+       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS ws_tokens,
        CAST(SUM(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))) AS BIGINT) AS bpe_tokens
 FROM documents GROUP BY lang ORDER BY lang
 """

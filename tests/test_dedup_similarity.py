@@ -232,3 +232,36 @@ def test_range_join_binned_boundaries(spark):
         ).collect()
     )
     assert got == [1, 2, 4]
+
+
+def test_embed_neardup_chk_gate_survives_empty_pair_set(spark, sf_small):
+    """With a threshold nothing reaches, the gate must still emit the
+    (0, 0, 0, True) row — not NULLs from empty ungrouped sums."""
+    from sync_spark.operators import check_queries as ck
+    from sync_spark.operators import text_queries as tq
+
+    emb = _t(spark, sf_small, "embeddings")
+    exact = similarity.embed_neardup_exact(emb, threshold=0.999).select(
+        "id1", "id2", F.col("cosine").alias("exact_cos")
+    )
+    lsh = similarity.embed_neardup_lsh(emb, threshold=0.999).select(
+        "id1", "id2", F.col("cosine").alias("lsh_cos")
+    )
+    assert exact.count() == 0
+    j = exact.join(lsh, ["id1", "id2"], "full")
+    n_exact = F.coalesce(F.sum(F.when(F.col("exact_cos").isNotNull(), 1).otherwise(0)), F.lit(0))
+    row = j.agg(
+        n_exact.cast("long").alias("n"),
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("exact_cos").isNotNull() & F.col("lsh_cos").isNotNull(), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            >= n_exact * F.lit(ck.EMBED_NEARDUP_RECALL_FLOOR)
+        ).alias("ok"),
+    ).collect()[0]
+    assert (row.n, row.ok) == (0, True)

@@ -181,3 +181,11 @@ def test_stratified_sample_deterministic_and_rate(spark, sf_small):
         .count()
     )
     assert 0.2 <= kept_en / n_en <= 0.6
+
+
+def test_repetition_signals_empty_text(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="   "), Row(doc_id=2, text="a b")])
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert got[1].n_tokens == 0
+    assert got[1].dup_token_frac == 0.0 and got[1].top_token_share == 0.0
+    assert got[2].n_tokens == 2
