@@ -265,3 +265,37 @@ def test_embed_neardup_chk_gate_survives_empty_pair_set(spark, sf_small):
         ).alias("ok"),
     ).collect()[0]
     assert (row.n, row.ok) == (0, True)
+
+
+def test_embed_neardup_property_random_frames(spark):
+    """Property sweep: the tiled kernel must equal a numpy brute-force
+    reference on random vector sets across dims / block counts /
+    thresholds (one Spark job per case keeps the sweep fast)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    for trial, (n, dim, blocks, tau) in enumerate(
+        [(23, 8, 3, 0.5), (40, 16, 5, 0.3), (17, 4, 8, 0.7), (31, 12, 2, 0.0)]
+    ):
+        X = rng.randn(n, dim).astype(np.float32)
+        # plant a few near-identical pairs so high thresholds hit
+        X[1] = X[0] + 0.01 * rng.randn(dim).astype(np.float32)
+        X[5] = -X[4]
+        df = spark.createDataFrame(
+            [Row(vec_id=i, embedding=[float(x) for x in X[i]]) for i in range(n)]
+        )
+        got = {
+            (r.id1, r.id2): r.cosine
+            for r in similarity.embed_neardup_exact(df, threshold=tau, n_blocks=blocks).collect()
+        }
+        # reference: same quantized-int arithmetic in numpy
+        Q = np.round(X.astype(np.float64) * 1_000_000).astype(np.int64)
+        D = Q @ Q.T
+        nrm = np.sqrt(np.diag(D).astype(np.float64))
+        want = {}
+        for i in range(n):
+            for j in range(i + 1, n):
+                c = round(float(D[i, j]) / (nrm[i] * nrm[j]), 6)
+                if c >= tau:
+                    want[(i, j)] = c
+        assert got == want, f"trial {trial}: {len(got)} vs {len(want)}"
