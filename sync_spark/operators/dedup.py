@@ -48,16 +48,19 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     toks = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     )
+    # clamped + filtered index, not a bare sequence(0, size-n): for a
+    # doc shorter than n tokens sequence() would generate DESCENDING
+    # indices and element_at(toks, 0) throws — and a guarding CASE
+    # branch is not reliably skipped under codegen (the same hazard
+    # bit functions.text._shingle_expr; robust by construction beats
+    # robust by codegen luck)
+    last = F.size("toks") - n + 1
+    idx = F.filter(F.sequence(F.lit(1), F.greatest(last, F.lit(1))), lambda i: i <= last)
     gram = F.transform(
-        F.sequence(F.lit(0), F.size("toks") - n),
-        lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j + 1) for j in range(n)]),
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(n)]),
     )
-    return toks.select(
-        "doc_id",
-        F.when(F.size("toks") >= n, F.array_distinct(gram))
-        .otherwise(F.array().cast("array<string>"))
-        .alias("sh"),
-    )
+    return toks.select("doc_id", F.array_distinct(gram).alias("sh"))
 
 
 # most-recent persisted shingle table; bounded-leak discipline for
@@ -390,7 +393,13 @@ def winnow_pairs(
     (≥ k + window - 1 tokens) rather than whole-document similarity."""
     from pyspark.sql.window import Window
 
-    fps = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window)
+    # materialize the fingerprint rows ONCE: they feed both sides of
+    # the self-join below, and without a barrier Catalyst evaluates
+    # the whole tokenize → md5 → sliding-min pipeline twice (the same
+    # double-eval discipline as _doc_shingles_cached)
+    fps = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window).localCheckpoint(
+        eager=True
+    )
     posting = Window.partitionBy("fp")
     fps = fps.withColumn("posting", F.count(F.lit(1)).over(posting)).filter(
         F.col("posting") <= max_posting

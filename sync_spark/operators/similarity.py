@@ -223,6 +223,56 @@ def ivf_topk(
     return _scored_topk(c, q, k, on="cell")
 
 
+_EMPTY_PAIR_FRAME = pd.DataFrame({k: [] for k in ("id1", "id2", "dot", "n1", "n2")})
+
+
+def _neardup_kernel_pairs(ids_a, Xa, na, ids_b, Xb, nb, loose: float, same_side: bool):
+    """Shared verify kernel for BOTH near-dup paths (exact tiles and
+    LSH buckets): dense int64 dot matrix, loose-bound prefilter, and
+    id1 < id2 normalization. One definition so the quantization /
+    bound / orientation discipline can't drift between the two
+    operators (chk_embed_neardup cross-checks them against each
+    other)."""
+    D = Xa @ Xb.T  # exact int64 dots (|q|≤1e6, dims ≤ ~1e4 ⇒ no overflow)
+    bound = loose * np.sqrt(na.astype(np.float64))[:, None] * np.sqrt(
+        nb.astype(np.float64)
+    )[None, :]
+    mask = D >= bound
+    if same_side:
+        # both orientations of a pair are present — keep one
+        mask &= ids_a[:, None] < ids_b[None, :]
+    ii, jj = np.nonzero(mask)
+    if same_side:
+        lo, hi, n_lo, n_hi = ids_a[ii], ids_b[jj], na[ii], nb[jj]
+    else:
+        # off-diagonal tiles hold each unordered pair exactly once but
+        # in arbitrary id order — normalize to id1 < id2 (norms follow
+        # their ids; the dot is symmetric)
+        lo = np.minimum(ids_a[ii], ids_b[jj])
+        hi = np.maximum(ids_a[ii], ids_b[jj])
+        n_lo = np.where(ids_a[ii] <= ids_b[jj], na[ii], nb[jj])
+        n_hi = np.where(ids_a[ii] <= ids_b[jj], nb[jj], na[ii])
+    return pd.DataFrame({"id1": lo, "id2": hi, "dot": D[ii, jj], "n1": n_lo, "n2": n_hi})
+
+
+def _emit_cosine(emitted: DataFrame, threshold: float) -> DataFrame:
+    """Shared scoring tail: the ONE double division/sqrt/round over
+    the kernel's exact-integer (dot, n1, n2) — bit-identical to the
+    DuckDB oracle's arithmetic."""
+    return (
+        emitted.withColumn(
+            "cosine",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("n2").cast("double"))),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
 def embed_neardup_exact(
     corpus: DataFrame,
     threshold: float = 0.35,
@@ -261,6 +311,12 @@ def embed_neardup_exact(
         corpus.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("vid"), _quantize(F.col(vec_col)).alias("qv"))
         .withColumn("nrm", _norm2(F.col("qv")))
+        # zero-norm vectors (all-zero/empty embeddings) can never reach
+        # a positive threshold, but they collapse the kernel's loose
+        # bound to 0 and would push O(z·n/B) junk candidate rows
+        # through the shuffle — drop them up front (the oracle's 0/0
+        # cosine is NULL and fails >= τ, so results are identical)
+        .filter(F.col("nrm") > 0)
         .withColumn("blk", F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks)).cast("int"))
     )
     spark = corpus.sparkSession
@@ -282,57 +338,27 @@ def embed_neardup_exact(
     # boundary decision stays Column-side on the rounded cosine
     loose = threshold - 1e-6
 
-    _empty = pd.DataFrame({k: [] for k in ("id1", "id2", "dot", "n1", "n2")})
-
     def _tile_pairs(key, pdf):
         a = pdf[pdf["side"] == "a"]
         if not len(a):
-            return _empty
+            return _EMPTY_PAIR_FRAME
         ids_a = a["vid"].to_numpy()
         Xa = np.asarray(list(a["qv"]), dtype=np.int64)
         na = a["nrm"].to_numpy()
         if key[1] == key[2]:  # diagonal: combinations within the tile
-            ids_b, Xb, nb = ids_a, Xa, na
-        else:
-            b = pdf[pdf["side"] == "b"]
-            if not len(b):
-                return _empty
-            ids_b = b["vid"].to_numpy()
-            Xb = np.asarray(list(b["qv"]), dtype=np.int64)
-            nb = b["nrm"].to_numpy()
-        D = Xa @ Xb.T  # exact int64 dots (|q|≤1e6, dims ≤ ~1e4 ⇒ no overflow)
-        bound = loose * np.sqrt(na.astype(np.float64))[:, None] * np.sqrt(
-            nb.astype(np.float64)
-        )[None, :]
-        mask = D >= bound
-        if key[1] == key[2]:
-            # within one tile both orientations appear — keep one
-            mask &= ids_a[:, None] < ids_b[None, :]
-        ii, jj = np.nonzero(mask)
-        # off-diagonal tiles hold each unordered pair exactly once but
-        # in arbitrary id order — normalize to id1 < id2 (norms follow
-        # their ids; the dot is symmetric)
-        lo = np.minimum(ids_a[ii], ids_b[jj])
-        hi = np.maximum(ids_a[ii], ids_b[jj])
-        n_lo = np.where(ids_a[ii] <= ids_b[jj], na[ii], nb[jj])
-        n_hi = np.where(ids_a[ii] <= ids_b[jj], nb[jj], na[ii])
-        return pd.DataFrame({"id1": lo, "id2": hi, "dot": D[ii, jj], "n1": n_lo, "n2": n_hi})
+            return _neardup_kernel_pairs(ids_a, Xa, na, ids_a, Xa, na, loose, same_side=True)
+        b = pdf[pdf["side"] == "b"]
+        if not len(b):
+            return _EMPTY_PAIR_FRAME
+        ids_b = b["vid"].to_numpy()
+        Xb = np.asarray(list(b["qv"]), dtype=np.int64)
+        nb = b["nrm"].to_numpy()
+        return _neardup_kernel_pairs(ids_a, Xa, na, ids_b, Xb, nb, loose, same_side=False)
 
     emitted = tiles.groupBy("pair", "bi", "bj").applyInPandas(
         _tile_pairs, "id1 long, id2 long, dot long, n1 long, n2 long"
     )
-    return (
-        emitted.withColumn(
-            "cosine",
-            F.round(
-                F.col("dot").cast("double")
-                / (F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("n2").cast("double"))),
-                6,
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("id1", "id2", "cosine")
-    )
+    return _emit_cosine(emitted, threshold)
 
 
 def embed_neardup_lsh(
@@ -375,51 +401,35 @@ def embed_neardup_lsh(
         .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("raw"))
         .withColumn("qv", _quantize(F.col("raw")))
         .withColumn("nrm", _norm2(F.col("qv")))
+        # same zero-norm guard as embed_neardup_exact (the loose bound
+        # degenerates to 0 for them — junk candidates, never matches)
+        .filter(F.col("nrm") > 0)
         .withColumn("bids", bucket_ids_udf(F.col("raw")))
         .select("vid", "qv", "nrm", F.posexplode("bids").alias("tbl", "bucket"))
     )
-    # verify INSIDE each (tbl, bucket) group with the same dense int64
-    # tile kernel as embed_neardup_exact: candidate pairs are scored
-    # where they collide and only ≥-threshold pairs ever leave the
-    # kernel — a same-key equi-self-join here materialized ~n²/2^planes
-    # candidate rows per table through the shuffle just to drop almost
-    # all of them (measured 31s vs 4s at sf0.1 for the same recall)
+    # verify INSIDE each (tbl, bucket) group with the SHARED dense
+    # int64 kernel (_neardup_kernel_pairs — one definition with the
+    # exact path): candidate pairs are scored where they collide and
+    # only ≥-threshold pairs ever leave the kernel — a same-key
+    # equi-self-join here materialized ~n²/2^planes candidate rows per
+    # table through the shuffle just to drop almost all of them
+    # (measured 31s vs 4s at sf0.1 for the same recall)
     loose = threshold - 1e-6
-    _empty = pd.DataFrame({k: [] for k in ("id1", "id2", "dot", "n1", "n2")})
 
     def _bucket_pairs(key, pdf):
         if len(pdf) < 2:
-            return _empty
+            return _EMPTY_PAIR_FRAME
         ids = pdf["vid"].to_numpy()
         X = np.asarray(list(pdf["qv"]), dtype=np.int64)
         nn = pdf["nrm"].to_numpy()
-        D = X @ X.T
-        bound = loose * np.sqrt(nn.astype(np.float64))[:, None] * np.sqrt(
-            nn.astype(np.float64)
-        )[None, :]
-        ii, jj = np.nonzero((D >= bound) & (ids[:, None] < ids[None, :]))
-        return pd.DataFrame(
-            {"id1": ids[ii], "id2": ids[jj], "dot": D[ii, jj], "n1": nn[ii], "n2": nn[jj]}
-        )
+        return _neardup_kernel_pairs(ids, X, nn, ids, X, nn, loose, same_side=True)
 
     emitted = v.groupBy("tbl", "bucket").applyInPandas(
         _bucket_pairs, "id1 long, id2 long, dot long, n1 long, n2 long"
     )
-    return (
-        emitted.withColumn(
-            "cosine",
-            F.round(
-                F.col("dot").cast("double")
-                / (F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("n2").cast("double"))),
-                6,
-            ),
-        )
-        .filter(F.col("cosine") >= threshold)
-        # a true pair collides in several tables — the score is
-        # identical in each, so keep one copy
-        .dropDuplicates(["id1", "id2"])
-        .select("id1", "id2", "cosine")
-    )
+    # a true pair collides in several tables — the score is identical
+    # in each, so keep one copy
+    return _emit_cosine(emitted, threshold).dropDuplicates(["id1", "id2"])
 
 
 def ann_lsh_topk(
