@@ -10,12 +10,15 @@ Design for 100 TB of media:
 - decode / feature-extract / resize / frame-sample run as
   ``mapInPandas`` Arrow-batched pipelines — the ONLY place in the
   engine where Python touches row data, because codecs are Python-only;
-- the actual codec call is isolated behind ``_decode_payload``: with
-  no imaging libraries in this container it is a STUB — a
-  deterministic fake decoder for payloads carrying the engine's own
-  fake header, and ``NotImplementedError`` for real media bytes. The
-  Spark-side plumbing (schemas, batch iteration, partitioning) is
-  real and tested.
+- the codec call is isolated behind ``_decode_payload``. UNCOMPRESSED
+  formats are decoded FOR REAL with stdlib + numpy (RIFF/PCM WAV:
+  fmt/data chunk walk → sample rate, channels, duration; binary PPM
+  P6: header parse → dims; pixel/sample math in ``audio_features`` /
+  ``image_stats``). COMPRESSED formats (JPEG/PNG/MP3/H.264) need
+  external codec libraries this container does not ship — those
+  raise ``NotImplementedError`` behind the same seam, and the
+  engine's deterministic fake header keeps end-to-end tests
+  independent of any codec.
 """
 
 from __future__ import annotations
@@ -59,22 +62,115 @@ def fake_payload(media_id: int, kind: str, width: int, height: int, duration_ms:
     return _FAKE_MAGIC + struct.pack("<iii", width, height, duration_ms) + body
 
 
+def wav_payload(
+    media_id: int, seconds: float = 1.0, rate: int = 8000, amplitude: int = 8000
+) -> bytes:
+    """Build a REAL (playable) mono 16-bit PCM WAV: a deterministic
+    sine whose frequency derives from media_id. Pure stdlib."""
+    import math
+
+    n = int(seconds * rate)
+    freq = 220.0 + (media_id % 16) * 55.0
+    samples = b"".join(
+        struct.pack("<h", int(amplitude * math.sin(2 * math.pi * freq * i / rate)))
+        for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)  # PCM, mono, 16-bit
+    data = samples
+    riff_body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff_body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def ppm_payload(media_id: int, width: int = 8, height: int = 6) -> bytes:
+    """Build a REAL binary PPM (P6) image: deterministic RGB gradient
+    seeded by media_id. Pure stdlib."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    px = bytearray()
+    for y in range(height):
+        for x in range(width):
+            px += bytes(((x * 7 + media_id) % 256, (y * 11 + media_id) % 256, (x + y) % 256))
+    return header + bytes(px)
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, int, int]:
+    """Walk the RIFF chunks of a PCM WAV → (rate, channels,
+    bits_per_sample, duration_ms). The data span for the feature
+    kernels comes from _wav_data_span."""
+    rate = channels = bits = None
+    data_len = 0
+    pos = 12  # past RIFF....WAVE
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            _, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[pos + 8 : pos + 24]
+            )
+        elif cid == b"data":
+            data_len = ln
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if not rate or not channels or not bits:
+        raise ValueError("malformed WAV: missing fmt chunk")
+    duration_ms = int(data_len * 1000 // (rate * channels * (bits // 8)))
+    return rate, channels, bits, duration_ms
+
+
+def _wav_data_span(payload: bytes) -> tuple[int, int]:
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"data":
+            return pos + 8, ln
+        pos += 8 + ln + (ln & 1)
+    raise ValueError("malformed WAV: missing data chunk")
+
+
+def _parse_ppm_header(payload: bytes) -> tuple[int, int, int]:
+    """P6 header → (width, height, pixel_offset). Handles the
+    whitespace/comment grammar of the format."""
+    fields: list[int] = []
+    i = 2  # past 'P6'
+    while len(fields) < 3 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to EOL
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    return fields[0], fields[1], i + 1  # single whitespace after maxval
+
+
 def _decode_payload(payload: bytes | None) -> tuple[int | None, int | None, int | None]:
-    """STUB decode step → (width, height, duration_ms).
+    """Decode step → (width, height, duration_ms).
 
     NULL / too-short payloads decode to NULL metadata (the schema
     declares payload nullable; one bad row must not kill the whole
-    Arrow batch). Fake-header payloads decode deterministically;
-    anything else would need a real codec (PIL/av), which this
-    container does not ship.
+    Arrow batch). RIFF/PCM WAV and binary PPM decode FOR REAL
+    (stdlib chunk/header walks); the engine's fake header decodes
+    deterministically; compressed formats raise — they need codec
+    libraries this container does not ship.
     """
     if payload is None or len(payload) < 16:
         return (None, None, None)
     if payload[:4] == _FAKE_MAGIC:
         return struct.unpack("<iii", payload[4:16])
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        _, _, _, duration_ms = _parse_wav(payload)
+        return (None, None, duration_ms)
+    if payload[:2] == b"P6":
+        w, h, _ = _parse_ppm_header(payload)
+        return (w, h, None)
     raise NotImplementedError(
-        "real media decoding requires an imaging/av library; only the "
-        "deterministic fake codec is available in this environment"
+        "compressed media decoding (JPEG/PNG/MP3/H.264) requires codec "
+        "libraries; WAV, PPM, and the deterministic fake codec are "
+        "available in this environment"
     )
 
 
@@ -211,3 +307,89 @@ def synthetic_media_table(spark: SparkSession, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio feature extraction for PCM WAV payloads: numpy
+    frombuffer over the data chunk → RMS energy + peak amplitude +
+    exact sample counts. Arrow-batched mapInPandas like every media
+    kernel; non-WAV / NULL payloads yield NULL features rather than
+    failing the batch."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "sample_rate", "n_samples", "duration_ms", "rms", "peak")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                if p is None or len(p) < 16 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                    for k in ("sample_rate", "n_samples", "duration_ms", "rms", "peak"):
+                        out[k].append(None)
+                    continue
+                rate, channels, bits, duration_ms = _parse_wav(p)
+                off, ln = _wav_data_span(p)
+                dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
+                x = np.frombuffer(p, dtype=dtype, count=ln // (bits // 8), offset=off)
+                xf = x.astype(np.float64)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(x) // channels)
+                out["duration_ms"].append(duration_ms)
+                out["rms"].append(float(np.sqrt((xf * xf).mean())) if len(x) else 0.0)
+                out["peak"].append(int(np.abs(xf).max()) if len(x) else 0)
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def image_stats(df: DataFrame) -> DataFrame:
+    """REAL image statistics for binary PPM (P6) payloads: numpy view
+    over the pixel plane → per-channel means. Non-PPM / NULL payloads
+    yield NULL stats."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                if p is None or len(p) < 2 or p[:2] != b"P6":
+                    for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
+                        out[k].append(None)
+                    continue
+                w, h, off = _parse_ppm_header(p)
+                px = np.frombuffer(p, dtype=np.uint8, count=w * h * 3, offset=off).reshape(
+                    h, w, 3
+                )
+                means = px.reshape(-1, 3).mean(axis=0)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(batches, IMAGE_STATS_SCHEMA)

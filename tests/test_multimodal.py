@@ -89,3 +89,69 @@ def test_binaryfile_ingestion(spark, tmp_path):
         _decode_payload(bytes(r.content)) for r in df.collect()
     ]
     assert sorted(d[0] for d in decoded) == [10, 11, 12]
+
+
+# --- real codecs: PCM WAV + binary PPM ---
+
+
+def test_wav_decode_and_features(spark):
+    from sync_spark.functions import multimodal as M
+    from pyspark.sql import Row
+
+    rows = [
+        Row(media_id=0, kind="audio", payload=M.wav_payload(0, seconds=1.0, rate=8000),
+            meta=None),
+        Row(media_id=1, kind="audio", payload=M.wav_payload(1, seconds=0.5, rate=16000),
+            meta=None),
+        Row(media_id=2, kind="audio", payload=None, meta=None),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    dec = {r.media_id: r for r in M.decode_media(df).collect()}
+    assert dec[0].duration_ms == 1000 and dec[1].duration_ms == 500
+    assert dec[2].duration_ms is None
+    feats = {r.media_id: r for r in M.audio_features(df).collect()}
+    assert feats[0].sample_rate == 8000 and feats[0].n_samples == 8000
+    assert feats[1].sample_rate == 16000 and feats[1].n_samples == 8000
+    # a full-scale sine of amplitude A has RMS A/sqrt(2)
+    assert abs(feats[0].rms - 8000 / 2 ** 0.5) < 100
+    assert 7900 <= feats[0].peak <= 8000
+    assert feats[2].rms is None
+
+
+def test_ppm_decode_and_stats(spark):
+    from sync_spark.functions import multimodal as M
+    from pyspark.sql import Row
+
+    p = M.ppm_payload(3, width=8, height=6)
+    df = spark.createDataFrame(
+        [Row(media_id=3, kind="image", payload=p, meta=None)], M.MEDIA_SCHEMA
+    )
+    dec = M.decode_media(df).collect()[0]
+    assert (dec.width, dec.height) == (8, 6)
+    stats = M.image_stats(df).collect()[0]
+    # reference means computed directly from the generator formula
+    import numpy as np
+
+    px = np.frombuffer(p, dtype=np.uint8, count=8 * 6 * 3, offset=len(b"P6\n8 6\n255\n")).reshape(6, 8, 3)
+    want = px.reshape(-1, 3).mean(axis=0)
+    assert abs(stats.mean_r - want[0]) < 1e-9
+    assert abs(stats.mean_g - want[1]) < 1e-9
+    assert abs(stats.mean_b - want[2]) < 1e-9
+
+
+def test_ppm_header_with_comment(spark):
+    from sync_spark.functions import multimodal as M
+
+    pay = b"P6\n# a comment line\n4 2\n255\n" + bytes(range(24))
+    w, h, off = M._parse_ppm_header(pay)
+    assert (w, h) == (4, 2)
+    assert pay[off : off + 24] == bytes(range(24))
+
+
+def test_compressed_format_still_raises(spark):
+    from sync_spark.functions import multimodal as M
+    import pytest as _pt
+
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    with _pt.raises(NotImplementedError):
+        M._decode_payload(jpeg_ish)
