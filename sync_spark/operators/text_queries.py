@@ -726,3 +726,98 @@ FROM documents
 WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 14) AS BIGINT) % 100
       < {_strata_sql_case()}
 """
+
+
+def t_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate discovery: top-20 trigram shingles by
+    document frequency (distinct docs containing the shingle, the
+    dedup-relevant count). Explode → two-level partial-aggregated
+    count → TakeOrderedAndProject top-k with shingle tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(T.shingles(F.col("text"), n=3)).alias("shingle")
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").cast("long").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("shingle").asc())
+        .limit(20)
+    )
+
+
+T_TOP_NGRAMS_SQL = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct([
+           regexp_split_to_array(trim(text), '\\s+')[i] || ' ' ||
+           regexp_split_to_array(trim(text), '\\s+')[i+1] || ' ' ||
+           regexp_split_to_array(trim(text), '\\s+')[i+2]
+           for i in range(1, len(regexp_split_to_array(trim(text), '\\s+')) - 1) ])) AS shingle
+  FROM documents
+)
+SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+FROM sh GROUP BY shingle
+ORDER BY doc_freq DESC, shingle ASC
+LIMIT 20
+"""
+
+
+# C4/Gopher-style composite keep/drop thresholds for the filter query
+_FILTER_MIN_TOKENS = 20
+_FILTER_MAX_DUP_FRAC = 0.6
+_FILTER_MAX_TOP_TOK = 0.2
+_FILTER_MIN_QUALITY = 0.5
+
+
+def t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite curation decision real pipelines run: chain the
+    individual signals (length, token repetition, quality score,
+    language id) into per-doc boolean flags and one final ``keep``.
+    Pure reuse of the registry's signal operators — one join on
+    doc_id, no new math."""
+    d = _t(spark, sf_dir, "documents")
+    quality = d.select(
+        "doc_id",
+        "lang",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.langid(F.col("text")).alias("lang_pred"),
+    )
+    rep = repetition_signals(d).select("doc_id", "dup_token_frac", "top_token_share")
+    j = quality.join(rep, "doc_id")
+    flags = j.select(
+        "doc_id",
+        (F.col("n_tokens") >= _FILTER_MIN_TOKENS).alias("len_ok"),
+        (
+            (F.col("dup_token_frac") <= _FILTER_MAX_DUP_FRAC)
+            & (F.col("top_token_share") <= _FILTER_MAX_TOP_TOK)
+        ).alias("repetition_ok"),
+        (F.col("quality") >= _FILTER_MIN_QUALITY).alias("quality_ok"),
+        (F.col("lang_pred") == F.col("lang")).alias("lang_ok"),
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("len_ok") & F.col("repetition_ok") & F.col("quality_ok") & F.col("lang_ok"),
+    )
+
+
+def _quality_filter_sql() -> str:
+    # reuse the exact oracle fragments of the component queries so the
+    # composite can't drift from its parts
+    return f"""
+WITH q AS ({T_QUALITY_SQL}),
+     l AS ({T_LANGID_SQL}),
+     r AS ({T_REPETITION_SQL})
+SELECT q.doc_id,
+       q.n_tokens >= {_FILTER_MIN_TOKENS} AS len_ok,
+       (r.dup_token_frac <= {_FILTER_MAX_DUP_FRAC} AND r.top_token_share <= {_FILTER_MAX_TOP_TOK}) AS repetition_ok,
+       q.quality >= {_FILTER_MIN_QUALITY} AS quality_ok,
+       l.lang_pred = l.lang_label AS lang_ok,
+       (q.n_tokens >= {_FILTER_MIN_TOKENS}
+        AND r.dup_token_frac <= {_FILTER_MAX_DUP_FRAC} AND r.top_token_share <= {_FILTER_MAX_TOP_TOK}
+        AND q.quality >= {_FILTER_MIN_QUALITY}
+        AND l.lang_pred = l.lang_label) AS keep
+FROM q JOIN l ON q.doc_id = l.doc_id JOIN r ON q.doc_id = r.doc_id
+"""
+
+
+T_QUALITY_FILTER_SQL = _quality_filter_sql()

@@ -102,6 +102,8 @@ def _populate() -> None:
     register("d_winnow_pairs", tq.d_winnow_pairs, tq.D_WINNOW_PAIRS_SQL)
     register("d_decontaminate", tq.d_decontaminate, tq.D_DECONTAM_SQL)
     register("t_stratified_sample", tq.t_stratified_sample, tq.T_STRATIFIED_SQL)
+    register("t_top_ngrams", tq.t_top_ngrams, tq.T_TOP_NGRAMS_SQL)
+    register("t_quality_filter", tq.t_quality_filter, tq.T_QUALITY_FILTER_SQL)
 
     from sync_spark.operators import extended_queries as xq
 
