@@ -732,14 +732,20 @@ def t_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide boilerplate discovery: top-20 trigram shingles by
     document frequency (distinct docs containing the shingle, the
     dedup-relevant count). Explode → two-level partial-aggregated
-    count → TakeOrderedAndProject top-k with shingle tiebreak."""
+    count → TakeOrderedAndProject top-k with shingle tiebreak.
+
+    Uses the PERSISTED shingle table (same barrier as the jaccard
+    path): exploding the shingle expression directly re-evaluates the
+    array construction per generated row — measured 9.5s vs 1.3s at
+    sf0.1 for identical output. Shingles are per-doc distinct by
+    construction, so count(*) IS the document frequency."""
     d = _t(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(T.shingles(F.col("text"), n=3)).alias("shingle")
+    sh = dedup._doc_shingles_cached(d, "text", "doc_id", 3).select(
+        "doc_id", F.explode("sh").alias("shingle")
     )
     return (
         sh.groupBy("shingle")
-        .agg(F.countDistinct("doc_id").cast("long").alias("doc_freq"))
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), F.col("shingle").asc())
         .limit(20)
     )
