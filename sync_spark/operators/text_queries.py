@@ -827,3 +827,66 @@ FROM q JOIN l ON q.doc_id = l.doc_id JOIN r ON q.doc_id = r.doc_id
 
 
 T_QUALITY_FILTER_SQL = _quality_filter_sql()
+
+
+def t_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation decision — the whole training-data
+    pipeline as one composed plan: for every corpus document (eval
+    split 'src0' held out), (1) the composite quality filter, (2)
+    exact-dedup survivorship within the corpus, (3) benchmark
+    decontamination — and the final ``keep``. Pure composition of the
+    registry's own operators; the oracle is assembled verbatim from
+    their oracle fragments, so the pipeline cannot drift from its
+    parts."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0")
+    bench = d.filter(F.col("source") == "src0")
+    qf = t_quality_filter(spark, sf_dir).select("doc_id", F.col("keep").alias("quality_keep"))
+    fp = corpus.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    surv = fp.groupBy("fp").agg(F.min("doc_id").alias("survivor_id"))
+    dec = dedup.decontaminate(
+        corpus, bench, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W, min_shared=1
+    ).select("doc_id", (~F.col("contaminated")).alias("clean"))
+    out = (
+        corpus.select("doc_id")
+        .join(qf, "doc_id")
+        .join(fp, "doc_id")
+        .join(surv, "fp")
+        .join(dec, "doc_id")
+        .select(
+            "doc_id",
+            "quality_keep",
+            (F.col("doc_id") == F.col("survivor_id")).alias("is_survivor"),
+            "clean",
+        )
+    )
+    return out.withColumn(
+        "keep", F.col("quality_keep") & F.col("is_survivor") & F.col("clean")
+    )
+
+
+def _curate_sql() -> str:
+    return f"""
+WITH qf AS ({T_QUALITY_FILTER_SQL}),
+     corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+     fps AS (
+       SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+       FROM corpus
+     ),
+     surv AS (SELECT fp, MIN(doc_id) AS survivor_id FROM fps GROUP BY fp),
+     dec AS ({D_DECONTAM_SQL})
+SELECT c.doc_id,
+       qf.keep AS quality_keep,
+       f.doc_id = s.survivor_id AS is_survivor,
+       NOT d.contaminated AS clean,
+       (qf.keep AND f.doc_id = s.survivor_id AND NOT d.contaminated) AS keep
+FROM corpus c
+JOIN qf ON qf.doc_id = c.doc_id
+JOIN fps f ON f.doc_id = c.doc_id
+JOIN surv s ON s.fp = f.fp
+JOIN dec d ON d.doc_id = c.doc_id
+"""
+
+
+T_CURATE_SQL = _curate_sql()

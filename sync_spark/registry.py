@@ -104,6 +104,7 @@ def _populate() -> None:
     register("t_stratified_sample", tq.t_stratified_sample, tq.T_STRATIFIED_SQL)
     register("t_top_ngrams", tq.t_top_ngrams, tq.T_TOP_NGRAMS_SQL)
     register("t_quality_filter", tq.t_quality_filter, tq.T_QUALITY_FILTER_SQL)
+    register("t_curate_corpus", tq.t_curate_corpus, tq.T_CURATE_SQL)
 
     from sync_spark.operators import extended_queries as xq
 
