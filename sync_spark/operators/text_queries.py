@@ -393,23 +393,27 @@ def repetition_signals(d: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.size("toks").alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
     )
+    # ONE generator over the plain token array; bigrams come from a
+    # lead() window over the SAME exploded rows. Exploding a computed
+    # zip_with(slice, slice) array re-evaluates the array construction
+    # per generated row — quadratic in document length (the same
+    # Generate re-evaluation that cost t_top_ngrams 9.5s; a 10k-token
+    # document would pay 10⁸ ops here). The lead window is linear and
+    # shares the doc_id shuffle with the mode-count aggregates.
+    from pyspark.sql.window import Window as _W
+
+    tokp = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
     tok_top = (
-        toks.select("doc_id", F.explode("toks").alias("tok"))
-        .groupBy("doc_id", "tok")
+        tokp.groupBy("doc_id", "tok")
         .count()
         .groupBy("doc_id")
         .agg(F.max("count").alias("top_tok_n"))
     )
-    n1 = F.greatest(F.size("toks") - 1, F.lit(0))
-    bigrams = toks.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice("toks", 1, n1),
-                F.slice("toks", 2, n1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("bg"),
+    nxt = F.lead("tok").over(_W.partitionBy("doc_id").orderBy("pos"))
+    bigrams = (
+        tokp.withColumn("nxt", nxt)
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat(F.col("tok"), F.lit(" "), F.col("nxt")).alias("bg"))
     )
     big_top = (
         bigrams.groupBy("doc_id", "bg")
