@@ -145,6 +145,8 @@ def _populate() -> None:
     register("q3_shipping_priority", th.q3_shipping_priority, th.Q3_SQL)
     register("q10_returned_items", th.q10_returned_items, th.Q10_SQL)
     register("q18_large_orders", th.q18_large_orders, th.Q18_SQL)
+    register("q12_priority_shipping", th.q12_priority_shipping, th.Q12_SQL)
+    register("q14_promo_revenue", th.q14_promo_revenue, th.Q14_SQL)
 
     # flag flips only AFTER every registration succeeded — setting it
     # first would make a mid-populate exception leave a silently
