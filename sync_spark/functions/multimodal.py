@@ -93,43 +93,39 @@ def ppm_payload(media_id: int, width: int = 8, height: int = 6) -> bytes:
     return header + bytes(px)
 
 
-def _parse_wav(payload: bytes) -> tuple[int, int, int, int]:
-    """Walk the RIFF chunks of a PCM WAV → (rate, channels,
-    bits_per_sample, duration_ms). The data span for the feature
-    kernels comes from _wav_data_span."""
-    rate = channels = bits = None
-    data_len = 0
+def _parse_wav(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
+    """ONE walk of the RIFF chunk list → (fmt_tag, rate, channels,
+    bits, duration_ms, data_off, data_len). Raises ValueError on a
+    structurally broken file (missing/truncated fmt chunk, data chunk
+    overrunning the payload) — callers decide whether that is a NULL
+    row (feature kernels) or an error (nothing currently)."""
+    fmt_tag = rate = channels = bits = None
+    data_off = data_len = 0
     pos = 12  # past RIFF....WAVE
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         if cid == b"fmt ":
-            _, channels, rate, _, _, bits = struct.unpack(
+            if pos + 24 > len(payload):
+                raise ValueError("malformed WAV: truncated fmt chunk")
+            fmt_tag, channels, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", payload[pos + 8 : pos + 24]
             )
         elif cid == b"data":
-            data_len = ln
+            data_off, data_len = pos + 8, ln
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if not rate or not channels or not bits:
         raise ValueError("malformed WAV: missing fmt chunk")
+    if data_off + data_len > len(payload):
+        raise ValueError("malformed WAV: data chunk overruns payload")
     duration_ms = int(data_len * 1000 // (rate * channels * (bits // 8)))
-    return rate, channels, bits, duration_ms
-
-
-def _wav_data_span(payload: bytes) -> tuple[int, int]:
-    pos = 12
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        if cid == b"data":
-            return pos + 8, ln
-        pos += 8 + ln + (ln & 1)
-    raise ValueError("malformed WAV: missing data chunk")
+    return fmt_tag, rate, channels, bits, duration_ms, data_off, data_len
 
 
 def _parse_ppm_header(payload: bytes) -> tuple[int, int, int]:
     """P6 header → (width, height, pixel_offset). Handles the
-    whitespace/comment grammar of the format."""
+    whitespace/comment grammar of the format; raises ValueError on a
+    malformed or truncated header (callers map that to a NULL row)."""
     fields: list[int] = []
     i = 2  # past 'P6'
     while len(fields) < 3 and i < len(payload):
@@ -142,9 +138,17 @@ def _parse_ppm_header(payload: bytes) -> tuple[int, int, int]:
         j = i
         while j < len(payload) and not payload[j : j + 1].isspace():
             j += 1
-        fields.append(int(payload[i:j]))
+        try:
+            fields.append(int(payload[i:j]))
+        except ValueError as exc:
+            raise ValueError(f"malformed PPM header token {payload[i:j]!r}") from exc
         i = j
-    return fields[0], fields[1], i + 1  # single whitespace after maxval
+    if len(fields) < 3:
+        raise ValueError("malformed PPM: truncated header")
+    w, h, off = fields[0], fields[1], i + 1
+    if off + w * h * 3 > len(payload):
+        raise ValueError("malformed PPM: pixel data truncated")
+    return w, h, off
 
 
 def _decode_payload(payload: bytes | None) -> tuple[int | None, int | None, int | None]:
@@ -162,10 +166,16 @@ def _decode_payload(payload: bytes | None) -> tuple[int | None, int | None, int 
     if payload[:4] == _FAKE_MAGIC:
         return struct.unpack("<iii", payload[4:16])
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        _, _, _, duration_ms = _parse_wav(payload)
+        try:
+            _, _, _, _, duration_ms, _, _ = _parse_wav(payload)
+        except (ValueError, struct.error):
+            return (None, None, None)  # corrupt file = one NULL row, not a dead batch
         return (None, None, duration_ms)
     if payload[:2] == b"P6":
-        w, h, _ = _parse_ppm_header(payload)
+        try:
+            w, h, _ = _parse_ppm_header(payload)
+        except ValueError:
+            return (None, None, None)
         return (w, h, None)
     raise NotImplementedError(
         "compressed media decoding (JPEG/PNG/MP3/H.264) requires codec "
@@ -316,38 +326,56 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("n_samples", T.LongType()),
         T.StructField("duration_ms", T.IntegerType()),
         T.StructField("rms", T.DoubleType()),
-        T.StructField("peak", T.IntegerType()),
+        T.StructField("peak", T.DoubleType()),
     ]
 )
 
+# WAVE format tags → sample dtype per bit width. 1 = integer PCM
+# (8-bit is UNSIGNED, bias 128; wider widths signed), 3 = IEEE float.
+_WAV_DTYPES = {
+    (1, 8): ("u1", 128.0),
+    (1, 16): ("<i2", 0.0),
+    (1, 32): ("<i4", 0.0),
+    (3, 32): ("<f4", 0.0),
+    (3, 64): ("<f8", 0.0),
+}
+
 
 def audio_features(df: DataFrame) -> DataFrame:
-    """REAL audio feature extraction for PCM WAV payloads: numpy
-    frombuffer over the data chunk → RMS energy + peak amplitude +
-    exact sample counts. Arrow-batched mapInPandas like every media
-    kernel; non-WAV / NULL payloads yield NULL features rather than
-    failing the batch."""
+    """REAL audio feature extraction for PCM / IEEE-float WAV
+    payloads: numpy frombuffer over the data chunk → RMS energy +
+    peak amplitude + exact sample counts. 8-bit PCM is unsigned with
+    a 128 bias — removed before energy math (digital silence must
+    read rms 0, not 128). Arrow-batched mapInPandas like every media
+    kernel; NULL / non-WAV / corrupt / unsupported-format payloads
+    yield NULL features — ONE bad row never kills the batch."""
     import numpy as np
+
+    cols = ("media_id", "sample_rate", "n_samples", "duration_ms", "rms", "peak")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in ("media_id", "sample_rate", "n_samples", "duration_ms", "rms", "peak")}
+            out = {k: [] for k in cols}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 out["media_id"].append(mid)
-                if p is None or len(p) < 16 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
-                    for k in ("sample_rate", "n_samples", "duration_ms", "rms", "peak"):
-                        out[k].append(None)
-                    continue
-                rate, channels, bits, duration_ms = _parse_wav(p)
-                off, ln = _wav_data_span(p)
-                dtype = {8: np.uint8, 16: np.int16, 32: np.int32}[bits]
-                x = np.frombuffer(p, dtype=dtype, count=ln // (bits // 8), offset=off)
-                xf = x.astype(np.float64)
-                out["sample_rate"].append(rate)
-                out["n_samples"].append(len(x) // channels)
-                out["duration_ms"].append(duration_ms)
-                out["rms"].append(float(np.sqrt((xf * xf).mean())) if len(x) else 0.0)
-                out["peak"].append(int(np.abs(xf).max()) if len(x) else 0)
+                row = (None, None, None, None, None)
+                try:
+                    if p is not None and len(p) >= 16 and p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                        fmt_tag, rate, channels, bits, duration_ms, off, ln = _parse_wav(p)
+                        dtype, bias = _WAV_DTYPES[(fmt_tag, bits)]
+                        x = np.frombuffer(p, dtype=dtype, count=ln // (bits // 8), offset=off)
+                        xf = x.astype(np.float64) - bias
+                        row = (
+                            rate,
+                            len(x) // channels,
+                            duration_ms,
+                            float(np.sqrt((xf * xf).mean())) if len(x) else 0.0,
+                            float(np.abs(xf).max()) if len(x) else 0.0,
+                        )
+                except (ValueError, KeyError, struct.error):
+                    pass  # corrupt or unsupported variant → NULL row
+                for k, v in zip(cols[1:], row):
+                    out[k].append(v)
             yield pd.DataFrame(out)
 
     return df.select("media_id", "payload").mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
@@ -367,29 +395,31 @@ IMAGE_STATS_SCHEMA = T.StructType(
 
 def image_stats(df: DataFrame) -> DataFrame:
     """REAL image statistics for binary PPM (P6) payloads: numpy view
-    over the pixel plane → per-channel means. Non-PPM / NULL payloads
-    yield NULL stats."""
+    over the pixel plane → per-channel means. NULL / non-PPM /
+    malformed payloads yield NULL stats — one bad row never kills the
+    batch."""
     import numpy as np
+
+    cols = ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {k: [] for k in ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            out = {k: [] for k in cols}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 out["media_id"].append(mid)
-                if p is None or len(p) < 2 or p[:2] != b"P6":
-                    for k in ("width", "height", "mean_r", "mean_g", "mean_b"):
-                        out[k].append(None)
-                    continue
-                w, h, off = _parse_ppm_header(p)
-                px = np.frombuffer(p, dtype=np.uint8, count=w * h * 3, offset=off).reshape(
-                    h, w, 3
-                )
-                means = px.reshape(-1, 3).mean(axis=0)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["mean_r"].append(float(means[0]))
-                out["mean_g"].append(float(means[1]))
-                out["mean_b"].append(float(means[2]))
+                row = (None, None, None, None, None)
+                try:
+                    if p is not None and len(p) >= 2 and p[:2] == b"P6":
+                        w, h, off = _parse_ppm_header(p)
+                        px = np.frombuffer(
+                            p, dtype=np.uint8, count=w * h * 3, offset=off
+                        ).reshape(h, w, 3)
+                        means = px.reshape(-1, 3).mean(axis=0)
+                        row = (w, h, float(means[0]), float(means[1]), float(means[2]))
+                except (ValueError, IndexError):
+                    pass  # malformed header / truncated pixels → NULL row
+                for k, v in zip(cols[1:], row):
+                    out[k].append(v)
             yield pd.DataFrame(out)
 
     return df.select("media_id", "payload").mapInPandas(batches, IMAGE_STATS_SCHEMA)

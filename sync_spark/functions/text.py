@@ -35,11 +35,9 @@ def token_count(text: Column) -> Column:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles (dedup input). Docs shorter than
-    n tokens → empty set."""
-    toks = tokens(text)
-    return F.when(F.size(toks) >= n, F.array_distinct(_shingle_expr(toks, n))).otherwise(
-        F.array().cast("array<string>")
-    )
+    n tokens → empty set — _shingle_expr is safe by construction for
+    short docs (clamped + filtered index), no CASE guard needed."""
+    return F.array_distinct(_shingle_expr(tokens(text), n))
 
 
 def _shingle_expr(toks: Column, n: int) -> Column:

@@ -155,3 +155,84 @@ def test_compressed_format_still_raises(spark):
     jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
     with _pt.raises(NotImplementedError):
         M._decode_payload(jpeg_ish)
+
+
+def test_corrupt_media_yields_null_rows_not_dead_batches(spark):
+    """One bad payload must produce a NULL row, never kill the Arrow
+    batch: 24-bit WAV (unsupported variant), truncated fmt chunk,
+    overrunning data length, malformed PPM header, truncated PPM
+    pixels — mixed in one batch with a good WAV and a good PPM."""
+    import struct as S
+    from pyspark.sql import Row
+    from sync_spark.functions import multimodal as M
+
+    def wav_with(fmt_tag=1, bits=16, data=b"\x00\x00" * 4, fmt_len=16):
+        fmt = S.pack("<HHIIHH", fmt_tag, 1, 8000, 16000, 2, bits)[:fmt_len]
+        body = b"WAVE" + b"fmt " + S.pack("<I", len(fmt)) + fmt
+        body += b"data" + S.pack("<I", len(data)) + data
+        return b"RIFF" + S.pack("<I", len(body)) + body
+
+    rows = [
+        Row(media_id=0, kind="audio", payload=M.wav_payload(0, 0.25), meta=None),  # good
+        Row(media_id=1, kind="audio", payload=wav_with(bits=24), meta=None),  # 24-bit
+        Row(media_id=2, kind="audio",
+            payload=b"RIFF" + S.pack("<I", 20) + b"WAVE" + b"fmt " + S.pack("<I", 16) + b"\x01\x00",
+            meta=None),  # truncated fmt
+        Row(media_id=3, kind="audio",
+            # data header visible but its declared length overruns the
+            # truncated payload
+            payload=wav_with()[:48],
+            meta=None),
+        Row(media_id=4, kind="image", payload=M.ppm_payload(4), meta=None),  # good
+        Row(media_id=5, kind="image", payload=b"P6\nnot a number\n", meta=None),
+        Row(media_id=6, kind="image", payload=b"P6\n100 100\n255\n" + b"\x00" * 10, meta=None),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    af = {r.media_id: r for r in M.audio_features(df).collect()}
+    assert af[0].rms is not None
+    assert af[1].rms is None and af[2].rms is None and af[3].rms is None
+    st = {r.media_id: r for r in M.image_stats(df).collect()}
+    assert st[4].mean_r is not None
+    assert st[5].mean_r is None and st[6].mean_r is None
+    dec = {r.media_id: r for r in M.decode_media(df).collect()}
+    assert dec[0].duration_ms == 250
+    assert dec[3].duration_ms is None and dec[5].width is None and dec[6].width is None
+
+
+def test_8bit_wav_silence_has_zero_rms(spark):
+    """8-bit PCM is unsigned with bias 128: digital silence (all 0x80)
+    must read rms 0, not 128."""
+    import struct as S
+    from pyspark.sql import Row
+    from sync_spark.functions import multimodal as M
+
+    fmt = S.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    data = b"\x80" * 800
+    body = b"WAVE" + b"fmt " + S.pack("<I", len(fmt)) + fmt
+    body += b"data" + S.pack("<I", len(data)) + data
+    wav = b"RIFF" + S.pack("<I", len(body)) + body
+    df = spark.createDataFrame(
+        [Row(media_id=0, kind="audio", payload=wav, meta=None)], M.MEDIA_SCHEMA
+    )
+    r = M.audio_features(df).collect()[0]
+    assert r.rms == 0.0 and r.peak == 0.0 and r.n_samples == 800
+
+
+def test_float32_wav_features(spark):
+    """IEEE-float WAV (format tag 3) decodes as float, not garbage
+    int reinterpretation."""
+    import struct as S
+    from pyspark.sql import Row
+    from sync_spark.functions import multimodal as M
+
+    samples = [0.5, -0.5, 0.5, -0.5] * 100
+    data = b"".join(S.pack("<f", s) for s in samples)
+    fmt = S.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = b"WAVE" + b"fmt " + S.pack("<I", len(fmt)) + fmt
+    body += b"data" + S.pack("<I", len(data)) + data
+    wav = b"RIFF" + S.pack("<I", len(body)) + body
+    df = spark.createDataFrame(
+        [Row(media_id=0, kind="audio", payload=wav, meta=None)], M.MEDIA_SCHEMA
+    )
+    r = M.audio_features(df).collect()[0]
+    assert abs(r.rms - 0.5) < 1e-9 and abs(r.peak - 0.5) < 1e-9
