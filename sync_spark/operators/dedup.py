@@ -60,7 +60,13 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(n)]),
     )
-    return toks.select("doc_id", F.array_distinct(gram).alias("sh"))
+    # sh_sorted is persisted ALONGSIDE sh: the prefix index explodes a
+    # slice of the sorted set, and a Generate over a computed
+    # array_sort(...) re-evaluates the sort per generated row — from
+    # the cached column it is a plain read
+    return toks.select("doc_id", F.array_distinct(gram).alias("sh")).withColumn(
+        "sh_sorted", F.array_sort("sh")
+    )
 
 
 # most-recent persisted shingle table; bounded-leak discipline for
@@ -122,7 +128,6 @@ def ngram_jaccard_pairs(
     # the verification join (see _doc_shingles_cached for why the
     # cache barrier must come first)
     docs = _doc_shingles_cached(df, text_col, id_col, n)
-    docs = docs.withColumn("sh_sorted", F.array_sort("sh"))
     prefix_len = (F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1).cast("int")
     prefix = docs.select(
         "doc_id",
@@ -347,22 +352,31 @@ def winnow_fingerprint_rows(
     for local (substring-level) near-dup detection, which
     whole-document md5 (``fingerprint``) cannot see.
 
-    Shape: posexplode the k-grams (the shingle expression evaluates
-    ONCE per document in the generator — a nested Column-HOF sliding
-    window re-evaluated the whole hash array per window element,
-    quadratic in document length and measured minutes at sf0.1), then
-    one sliding ``min`` window frame over (doc_id, pos). ONE shuffle
-    on doc_id; rowsBetween truncates at the partition end, which IS
-    the short-document fallback (a doc with fewer k-grams than the
-    window keeps pos 0 = its global min). Hash is the 56-bit md5
-    prefix (see functions.text.winnow_hash) for DuckDB oracle parity.
+    Shape: posexplode the PLAIN token array (a generator over a
+    computed k-gram array re-evaluates the array construction per
+    generated row — quadratic in document length, the same Generate
+    hazard as t_top_ngrams), build each k-gram with k-1 lead() calls
+    over (doc_id, pos) — linear — then one sliding ``min`` window
+    frame on the same ordering. ONE shuffle on doc_id; rowsBetween
+    truncates at the partition end, which IS the short-document
+    fallback (a doc with fewer k-grams than the window keeps pos 0 =
+    its global min). Hash is the 56-bit md5 prefix (see
+    functions.text.winnow_hash) for DuckDB oracle parity.
     """
     from pyspark.sql.window import Window
     from sync_spark.functions.text import winnow_hash
-    from sync_spark.functions.text import _shingle_expr  # noqa: internal by design
 
     toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
-    grams = toks.select("doc_id", F.posexplode(_shingle_expr(F.col("toks"), k)).alias("pos", "g"))
+    tokp = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    gram_parts = [F.col("tok")] + [F.lead("tok", j).over(w_ord) for j in range(1, k)]
+    grams = (
+        tokp.withColumn("g", F.concat_ws(" ", *gram_parts))
+        .withColumn("last_part", gram_parts[-1])
+        # rows within k-1 of the end have no full k-gram
+        .filter(F.col("last_part").isNotNull())
+        .select("doc_id", "pos", "g")
+    )
     hashed = grams.select("doc_id", "pos", winnow_hash(F.col("g")).alias("h"))
     frame = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.currentRow, window - 1)
