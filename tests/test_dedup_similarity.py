@@ -299,3 +299,42 @@ def test_embed_neardup_property_random_frames(spark):
                 if c >= tau:
                     want[(i, j)] = c
         assert got == want, f"trial {trial}: {len(got)} vs {len(want)}"
+
+
+def test_range_join_binned_random_vs_naive(spark):
+    """Randomized sweep: the binned rewrite must equal a naive
+    BETWEEN join for random events/intervals across bin widths
+    (including bins much smaller and larger than interval lengths)."""
+    import datetime as dt
+    import random
+
+    from sync_spark.operators.temporal import range_join_binned
+
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 3, 1)
+    events = [
+        Row(event_id=i, ts=t0 + dt.timedelta(seconds=rng.randint(0, 7200)))
+        for i in range(120)
+    ]
+    intervals = []
+    for j in range(15):
+        s = t0 + dt.timedelta(seconds=rng.randint(0, 6800))
+        intervals.append(
+            Row(w_id=j, s=s, e=s + dt.timedelta(seconds=rng.randint(1, 900)))
+        )
+    ev = spark.createDataFrame(events)
+    iv = spark.createDataFrame(intervals)
+    naive = {
+        (r.event_id, r.w_id)
+        for r in ev.crossJoin(iv)
+        .filter((F.col("ts") >= F.col("s")) & (F.col("ts") < F.col("e")))
+        .collect()
+    }
+    for bin_s in (60, 600, 3600):
+        got = {
+            (r.event_id, r.w_id)
+            for r in range_join_binned(
+                ev, iv, ts_col="ts", start_col="s", end_col="e", bin_seconds=bin_s
+            ).collect()
+        }
+        assert got == naive, f"bin={bin_s}: {len(got)} vs {len(naive)}"

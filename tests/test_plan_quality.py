@@ -163,3 +163,17 @@ def test_range_join_no_nested_loop(spark, sf_small):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
         "ShuffledHashJoin" in plan
     )
+
+
+def test_curation_composite_stays_jvm_side(spark, sf_small):
+    """The composed curation plan (quality ∧ dedup ∧ decontamination)
+    must stay free of Python eval nodes and keep broadcast dims in the
+    TPC-H shapes."""
+    from sync_spark.operators.text_queries import t_curate_corpus, t_stratified_sample
+    from sync_spark.operators.tpch_queries import q14_promo_revenue
+
+    for fn in (t_curate_corpus, t_stratified_sample):
+        plan = plan_of(fn(spark, sf_small))
+        assert "EvalPython" not in plan, plan[:400]
+    q14 = plan_of(q14_promo_revenue(spark, sf_small))
+    assert "BroadcastHashJoin" in q14
