@@ -1,0 +1,63 @@
+"""Driver-gated multimodal roundtrip: build REAL media bytes (RIFF
+PCM WAV / binary PPM) deterministically from vec_id inside an
+Arrow-batched kernel, push them through the real decode path, and
+emit the parsed metadata. The DuckDB oracle computes what the decoder
+MUST report by pure integer arithmetic on vec_id — two fully
+independent derivations (byte-level construct+parse vs closed-form),
+so any drift in either codec or the generator flips the hash.
+
+Parameter algebra (kept in ONE place, mirrored in the oracle):
+- even vec_id → audio: mono 16-bit PCM at 8000 Hz,
+  n = 2000 · (1 + vec_id mod 4) samples ⇒ duration_ms exactly
+  250 · (1 + vec_id mod 4).
+- odd vec_id → image: P6, width 4 + vec_id mod 5, height
+  3 + vec_id mod 3.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sync_spark.functions import multimodal as M
+from sync_spark.operators.relational import _t
+
+
+def m_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("media_id"))
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rows["media_id"].append(mid)
+                if mid % 2 == 0:
+                    seconds = 0.25 * (1 + mid % 4)
+                    rows["kind"].append("audio")
+                    rows["payload"].append(M.wav_payload(mid, seconds=seconds, rate=8000))
+                else:
+                    rows["kind"].append("image")
+                    rows["payload"].append(
+                        M.ppm_payload(mid, width=4 + mid % 5, height=3 + mid % 3)
+                    )
+            yield pd.DataFrame(rows)
+
+    media = ids.mapInPandas(build, "media_id long, kind string, payload binary")
+    decoded = M.decode_media(media)
+    return decoded.select("media_id", "kind", "width", "height", "duration_ms", "size_bytes").drop(
+        "size_bytes"
+    )
+
+
+M_MEDIA_SQL = """
+SELECT vec_id AS media_id,
+       CASE WHEN vec_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+       CASE WHEN vec_id % 2 = 0 THEN NULL ELSE CAST(4 + vec_id % 5 AS INT) END AS width,
+       CASE WHEN vec_id % 2 = 0 THEN NULL ELSE CAST(3 + vec_id % 3 AS INT) END AS height,
+       CASE WHEN vec_id % 2 = 0 THEN CAST(250 * (1 + vec_id % 4) AS INT) ELSE NULL END AS duration_ms
+FROM embeddings
+"""

@@ -146,6 +146,10 @@ def _populate() -> None:
     register("q10_returned_items", th.q10_returned_items, th.Q10_SQL)
     register("q18_large_orders", th.q18_large_orders, th.Q18_SQL)
     register("q12_priority_shipping", th.q12_priority_shipping, th.Q12_SQL)
+
+    from sync_spark.operators import media_queries as mq
+
+    register("m_media_roundtrip", mq.m_media_roundtrip, mq.M_MEDIA_SQL)
     register("q14_promo_revenue", th.q14_promo_revenue, th.Q14_SQL)
 
     # flag flips only AFTER every registration succeeded — setting it
