@@ -103,21 +103,35 @@ def _parse_wav(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
     row (feature kernels) or an error (nothing currently)."""
     fmt_tag = rate = channels = bits = None
     data_off = data_len = 0
+    seen_data = False
     pos = 12  # past RIFF....WAVE
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         if cid == b"fmt ":
-            if pos + 24 > len(payload):
+            # bound against BOTH the payload and the chunk's own
+            # declared length — an ln < 16 fmt chunk would otherwise
+            # silently parse bytes of the next chunk's header
+            if ln < 16 or pos + 24 > len(payload):
                 raise ValueError("malformed WAV: truncated fmt chunk")
             fmt_tag, channels, rate, _, _, bits = struct.unpack(
                 "<HHIIHH", payload[pos + 8 : pos + 24]
             )
         elif cid == b"data":
-            data_off, data_len = pos + 8, ln
+            data_off, data_len, seen_data = pos + 8, ln, True
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
     if not rate or not channels or not bits:
         raise ValueError("malformed WAV: missing fmt chunk")
+    if bits % 8 != 0:
+        # sub-byte widths would divide by zero below; byte-aligned
+        # widths we can't SAMPLE-decode (24-bit) still parse here —
+        # duration is metadata; the feature kernel's dtype table
+        # rejects them per-row
+        raise ValueError(f"malformed WAV: unsupported bits_per_sample {bits}")
+    if not seen_data:
+        # without this a fmt-only file would read as fabricated
+        # silence (0 samples, rms 0.0) instead of a NULL row
+        raise ValueError("malformed WAV: missing data chunk")
     if data_off + data_len > len(payload):
         raise ValueError("malformed WAV: data chunk overruns payload")
     duration_ms = int(data_len * 1000 // (rate * channels * (bits // 8)))
@@ -148,6 +162,12 @@ def _parse_ppm_header(payload: bytes) -> tuple[int, int, int]:
     if len(fields) < 3:
         raise ValueError("malformed PPM: truncated header")
     w, h, off = fields[0], fields[1], i + 1
+    if w <= 0 or h <= 0:
+        # a negative dimension makes w*h*3 negative, defeating the
+        # truncation guard below AND numpy's count= (negative reads
+        # the whole buffer) — fabricated stats instead of a NULL row;
+        # zero-area would mean NaN channel means
+        raise ValueError(f"malformed PPM: non-positive dimensions {w}x{h}")
     if off + w * h * 3 > len(payload):
         raise ValueError("malformed PPM: pixel data truncated")
     return w, h, off

@@ -60,13 +60,13 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(n)]),
     )
-    # sh_sorted is persisted ALONGSIDE sh: the prefix index explodes a
-    # slice of the sorted set, and a Generate over a computed
-    # array_sort(...) re-evaluates the sort per generated row — from
-    # the cached column it is a plain read
-    return toks.select("doc_id", F.array_distinct(gram).alias("sh")).withColumn(
-        "sh_sorted", F.array_sort("sh")
-    )
+    # the ONE persisted shingle column is stored SORTED: the jaccard
+    # prefix index explodes a slice of the sorted set (a Generate over
+    # a computed array_sort(...) re-evaluates the sort per generated
+    # row), and every other consumer (posting explode, array_intersect,
+    # size) is order-insensitive — one column serves all callers with
+    # no duplicate cache footprint
+    return toks.select("doc_id", F.array_sort(F.array_distinct(gram)).alias("sh"))
 
 
 # most-recent persisted shingle table; bounded-leak discipline for
@@ -132,7 +132,8 @@ def ngram_jaccard_pairs(
     prefix = docs.select(
         "doc_id",
         "n_sh",
-        F.explode(F.slice("sh_sorted", 1, F.greatest(prefix_len, F.lit(1)))).alias("shingle"),
+        # sh is persisted pre-sorted (see _doc_shingles)
+        F.explode(F.slice("sh", 1, F.greatest(prefix_len, F.lit(1)))).alias("shingle"),
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     candidates = (

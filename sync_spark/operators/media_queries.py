@@ -48,9 +48,7 @@ def m_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ids.mapInPandas(build, "media_id long, kind string, payload binary")
     decoded = M.decode_media(media)
-    return decoded.select("media_id", "kind", "width", "height", "duration_ms", "size_bytes").drop(
-        "size_bytes"
-    )
+    return decoded.select("media_id", "kind", "width", "height", "duration_ms")
 
 
 M_MEDIA_SQL = """

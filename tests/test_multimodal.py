@@ -236,3 +236,42 @@ def test_float32_wav_features(spark):
     )
     r = M.audio_features(df).collect()[0]
     assert abs(r.rms - 0.5) < 1e-9 and abs(r.peak - 0.5) < 1e-9
+
+
+def test_more_malformed_wav_ppm_variants_yield_nulls(spark):
+    """Follow-up hardening: 4-bit WAV (would divide by zero), fmt-only
+    WAV (no data chunk), fmt chunk with lying length, negative-dim and
+    zero-area PPM — all NULL rows, never NaN or fabricated values."""
+    import math
+    import struct as S
+    from pyspark.sql import Row
+    from sync_spark.functions import multimodal as M
+
+    def wav_chunks(*chunks):
+        body = b"WAVE" + b"".join(chunks)
+        return b"RIFF" + S.pack("<I", len(body)) + body
+
+    fmt16 = S.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    fmt4bit = S.pack("<HHIIHH", 1, 1, 8000, 4000, 1, 4)
+    rows = [
+        Row(media_id=0, kind="audio",
+            payload=wav_chunks(b"fmt " + S.pack("<I", 16) + fmt4bit,
+                               b"data" + S.pack("<I", 4) + b"\x00" * 4), meta=None),
+        Row(media_id=1, kind="audio",
+            payload=wav_chunks(b"fmt " + S.pack("<I", 16) + fmt16), meta=None),  # no data
+        Row(media_id=2, kind="audio",
+            payload=wav_chunks(b"fmt " + S.pack("<I", 8) + fmt16[:8],
+                               b"data" + S.pack("<I", 4) + b"\x00" * 4), meta=None),
+        Row(media_id=3, kind="image", payload=b"P6\n-1 4\n255\n" + b"\x00" * 48, meta=None),
+        Row(media_id=4, kind="image", payload=b"P6\n0 0\n255\n", meta=None),
+    ]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    af = {r.media_id: r for r in M.audio_features(df).collect()}
+    for mid in (0, 1, 2):
+        assert af[mid].rms is None, mid
+    st = {r.media_id: r for r in M.image_stats(df).collect()}
+    for mid in (3, 4):
+        assert st[mid].mean_r is None and st[mid].width is None, mid
+    dec = {r.media_id: r for r in M.decode_media(df).collect()}
+    assert dec[0].duration_ms is None and dec[1].duration_ms is None
+    assert dec[3].width is None and dec[4].width is None
