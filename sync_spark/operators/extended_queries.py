@@ -232,7 +232,7 @@ def f_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-F_ARRAY_EXPLODE_SQL = """
+F_ARRAY_EXPLODE_SQL = r"""
 SELECT token, COUNT(*) AS n
 FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
 GROUP BY token ORDER BY n DESC, token ASC LIMIT 20

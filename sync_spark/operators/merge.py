@@ -65,13 +65,25 @@ def apply_changes(
     seq_col: str = SEQ_COL,
     ignore_deletes: bool = False,
     compact: bool = True,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """MERGE INTO target USING latest-per-key changes.
 
     ``changes`` carries the after-image in target's columns plus
     (op, seq). Result: target rows minus deleted keys minus replaced
     keys, plus upsert after-images (insert-or-update unified).
-    """
+
+    ``evolve_schema=True`` is the schemaless-source contract (the
+    reference's MongoDB path: new document fields just appear,
+    mongodb.go:480-485 decodes whatever arrives): change columns
+    absent from the target widen it (pre-existing rows read NULL),
+    and target columns absent from the changes are null-filled in the
+    after-image — full-document REPLACE semantics, matching the
+    reference's ReplaceOne (mongodb.go:1132-1182) where a field
+    missing from the replacement document is removed. Shared columns
+    keep the TARGET's type (changes are cast): a same-name type
+    change is a migration, not a merge side effect. Keys can never be
+    evolved — they must exist in both sides by contract."""
     # ignore_deletes BEFORE compaction: with deletes ignored they are
     # no-ops, so an upsert superseded by a later delete in the same
     # batch must still land (compacting first would keep only the
@@ -80,6 +92,28 @@ def apply_changes(
         changes = changes.filter(F.col(OP_COL) != DELETE_OP)
     if compact:
         changes = compact_latest_per_key(changes, keys, seq_col)
+
+    if evolve_schema:
+        tgt_types = {f.name: f.dataType for f in target.schema.fields}
+        chg_types = {f.name: f.dataType for f in changes.schema.fields}
+        for c in changes.columns:
+            if c in (OP_COL, seq_col):
+                continue
+            if c not in tgt_types:
+                # new column: widen target with a typed NULL
+                target = target.withColumn(c, F.lit(None).cast(chg_types[c]))
+            elif chg_types[c] != tgt_types[c]:
+                # pin to the target's type: without the explicit cast
+                # the union would silently WIDEN the merged output
+                # (int∪long → long), writing touched buckets under a
+                # type parquet schema-merge then refuses to reconcile
+                # with untouched ones
+                changes = changes.withColumn(c, F.col(c).cast(tgt_types[c]))
+        for c in target.columns:
+            if c not in changes.columns:
+                # REPLACE semantics: a field absent from the
+                # after-image is removed (→ NULL), not carried over
+                changes = changes.withColumn(c, F.lit(None).cast(tgt_types[c]))
 
     upserts = changes.filter(F.col(OP_COL) != DELETE_OP).select(*target.columns)
     deletes = changes.filter(F.col(OP_COL) == DELETE_OP).select(*keys)

@@ -30,7 +30,7 @@ def t_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW_EN = "'the','a','of','and','to','is'"
 
-T_QUALITY_SQL = f"""
+T_QUALITY_SQL = rf"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks, text FROM documents
 )
@@ -63,7 +63,7 @@ def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _langid_oracle_sql() -> str:
     langs = sorted(T.STOPWORDS)
     hits = {
-        lang: f"len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> lower(x) IN ({', '.join(repr(w) for w in T.STOPWORDS[lang])})))"
+        lang: rf"len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> lower(x) IN ({', '.join(repr(w) for w in T.STOPWORDS[lang])})))"
         for lang in langs
     }
     # same fold as the Spark side: alphabetically-first language wins ties
@@ -99,7 +99,7 @@ def t_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-T_TOKEN_STATS_SQL = """
+T_TOKEN_STATS_SQL = r"""
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars
@@ -148,7 +148,7 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
 
 
-D_JACCARD_SQL = """
+D_JACCARD_SQL = r"""
 WITH d AS (
   SELECT doc_id,
          list_distinct([ regexp_split_to_array(trim(text), '\s+')[i] || ' ' || regexp_split_to_array(trim(text), '\s+')[i+1] || ' ' || regexp_split_to_array(trim(text), '\s+')[i+2]
@@ -178,7 +178,7 @@ def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(d, pairs).orderBy("doc_id")
 
 
-D_CLUSTERS_SQL = """
+D_CLUSTERS_SQL = r"""
 WITH RECURSIVE pairs AS (
   WITH d AS (
     SELECT doc_id,
@@ -309,7 +309,7 @@ def t_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(F.broadcast(keep), "qbucket").select("doc_id", "n_tokens", "qbucket")
 
 
-T_BUDGET_SQL = f"""
+T_BUDGET_SQL = rf"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks, text FROM documents
 ), scored AS (

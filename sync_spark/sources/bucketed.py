@@ -209,22 +209,48 @@ def write_bucketed(
 def read_target(spark: SparkSession, path: str) -> DataFrame:
     """Read a target table, bucketed or legacy-flat, WITHOUT the
     bucket column — the one schema callers (monitor, tests, queries)
-    should see."""
+    should see.
+
+    ``mergeSchema=true``: after a schema evolution only the touched
+    buckets carry the new columns; the merged footer schema presents
+    one widened view (missing columns read NULL). Footer merging is a
+    parallel job over file metadata, not data — at scale, a full
+    ``bucketize_in_place`` re-normalizes the layout when the footer
+    pass starts to matter."""
     recover_interrupted_swaps(path)
-    df = spark.read.option("basePath", path).parquet(path)
+    df = (
+        spark.read.option("basePath", path)
+        .option("mergeSchema", "true")
+        .parquet(path)
+    )
     if BUCKET_COL in df.columns:
         df = df.drop(BUCKET_COL)
     return df
 
 
 def read_buckets(
-    spark: SparkSession, path: str, buckets: Iterable[int]
+    spark: SparkSession,
+    path: str,
+    buckets: Iterable[int],
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """Pruned read of only the given buckets. The isin filter on the
     partition column becomes PartitionFilters — untouched buckets'
-    files are never opened."""
+    files are never opened.
+
+    ``schema``: the expected row schema (no bucket column). Passing it
+    skips footer inference entirely — important on the merge hot path,
+    where ``mergeSchema`` would read every file's footer BEFORE
+    partition pruning — and makes evolved layouts read uniformly:
+    files missing a column yield NULLs, by name. Without it the
+    first-footer schema wins (pre-evolution behavior)."""
     recover_interrupted_swaps(path)
-    df = spark.read.option("basePath", path).parquet(path)
+    reader = spark.read.option("basePath", path)
+    if schema is not None:
+        reader = reader.schema(
+            T.StructType(list(schema.fields) + [T.StructField(BUCKET_COL, T.IntegerType())])
+        )
+    df = reader.parquet(path)
     return df.filter(F.col(BUCKET_COL).isin(list(buckets))).drop(BUCKET_COL)
 
 

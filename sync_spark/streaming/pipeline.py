@@ -338,7 +338,18 @@ class CdcPipeline:
                     bucketize_in_place(
                         self.spark, t.target_path, t.key_cols, self.n_buckets
                     )
-                target = read_buckets(self.spark, t.target_path, touched)
+                # explicit schema: no footer-inference job, and the
+                # pipeline's schema-evolution contract — row_schema is
+                # authoritative; buckets written before a column was
+                # added read it as NULL, so updating a TableTarget's
+                # row_schema (spec hot reload / restart) evolves the
+                # target incrementally: touched buckets pick up the
+                # new column on their next merge, untouched buckets
+                # stay byte-identical and read_target's merged-footer
+                # view nulls them in
+                target = read_buckets(
+                    self.spark, t.target_path, touched, schema=t.row_schema
+                )
                 merged = apply_changes(
                     target,
                     good,
