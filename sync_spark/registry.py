@@ -152,6 +152,11 @@ def _populate() -> None:
     register("m_media_roundtrip", mq.m_media_roundtrip, mq.M_MEDIA_SQL)
     register("q14_promo_revenue", th.q14_promo_revenue, th.Q14_SQL)
 
+    from sync_spark.operators import sketch_queries as sk
+
+    register("a_hll_merge_rollup", sk.a_hll_merge_rollup, sk.A_HLL_ROLLUP_SQL)
+    register("a_theta_set_ops", sk.a_theta_set_ops, sk.A_THETA_SET_SQL)
+
     # flag flips only AFTER every registration succeeded — setting it
     # first would make a mid-populate exception leave a silently
     # partial registry for every later call (the driver's gate would

@@ -177,3 +177,19 @@ def test_curation_composite_stays_jvm_side(spark, sf_small):
         assert "EvalPython" not in plan, plan[:400]
     q14 = plan_of(q14_promo_revenue(spark, sf_small))
     assert "BroadcastHashJoin" in q14
+
+
+def test_sketch_rollup_partial_aggregation(spark, sf_small):
+    """Mergeable-sketch rollups must plan two-level aggregation
+    (map-side partial_hll_sketch_agg / merge) and stay JVM-side —
+    the property that makes the 100 TB pre-aggregate-once pattern
+    real rather than a full shuffle of keys."""
+    from sync_spark.operators import sketch_queries as sk
+
+    plan = plan_of(sk.a_hll_merge_rollup(spark, sf_small))
+    assert "partial_hll_sketch_agg" in plan
+    assert "merge_hll_sketch_agg" in plan
+    assert "EvalPython" not in plan
+    theta = plan_of(sk.a_theta_set_ops(spark, sf_small))
+    assert "partial_theta_sketch_agg" in theta
+    assert "EvalPython" not in theta
