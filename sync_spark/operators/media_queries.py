@@ -59,3 +59,56 @@ SELECT vec_id AS media_id,
        CASE WHEN vec_id % 2 = 0 THEN CAST(250 * (1 + vec_id % 4) AS INT) ELSE NULL END AS duration_ms
 FROM embeddings
 """
+
+
+def m_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated REAL pixel resize: build P6 payloads from odd
+    vec_ids (width 4 + id%5, height 3 + id%3), run the
+    nearest-neighbor pixel kernel at max_side=4, then RE-PARSE the
+    resized bytes with the independent decoder — the emitted dims come
+    from the output payload's header, not the kernel's bookkeeping.
+    The oracle computes the same dims closed-form (HALF_UP rounding of
+    the aspect-preserving scale), so kernel, encoder, and parser must
+    all agree for the hash to match."""
+    ids = (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("media_id"))
+        .filter(F.col("media_id") % 2 == 1)
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "payload": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rows["media_id"].append(mid)
+                rows["payload"].append(M.ppm_payload(mid, width=4 + mid % 5, height=3 + mid % 3))
+            yield pd.DataFrame(rows)
+
+    media = ids.mapInPandas(build, "media_id long, payload binary")
+    resized = M.resize_image(media, max_side=4)
+    # independent re-parse of the emitted bytes
+    parsed = M.decode_media(resized.withColumn("kind", F.lit("image")))
+    return parsed.select(
+        "media_id",
+        F.col("width").alias("rs_width"),
+        F.col("height").alias("rs_height"),
+    )
+
+
+M_RESIZE_SQL = """
+WITH src AS (
+  SELECT vec_id AS media_id,
+         CAST(4 + vec_id % 5 AS DOUBLE) AS w,
+         CAST(3 + vec_id % 3 AS DOUBLE) AS h
+  FROM embeddings WHERE vec_id % 2 = 1
+), scaled AS (
+  SELECT media_id, w, h,
+         CASE WHEN greatest(w, h) > 4 THEN greatest(w, h) / 4.0 ELSE 1.0 END AS s
+  FROM src
+)
+SELECT media_id,
+       CAST(greatest(1, floor(w / s + 0.5)) AS INT) AS rs_width,
+       CAST(greatest(1, floor(h / s + 0.5)) AS INT) AS rs_height
+FROM scaled
+"""

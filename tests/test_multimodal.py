@@ -275,3 +275,112 @@ def test_more_malformed_wav_ppm_variants_yield_nulls(spark):
     dec = {r.media_id: r for r in M.decode_media(df).collect()}
     assert dec[0].duration_ms is None and dec[1].duration_ms is None
     assert dec[3].width is None and dec[4].width is None
+
+
+def test_resize_image_real_pixels(spark):
+    """Nearest-neighbor resize: dims match resize_meta's plan math,
+    output is a valid P6 whose pixels are the mapped source pixels."""
+    from sync_spark.functions.multimodal import (
+        _parse_ppm_header,
+        ppm_payload,
+        resize_image,
+    )
+
+    src = ppm_payload(5, width=8, height=6)
+    df = spark.createDataFrame([(1, src)], "media_id long, payload binary")
+    out = resize_image(df, max_side=4).collect()[0]
+    assert (out.width, out.height) == (4, 3)
+    w, h, off = _parse_ppm_header(bytes(out.payload))
+    assert (w, h) == (4, 3)
+    # nearest mapping: output pixel (0,0) reads source (0,0);
+    # output (y=1, x=2) reads source row (1*6)//3=2, col (2*8)//4=4
+    sw, sh, soff = _parse_ppm_header(src)
+    def px(payload, offv, width, x, y):
+        i = offv + (y * width + x) * 3
+        return payload[i : i + 3]
+    assert px(bytes(out.payload), off, 4, 0, 0) == px(src, soff, 8, 0, 0)
+    assert px(bytes(out.payload), off, 4, 2, 1) == px(src, soff, 8, 4, 2)
+
+
+def test_resize_image_passthrough_and_dim_consistency(spark):
+    """Small images pass through byte-identical; the pixel kernel's
+    dims agree with resize_meta's column math across a dim grid."""
+    from sync_spark.functions.multimodal import ppm_payload, resize_image
+
+    small = ppm_payload(1, width=3, height=4)
+    df = spark.createDataFrame([(1, small)], "media_id long, payload binary")
+    out = resize_image(df, max_side=4).collect()[0]
+    assert bytes(out.payload) == small
+
+    dims = [(w, h) for w in range(1, 12) for h in range(1, 12)]
+    rows = [(i, ppm_payload(i, width=w, height=h)) for i, (w, h) in enumerate(dims)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    kernel = {
+        r.media_id: (r.width, r.height) for r in resize_image(df, max_side=5).collect()
+    }
+    meta_in = df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(None).cast("int").alias("width"), F.lit(None).cast("int").alias("height")
+        ),
+    )
+    for i, (w, h) in enumerate(dims):
+        scale = max(w, h) / 5 if max(w, h) > 5 else 1.0
+        expect = (max(1, int(w / scale + 0.5)), max(1, int(h / scale + 0.5)))
+        assert kernel[i] == expect, (i, w, h, kernel[i], expect)
+
+
+def test_resize_image_malformed_yields_null_rows(spark):
+    from sync_spark.functions.multimodal import ppm_payload, resize_image, wav_payload
+
+    rows = [
+        (1, None),
+        (2, b"P6\n-3 4\n255\n" + b"\x00" * 64),  # negative dims
+        (3, wav_payload(1, seconds=0.01)),  # not an image
+        (4, ppm_payload(7, width=9, height=2)),  # good
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in resize_image(df, max_side=4).collect()}
+    assert len(out) == 4
+    assert out[1].payload is None and out[2].payload is None and out[3].payload is None
+    assert (out[4].width, out[4].height) == (4, 1)
+
+
+def test_resample_audio_decimate_and_upsample(spark):
+    from sync_spark.functions.multimodal import (
+        _parse_wav,
+        resample_audio,
+        wav_payload,
+    )
+    import numpy as np
+
+    src = wav_payload(3, seconds=0.5, rate=8000)
+    _, _, _, _, _, off, ln = _parse_wav(src)
+    x = np.frombuffer(src, dtype="<i2", count=ln // 2, offset=off)
+
+    df = spark.createDataFrame([(1, src)], "media_id long, payload binary")
+    down = resample_audio(df, 4000).collect()[0]
+    assert down.sample_rate == 4000 and down.n_samples == len(x) // 2
+    assert abs(down.duration_ms - 500) <= 1
+    _, drate, dch, dbits, _, doff, dln = _parse_wav(bytes(down.payload))
+    assert (drate, dch, dbits) == (4000, 1, 16)
+    y = np.frombuffer(bytes(down.payload), dtype="<i2", count=dln // 2, offset=doff)
+    assert np.array_equal(y, x[::2])  # decimation keeps every 2nd sample
+
+    up = resample_audio(df, 16000).collect()[0]
+    assert up.sample_rate == 16000 and up.n_samples == 2 * len(x)
+    _, _, _, _, _, uoff, uln = _parse_wav(bytes(up.payload))
+    z = np.frombuffer(bytes(up.payload), dtype="<i2", count=uln // 2, offset=uoff)
+    assert np.array_equal(z[::2], x) and np.array_equal(z[1::2], x)  # repeats
+
+    same = resample_audio(df, 8000).collect()[0]
+    assert bytes(same.payload) == src  # pass-through byte-identical
+
+
+def test_resample_audio_rejects_unsupported_variants(spark):
+    from sync_spark.functions.multimodal import ppm_payload, resample_audio
+
+    rows = [(1, None), (2, ppm_payload(1)), (3, b"RIFF" + b"\x00" * 20)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in resample_audio(df, 4000).collect()}
+    assert all(out[i].payload is None for i in (1, 2, 3))
