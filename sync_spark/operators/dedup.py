@@ -471,3 +471,89 @@ def decontaminate(
             (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_shared).alias("contaminated"),
         )
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN removal (the RefinedWeb /
+    exact-substring dedup criterion, approximated at token-k-gram
+    granularity — public technique): a k-gram appearing in ≥
+    ``min_docs`` distinct documents is a duplicated span; every doc
+    EXCEPT the gram's canonical owner (min doc_id) drops the tokens
+    covered by its occurrences. Unlike whole-doc dedup this rescues
+    documents that merely EMBED boilerplate (license headers, nav
+    text, quoted passages) — the unique remainder survives.
+
+    Returns (doc_id, clean_text, n_kept, n_removed) for EVERY input
+    document, clean_text preserving original token order.
+
+    Shape (all Column-native, one pass, no UDFs):
+    - posexplode tokens once; k-grams via k-1 lead() calls on the
+      (doc_id, pos) window — linear, the winnowing discipline;
+    - gram ownership: distinct (gram, doc) pairs → groupBy(gram) for
+      (min owner, doc count) — the dominant shuffle, partial-agg
+      combinable; boilerplate grams are exactly the hot keys AQE's
+      skew join splits;
+    - coverage: dup-start flags joined back at (doc, pos), then ONE
+      sliding window max over [pos-k+1, pos] marks covered tokens
+      (positions are dense, so the row frame IS the position frame);
+    - reassembly: groupBy(doc) with order-restoring
+      array_sort(collect_list(struct(pos, tok))) — per-doc data, the
+      partition key is the doc id, skew-free.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+    tokp = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w_ord) for j in range(1, k)]
+    # materialize the gram BEFORE the completeness filter: window
+    # expressions placed after the filter would be re-evaluated over
+    # the FILTERED rows, where the trailing leads go null and
+    # concat_ws silently emits short grams (the same trap
+    # winnow_fingerprint_rows documents)
+    grams = (
+        tokp.withColumn("g", F.concat_ws(" ", *parts))
+        .withColumn("last_part", parts[-1])
+        .filter(F.col("last_part").isNotNull())
+        .select("doc_id", "pos", "g")
+    )
+    owners = (
+        grams.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("owner"), F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+    )
+    dup_starts = (
+        grams.join(owners, "g")
+        .filter(F.col("doc_id") > F.col("owner"))
+        .select("doc_id", "pos", F.lit(1).alias("dup"))
+    )
+    cover = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(k - 1), 0)
+    kept = (
+        tokp.join(dup_starts, ["doc_id", "pos"], "left")
+        .withColumn("cov", F.max("dup").over(cover))
+        .filter(F.col("cov").isNull())
+    )
+    clean = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    base = toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    return base.join(clean, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+    )

@@ -894,3 +894,58 @@ JOIN dec d ON d.doc_id = c.doc_id
 
 
 T_CURATE_SQL = _curate_sql()
+
+
+def d_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span removal at 5-gram granularity —
+    the exact-substring dedup criterion (RefinedWeb-style) that
+    rescues documents embedding boilerplate instead of dropping them
+    whole. Oracle recomputes the identical semantics with DuckDB list
+    comprehensions + a correlated coverage EXISTS."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.span_dedup(d, "text", "doc_id", k=5, min_docs=2)
+
+
+D_SPAN_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), tok AS (
+  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok AS tok
+  FROM (SELECT doc_id,
+               unnest([{'pos': i - 1, 'tok': toks[i]} for i in range(1, len(toks) + 1)]) AS u
+        FROM t)
+), grams AS (
+  SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.g AS g
+  FROM (SELECT doc_id,
+               unnest([{'pos': i - 1,
+                        'g': concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])}
+                       for i in range(1, len(toks) - 3)]) AS u
+        FROM t)
+), own AS (
+  SELECT g, MIN(doc_id) AS owner, COUNT(DISTINCT doc_id) AS nd
+  FROM grams GROUP BY g
+), dup AS (
+  SELECT grams.doc_id, grams.pos
+  FROM grams JOIN own USING (g)
+  WHERE own.nd >= 2 AND grams.doc_id > own.owner
+), cov AS (
+  SELECT tok.doc_id, tok.pos, tok.tok,
+         EXISTS (SELECT 1 FROM dup
+                 WHERE dup.doc_id = tok.doc_id
+                   AND dup.pos BETWEEN tok.pos - 4 AND tok.pos) AS covered
+  FROM tok
+), clean AS (
+  SELECT doc_id,
+         COALESCE(string_agg(tok, ' ' ORDER BY pos) FILTER (WHERE NOT covered), '') AS clean_text,
+         COUNT(*) FILTER (WHERE NOT covered) AS n_kept
+  FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(c.clean_text, '') AS clean_text,
+       CAST(COALESCE(c.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(t.toks) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+FROM t LEFT JOIN clean c USING (doc_id)
+"""

@@ -101,6 +101,7 @@ def _populate() -> None:
     register("t_winnow_fingerprints", tq.t_winnow_fingerprints, tq.T_WINNOW_SQL)
     register("d_winnow_pairs", tq.d_winnow_pairs, tq.D_WINNOW_PAIRS_SQL)
     register("d_decontaminate", tq.d_decontaminate, tq.D_DECONTAM_SQL)
+    register("d_span_dedup", tq.d_span_dedup, tq.D_SPAN_SQL)
     register("t_stratified_sample", tq.t_stratified_sample, tq.T_STRATIFIED_SQL)
     register("t_top_ngrams", tq.t_top_ngrams, tq.T_TOP_NGRAMS_SQL)
     register("t_quality_filter", tq.t_quality_filter, tq.T_QUALITY_FILTER_SQL)

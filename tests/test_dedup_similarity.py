@@ -338,3 +338,58 @@ def test_range_join_binned_random_vs_naive(spark):
             ).collect()
         }
         assert got == naive, f"bin={bin_s}: {len(got)} vs {len(naive)}"
+
+
+def test_span_dedup_removes_embedded_boilerplate(spark):
+    """A 6-token boilerplate run shared by two docs is removed from
+    the non-owner doc only; unique remainders survive in both."""
+    from sync_spark.operators.dedup import span_dedup
+
+    boiler = "all rights reserved see license file"
+    rows = [
+        (1, f"alpha beta {boiler} gamma delta"),
+        (2, f"unrelated words here {boiler} epsilon zeta eta"),
+        (3, "completely unique document with no shared spans at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_dedup(df, k=5, min_docs=2).collect()}
+    # owner (doc 1) keeps everything
+    assert out[1].clean_text == f"alpha beta {boiler} gamma delta"
+    assert out[1].n_removed == 0
+    # doc 2 loses exactly the boilerplate tokens
+    assert out[2].clean_text == "unrelated words here epsilon zeta eta"
+    assert out[2].n_removed == 6
+    # untouched doc
+    assert out[3].n_removed == 0 and out[3].clean_text == rows[2][1]
+
+
+def test_span_dedup_fully_duplicated_doc_empties(spark):
+    from sync_spark.operators.dedup import span_dedup
+
+    text = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [(10, text), (20, text), (30, "")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in span_dedup(df, k=5, min_docs=2).collect()}
+    assert out[10].clean_text == text  # owner keeps its copy
+    assert out[20].clean_text == "" and out[20].n_kept == 0 and out[20].n_removed == 7
+    assert out[30].clean_text == "" and out[30].n_removed == 0  # empty doc passes through
+
+
+def test_span_dedup_short_docs_never_match(spark):
+    """Docs shorter than k have no k-grams — identical short docs are
+    untouched (span dedup is not whole-doc dedup)."""
+    from sync_spark.operators.dedup import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, "tiny dup text"), (2, "tiny dup text")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in span_dedup(df, k=5, min_docs=2).collect()}
+    assert out[1].n_removed == 0 and out[2].n_removed == 0
+
+
+def test_span_dedup_plan_stays_jvm_side(spark, sf_small):
+    from sync_spark.operators.text_queries import d_span_dedup
+
+    plan = d_span_dedup(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
