@@ -1,0 +1,156 @@
+"""Streaming corpus curation: the LLM-training-data pipeline run as a
+CDC consumer — documents arriving on the change-event envelope are
+quality-filtered, language-gated, and exact-deduplicated ON THE
+STREAM, landing an append-only curated corpus.
+
+Composition (everything per-row or watermark-bounded — legal on a
+streaming DataFrame, no unsupported batch-window ops):
+
+- source: the same envelope log the replication pipeline tails
+  (sources/cdc.py) — curation is just another consumer of the feed;
+- signals: token count, composite quality score, stopword-vote
+  language id, md5 fingerprint (functions/text.py) — pure Column
+  expressions, map-side, no shuffle before the filter so rejected
+  documents die in the scan stage;
+- dedup: ``withWatermark(ts) + dropDuplicatesWithinWatermark(fp)`` —
+  first arrival of a fingerprint wins, re-sends within the watermark
+  horizon are dropped, and state is EVICTED past it (the unbounded
+  dropDuplicates state growth is exactly what the WithinWatermark
+  variant exists to fix; at 100 TB/day the state is bounded by the
+  horizon's unique-fingerprint count, not history);
+- sink: append-mode parquet with checkpointed offsets — restart-safe
+  like every other stream here.
+
+The batch oracle for tests: quality filter over the same rows +
+first-arrival-per-fingerprint (min seq), computed with batch ops.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sync_spark.functions.text import fingerprint, langid, quality_score, token_count
+from sync_spark.sources.cdc import read_event_stream
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+DEFAULT_MIN_TOKENS = 5
+DEFAULT_MIN_QUALITY = 0.3
+
+
+def curation_signals(docs: DataFrame) -> DataFrame:
+    """Attach the per-row curation signals (streaming-legal: no
+    windows, no aggregation)."""
+    return docs.select(
+        "*",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        langid(F.col("text")).alias("lang_pred"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def curate_stream(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    min_tokens: int = DEFAULT_MIN_TOKENS,
+    min_quality: float = DEFAULT_MIN_QUALITY,
+) -> DataFrame:
+    """signals → quality/language gate → streaming exact dedup.
+
+    Dedup contract: ACROSS micro-batches the first-processed
+    fingerprint wins and later arrivals within the watermark horizon
+    are dropped; WITHIN one micro-batch the survivor among
+    simultaneous duplicates is operator-chosen (Spark keeps an
+    arbitrary single row). Pipelines needing strict in-batch ordering
+    should bound the trigger (maxFilesPerTrigger=1 makes file order
+    the arrival order) — tested both ways."""
+    sig = curation_signals(docs)
+    kept = sig.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("quality") >= min_quality)
+        & (F.col("lang_pred") == F.col("lang"))
+    )
+    return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])
+
+
+class CurationPipeline:
+    """Envelope log → curated corpus. A sibling consumer to
+    CdcPipeline over the same feed."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        event_log_dir: str,
+        out_path: str,
+        checkpoint_dir: str,
+        source_table: str = "documents",
+        doc_schema: T.StructType = DOC_SCHEMA,
+        watermark: str = "1 hour",
+        min_tokens: int = DEFAULT_MIN_TOKENS,
+        min_quality: float = DEFAULT_MIN_QUALITY,
+        max_files_per_trigger: Optional[int] = None,
+    ) -> None:
+        self.spark = spark
+        self.event_log_dir = event_log_dir
+        self.out_path = out_path
+        self.checkpoint_dir = checkpoint_dir
+        self.source_table = source_table
+        self.doc_schema = doc_schema
+        self.watermark = watermark
+        self.min_tokens = min_tokens
+        self.min_quality = min_quality
+        self.max_files_per_trigger = max_files_per_trigger
+
+    def _stream(self) -> DataFrame:
+        env = read_event_stream(self.spark, self.event_log_dir, self.max_files_per_trigger)
+        # inline projection (not changes_for_table, which drops ts —
+        # and re-attaching it via a second branch of the same stream
+        # would be an illegal stream-stream self-join in append mode):
+        # one map-side select keeps the event time for the watermark
+        after = F.from_json("after_json", self.doc_schema)
+        docs = env.filter(
+            (F.col("source_table") == self.source_table) & (F.col("op") != "delete")
+        ).select(
+            *[after[f.name].alias(f.name) for f in self.doc_schema.fields],
+            F.col("seq"),
+            F.col("ts"),
+        )
+        return curate_stream(
+            docs,
+            ts_col="ts",
+            watermark=self.watermark,
+            min_tokens=self.min_tokens,
+            min_quality=self.min_quality,
+        )
+
+    def start(self, trigger_once: bool = True):
+        curated = self._stream().select(
+            "doc_id", "text", "lang", "n_tokens", "quality", "fp", "seq"
+        )
+        writer = (
+            curated.writeStream.format("parquet")
+            .option("path", self.out_path)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("append")
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="2 seconds")
+        return writer.start()
+
+    def run_available(self) -> None:
+        q = self.start(trigger_once=True)
+        q.awaitTermination()

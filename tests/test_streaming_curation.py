@@ -1,0 +1,156 @@
+"""Streaming corpus curation: quality gate + streaming exact dedup
+over the CDC envelope, checked against a batch-computed oracle
+(quality filter + first-arrival-per-fingerprint)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from sync_spark.sources.cdc import write_event_batch
+from sync_spark.streaming.curation import CurationPipeline
+
+GOOD_A = "the quick brown fox jumps over the lazy dog and runs away to the hills"
+GOOD_B = "a model is trained on the data and the loss goes down as it learns"
+GOOD_C = "the cat sat on the mat and the dog sat on the log by the fire"
+LOW_QUALITY = "!!! ??? *** ### $$$ %%% ^^^ &&& @@@ ;;;"  # punctuation soup
+TOO_SHORT = "the tiny one"
+WRONG_LANG = "le chat est sur la table et le chien est dans le jardin"  # fr text, lang=en
+
+
+def _event(seq, doc_id, text, lang="en", ts="2024-01-01T10:00:00Z"):
+    return {
+        "op": "insert",
+        "seq": seq,
+        "ts": ts,
+        "source_table": "documents",
+        "key_json": json.dumps({"doc_id": doc_id}),
+        "after_json": json.dumps({"doc_id": doc_id, "text": text, "lang": lang}),
+    }
+
+
+@pytest.fixture
+def dirs(tmp_path):
+    return {
+        "events": str(tmp_path / "events"),
+        "out": str(tmp_path / "curated"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _pipeline(spark, dirs):
+    return CurationPipeline(
+        spark,
+        event_log_dir=dirs["events"],
+        out_path=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+        watermark="1 hour",
+    )
+
+
+def _curated(spark, dirs):
+    return {r.doc_id: r for r in spark.read.parquet(dirs["out"]).collect()}
+
+
+def test_quality_gate_and_in_batch_dedup(spark, dirs):
+    events = [
+        _event(1, 1, GOOD_A),
+        _event(2, 2, LOW_QUALITY),
+        _event(3, 3, TOO_SHORT),
+        _event(4, 4, WRONG_LANG),
+        _event(5, 5, GOOD_A),  # exact dup of doc 1 — dropped
+        _event(6, 6, GOOD_B),
+    ]
+    write_event_batch(dirs["events"], events, 1)
+    _pipeline(spark, dirs).run_available()
+    out = _curated(spark, dirs)
+    assert set(out) == {1, 6}
+    assert out[1].fp == out[1].fp  # fingerprint column present
+    assert out[1].n_tokens == len(GOOD_A.split())
+    assert out[6].quality >= 0.3
+
+
+def test_cross_batch_dedup_within_watermark(spark, dirs):
+    """A fingerprint seen in batch 1 is dropped when re-sent in batch
+    2 (same event-time horizon) — streaming state, not in-batch
+    compaction."""
+    write_event_batch(dirs["events"], [_event(1, 1, GOOD_A)], 1)
+    p = _pipeline(spark, dirs)
+    p.run_available()
+    write_event_batch(
+        dirs["events"],
+        [
+            _event(2, 9, GOOD_A, ts="2024-01-01T10:10:00Z"),  # re-send, same text
+            _event(3, 7, GOOD_C, ts="2024-01-01T10:10:00Z"),  # new
+        ],
+        2,
+    )
+    _pipeline(spark, dirs).run_available()  # fresh pipeline object, same checkpoint
+    out = _curated(spark, dirs)
+    assert set(out) == {1, 7}
+
+
+def test_deletes_and_other_tables_ignored(spark, dirs):
+    events = [
+        _event(1, 1, GOOD_A),
+        {**_event(2, 2, GOOD_B), "op": "delete", "after_json": None},
+        {**_event(3, 3, GOOD_C), "source_table": "orders"},
+    ]
+    write_event_batch(dirs["events"], events, 1)
+    _pipeline(spark, dirs).run_available()
+    assert set(_curated(spark, dirs)) == {1}
+
+
+def test_matches_batch_oracle(spark, dirs):
+    """Stream result == batch oracle: quality gate + min-seq winner
+    per fingerprint, computed with plain batch ops on the same log."""
+    from pyspark.sql import functions as F
+
+    from sync_spark.sources.cdc import read_event_log
+    from sync_spark.streaming.curation import DOC_SCHEMA, curation_signals
+
+    texts = [GOOD_A, GOOD_B, GOOD_C, LOW_QUALITY, TOO_SHORT, WRONG_LANG]
+    events = []
+    seq = 0
+    for rep in range(3):  # every text sent three times across batches
+        for i, t in enumerate(texts):
+            seq += 1
+            events.append(_event(seq, 100 * rep + i, t))
+    for b in range(3):
+        write_event_batch(dirs["events"], events[b * 6 : (b + 1) * 6], b + 1)
+    # one file per micro-batch: ACROSS batches the first-processed
+    # fingerprint wins (file order = seq order here), which makes the
+    # min-seq oracle exact. WITHIN one micro-batch the survivor among
+    # simultaneous duplicates is operator-chosen — the weaker
+    # fingerprint-set contract, asserted in the other tests.
+    p = CurationPipeline(
+        spark,
+        event_log_dir=dirs["events"],
+        out_path=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+        watermark="1 hour",
+        max_files_per_trigger=1,
+    )
+    p.run_available()
+
+    env = read_event_log(spark, dirs["events"])
+    after = F.from_json("after_json", DOC_SCHEMA)
+    docs = env.filter(
+        (F.col("source_table") == "documents") & (F.col("op") != "delete")
+    ).select(*[after[f.name].alias(f.name) for f in DOC_SCHEMA.fields], "seq")
+    sig = curation_signals(docs)
+    gated = sig.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("quality") >= 0.3)
+        & (F.col("lang_pred") == F.col("lang"))
+    )
+    first = (
+        gated.groupBy("fp")
+        .agg(F.min("seq").alias("seq"))
+        .join(gated, ["fp", "seq"])
+        .select("doc_id")
+    )
+    expected = {r.doc_id for r in first.collect()}
+    assert set(_curated(spark, dirs)) == expected
+    assert expected  # non-degenerate: something survived
