@@ -136,14 +136,22 @@ def _driver_union_find(nodes: DataFrame, edge_rows: list, id_col: str) -> DataFr
     id_field = nodes.select(id_col).schema.fields[0]
     if mapping:
         schema = f"{id_col} {id_field.dataType.simpleString()}, cluster_id {id_field.dataType.simpleString()}"
+        # NOTE: no coalesce(1) here — a no-shuffle coalesce on the
+        # parallelized mapping measured 10s where the plain 32-slice
+        # frame takes 1s (single task dragging every pickled slice
+        # through one Python worker, per downstream use)
         touched = spark.createDataFrame(mapping, schema)
     else:
         touched = nodes.select(
             F.col(id_col), F.col(id_col).alias("cluster_id")
         ).limit(0)
+    # explicit broadcast: an ExistingRDD side has no size statistics,
+    # so Catalyst would otherwise plan a full sort-merge anti-join
+    # (both sides shuffled) against a mapping that is at most
+    # driver_threshold rows — measured 2.5s → 0.3s on the assembly
     singletons = (
         nodes.select(F.col(id_col))
-        .join(touched.select(id_col), id_col, "left_anti")
+        .join(F.broadcast(touched.select(id_col)), id_col, "left_anti")
         .withColumn("cluster_id", F.col(id_col))
     )
     return touched.unionByName(singletons)
