@@ -147,6 +147,7 @@ def _populate() -> None:
     register("q10_returned_items", th.q10_returned_items, th.Q10_SQL)
     register("q18_large_orders", th.q18_large_orders, th.Q18_SQL)
     register("q12_priority_shipping", th.q12_priority_shipping, th.Q12_SQL)
+    register("q5_local_supplier_volume", th.q5_local_supplier_volume, th.Q5_SQL)
 
     from sync_spark.operators import media_queries as mq
 
