@@ -949,3 +949,78 @@ SELECT t.doc_id,
        CAST(len(t.toks) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
 FROM t LEFT JOIN clean c USING (doc_id)
 """
+
+
+_PACK_CAPACITY = 512
+_PACK_GROUP = 100  # doc_ids per prefix-sum group (see scale note)
+
+
+def t_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing offsets — the GPT-style training-data layout:
+    the corpus is one token stream (docs concatenated in doc_id
+    order) cut into fixed ``capacity``-token packs; each doc reports
+    its global start offset and the first/last pack it lands in.
+
+    SCALE: the naive global running sum is a WINDOW WITH NO PARTITION
+    — every row through one task, the classic prefix-sum trap. This
+    is the two-phase parallel prefix sum instead: (1) within-group
+    running sums, window PARTITIONED by a doc_id range group;
+    (2) one tiny global window over the per-group totals (#groups
+    rows, not #docs — size it with group_size so 10⁹ docs make ~10³
+    group rows); (3) broadcast the group prefix offsets back. Same
+    answer as the serial sum, no single-partition data pass.
+
+    DuckDB oracle computes the serial running sum directly — the two
+    implementations must agree exactly."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.floor(F.col("doc_id") / _PACK_GROUP).alias("grp"),
+    )
+    wg = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum("n_tokens").over(wg), F.lit(0))
+    t = t.withColumn("within", within)
+    totals = t.groupBy("grp").agg(F.sum("n_tokens").alias("gt"))
+    wp = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    prefixes = totals.withColumn("goff", F.coalesce(F.sum("gt").over(wp), F.lit(0)))
+    out = t.join(F.broadcast(prefixes.select("grp", "goff")), "grp")
+    start = (F.col("goff") + F.col("within")).alias("start_offset")
+    out = out.select("doc_id", "n_tokens", start)
+    last_tok = F.greatest(
+        F.col("start_offset") + F.col("n_tokens") - 1, F.col("start_offset")
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / _PACK_CAPACITY).alias("first_pack"),
+        F.floor(last_tok / _PACK_CAPACITY).alias("last_pack"),
+    )
+
+
+T_PACK_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(floor(start_offset / {_PACK_CAPACITY}) AS BIGINT) AS first_pack,
+       CAST(floor(greatest(start_offset + n_tokens - 1, start_offset)
+                  / {_PACK_CAPACITY}) AS BIGINT) AS last_pack
+FROM c
+"""

@@ -106,6 +106,7 @@ def _populate() -> None:
     register("t_top_ngrams", tq.t_top_ngrams, tq.T_TOP_NGRAMS_SQL)
     register("t_quality_filter", tq.t_quality_filter, tq.T_QUALITY_FILTER_SQL)
     register("t_curate_corpus", tq.t_curate_corpus, tq.T_CURATE_SQL)
+    register("t_pack_offsets", tq.t_pack_offsets, tq.T_PACK_SQL)
 
     from sync_spark.operators import extended_queries as xq
 

@@ -193,3 +193,18 @@ def test_sketch_rollup_partial_aggregation(spark, sf_small):
     theta = plan_of(sk.a_theta_set_ops(spark, sf_small))
     assert "partial_theta_sketch_agg" in theta
     assert "EvalPython" not in theta
+
+
+def test_pack_offsets_two_phase_prefix_sum(spark, sf_small):
+    """The sequence-packing running sum must be the two-phase shape:
+    the DOC-level window partitions by the range group (parallel);
+    only the per-group-totals window (#groups rows) is global. A
+    partition-less window over the doc rows is the single-task
+    prefix-sum trap."""
+    from sync_spark.operators.text_queries import t_pack_offsets
+
+    plan = plan_of(t_pack_offsets(spark, sf_small))
+    wins = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert len(wins) == 2
+    doc_win = [w for w in wins if "n_tokens" in w]
+    assert doc_win and "windowspecdefinition(grp" in doc_win[0]
