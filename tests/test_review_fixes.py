@@ -267,3 +267,25 @@ def test_multimodal_null_payload_rows_survive(spark):
     assert dec[2].width is None and dec[2].size_bytes is None
     feats = {r.media_id: r.features for r in extract_features(df).collect()}
     assert feats[1] is not None and feats[2] is None
+
+
+def test_adversarial_session_confs_self_correct(spark, sf_small):
+    """The driver builds its OWN SparkSession — queries must not
+    depend on our factory's configs. A session starting with a JST
+    session timezone and NTZ timestamp inference must still match the
+    oracle: ensure_session_conf (sources/readers.py) self-corrects on
+    every read."""
+    from sync_spark.registry import all_queries
+    from sync_spark.testing import run_compare
+
+    hostile = spark.newSession()
+    hostile.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    hostile.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    qs = all_queries()
+    for name in (
+        "p_daterange_daily_jst",
+        "a_daily_window_jst",
+        "f_timestamp_parse",
+        "o_time_ordered_scan",
+    ):
+        assert run_compare(hostile, qs[name], sf_small) is None, name
