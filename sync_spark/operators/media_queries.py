@@ -112,3 +112,49 @@ SELECT media_id,
        CAST(greatest(1, floor(h / s + 0.5)) AS INT) AS rs_height
 FROM scaled
 """
+
+
+def m_media_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated REAL PCM resample: build WAVs from even vec_ids
+    (n = 2000·(1 + id%4) samples at 8000 Hz), halve the rate through
+    the numpy resampler, then RE-PARSE the emitted bytes — sample
+    count and duration come from the output WAV's chunk walk. The
+    oracle states the closed form: n/2 samples at 4000 Hz, duration
+    exactly 250·(1 + id%4) ms (halving the rate preserves duration)."""
+    ids = (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("media_id"))
+        .filter(F.col("media_id") % 2 == 0)
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "payload": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rows["media_id"].append(mid)
+                rows["payload"].append(
+                    M.wav_payload(mid, seconds=0.25 * (1 + mid % 4), rate=8000)
+                )
+            yield pd.DataFrame(rows)
+
+    media = ids.mapInPandas(build, "media_id long, payload binary")
+    resampled = M.resample_audio(media, target_rate=4000)
+    # independent re-parse of the emitted bytes via the audio-feature
+    # chunk walk (not the resampler's own bookkeeping)
+    parsed = M.audio_features(resampled)
+    return parsed.select(
+        "media_id",
+        F.col("sample_rate").alias("rs_rate"),
+        F.col("n_samples").cast("long").alias("rs_samples"),
+        F.col("duration_ms").alias("rs_duration_ms"),
+    )
+
+
+M_RESAMPLE_SQL = """
+SELECT vec_id AS media_id,
+       CAST(4000 AS INT) AS rs_rate,
+       CAST(1000 * (1 + vec_id % 4) AS BIGINT) AS rs_samples,
+       CAST(250 * (1 + vec_id % 4) AS INT) AS rs_duration_ms
+FROM embeddings WHERE vec_id % 2 = 0
+"""
