@@ -192,6 +192,10 @@ def write_bucketed(
     stage = f"{path}__stage_{uuid.uuid4().hex[:8]}"
     (
         df.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
+        # key-sorted within each task: parquet rowgroup min/max stats
+        # become selective for point lookups (lookup_keys pushes key
+        # predicates into the scan) and sorted columns compress better
+        .sortWithinPartitions(BUCKET_COL, *keys)
         .write.partitionBy(BUCKET_COL)
         .mode("overwrite")
         .parquet(stage)
@@ -280,6 +284,7 @@ def overwrite_buckets(
     stage = f"{path}__stage_{uuid.uuid4().hex[:8]}"
     (
         merged.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
+        .sortWithinPartitions(BUCKET_COL, *keys)  # see write_bucketed
         .write.partitionBy(BUCKET_COL)
         .mode("overwrite")
         .parquet(stage)
@@ -327,3 +332,63 @@ def bucketize_in_place(
     dropped before re-hashing."""
     df = read_target(spark, path).localCheckpoint(eager=True)
     write_bucketed(df, path, keys, n_buckets)
+
+
+def lookup_keys(
+    spark: SparkSession,
+    path: str,
+    key_values: Sequence[Sequence],
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Point lookup by primary key — the reference's SELECT-by-PK read
+    path (mysql.go:524-692 UPDATE/DELETE targeting, mongodb ReplaceOne
+    filters) re-expressed on the bucketed layout.
+
+    ``key_values``: list of key tuples (in the layout's key_cols
+    order, per ``.sync_meta.json``). Cost model: bucket ids are
+    computed DRIVER-side from the literal keys (same xxhash64 via a
+    one-row Spark expression batch, no table scan), the scan
+    partition-prunes to exactly those buckets, and the key equality
+    predicate reaches the parquet reader — with the key-sorted file
+    layout the rowgroup min/max stats skip everything else. A k-key
+    lookup on an N-row table touches ≤ k buckets' footers + the
+    matching rowgroups, never N rows."""
+    meta = read_meta(path)
+    if meta is None:
+        raise ValueError(f"no bucketed layout at {path!r} (missing {META_FILE})")
+    keys, n_buckets = meta["key_cols"], meta["n_buckets"]
+    if not key_values:
+        base = read_target(spark, path)
+        return base.limit(0)
+    if any(len(kv) != len(keys) for kv in key_values):
+        raise ValueError(f"each key tuple must match key_cols {keys}")
+    # bucket ids for the literal keys: one local expression evaluation
+    # (createDataFrame of k tuples), not a table job
+    kv_df = spark.createDataFrame([tuple(kv) for kv in key_values], ", ".join(
+        f"{k} {_key_field_ddl(spark, path, schema, k)}" for k in keys
+    ))
+    buckets = [
+        r.b
+        for r in kv_df.select(
+            bucket_expr(keys, n_buckets).alias("b")
+        ).distinct().collect()
+    ]
+    df = read_buckets(spark, path, buckets, schema=schema)
+    pred = None
+    for kv in key_values:
+        conj = None
+        for k, v in zip(keys, kv):
+            c = F.col(k).eqNullSafe(F.lit(v))
+            conj = c if conj is None else (conj & c)
+        pred = conj if pred is None else (pred | conj)
+    return df.filter(pred)
+
+
+def _key_field_ddl(
+    spark: SparkSession, path: str, schema: T.StructType | None, key: str
+) -> str:
+    """DDL type for one key column: from the caller's schema when
+    given, else from the layout's parquet footer."""
+    if schema is not None and key in schema.names:
+        return schema[key].dataType.simpleString()
+    return read_target(spark, path).schema[key].dataType.simpleString()

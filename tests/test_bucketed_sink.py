@@ -355,3 +355,67 @@ def test_stale_stage_dirs_are_cleaned(spark, tmp_path):
     os.makedirs(os.path.join(stale, "__bucket=0"))
     recover_interrupted_swaps(path)
     assert not os.path.exists(stale)
+
+
+def test_lookup_keys_point_read(spark, tmp_path):
+    """PK point lookup: partition-prunes to the keys' buckets, pushes
+    the key predicate into the scan, returns exactly the asked rows."""
+    from sync_spark.sources.bucketed import lookup_keys, write_bucketed
+
+    tgt = str(tmp_path / "t")
+    rows = [Row(id=i, v=f"v{i}") for i in range(100)]
+    write_bucketed(spark.createDataFrame(rows, SCHEMA), tgt, ["id"], 8)
+
+    out = lookup_keys(spark, tgt, [(7,), (42,), (99,)])
+    got = {r.id: r.v for r in out.collect()}
+    assert got == {7: "v7", 42: "v42", 99: "v99"}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # pruned: not all 8 buckets scanned (3 keys touch <= 3 buckets)
+    import re
+
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "__bucket" in pf
+    assert "PushedFilters" in plan and "id" in plan.split("PushedFilters:")[1][:200]
+
+    # missing keys return nothing; empty key list returns empty frame
+    assert lookup_keys(spark, tgt, [(12345,)]).count() == 0
+    assert lookup_keys(spark, tgt, []).count() == 0
+
+
+def test_lookup_keys_validates_layout_and_arity(spark, tmp_path):
+    import pytest
+
+    from sync_spark.sources.bucketed import lookup_keys, write_bucketed
+
+    with pytest.raises(ValueError, match="bucketed layout"):
+        lookup_keys(spark, str(tmp_path / "nope"), [(1,)])
+    tgt = str(tmp_path / "t2")
+    write_bucketed(
+        spark.createDataFrame([Row(id=1, v="a")], SCHEMA), tgt, ["id"], 4
+    )
+    with pytest.raises(ValueError, match="key tuple"):
+        lookup_keys(spark, tgt, [(1, 2)])
+
+
+def test_bucket_files_are_key_sorted(spark, tmp_path):
+    """write_bucketed sorts within tasks so parquet rowgroup min/max
+    stats are selective for point lookups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from sync_spark.sources.bucketed import write_bucketed
+
+    tgt = str(tmp_path / "t3")
+    rows = [Row(id=i, v=f"v{i}") for i in range(200, 0, -1)]  # reverse order in
+    write_bucketed(spark.createDataFrame(rows, SCHEMA), tgt, ["id"], 4)
+    files = glob.glob(f"{tgt}/__bucket=*/*.parquet")
+    assert files
+    checked = 0
+    for f in files:
+        ids = pq.read_table(f, columns=["id"]).column("id").to_pylist()
+        assert ids == sorted(ids), f
+        checked += 1
+    assert checked >= 4
