@@ -207,6 +207,19 @@ def export_group(
                 .write.mode("overwrite")
                 .text(f"{path}__ddl")
             )
+    elif file_format == "parquet":
+        # columnar artifact (beyond the reference's text formats):
+        # schema travels with the data, codec is splittable — the
+        # right export for anything another engine will re-scan
+        _writer(merged).parquet(path)
+    elif file_format == "orc":
+        # ORC names its zlib codec differently; translate the common
+        # "gzip" spelling instead of failing the write
+        codec = {"gzip": "zlib"}.get(compression, compression)
+        w = merged.write.mode("overwrite")
+        if codec:
+            w = w.option("compression", codec)
+        w.orc(path)
     else:
         raise ValueError(f"unsupported export format: {file_format!r}")
     return path

@@ -294,3 +294,26 @@ def test_windowed_export_raises_on_missing_column(spark, tmp_path):
             spark, unit, lambda n: df, str(tmp_path),
             window=(datetime(2024, 1, 1), datetime(2024, 1, 2)), ts_col="ts",
         )
+
+
+def test_export_columnar_formats_roundtrip(spark, tmp_path):
+    """parquet/ORC export artifacts: schema-preserving roundtrip,
+    codec applied (gzip spelled zlib for ORC instead of failing)."""
+    df = spark.createDataFrame(
+        [Row(id=1, v="a", ts=datetime(2024, 1, 10)), Row(id=2, v=None, ts=None)]
+    )
+    for fmt, reader in (("parquet", spark.read.parquet), ("orc", spark.read.orc)):
+        unit = ExportUnit(group="p", tables=["p"], fields=[], file_name=f"p_{fmt}")
+        path = export_group(
+            spark,
+            unit,
+            load_table={"p": df}.get,
+            out_dir=str(tmp_path),
+            file_format=fmt,
+            compression="gzip",
+        )
+        back = reader(path)
+        assert back.count() == 2
+        assert dict(back.dtypes) == dict(df.dtypes)  # schema travels
+        rows = {r.id: r for r in back.collect()}
+        assert rows[1].v == "a" and rows[2].v is None  # nulls stay typed nulls
