@@ -405,6 +405,49 @@ def run_redis(
         return kv.filter(~key.eqNullSafe(k)).unionByName(row, allowMissingColumns=True)
     if op == "DEL":
         return kv.filter(~key.isin(args))
+    # TTL family (the reference copies TTLs with every key,
+    # redis.go:125-164; T12): operates on the optional ttl_ms column
+    # of the KV model (operators/kv.py)
+    if op == "TTL":
+        # Redis contract: -2 missing key, -1 no expiry, else seconds
+        ttl_col = (
+            (F.col("ttl_ms") / 1000).cast("long")
+            if "ttl_ms" in kv.columns
+            else F.lit(None).cast("long")
+        )
+        return kv.agg(
+            F.coalesce(
+                F.max(F.when(key == args[0], F.coalesce(ttl_col, F.lit(-1)))),
+                F.lit(-2),
+            )
+            .cast("long")
+            .alias("ttl")
+        )
+    if op in ("EXPIRE", "PERSIST", "SETEX"):
+        base = (
+            kv
+            if "ttl_ms" in kv.columns
+            else kv.withColumn("ttl_ms", F.lit(None).cast("long"))
+        )
+        if op == "EXPIRE":
+            ms = F.lit(int(args[1]) * 1000).cast("long")
+            return base.withColumn(
+                "ttl_ms", F.when(key == args[0], ms).otherwise(F.col("ttl_ms"))
+            )
+        if op == "PERSIST":
+            return base.withColumn(
+                "ttl_ms",
+                F.when(key == args[0], F.lit(None).cast("long")).otherwise(
+                    F.col("ttl_ms")
+                ),
+            )
+        k, secs, v = args[0], int(args[1]), args[2]
+        row = base.sparkSession.createDataFrame(
+            [(k, v, secs * 1000)], f"{key_col} string, {value_col} string, ttl_ms long"
+        )
+        return base.filter(~key.eqNullSafe(k)).unionByName(
+            row, allowMissingColumns=True
+        )
     raise ValueError(f"unsupported Redis command: {op!r}")
 
 

@@ -243,3 +243,35 @@ def test_dispatch_execute_routes_all_dialects(spark, users):
         run_sql=lambda q: spark.sql(q),
     )
     assert kind == "sql" and out.collect()[0].n == 5
+
+
+def test_redis_ttl_family(spark):
+    from sync_spark.operators.passthrough import run_redis
+
+    kv = spark.createDataFrame(
+        [("a", "1", 5000), ("b", "2", None), ("c", "3", None)],
+        "key string, value string, ttl_ms long",
+    )
+    # TTL: seconds / -1 no expiry / -2 missing
+    assert run_redis("TTL a", kv).collect()[0].ttl == 5
+    assert run_redis("TTL b", kv).collect()[0].ttl == -1
+    assert run_redis("TTL nope", kv).collect()[0].ttl == -2
+
+    after = run_redis("EXPIRE b 30", kv)
+    assert run_redis("TTL b", after).collect()[0].ttl == 30
+    assert run_redis("TTL a", after).collect()[0].ttl == 5  # others untouched
+
+    cleared = run_redis("PERSIST a", kv)
+    assert run_redis("TTL a", cleared).collect()[0].ttl == -1
+
+    setex = run_redis("SETEX d 60 v4", kv)
+    assert run_redis("TTL d", setex).collect()[0].ttl == 60
+    assert run_redis("GET d", setex).collect()[0].value == "v4"
+    assert setex.count() == 4
+
+    # ttl-less frame: TTL answers -1/-2, EXPIRE adds the column
+    plain = spark.createDataFrame([("x", "9")], "key string, value string")
+    assert run_redis("TTL x", plain).collect()[0].ttl == -1
+    assert run_redis("TTL y", plain).collect()[0].ttl == -2
+    with_ttl = run_redis("EXPIRE x 10", plain)
+    assert run_redis("TTL x", with_ttl).collect()[0].ttl == 10
