@@ -422,3 +422,57 @@ FROM events e JOIN windows w
   ON e.ts >= w.w_start AND e.ts < w.w_end
 GROUP BY 1, 2
 """
+
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+
+
+def s_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling — per-column null count, distinct count, and
+    lexicographic min/max (stringified) over orders, in ONE pass: a
+    single wide aggregation computes every column's stats, then a
+    stack() unpivot reshapes to one row per column. The per-column
+    probe-loop alternative is N jobs; this is one.
+
+    Scale note: COUNT(DISTINCT c) per column multiplies the aggregate
+    buffers (each distinct expands its own hash set). At cluster scale
+    swap in approx_count_distinct per column — same single-pass shape,
+    constant-size HLL buffers; exact distinct is used here because the
+    DuckDB oracle must hash-match."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        s = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(s).alias(f"{c}__min"),
+            F.max(s).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in _PROFILE_COLS
+    )
+    # col_name, not "column": reserved word in DuckDB's parser
+    return wide.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_nulls, n_distinct, min_val, max_val)"
+        )
+    ).orderBy("col_name")
+
+
+def _profile_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_val,
+       MAX(CAST({c} AS VARCHAR)) AS max_val
+FROM orders"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
+S_PROFILE_SQL = _profile_sql()

@@ -114,6 +114,7 @@ def _populate() -> None:
     register("x_range_join", xq.x_range_join, xq.X_RANGE_SQL)
     register("x_sessionize", xq.x_sessionize, xq.X_SESSION_SQL)
     register("s21_sql_passthrough", xq.s21_sql_passthrough, xq.S21_SQL)
+    register("s_profile_table", xq.s_profile_table, xq.S_PROFILE_SQL)
     register("a_pivot_daily_types", xq.a_pivot_daily_types, xq.A_PIVOT_SQL)
     register("a_rollup_revenue", xq.a_rollup_revenue, xq.A_ROLLUP_SQL)
     register("a_approx_distinct", xq.a_approx_distinct, None)

@@ -64,6 +64,26 @@ def write_event_batch(path: str, events: Iterable[dict[str, Any]], batch_id: int
         for e in events:
             f.write(json.dumps(e) + "\n")
     os.rename(tmp, fname)
+    # strictly-increasing mtimes: Spark's file source orders ready
+    # files by modification time and breaks ties ARBITRARILY, so two
+    # files landing in the same clock tick can be batched in either
+    # order. The reference processes buffer files in name (time)
+    # order (mongodb.go:1656-1712); bumping the mtime past every
+    # sibling restores that determinism for mtime-ordered consumers.
+    # Spark tracks file timestamps in MILLISECONDS — compare at that
+    # granularity, or same-ms files (distinct only in the ns digits)
+    # still tie
+    prev_ms = max(
+        (
+            int(os.stat(os.path.join(path, e)).st_mtime * 1000)
+            for e in os.listdir(path)
+            if e.startswith("events-") and e != os.path.basename(fname)
+        ),
+        default=0,
+    )
+    if int(os.stat(fname).st_mtime * 1000) <= prev_ms:
+        t = (prev_ms + 1) / 1000.0
+        os.utime(fname, (t, t))
     return fname
 
 
