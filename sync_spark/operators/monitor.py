@@ -182,3 +182,38 @@ def consistency_alerts(log: DataFrame, day: date, tolerance: int = 0) -> DataFra
     return latest.filter(
         F.abs(F.col("src_count") - F.col("tgt_count")) > tolerance
     ).select("task_id", "table", "src_count", "tgt_count", "logged_at")
+
+
+def recent_logs(
+    logs: DataFrame,
+    limit: int = 500,
+    level: Optional[str] = None,
+    contains: Optional[str] = None,
+) -> DataFrame:
+    """O2: recent-logs scan (monitor_handler.go:241-332) — newest
+    ``limit`` rows by log_time (deterministic id tiebreak), then the
+    reference's post-filters: exact level match and case-insensitive
+    substring. Filter order matters for parity: the reference filters
+    AFTER the LIMIT window, so a query can return fewer than asked
+    even when older matching rows exist."""
+    cols = logs.columns
+    tiebreak = [F.col(c).desc() for c in ("log_id", "id") if c in cols]
+    out = logs.orderBy(F.col("log_time").desc(), *tiebreak).limit(limit)
+    if level:
+        out = out.filter(F.col("level") == level)
+    if contains:
+        out = out.filter(F.lower(F.col("message")).contains(contains.lower()))
+    return out
+
+
+def humanize_bytes(col) -> F.Column:
+    """F19 (slack.go:236-247): bytes → '### B/KB/MB/GB' with one
+    decimal above bytes, matching the reference's 1024 steps."""
+    b = F.col(col) if isinstance(col, str) else col
+    b = b.cast("double")
+    return (
+        F.when(b < 1024, F.concat(b.cast("long").cast("string"), F.lit(" B")))
+        .when(b < 1024**2, F.concat(F.format_number(b / 1024, 1), F.lit(" KB")))
+        .when(b < 1024**3, F.concat(F.format_number(b / 1024**2, 1), F.lit(" MB")))
+        .otherwise(F.concat(F.format_number(b / 1024**3, 1), F.lit(" GB")))
+    )

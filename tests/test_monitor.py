@@ -106,3 +106,36 @@ def test_microsecond_ticks_and_same_second_determinism(spark, tmp_path):
     assert len(outs) == 1
     row = grand_totals(coll).collect()[0]
     assert row.total_src == 120 and row.total_tgt == 120
+
+
+def test_recent_logs_scan(spark):
+    from datetime import datetime
+
+    from sync_spark.operators.monitor import recent_logs
+
+    rows = [
+        (i, datetime(2024, 1, 1, 0, 0, i), "INFO" if i % 2 else "ERROR", f"msg Alpha {i}")
+        for i in range(10)
+    ]
+    logs = spark.createDataFrame(
+        rows, "log_id long, log_time timestamp, level string, message string"
+    )
+    top3 = recent_logs(logs, limit=3)
+    assert [r.log_id for r in top3.collect()] == [9, 8, 7]
+    # post-filters apply AFTER the limit window (reference parity)
+    errs = recent_logs(logs, limit=3, level="ERROR")
+    assert [r.log_id for r in errs.collect()] == [8]
+    sub = recent_logs(logs, limit=5, contains="alpha 7")
+    assert [r.log_id for r in sub.collect()] == [7]
+
+
+def test_humanize_bytes(spark):
+    from pyspark.sql import functions as F
+
+    from sync_spark.operators.monitor import humanize_bytes
+
+    df = spark.createDataFrame(
+        [(0,), (512,), (2048,), (5 * 1024**2,), (3 * 1024**3,)], "b long"
+    )
+    got = [r.h for r in df.select(humanize_bytes("b").alias("h")).orderBy("b").collect()]
+    assert got == ["0 B", "512 B", "2.0 KB", "5.0 MB", "3.0 GB"]
