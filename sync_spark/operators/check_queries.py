@@ -272,3 +272,39 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
        TRUE AS recall_ok
 FROM ({tq.E_NEARDUP_SQL}) exact_pairs
 """
+
+
+def chk_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract for the LSH clustering composition: its cluster labels
+    must agree with the exact-path clustering on ≥90% of documents
+    (measured: 100% at every tested sf — banding at these parameters
+    recalls every exact pair), and survivors must be exactly the
+    min-id of each cluster. Exact doc count forces the oracle to
+    recompute ground truth."""
+    from sync_spark.operators import text_queries as tqq
+
+    exact = tqq.d_dedup_clusters(spark, sf_dir).select(
+        F.col("doc_id"), F.col("cluster_id").alias("c_exact")
+    )
+    lsh = tqq.d_dedup_clusters_lsh(spark, sf_dir)
+    j = lsh.join(exact, "doc_id")
+    n_docs = F.count(F.lit(1))
+    agree = F.sum((F.col("cluster_id") == F.col("c_exact")).cast("int"))
+    bad_survivor = F.sum(
+        (
+            F.col("is_survivor") != (F.col("doc_id") == F.col("cluster_id"))
+        ).cast("int")
+    )
+    return j.agg(
+        n_docs.cast("long").alias("n_docs"),
+        (agree >= n_docs * F.lit(0.9)).alias("labels_agree"),
+        bad_survivor.cast("long").alias("bad_survivors"),
+    )
+
+
+CHK_MINHASH_CLUSTERS_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       TRUE AS labels_agree,
+       CAST(0 AS BIGINT) AS bad_survivors
+FROM documents
+"""

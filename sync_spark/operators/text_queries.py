@@ -1024,3 +1024,21 @@ SELECT doc_id, n_tokens, start_offset,
                   / {_PACK_CAPACITY}) AS BIGINT) AS last_pack
 FROM c
 """
+
+
+def d_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB production composition end-to-end: MinHash-LSH
+    candidate pairs (exact-Jaccard-verified) → connected components →
+    survivor per cluster. Same shape as ``d_dedup_clusters`` but with
+    the banded candidate generation that scales — the exact
+    inverted-index path is the audit variant. Rows-only for the
+    driver (banding recall < 1 is possible by design);
+    ``chk_minhash_clusters`` gates the agreement with the exact-path
+    clustering."""
+    from sync_spark.operators.cluster import dedup_clusters
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8
+    ).select("id_a", "id_b")
+    return dedup_clusters(d, pairs).orderBy("doc_id")

@@ -89,6 +89,7 @@ def _populate() -> None:
     register("d_dedup_clusters", tq.d_dedup_clusters, tq.D_CLUSTERS_SQL)
     register("d_ngram_jaccard", tq.d_ngram_jaccard, tq.D_JACCARD_SQL)
     register("d_minhash_lsh", tq.d_minhash_lsh, None)
+    register("d_dedup_clusters_lsh", tq.d_dedup_clusters_lsh, None)
     register("d_simhash_pairs", tq.d_simhash_pairs, None)
     register("e_cosine_topk", tq.e_cosine_topk, tq.E_COSINE_SQL)
     register("e_ann_lsh", tq.e_ann_lsh, None)
@@ -129,6 +130,7 @@ def _populate() -> None:
     from sync_spark.operators import check_queries as ck
 
     register("chk_minhash_lsh", ck.chk_minhash_lsh, ck.CHK_MINHASH_SQL)
+    register("chk_minhash_clusters", ck.chk_minhash_clusters, ck.CHK_MINHASH_CLUSTERS_SQL)
     register("chk_simhash", ck.chk_simhash, ck.CHK_SIMHASH_SQL)
     register("chk_ann_lsh", ck.chk_ann_lsh, ck.CHK_ANN_LSH_SQL)
     register("chk_ann_ivf", ck.chk_ann_ivf, ck.CHK_ANN_IVF_SQL)
