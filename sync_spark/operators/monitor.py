@@ -211,9 +211,11 @@ def humanize_bytes(col) -> F.Column:
     decimal above bytes, matching the reference's 1024 steps."""
     b = F.col(col) if isinstance(col, str) else col
     b = b.cast("double")
+    # format_string, NOT format_number: the latter inserts thousands
+    # separators ('1,023.4 KB') the reference's %.1f never produces
     return (
         F.when(b < 1024, F.concat(b.cast("long").cast("string"), F.lit(" B")))
-        .when(b < 1024**2, F.concat(F.format_number(b / 1024, 1), F.lit(" KB")))
-        .when(b < 1024**3, F.concat(F.format_number(b / 1024**2, 1), F.lit(" MB")))
-        .otherwise(F.concat(F.format_number(b / 1024**3, 1), F.lit(" GB")))
+        .when(b < 1024**2, F.format_string("%.1f KB", b / 1024))
+        .when(b < 1024**3, F.format_string("%.1f MB", b / 1024**2))
+        .otherwise(F.format_string("%.1f GB", b / 1024**3))
     )

@@ -410,8 +410,10 @@ def run_redis(
     # of the KV model (operators/kv.py)
     if op == "TTL":
         # Redis contract: -2 missing key, -1 no expiry, else seconds
+        # rounded to NEAREST ((pttl+500)/1000, ttlGenericCommand) —
+        # truncation would answer 1 where Redis says 2 for pttl=1999
         ttl_col = (
-            (F.col("ttl_ms") / 1000).cast("long")
+            ((F.col("ttl_ms") + 500) / 1000).cast("long")
             if "ttl_ms" in kv.columns
             else F.lit(None).cast("long")
         )

@@ -104,8 +104,6 @@ def a_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.theta_sketch_estimate(F.theta_intersection("sk_a", "sk_b")).alias("est_inter"),
         F.theta_sketch_estimate(F.theta_difference("sk_a", "sk_b")).alias("est_diff"),
     )
-    clickers = F.countDistinct(F.when(F.col("event_type") == "click", F.col("user_id")))
-    purchasers = F.countDistinct(F.when(F.col("event_type") == "purchase", F.col("user_id")))
     exact = (
         ev.groupBy("user_id")
         .agg(

@@ -358,15 +358,28 @@ def lookup_keys(
         raise ValueError(f"no bucketed layout at {path!r} (missing {META_FILE})")
     keys, n_buckets = meta["key_cols"], meta["n_buckets"]
     if not key_values:
-        base = read_target(spark, path)
-        return base.limit(0)
+        # same schema contract as the non-empty path: honor the
+        # caller's schema so zero-key batches union cleanly with
+        # non-empty ones
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        return read_target(spark, path).limit(0)
     if any(len(kv) != len(keys) for kv in key_values):
         raise ValueError(f"each key tuple must match key_cols {keys}")
+    # key types: from the caller's schema, else ONE footer read for
+    # every key column (a per-column read_target would pay the
+    # mergeSchema footer pass k times)
+    if schema is not None and all(k in schema.names for k in keys):
+        key_types = {k: schema[k].dataType.simpleString() for k in keys}
+    else:
+        stored = read_target(spark, path).schema
+        key_types = {k: stored[k].dataType.simpleString() for k in keys}
     # bucket ids for the literal keys: one local expression evaluation
     # (createDataFrame of k tuples), not a table job
-    kv_df = spark.createDataFrame([tuple(kv) for kv in key_values], ", ".join(
-        f"{k} {_key_field_ddl(spark, path, schema, k)}" for k in keys
-    ))
+    kv_df = spark.createDataFrame(
+        [tuple(kv) for kv in key_values],
+        ", ".join(f"{k} {key_types[k]}" for k in keys),
+    )
     buckets = [
         r.b
         for r in kv_df.select(
@@ -384,11 +397,3 @@ def lookup_keys(
     return df.filter(pred)
 
 
-def _key_field_ddl(
-    spark: SparkSession, path: str, schema: T.StructType | None, key: str
-) -> str:
-    """DDL type for one key column: from the caller's schema when
-    given, else from the layout's parquet footer."""
-    if schema is not None and key in schema.names:
-        return schema[key].dataType.simpleString()
-    return read_target(spark, path).schema[key].dataType.simpleString()

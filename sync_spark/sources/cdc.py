@@ -72,18 +72,21 @@ def write_event_batch(path: str, events: Iterable[dict[str, Any]], batch_id: int
     # sibling restores that determinism for mtime-ordered consumers.
     # Spark tracks file timestamps in MILLISECONDS — compare at that
     # granularity, or same-ms files (distinct only in the ns digits)
-    # still tie
+    # still tie. Integer-ns API throughout: float-seconds arithmetic
+    # ((prev_ms+1)/1000.0) loses the added millisecond to double
+    # rounding at epoch magnitudes (~238ns spacing) and the tie
+    # survives the "fix"
     prev_ms = max(
         (
-            int(os.stat(os.path.join(path, e)).st_mtime * 1000)
+            os.stat(os.path.join(path, e)).st_mtime_ns // 1_000_000
             for e in os.listdir(path)
             if e.startswith("events-") and e != os.path.basename(fname)
         ),
         default=0,
     )
-    if int(os.stat(fname).st_mtime * 1000) <= prev_ms:
-        t = (prev_ms + 1) / 1000.0
-        os.utime(fname, (t, t))
+    if os.stat(fname).st_mtime_ns // 1_000_000 <= prev_ms:
+        ns = (prev_ms + 1) * 1_000_000
+        os.utime(fname, ns=(ns, ns))
     return fname
 
 

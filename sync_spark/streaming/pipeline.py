@@ -153,6 +153,7 @@ class CdcPipeline:
         self.max_files_per_trigger = max_files_per_trigger
         self.stats_path = stats_path
         self.n_buckets = n_buckets
+        self._schema_checked: set[str] = set()
         # fail LOUDLY on a security rule targeting a key column: keys
         # can never be masked/encrypted (CDC events carry real keys —
         # a transformed key would never match the target and every
@@ -338,6 +339,26 @@ class CdcPipeline:
                     bucketize_in_place(
                         self.spark, t.target_path, t.key_cols, self.n_buckets
                     )
+                if t.source_table not in self._schema_checked:
+                    # narrowing guard, once per table per pipeline
+                    # instance: a row_schema MISSING columns the
+                    # stored target has (typo, stale spec) would —
+                    # under the pinned-schema read below — silently
+                    # drop those columns from every touched bucket it
+                    # rewrites. Widening is the supported evolution;
+                    # narrowing requires an explicit migration.
+                    stored = set(read_target(self.spark, t.target_path).columns)
+                    missing = stored - {f.name for f in t.row_schema.fields}
+                    if missing:
+                        raise ValueError(
+                            f"row_schema for {t.source_table!r} lacks columns "
+                            f"{sorted(missing)} present in the stored target — "
+                            "narrowing a schema mid-stream would destroy their "
+                            "data in every touched bucket; run an explicit "
+                            "migration (bucketize_in_place with the narrowed "
+                            "schema) if the drop is intended"
+                        )
+                    self._schema_checked.add(t.source_table)
                 # explicit schema: no footer-inference job, and the
                 # pipeline's schema-evolution contract — row_schema is
                 # authoritative; buckets written before a column was

@@ -135,7 +135,8 @@ def test_humanize_bytes(spark):
     from sync_spark.operators.monitor import humanize_bytes
 
     df = spark.createDataFrame(
-        [(0,), (512,), (2048,), (5 * 1024**2,), (3 * 1024**3,)], "b long"
+        [(0,), (512,), (2048,), (1048000,), (5 * 1024**2,), (3 * 1024**3,)], "b long"
     )
     got = [r.h for r in df.select(humanize_bytes("b").alias("h")).orderBy("b").collect()]
-    assert got == ["0 B", "512 B", "2.0 KB", "5.0 MB", "3.0 GB"]
+    # 1048000 B = 1023.4 KB: no thousands separator (reference %.1f)
+    assert got == ["0 B", "512 B", "2.0 KB", "1023.4 KB", "5.0 MB", "3.0 GB"]

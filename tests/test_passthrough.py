@@ -254,6 +254,9 @@ def test_redis_ttl_family(spark):
     )
     # TTL: seconds / -1 no expiry / -2 missing
     assert run_redis("TTL a", kv).collect()[0].ttl == 5
+    # nearest-rounding parity with Redis ttlGenericCommand
+    kv1999 = spark.createDataFrame([("z", "9", 1999)], "key string, value string, ttl_ms long")
+    assert run_redis("TTL z", kv1999).collect()[0].ttl == 2
     assert run_redis("TTL b", kv).collect()[0].ttl == -1
     assert run_redis("TTL nope", kv).collect()[0].ttl == -2
 

@@ -213,3 +213,35 @@ def test_pipeline_old_schema_events_after_evolution(spark, tmp_path):
     _mk_pipeline(spark, dirs, V2).run_available()
     row = read_target(spark, dirs["target"]).collect()[0]
     assert row.name == "a3" and row.score is None
+
+
+def test_pipeline_refuses_narrowed_schema(spark, tmp_path):
+    """A row_schema MISSING a column the stored target has must fail
+    loudly before any merge — under pinned-schema reads it would
+    silently destroy that column's data in every touched bucket."""
+    import pytest
+
+    dirs = {k: str(tmp_path / k) for k in ("events", "target", "ckpt", "dlq")}
+    src = spark.createDataFrame([Row(id=1, name="a", score=2.0)], V2)
+    assert snapshot_if_empty(spark, src, dirs["target"], key_cols=["id"], n_buckets=4)
+    write_event_batch(
+        dirs["events"], [_event("update", 1, {"id": 1}, {"id": 1, "name": "b"})], 1
+    )
+    p = _mk_pipeline(spark, dirs, V1)  # V1 lacks `score`
+    with pytest.raises(Exception, match="narrow|lacks columns"):
+        p.run_available()
+
+
+def test_lookup_keys_empty_honors_schema(spark, tmp_path):
+    from sync_spark.sources.bucketed import lookup_keys, write_bucketed
+
+    path = str(tmp_path / "tbl")
+    write_bucketed(
+        spark.createDataFrame([Row(id=1, name="a")], V1), path, ["id"], 4
+    )
+    empty = lookup_keys(spark, path, [], schema=V2)
+    assert empty.columns == [f.name for f in V2.fields]
+    assert empty.count() == 0
+    # and the non-empty path agrees, so batch unions are schema-stable
+    nonempty = lookup_keys(spark, path, [(1,)], schema=V2)
+    assert nonempty.columns == empty.columns
