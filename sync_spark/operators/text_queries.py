@@ -1042,3 +1042,76 @@ def d_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8
     ).select("id_a", "id_b")
     return dedup_clusters(d, pairs).orderBy("doc_id")
+
+
+def t_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling — the Pile/Dolma-style data-mixing step: give
+    each SOURCE a weight, split a global token budget across sources
+    by weight, and deterministically pick each source's docs (md5-rank
+    order, the same engine-independent coin as t_stratified_sample)
+    until its share is filled; the doc straddling the boundary is
+    kept (start-before-target rule), so every selection is a pure
+    function of the data.
+
+    Weights here: even-numbered sources 2.0, odd 1.0; budget = 30% of
+    corpus tokens — all computed in-query so the same definition runs
+    at any sf. Scale: one shuffle on source for the rank/cumsum
+    windows (sources are the strata — bounded cardinality; a skewed
+    mega-source is exactly AQE skew territory), scalar budget/weight
+    totals broadcast back. No driver loops, no sampling
+    nondeterminism."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    d = d.withColumn("w", F.when(src_num % 2 == 0, F.lit(2.0)).otherwise(F.lit(1.0)))
+    scalars = d.agg(
+        F.floor(F.sum("n_tokens") * F.lit(0.3)).cast("long").alias("budget")
+    ).crossJoin(
+        d.select("source", "w").distinct().agg(F.sum("w").alias("sum_w"))
+    )
+    ranked = d.withColumn("pri", F.md5(F.col("doc_id").cast("string")))
+    w_rank = Window.partitionBy("source").orderBy("pri", "doc_id")
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w_rank.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    ranked = ranked.withColumn("cum_before", cum_before)
+    out = ranked.crossJoin(F.broadcast(scalars)).withColumn(
+        "target", F.floor((F.col("budget") * F.col("w")) / F.col("sum_w")).cast("long")
+    )
+    return (
+        out.filter(F.col("cum_before") < F.col("target"))
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("source", "doc_id")
+    )
+
+
+T_MIXTURE_SQL = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 2 = 0
+              THEN 2.0 ELSE 1.0 END AS w
+  FROM documents
+), scalars AS (
+  SELECT CAST(floor(SUM(n_tokens) * 0.3) AS BIGINT) AS budget,
+         (SELECT SUM(w) FROM (SELECT DISTINCT source, w FROM t)) AS sum_w
+  FROM t
+), ranked AS (
+  SELECT doc_id, source, n_tokens, w,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM t
+)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM ranked, scalars
+WHERE cum_before < CAST(floor((budget * w) / sum_w) AS BIGINT)
+ORDER BY source, doc_id
+"""
