@@ -557,3 +557,45 @@ def span_dedup(
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
     )
+
+
+def winnow_fps_array(text: F.Column, k: int = 5, window: int = 4) -> F.Column:
+    """Per-ROW winnowing fingerprint set as an array Column — the
+    window-free twin of ``winnow_fingerprint_rows`` (same k-grams,
+    same 56-bit hash, same short-doc rule; agreement asserted in
+    tests). Pure higher-order array functions, so it is legal on a
+    STREAMING DataFrame where the posexplode+window form is not —
+    the streaming decontamination gate's probe side.
+
+    Cost: the nested transform/slice evaluates O(n_grams × window)
+    hash comparisons per doc — linear in document length for the
+    fixed small window (the quadratic HOF hazard in SCALE.md concerns
+    Generate over computed arrays at corpus grain, not this per-row
+    bounded form)."""
+    from sync_spark.functions.text import tokens as _tokens
+    from sync_spark.functions.text import winnow_hash
+
+    toks = _tokens(text)
+    n_grams = F.size(toks) - k + 1
+    # clamped+filtered index (not bare sequence): sequence(1, 0)
+    # would generate DESCENDING indices (same hazard as _doc_shingles)
+    idx = F.filter(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))), lambda i: i <= n_grams
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    hs = F.transform(grams, winnow_hash)
+    n_picked = F.greatest(F.size(hs) - window + 1, F.lit(1))
+    picks = F.filter(
+        F.sequence(F.lit(1), F.greatest(n_picked, F.lit(1))),
+        lambda p: p <= n_picked,
+    )
+    wins = F.transform(picks, lambda p: F.array_min(F.slice(hs, p, window)))
+    # empty doc: no grams → empty fingerprint set
+    return F.when(n_grams < 1, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(wins)
+    )

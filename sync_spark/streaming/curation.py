@@ -66,6 +66,7 @@ def curate_stream(
     watermark: str = "1 hour",
     min_tokens: int = DEFAULT_MIN_TOKENS,
     min_quality: float = DEFAULT_MIN_QUALITY,
+    benchmark_fps: DataFrame | None = None,
 ) -> DataFrame:
     """signals → quality/language gate → streaming exact dedup.
 
@@ -82,6 +83,27 @@ def curate_stream(
         & (F.col("quality") >= min_quality)
         & (F.col("lang_pred") == F.col("lang"))
     )
+    if benchmark_fps is not None:
+        # streaming decontamination: the held-out eval set's winnowing
+        # fingerprints (STATIC — computed once batch-side, collected
+        # once; eval sets are MBs) become an array literal, and each
+        # streaming doc recomputes its own fingerprint set PER ROW via
+        # the window-free array-HOF twin of the batch winnowing
+        # (dedup.winnow_fps_array — agreement with the batch operator
+        # is test-asserted). arrays_overlap is a map-side predicate:
+        # no join, no state, a doc sharing any verbatim
+        # >= k+window-1 token run with the benchmark dies in the scan
+        # stage. Same decontamination criterion as the batch
+        # d_decontaminate operator.
+        from sync_spark.operators.dedup import winnow_fps_array
+
+        bench = [r["fp"] for r in benchmark_fps.select("fp").distinct().collect()]
+        if bench:
+            kept = kept.filter(
+                ~F.arrays_overlap(
+                    winnow_fps_array(F.col("text")), F.lit(bench)
+                )
+            )
     return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])
 
 
@@ -101,6 +123,7 @@ class CurationPipeline:
         min_tokens: int = DEFAULT_MIN_TOKENS,
         min_quality: float = DEFAULT_MIN_QUALITY,
         max_files_per_trigger: Optional[int] = None,
+        benchmark: Optional[DataFrame] = None,
     ) -> None:
         self.spark = spark
         self.event_log_dir = event_log_dir
@@ -112,6 +135,15 @@ class CurationPipeline:
         self.min_tokens = min_tokens
         self.min_quality = min_quality
         self.max_files_per_trigger = max_files_per_trigger
+        # static decontamination probe: fingerprint the eval set ONCE
+        # at pipeline build (batch side), not per micro-batch
+        self._benchmark_fps: Optional[DataFrame] = None
+        if benchmark is not None:
+            from sync_spark.operators.dedup import winnow_fingerprint_rows
+
+            self._benchmark_fps = winnow_fingerprint_rows(
+                benchmark, "text", "doc_id"
+            )
 
     def _stream(self) -> DataFrame:
         env = read_event_stream(self.spark, self.event_log_dir, self.max_files_per_trigger)
@@ -133,6 +165,7 @@ class CurationPipeline:
             watermark=self.watermark,
             min_tokens=self.min_tokens,
             min_quality=self.min_quality,
+            benchmark_fps=self._benchmark_fps,
         )
 
     def start(self, trigger_once: bool = True):

@@ -154,3 +154,64 @@ def test_matches_batch_oracle(spark, dirs):
     expected = {r.doc_id for r in first.collect()}
     assert set(_curated(spark, dirs)) == expected
     assert expected  # non-degenerate: something survived
+
+
+def test_winnow_fps_array_agrees_with_batch_operator(spark, sf_small):
+    """The window-free per-row fingerprint array (streaming probe)
+    must produce EXACTLY the batch winnowing operator's fingerprint
+    sets — same k-grams, hash, short-doc rule — doc by doc."""
+    from pyspark.sql import functions as F
+
+    from sync_spark.operators.dedup import winnow_fingerprint_rows, winnow_fps_array
+    from sync_spark.sources.readers import read_table
+
+    d = read_table(spark, sf_small, "documents").limit(100)
+    batch = {
+        r.doc_id: set(r.fps)
+        for r in winnow_fingerprint_rows(d, "text", "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("fp").alias("fps"))
+        .collect()
+    }
+    hof = {
+        r.doc_id: set(r.fps)
+        for r in d.select(
+            "doc_id", winnow_fps_array(F.col("text")).alias("fps")
+        ).collect()
+    }
+    assert set(hof) >= set(batch)
+    for doc_id, fps in batch.items():
+        assert hof[doc_id] == fps, doc_id
+    # docs absent from the batch side (no k-grams) must be empty sets
+    for doc_id in set(hof) - set(batch):
+        assert hof[doc_id] == set()
+
+
+def test_streaming_decontamination_gate(spark, dirs):
+    """A streaming doc sharing a verbatim >= k+window-1 token run with
+    the benchmark never reaches the curated corpus; clean docs do."""
+    from pyspark.sql import Row
+
+    bench_run = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    benchmark = spark.createDataFrame(
+        [Row(doc_id=1, text=f"the benchmark includes {bench_run} verbatim")],
+    )
+    contaminated = (
+        f"the model is trained on the data and {bench_run} appears in the middle of it"
+    )
+    events = [
+        _event(1, 1, GOOD_A),
+        _event(2, 2, contaminated),
+        _event(3, 3, GOOD_B),
+    ]
+    write_event_batch(dirs["events"], events, 1)
+    p = CurationPipeline(
+        spark,
+        event_log_dir=dirs["events"],
+        out_path=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+        watermark="1 hour",
+        benchmark=benchmark,
+    )
+    p.run_available()
+    assert set(_curated(spark, dirs)) == {1, 3}
