@@ -485,3 +485,92 @@ FROM orders"""
 
 
 S_PROFILE_SQL = _profile_sql()
+
+
+def a_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 extension: HOPPING (sliding) event-time windows via the
+    builtin ``window(ts, '7 days', '1 day')`` — each event lands in 7
+    overlapping windows; the same expression drives a streaming
+    aggregation unchanged. Oracle replays the semantics by joining
+    each event to its 7 epoch-aligned window starts."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("window_start"),
+            F.date_format("w.end", "yyyy-MM-dd").alias("window_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+A_HOPPING_SQL = """
+WITH exploded AS (
+  SELECT date_trunc('day', ts) - (CAST(o AS INT) * INTERVAL 1 DAY) AS ws,
+         value
+  FROM events, (SELECT unnest(range(7)) AS o)
+)
+SELECT strftime(ws, '%Y-%m-%d') AS window_start,
+       strftime(ws + INTERVAL 7 DAY, '%Y-%m-%d') AS window_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM exploded
+GROUP BY ws ORDER BY window_start
+"""
+
+
+def a_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 extension: per-user SESSION windows via the builtin
+    ``session_window(ts, '30 minutes')`` (start = first event, end =
+    last event + gap; events merge while each arrives strictly within
+    the gap). The builtin is the streaming-capable form of the manual
+    sessionize operator (x_sessionize); the oracle recomputes the
+    same sessions with the lag/cumsum construction, using the
+    builtin's STRICT overlap rule (a gap of exactly 30:00 starts a
+    new session)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+A_SESSION_WINDOW_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""

@@ -54,6 +54,8 @@ def _populate() -> None:
     register("a_group_delta", bq.a_group_delta, bq.A_GROUP_DELTA_SQL)
     register("a_grand_total", bq.a_grand_total, bq.A_GRAND_TOTAL_SQL)
     register("a_daily_window_jst", bq.a_daily_window_jst, bq.A_DAILY_WINDOW_SQL)
+    # hopping/session builtins live in extended_queries (registered
+    # below with the other xq entries)
     register("w_latest_per_key", bq.w_latest_per_key, bq.W_LATEST_SQL)
     register("w_topk_per_group", bq.w_topk_per_group, bq.W_TOPK_SQL)
     register("w_running_lag", bq.w_running_lag, bq.W_RUNNING_SQL)
@@ -122,6 +124,8 @@ def _populate() -> None:
     register("a_approx_distinct", xq.a_approx_distinct, None)
     register("a_quantile_sketch", xq.a_quantile_sketch, None)
     register("a_percentiles", xq.a_percentiles, xq.A_PERCENTILES_SQL)
+    register("a_hopping_window", xq.a_hopping_window, xq.A_HOPPING_SQL)
+    register("a_session_window_agg", xq.a_session_window_agg, xq.A_SESSION_WINDOW_SQL)
     register("f_array_explode", xq.f_array_explode, xq.F_ARRAY_EXPLODE_SQL)
     register("a_cube_revenue", xq.a_cube_revenue, xq.A_CUBE_SQL)
     register("f_unpivot", xq.f_unpivot, xq.F_UNPIVOT_SQL)
