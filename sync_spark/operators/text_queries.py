@@ -1115,3 +1115,39 @@ FROM ranked, scalars
 WHERE cum_before < CAST(floor((budget * w) / sum_w) AS BIGINT)
 ORDER BY source, doc_id
 """
+
+
+def t_topk_per_stratum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-k sample per stratum (k=8 per language):
+    rank docs by the md5 coin within each stratum and keep the first
+    k — the fixed-size companion to the rate-based
+    ``t_stratified_sample`` (hash-mod keeps a *fraction*; audits and
+    eval-set carving need an exact count). Same engine-independent
+    coin, so the selection is reproducible across engines,
+    partitionings, and runs. One shuffle on the stratum key; the
+    rank window is per-stratum (bounded), never global."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 8)
+        .select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+        .orderBy("lang", "rk")
+    )
+
+
+T_TOPK_STRATUM_SQL = """
+SELECT doc_id, lang, rk
+FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= 8
+ORDER BY lang, rk
+"""
