@@ -1151,3 +1151,63 @@ FROM (
 WHERE rk <= 8
 ORDER BY lang, rk
 """
+
+
+def d_survivor_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based survivor selection — the curation step AFTER
+    clustering: within each local-near-dup cluster (winnowing shared
+    runs → connected components) keep the HIGHEST-QUALITY document
+    (quality score desc, doc_id asc tiebreak) instead of the
+    arbitrary min-id. Real pipelines keep the cleanest copy of a
+    boilerplate family, not the lowest id. Emits every doc with its
+    cluster and the chosen survivor flag.
+
+    Shape: pair graph from winnow_pairs (Σ posting² bounded), CC as
+    in dedup_clusters, then ONE window argmax per cluster keyed by
+    cluster_id. Oracle: recursive-CTE transitive closure over the
+    identical pair set + the same window rule."""
+    from pyspark.sql.window import Window
+
+    from sync_spark.operators.cluster import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.winnow_pairs(
+        d, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W, min_shared=2
+    ).select("id_a", "id_b")
+    cc = connected_components(d.select("doc_id"), pairs, id_col="doc_id")
+    quality = d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+    j = cc.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality",
+            (F.col("rk") == 1).alias("is_survivor"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+D_SURVIVOR_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {D_WINNOW_PAIRS_SQL.strip()}
+), reach AS (
+  SELECT doc_id, doc_id AS root FROM documents
+  UNION
+  SELECT r.doc_id, LEAST(r.root, CASE WHEN p.id_a = r.root THEN p.id_b ELSE p.id_a END) AS root
+  FROM reach r JOIN pairs p ON r.root = p.id_a OR r.root = p.id_b
+), cc AS (
+  SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
+), q AS (
+  SELECT doc_id, quality FROM ({T_QUALITY_SQL.strip()})
+)
+SELECT cc.doc_id, cc.cluster_id, q.quality,
+       ROW_NUMBER() OVER (PARTITION BY cc.cluster_id
+           ORDER BY q.quality DESC, cc.doc_id ASC) = 1 AS is_survivor
+FROM cc JOIN q USING (doc_id)
+ORDER BY cc.doc_id
+"""
