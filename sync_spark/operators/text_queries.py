@@ -1211,3 +1211,87 @@ SELECT cc.doc_id, cc.cluster_id, q.quality,
 FROM cc JOIN q USING (doc_id)
 ORDER BY cc.doc_id
 """
+
+
+def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality signal (the poor-man's CCNet perplexity
+    filter): score every document by the average corpus-wide bigram
+    conditional probability avg(c(w1,w2)/c(w1)) of its bigrams —
+    documents made of improbable transitions (gibberish, mangled
+    extractions) score low; fluent boilerplate scores high. The model
+    IS the corpus (self-trained MLE counts), so the operator is one
+    plan: bigram build (lead window, linear), two count aggregations,
+    two joins back, per-doc average.
+
+    Cross-engine exactness: probabilities are scaled-integer floor
+    divisions ((c2·10⁶) DIV c1, then (Σp·10⁶) DIV n) — no float log,
+    no decimal-division rounding, both engines do identical integer
+    math, so the score hash-matches the oracle bit for bit.
+
+    Scale: count tables have one row per distinct (bi)gram — the
+    joins are against AGGREGATED sides (broadcastable vocab for
+    unigrams; the bigram join shuffles on the gram key, skew-free
+    because the count side is one row per key)."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    tokp = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tokp.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+    )
+    uni = tokp.groupBy(F.col("tok").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        big.join(bc, ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .withColumn("p6", F.expr("(c2 * 1000000) DIV c1"))
+    )
+    doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("p6").alias("s")
+    )
+    return (
+        toks.select("doc_id")
+        .join(doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.expr("(s * 1000000) DIV n_bigrams").cast("long").alias("score_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T_LM_SCORE_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), b2 AS (
+  SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+  FROM (SELECT doc_id,
+               unnest([{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]) AS u
+        FROM t)
+), uni AS (
+  SELECT tok AS w1, COUNT(*) AS c1
+  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM b2 GROUP BY w1, w2
+), scored AS (
+  SELECT doc_id, (c2 * 1000000) // c1 AS p6
+  FROM b2 JOIN bc USING (w1, w2) JOIN uni USING (w1)
+), doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(p6) AS s FROM scored GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(doc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST((doc.s * 1000000) // doc.n_bigrams AS BIGINT) AS score_e6
+FROM t LEFT JOIN doc USING (doc_id)
+ORDER BY t.doc_id
+"""
