@@ -250,3 +250,46 @@ CQ_WEEKLY_SQL = """
 SELECT COUNT(*) AS cnt FROM events
 WHERE ts >= TIMESTAMP '2024-01-13 15:00:00' AND ts < TIMESTAMP '2024-01-20 15:00:00'
 """
+
+
+_FUZZY_PROBES = ["Customer#000000042", "Custmer#000000777", "Costumer#00000123",
+                 "Customer#999999999", "Supplier#000000001"]
+
+
+def f_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: each probe resolves to its nearest
+    customer name by Levenshtein distance (min distance, then
+    lexicographic name tiebreak) — the entity-resolution scalar the
+    reference's exact-match DSL lacks. A 5-probe × corpus distance
+    scan with a TakeOrdered-style per-probe argmin; at scale the
+    probe side broadcasts and length-bucketing prunes candidates."""
+    from sync_spark.operators.relational import _t
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer").select("c_name")
+    probes = spark.createDataFrame([(p,) for p in _FUZZY_PROBES], "probe string")
+    scored = F.broadcast(probes).crossJoin(c).withColumn(
+        "dist", F.levenshtein("probe", "c_name")
+    )
+    w = Window.partitionBy("probe").orderBy(F.col("dist").asc(), F.col("c_name").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("probe", F.col("c_name").alias("best_match"), F.col("dist").cast("long").alias("distance"))
+        .orderBy("probe")
+    )
+
+
+F_FUZZY_SQL = """
+WITH probes AS (
+  SELECT unnest(['Customer#000000042', 'Custmer#000000777', 'Costumer#00000123',
+                 'Customer#999999999', 'Supplier#000000001']) AS probe
+), scored AS (
+  SELECT probe, c_name, levenshtein(probe, c_name) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY probe
+             ORDER BY levenshtein(probe, c_name) ASC, c_name ASC) AS rk
+  FROM probes CROSS JOIN customer
+)
+SELECT probe, c_name AS best_match, CAST(dist AS BIGINT) AS distance
+FROM scored WHERE rk = 1 ORDER BY probe
+"""

@@ -77,6 +77,7 @@ def _populate() -> None:
     register("f_string_funcs", fq.f_string_funcs, fq.F_STRING_SQL)
     register("f_timestamp_parse", fq.f_timestamp_parse, fq.F_TS_PARSE_SQL)
     register("f_misc_scalar", fq.f_misc_scalar, fq.F_MISC_SQL)
+    register("f_fuzzy_match", fq.f_fuzzy_match, fq.F_FUZZY_SQL)
     register("cq_conditions", fq.cq_conditions, fq.CQ_CONDITIONS_SQL)
     register("cq_daterange_weekly", fq.cq_daterange_weekly, fq.CQ_WEEKLY_SQL)
 
