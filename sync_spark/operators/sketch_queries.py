@@ -141,3 +141,60 @@ SELECT CAST(SUM(c) AS BIGINT) AS exact_click,
        TRUE AS diff_bound_ok
 FROM per_user
 """
+
+
+def a_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-rollup pattern ANSWERING a real dashboard query:
+    7-day ROLLING distinct users per window start, computed by
+    merging the 7 overlapping days' pre-built HLL sketches — the
+    metric a sum of daily distincts cannot give (users repeat across
+    days) and a per-window COUNT(DISTINCT) re-shuffles the events ×7
+    to get. Here events are sketched ONCE per day; each window is a
+    7-sketch merge (KBs). Self-checking: the exact per-window
+    distinct (computed the expensive way) rides along with a bound
+    boolean the oracle states as TRUE."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    # day d belongs to the 7 windows starting d-6 .. d
+    wins = daily.select(
+        F.explode(
+            F.array(*[F.date_sub(F.col("day"), o) for o in range(7)])
+        ).alias("ws"),
+        "sk",
+    )
+    rolled = wins.groupBy("ws").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = (
+        ev.select(
+            F.explode(
+                F.array(*[F.date_sub(F.to_date("ts"), o) for o in range(7)])
+            ).alias("ws"),
+            "user_id",
+        )
+        .groupBy("ws")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        rolled.join(exact, "ws")
+        .select(
+            F.date_format("ws", "yyyy-MM-dd").alias("window_start"),
+            "exact_users",
+            _within(F.col("est"), F.col("exact_users")).alias("bound_ok"),
+        )
+        .orderBy("window_start")
+    )
+
+
+A_ROLLING_DISTINCT_SQL = """
+WITH exploded AS (
+  SELECT CAST(ts AS DATE) - CAST(o AS INT) AS ws, user_id
+  FROM events, (SELECT unnest(range(7)) AS o)
+)
+SELECT strftime(ws, '%Y-%m-%d') AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS bound_ok
+FROM exploded GROUP BY ws ORDER BY window_start
+"""

@@ -173,6 +173,7 @@ def _populate() -> None:
 
     register("a_hll_merge_rollup", sk.a_hll_merge_rollup, sk.A_HLL_ROLLUP_SQL)
     register("a_theta_set_ops", sk.a_theta_set_ops, sk.A_THETA_SET_SQL)
+    register("a_rolling_distinct_users", sk.a_rolling_distinct_users, sk.A_ROLLING_DISTINCT_SQL)
 
     # flag flips only AFTER every registration succeeded — setting it
     # first would make a mid-populate exception leave a silently
