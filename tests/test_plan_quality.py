@@ -208,3 +208,14 @@ def test_pack_offsets_two_phase_prefix_sum(spark, sf_small):
     assert len(wins) == 2
     doc_win = [w for w in wins if "n_tokens" in w]
     assert doc_win and "windowspecdefinition(grp" in doc_win[0]
+
+
+def test_lm_score_vocab_join_broadcasts(spark, sf_small):
+    """The unigram vocab side of the LM score is an aggregated
+    one-row-per-token table — it must broadcast, not shuffle the
+    corpus bigram stream against it."""
+    from sync_spark.operators.text_queries import t_lm_score
+
+    plan = plan_of(t_lm_score(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
