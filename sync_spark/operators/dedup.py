@@ -40,26 +40,34 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+
+
+def gram_array(toks: Column, k: int) -> Column:
+    """Word k-gram array from a MATERIALIZED token-array Column — the
+    ONE copy of the clamped+filtered index construction shared by the
+    shingle and winnowing paths. The clamp+filter guards the
+    descending-sequence hazard: for a doc shorter than k tokens a
+    bare sequence(1, size-k+1) would generate DESCENDING indices and
+    element_at(toks, 0) throws; a guarding CASE branch is not
+    reliably skipped under codegen."""
+    last = F.size(toks) - k + 1
+    idx = F.filter(F.sequence(F.lit(1), F.greatest(last, F.lit(1))), lambda i: i <= last)
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+
+
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
     """Two-step shingling: materialize the token array as a column
-    FIRST, then build n-grams with element_at. Higher-order lambdas
-    run interpreted (no codegen), so an un-materialized split() child
-    would be re-evaluated per element — measured 13× slower."""
+    FIRST, then build n-grams with element_at (gram_array). Higher-
+    order lambdas run interpreted (no codegen), so an un-materialized
+    split() child would be re-evaluated per element — measured 13×
+    slower."""
     toks = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
     )
-    # clamped + filtered index, not a bare sequence(0, size-n): for a
-    # doc shorter than n tokens sequence() would generate DESCENDING
-    # indices and element_at(toks, 0) throws — and a guarding CASE
-    # branch is not reliably skipped under codegen (the same hazard
-    # bit functions.text._shingle_expr; robust by construction beats
-    # robust by codegen luck)
-    last = F.size("toks") - n + 1
-    idx = F.filter(F.sequence(F.lit(1), F.greatest(last, F.lit(1))), lambda i: i <= last)
-    gram = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at("toks", i + j) for j in range(n)]),
-    )
+    gram = gram_array(F.col("toks"), n)
     # the ONE persisted shingle column is stored SORTED: the jaccard
     # prefix index explodes a slice of the sorted set (a Generate over
     # a computed array_sort(...) re-evaluates the sort per generated
@@ -577,23 +585,11 @@ def winnow_fps_array(text: F.Column, k: int = 5, window: int = 4) -> F.Column:
 
     toks = _tokens(text)
     n_grams = F.size(toks) - k + 1
-    # clamped+filtered index (not bare sequence): sequence(1, 0)
-    # would generate DESCENDING indices (same hazard as _doc_shingles)
-    idx = F.filter(
-        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))), lambda i: i <= n_grams
-    )
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
-        ),
-    )
-    hs = F.transform(grams, winnow_hash)
+    hs = F.transform(gram_array(toks, k), winnow_hash)
+    # n_picked is clamped >= 1 already, so a bare sequence is safe
+    # here (no descending-sequence hazard at this site)
     n_picked = F.greatest(F.size(hs) - window + 1, F.lit(1))
-    picks = F.filter(
-        F.sequence(F.lit(1), F.greatest(n_picked, F.lit(1))),
-        lambda p: p <= n_picked,
-    )
+    picks = F.sequence(F.lit(1), n_picked)
     wins = F.transform(picks, lambda p: F.array_min(F.slice(hs, p, window)))
     # empty doc: no grams → empty fingerprint set
     return F.when(n_grams < 1, F.array().cast("array<bigint>")).otherwise(

@@ -554,15 +554,18 @@ def a_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A_SESSION_WINDOW_SQL = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800 * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
 ), sessions AS (
+  -- same (ts, event_id) tiebreak as the flag window (the x_sessionize
+  -- oracle's established discipline): an untied cumsum could assign
+  -- ambiguous session ids to same-timestamp boundary events
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged
 )

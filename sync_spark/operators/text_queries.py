@@ -1096,7 +1096,9 @@ WITH t AS (
   SELECT doc_id, source,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
-         CASE WHEN CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 2 = 0
+         -- TRY_CAST: a digit-less source must weight 1.0 (Spark's
+         -- NULL %% falls to otherwise), not abort the oracle
+         CASE WHEN TRY_CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 2 = 0
               THEN 2.0 ELSE 1.0 END AS w
   FROM documents
 ), scalars AS (
@@ -1172,7 +1174,16 @@ def d_survivor_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.winnow_pairs(
-        d, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W, min_shared=2
+        d,
+        "text",
+        "doc_id",
+        k=_WINNOW_K,
+        window=_WINNOW_W,
+        min_shared=2,
+        # explicit: the oracle embeds D_WINNOW_PAIRS_SQL which bakes
+        # this constant in — relying on the function default would let
+        # the two pair graphs silently diverge on a constant change
+        max_posting=_WINNOW_MAX_POSTING,
     ).select("id_a", "id_b")
     cc = connected_components(d.select("doc_id"), pairs, id_col="doc_id")
     quality = d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
@@ -1195,13 +1206,19 @@ def d_survivor_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 D_SURVIVOR_SQL = f"""
 WITH RECURSIVE pairs AS (
   {D_WINNOW_PAIRS_SQL.strip()}
-), reach AS (
-  SELECT doc_id, doc_id AS root FROM documents
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(root, node) AS (
+  -- full transitive closure (D_CLUSTERS_SQL's proven shape): a
+  -- LEAST-pruned walk can stall before reaching the component
+  -- minimum through a larger-id hop (chain 1-10-5 would split)
+  SELECT doc_id, doc_id FROM documents
   UNION
-  SELECT r.doc_id, LEAST(r.root, CASE WHEN p.id_a = r.root THEN p.id_b ELSE p.id_a END) AS root
-  FROM reach r JOIN pairs p ON r.root = p.id_a OR r.root = p.id_b
+  SELECT r.root, e.dst FROM reach r JOIN edges e ON e.src = r.node
 ), cc AS (
-  SELECT doc_id, MIN(root) AS cluster_id FROM reach GROUP BY doc_id
+  SELECT root AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY root
 ), q AS (
   SELECT doc_id, quality FROM ({T_QUALITY_SQL.strip()})
 )
@@ -1236,12 +1253,19 @@ def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    tokp = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    # materialize the exploded tokens ONCE (the module's double-eval
+    # discipline): without the barrier the tokenize→posexplode
+    # pipeline evaluates three times (probe side, bigram-count side,
+    # unigram side) and the lead window twice
+    tokp = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("doc_id").orderBy("pos")
     big = (
         tokp.withColumn("nxt", F.lead("tok").over(w))
         .filter(F.col("nxt").isNotNull())
         .select("doc_id", F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+        .localCheckpoint(eager=True)
     )
     uni = tokp.groupBy(F.col("tok").alias("w1")).agg(
         F.count(F.lit(1)).alias("c1")
@@ -1256,7 +1280,7 @@ def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"), F.sum("p6").alias("s")
     )
     return (
-        toks.select("doc_id")
+        d.select("doc_id")
         .join(doc, "doc_id", "left")
         .select(
             "doc_id",
