@@ -577,3 +577,44 @@ SELECT user_id,
 FROM sessions GROUP BY user_id, sid
 ORDER BY user_id, session_start
 """
+
+
+def a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple the
+    monitoring surface grows into: users cohorted by first-active
+    week, then distinct active users per (cohort_week, week_offset).
+    Two aggregations + one join, all partial-aggregated; the cohort
+    table is user-grain (broadcastable at dimension scale)."""
+    ev = _t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    activity = ev.select("user_id", week.alias("week")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = activity.join(F.broadcast(cohorts), "user_id")
+    return (
+        joined.groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+A_RETENTION_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+), cohorts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM activity GROUP BY user_id
+)
+SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST((week - a.cohort_week) / 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT activity.user_id) AS BIGINT) AS n_users
+FROM activity JOIN cohorts a USING (user_id)
+GROUP BY a.cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
