@@ -4,6 +4,8 @@ passthrough, pivot, rollup, approximate distinct (SURVEY.md §2.1 S21,
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -617,4 +619,47 @@ SELECT strftime(a.cohort_week, '%Y-%m-%d') AS cohort_week,
 FROM activity JOIN cohorts a USING (user_id)
 GROUP BY a.cohort_week, week_offset
 ORDER BY cohort_week, week_offset
+"""
+
+
+def a_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase, each step
+    strictly AFTER the previous step's first completion): distinct
+    users completing each prefix. Sequential-dependency aggregation
+    as three chained min-aggregate + join stages — each stage's
+    frame is user-grain (broadcast-size next to events), so the
+    event scan never re-shuffles on anything but user_id."""
+    ev = _t(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: Optional[DataFrame], prev_col: str, out: str):
+        e = ev.filter(F.col("event_type") == event_type).select("user_id", "ts")
+        if prev is not None:
+            e = e.join(F.broadcast(prev), "user_id").filter(F.col("ts") > F.col(prev_col))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = first_after("view", None, "", "t1")
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    return (
+        v.agg(F.count(F.lit(1)).alias("step1_users"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("step2_users")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("step3_users")))
+    )
+
+
+A_FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS step1_users,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS step2_users,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS step3_users
 """

@@ -131,6 +131,7 @@ def _populate() -> None:
     register("a_hopping_window", xq.a_hopping_window, xq.A_HOPPING_SQL)
     register("a_session_window_agg", xq.a_session_window_agg, xq.A_SESSION_WINDOW_SQL)
     register("a_retention_cohorts", xq.a_retention_cohorts, xq.A_RETENTION_SQL)
+    register("a_funnel_steps", xq.a_funnel_steps, xq.A_FUNNEL_SQL)
     register("f_array_explode", xq.f_array_explode, xq.F_ARRAY_EXPLODE_SQL)
     register("a_cube_revenue", xq.a_cube_revenue, xq.A_CUBE_SQL)
     register("f_unpivot", xq.f_unpivot, xq.F_UNPIVOT_SQL)
