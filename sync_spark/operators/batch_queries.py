@@ -546,3 +546,38 @@ WHERE c_custkey NOT IN (SELECT c_custkey FROM touched)
 UNION ALL
 SELECT * FROM ups
 """
+
+
+def w_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-ranking window surface (§2.5 breadth): ntile
+    quartiles, percent_rank, cume_dist, and dense_rank over order
+    totals per market segment — the analytic functions the latest-N /
+    top-k queries don't touch. Deterministic ordering via the
+    (o_totalprice, o_orderkey) tiebreak; percent_rank rounded to 6dp
+    to absorb last-bit division differences."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    c = _t(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return j.select(
+        "o_orderkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.dense_rank().over(w).alias("drank"),
+    )
+
+
+W_RANK_DIST_SQL = """
+SELECT o_orderkey, c_mktsegment,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cume,
+       CAST(dense_rank() OVER w AS INT) AS drank
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey < 3000
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""

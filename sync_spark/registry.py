@@ -59,6 +59,7 @@ def _populate() -> None:
     register("w_latest_per_key", bq.w_latest_per_key, bq.W_LATEST_SQL)
     register("w_topk_per_group", bq.w_topk_per_group, bq.W_TOPK_SQL)
     register("w_running_lag", bq.w_running_lag, bq.W_RUNNING_SQL)
+    register("w_rank_distribution", bq.w_rank_distribution, bq.W_RANK_DIST_SQL)
     register("o_topk_orders", bq.o_topk_orders, bq.O_TOPK_SQL)
     register("o_time_ordered_scan", bq.o_time_ordered_scan, bq.O_TIME_SCAN_SQL)
     register("u_union_merge", bq.u_union_merge, bq.U_UNION_SQL)
