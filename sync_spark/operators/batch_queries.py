@@ -561,21 +561,41 @@ def w_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
     )
-    return j.select(
-        "o_orderkey",
-        "c_mktsegment",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.dense_rank().over(w).alias("drank"),
+    # scaled-INTEGER percent_rank/cume_dist, not ROUND(double, 6): the
+    # true values are exact binary fractions (41/640 = 0.0640625) and
+    # Spark's HALF_UP vs DuckDB's half-even disagree on such ties. The
+    # tiebreak makes the ordering unique, so row_number stands in for
+    # the rank/cume counts exactly; integer floor division agrees
+    # across engines bit for bit.
+    rn = F.row_number().over(w).cast("long")
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).cast("long")
+    return (
+        j.select(
+            "o_orderkey",
+            "c_mktsegment",
+            F.ntile(4).over(w).alias("quartile"),
+            rn.alias("rn"),
+            cnt.alias("cnt"),
+            F.dense_rank().over(w).alias("drank"),
+        )
+        .select(
+            "o_orderkey",
+            "c_mktsegment",
+            "quartile",
+            F.expr("((rn - 1) * 1000000) DIV (cnt - 1)").alias("pct_rank_e6"),
+            F.expr("(rn * 1000000) DIV cnt").alias("cume_e6"),
+            "drank",
+        )
     )
 
 
 W_RANK_DIST_SQL = """
 SELECT o_orderkey, c_mktsegment,
        CAST(ntile(4) OVER w AS INT) AS quartile,
-       ROUND(percent_rank() OVER w, 6) AS pct_rank,
-       ROUND(cume_dist() OVER w, 6) AS cume,
+       ((row_number() OVER w - 1) * 1000000)
+         // (COUNT(*) OVER (PARTITION BY c_mktsegment) - 1) AS pct_rank_e6,
+       (row_number() OVER w * 1000000)
+         // COUNT(*) OVER (PARTITION BY c_mktsegment) AS cume_e6,
        CAST(dense_rank() OVER w AS INT) AS drank
 FROM orders JOIN customer ON o_custkey = c_custkey
 WHERE o_orderkey < 3000
