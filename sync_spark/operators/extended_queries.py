@@ -585,13 +585,16 @@ def a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix — the product-analytics staple the
     monitoring surface grows into: users cohorted by first-active
     week, then distinct active users per (cohort_week, week_offset).
-    Two aggregations + one join, all partial-aggregated; the cohort
-    table is user-grain (broadcastable at dimension scale)."""
+    Two aggregations + one join, all partial-aggregated. The cohort
+    table is user-grain — NOT broadcastable at 100 TB — so no
+    broadcast hint: both sides already hash-partition on user_id from
+    their aggregations, and AQE picks broadcast only when the
+    measured size allows it."""
     ev = _t(spark, sf_dir, "events")
     week = F.date_trunc("week", F.col("ts")).cast("date")
     activity = ev.select("user_id", week.alias("week")).distinct()
     cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    joined = activity.join(F.broadcast(cohorts), "user_id")
+    joined = activity.join(cohorts, "user_id")
     return (
         joined.groupBy(
             "cohort_week",
@@ -626,15 +629,17 @@ def a_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis (view → click → purchase, each step
     strictly AFTER the previous step's first completion): distinct
     users completing each prefix. Sequential-dependency aggregation
-    as three chained min-aggregate + join stages — each stage's
-    frame is user-grain (broadcast-size next to events), so the
-    event scan never re-shuffles on anything but user_id."""
+    as three chained min-aggregate + join stages — every shuffle is
+    on user_id, so the per-step frames stay co-partitioned. The
+    per-step frames are user-grain — NOT broadcastable at 100 TB —
+    so no forced broadcast hint; AQE downgrades to broadcast at small
+    scale on its own measured sizes."""
     ev = _t(spark, sf_dir, "events")
 
     def first_after(event_type: str, prev: Optional[DataFrame], prev_col: str, out: str):
         e = ev.filter(F.col("event_type") == event_type).select("user_id", "ts")
         if prev is not None:
-            e = e.join(F.broadcast(prev), "user_id").filter(F.col("ts") > F.col(prev_col))
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_col))
         return e.groupBy("user_id").agg(F.min("ts").alias(out))
 
     v = first_after("view", None, "", "t1")

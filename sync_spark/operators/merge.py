@@ -94,6 +94,21 @@ def apply_changes(
         changes = compact_latest_per_key(changes, keys, seq_col)
 
     if evolve_schema:
+        # "keys can never be evolved" is a contract, not a hope: a
+        # changes frame missing a key column would otherwise be
+        # silently null-filled by the REPLACE loop below, producing
+        # NULL-key upserts and no-op deletes
+        missing_keys = set(keys) - set(changes.columns)
+        if missing_keys:
+            raise ValueError(
+                f"evolve_schema cannot evolve key columns; changes frame "
+                f"is missing keys {sorted(missing_keys)}"
+            )
+        missing_tgt = set(keys) - set(target.columns)
+        if missing_tgt:
+            raise ValueError(
+                f"target is missing key columns {sorted(missing_tgt)}"
+            )
         tgt_types = {f.name: f.dataType for f in target.schema.fields}
         chg_types = {f.name: f.dataType for f in changes.schema.fields}
         for c in changes.columns:

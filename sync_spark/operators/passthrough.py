@@ -12,9 +12,11 @@ parity, not ported):
   (a ``$gt`` on a parquet column becomes PushedFilters, exactly like
   the SQL branch).
 - **Redis**: ``KEYS pattern`` / ``GET key`` / ``MGET k1 k2`` /
-  ``EXISTS key`` / ``DBSIZE`` / ``SET key value`` / ``DEL key...``
-  against the relational KV model (operators/kv.py). Read commands
-  return DataFrames; write commands return the post-state KV frame
+  ``EXISTS key`` / ``DBSIZE`` / ``TTL key`` / ``SET key value`` /
+  ``DEL key...`` / ``EXPIRE key secs`` / ``PERSIST key`` /
+  ``SETEX key secs value`` against the relational KV model
+  (operators/kv.py). Read commands return DataFrames; write commands
+  (SET/DEL/EXPIRE/PERSIST/SETEX) return the post-state KV frame
   (the caller persists it — same model as restore_replace).
 
 Filter subset: equality ``{f: v}``, operator objects ``{f: {$gt: v,
@@ -259,16 +261,177 @@ def run_mongo_js(
 
 
 _WRITE_RE = re.compile(
-    r"^\s*db\.(?P<coll>\w+)\.(?P<method>insertMany|updateMany|deleteMany)\s*\(",
+    r"^\s*db\.(?P<coll>\w+)\.(?P<method>insertMany|insertOne|updateMany|"
+    r"updateOne|deleteMany|deleteOne|remove)\s*\(",
     re.DOTALL,
 )
+
+# the reference's documented loop form (pkg/api/auth_handler.go:1539):
+#   var docs = []; let count = N;
+#   for (let i = 1; i <= count; i++) { docs.push({...}); }
+#   db.<coll>.insertMany(docs);
+_PUSH_LOOP_RE = re.compile(
+    r"db\.(?P<coll>\w+)\.insertMany\s*\(\s*docs\s*\)", re.DOTALL
+)
+_FOR_RE = re.compile(
+    r"for\s*\(\s*(?:let|var)\s+(?P<var>\w+)\s*=\s*(?P<start>-?\d+)\s*;"
+    r"\s*(?P=var)\s*(?P<cmp><=?)\s*(?P<end>\w+|-?\d+)\s*;"
+)
+_COUNT_RE = re.compile(r"(?:let|var)\s+(?P<name>\w+)\s*=\s*(?P<n>\d+)\s*;")
+_PUSH_RE = re.compile(r"docs\.push\s*\(\s*(?P<obj>\{.*?\})\s*\)", re.DOTALL)
+
+
+def _eval_js_expr(expr: str, env: dict) -> Any:
+    """Evaluate the tiny JS expression subset the push template uses:
+    literals, the loop variable, and ``+``-joined concatenations like
+    ``"user" + i + "@example.com"``. Any string term makes the whole
+    expression a string concat, like JS."""
+    terms = []
+    depth, start, in_str = 0, 0, None
+    expr = expr.strip()
+    for i, ch in enumerate(expr):
+        if in_str:
+            if ch == in_str and expr[i - 1] != "\\":
+                in_str = None
+            continue
+        if ch in "'\"":
+            in_str = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif ch == "+" and depth == 0:
+            terms.append(expr[start:i])
+            start = i + 1
+    terms.append(expr[start:])
+
+    def one(t: str) -> Any:
+        t = t.strip()
+        if t in env:
+            return env[t]
+        try:
+            return json.loads(_js_to_json(t))
+        except (ValueError, TypeError):
+            raise ValueError(f"unsupported JS expression term: {t!r}")
+
+    vals = [one(t) for t in terms]
+    if len(vals) == 1:
+        return vals[0]
+    if any(isinstance(v, str) for v in vals):
+        return "".join(str(v) for v in vals)
+    return sum(vals)
+
+
+def parse_push_loop_docs(src: str) -> tuple[str, list[dict]]:
+    """Parse the reference's ``docs.push`` insertMany loop form into
+    (collection, docs). The loop bound may be a literal or a
+    ``let count = N`` variable (default 5, matching the reference's
+    fallback when no count is found — auth_handler.go:1568-1573).
+    Unlike the reference — which discards the push template and
+    fabricates {name,email,id} documents — this executes the template
+    the user actually wrote."""
+    m = _PUSH_LOOP_RE.search(src)
+    fm = _FOR_RE.search(src)
+    pm = _PUSH_RE.search(src)
+    if not (m and fm and pm):
+        raise ValueError("unrecognized docs.push insertMany loop form")
+    consts = {c.group("name"): int(c.group("n")) for c in _COUNT_RE.finditer(src)}
+    end_tok = fm.group("end")
+    end = int(end_tok) if re.fullmatch(r"-?\d+", end_tok) else consts.get(end_tok, 5)
+    start = int(fm.group("start"))
+    last = end if fm.group("cmp") == "<=" else end - 1
+    var = fm.group("var")
+    # parse the object literal ONCE into (key, expr) pairs
+    obj = pm.group("obj")
+    pairs_src, _ = _split_args("[" + obj[1:-1] + "]", 0)
+    pairs: list[tuple[str, str]] = []
+    for p in pairs_src:
+        k, _, v = p.partition(":")
+        pairs.append((k.strip().strip("'\""), v.strip()))
+    docs = [
+        {k: _eval_js_expr(v, {var: i}) for k, v in pairs}
+        for i in range(start, last + 1)
+    ]
+    if not docs:
+        raise ValueError("docs.push loop generates zero documents")
+    return m.group("coll"), docs
+
+
+def _insert_docs(df: DataFrame, docs: list[dict], op: str) -> tuple[DataFrame, DataFrame]:
+    """Append parsed documents to the collection frame (shared by
+    insertMany / insertOne / the docs.push loop form)."""
+    if not isinstance(docs, list) or not docs:
+        raise ValueError(f"{op} expects a non-empty array of documents")
+    cols = df.columns
+    unknown = {k for d in docs for k in d} - set(cols)
+    if unknown:
+        raise ValueError(f"{op} fields not in collection schema: {sorted(unknown)}")
+    # JS has one number type: coerce ints into float fields (40 ≡
+    # 40.0 in Mongo) instead of crashing createDataFrame
+    import pyspark.sql.types as _T
+
+    def _coerce(v, dt):
+        if v is None:
+            return None
+        if isinstance(dt, (_T.DoubleType, _T.FloatType)) and isinstance(v, int):
+            return float(v)
+        if isinstance(dt, (_T.LongType, _T.IntegerType)) and isinstance(v, float) and v.is_integer():
+            return int(v)
+        return v
+
+    rows = [
+        tuple(_coerce(d.get(f.name), f.dataType) for f in df.schema.fields)
+        for d in docs
+    ]
+    new_rows = df.sparkSession.createDataFrame(rows, df.schema)
+    affected = new_rows.agg(
+        F.lit(op).alias("op"), F.count(F.lit(1)).alias("affected_rows")
+    )
+    return df.unionByName(new_rows), affected
+
+
+def _one_match_flag(df: DataFrame, pred: Optional[Column]) -> tuple[DataFrame, Column, list[str]]:
+    """Mark exactly ONE deterministic matching row for the single-doc
+    verbs (updateOne/deleteOne/remove-justOne). Mongo picks natural
+    (insertion) order; a DataFrame has none, so the tie-break is the
+    lexicographic-min row fingerprint — deterministic and
+    engine-portable. Exact-duplicate rows are disambiguated with a
+    per-fingerprint row_number (bounded window: partitioned by the
+    fingerprint, so no global sort at scale).
+
+    Returns (augmented_df, is_the_one_column, helper_col_names)."""
+    from pyspark.sql import Window
+
+    fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+    matched = F.lit(True) if pred is None else F.coalesce(pred, F.lit(False))
+    w = Window.partitionBy("__fp").orderBy(F.lit(1))
+    aug = (
+        df.withColumn("__fp", fp)
+        .withColumn("__match", matched)
+        .withColumn("__dup_rn", F.row_number().over(w))
+    )
+    # 1-row scalar: min fingerprint among matches (null when none)
+    target = aug.filter(F.col("__match")).agg(F.min("__fp").alias("__fp_min"))
+    aug = aug.join(F.broadcast(target))
+    is_one = (
+        F.col("__match")
+        & F.col("__fp_min").isNotNull()
+        & (F.col("__fp") == F.col("__fp_min"))
+        & (F.col("__dup_rn") == 1)
+    )
+    return aug, is_one, ["__fp", "__match", "__dup_rn", "__fp_min"]
 
 
 def run_mongo_js_write(src: str, df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Execute a Mongo-JS WRITE statement against the collection frame
-    — the dialect's other half (the reference's /sql/execute also
-    accepts insertMany / updateMany-with-$set / deleteMany,
-    pkg/api/auth_handler.go:1536-1745, cited for parity not ported).
+    — the dialect's other half. The reference's /sql/execute accepts
+    insertMany (incl. the docs.push loop form), insertOne,
+    updateMany/updateOne-with-$set, deleteMany/deleteOne and remove
+    (pkg/api/auth_handler.go:1536-1745,1604,1679 — cited for parity,
+    not ported). Single-doc verbs affect at most one deterministic
+    matching row (min-fingerprint tie-break); ``remove(filter)``
+    deletes all matches like Mongo, ``remove(filter, true)`` is
+    justOne.
 
     Returns ``(new_state, affected)`` where ``affected`` is a 1-row
     frame ``(op, affected_rows)`` — the lazy analog of the reference's
@@ -277,59 +440,64 @@ def run_mongo_js_write(src: str, df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """
     m = _WRITE_RE.match(src)
     if not m:
+        if _PUSH_LOOP_RE.search(src):
+            _, docs = parse_push_loop_docs(src)
+            return _insert_docs(df, docs, "insertMany")
         raise ValueError(f"not a recognized Mongo JS write: {src[:60]!r}")
     args, _ = _split_args(src, src.index("(", m.start("method")))
     meth = m.group("method")
     if meth == "insertMany":
-        docs = json.loads(_js_to_json(args[0]))
-        if not isinstance(docs, list) or not docs:
-            raise ValueError("insertMany expects a non-empty array of documents")
-        cols = df.columns
-        unknown = {k for d in docs for k in d} - set(cols)
-        if unknown:
-            raise ValueError(f"insertMany fields not in collection schema: {sorted(unknown)}")
-        # JS has one number type: coerce ints into float fields (40 ≡
-        # 40.0 in Mongo) instead of crashing createDataFrame
-        import pyspark.sql.types as _T
-
-        def _coerce(v, dt):
-            if v is None:
-                return None
-            if isinstance(dt, (_T.DoubleType, _T.FloatType)) and isinstance(v, int):
-                return float(v)
-            if isinstance(dt, (_T.LongType, _T.IntegerType)) and isinstance(v, float) and v.is_integer():
-                return int(v)
-            return v
-
-        rows = [
-            tuple(_coerce(d.get(f.name), f.dataType) for f in df.schema.fields)
-            for d in docs
-        ]
-        new_rows = df.sparkSession.createDataFrame(rows, df.schema)
-        affected = new_rows.agg(
-            F.lit("insertMany").alias("op"), F.count(F.lit(1)).alias("affected_rows")
-        )
-        return df.unionByName(new_rows), affected
+        return _insert_docs(df, json.loads(_js_to_json(args[0])), "insertMany")
+    if meth == "insertOne":
+        doc = json.loads(_js_to_json(args[0]))
+        if not isinstance(doc, dict):
+            raise ValueError("insertOne expects a single document object")
+        return _insert_docs(df, [doc], "insertOne")
     pred = mongo_filter_to_column(json.loads(_js_to_json(args[0])) if args else {})
+    # remove(filter, true) is justOne; remove(filter) == deleteMany
+    just_one = meth in ("updateOne", "deleteOne") or (
+        meth == "remove" and len(args) > 1 and args[1].strip().lower() == "true"
+    )
+    if meth in ("deleteMany", "deleteOne", "remove"):
+        if just_one:
+            aug, is_one, helpers = _one_match_flag(df, pred)
+            affected_n = aug.filter(is_one).agg(
+                F.lit(meth).alias("op"), F.count(F.lit(1)).alias("affected_rows")
+            )
+            return aug.filter(~is_one).drop(*helpers), affected_n
+        matched = df if pred is None else df.filter(pred)
+        affected_n = matched.agg(
+            F.lit(meth).alias("op"), F.count(F.lit(1)).alias("affected_rows")
+        )
+        if pred is None:
+            return df.limit(0), affected_n
+        return df.filter(~F.coalesce(pred, F.lit(False))), affected_n
+    # updateMany / updateOne: only the {$set: {...}} form, like the reference
+    if len(args) < 2:
+        raise ValueError(f"{meth} expects (filter, update) arguments")
+    update = json.loads(_js_to_json(args[1]))
+    setter = update.get("$set")
+    if not isinstance(setter, dict) or not setter:
+        raise ValueError(f"only {meth} with a non-empty $set document is supported")
+    unknown = set(setter) - set(df.columns)
+    if unknown:
+        raise ValueError(f"$set fields not in collection schema: {sorted(unknown)}")
+    if just_one:
+        aug, is_one, helpers = _one_match_flag(df, pred)
+        new_state = aug
+        for fname, val in setter.items():
+            lit = F.lit(val).cast(df.schema[fname].dataType)
+            new_state = new_state.withColumn(
+                fname, F.when(is_one, lit).otherwise(F.col(fname))
+            )
+        affected_n = aug.filter(is_one).agg(
+            F.lit(meth).alias("op"), F.count(F.lit(1)).alias("affected_rows")
+        )
+        return new_state.drop(*helpers), affected_n
     matched = df if pred is None else df.filter(pred)
     affected_n = matched.agg(
         F.lit(meth).alias("op"), F.count(F.lit(1)).alias("affected_rows")
     )
-    if meth == "deleteMany":
-        new_state = df if pred is None else df.filter(~F.coalesce(pred, F.lit(False)))
-        if pred is None:
-            new_state = df.limit(0)
-        return new_state, affected_n
-    # updateMany: only the {$set: {...}} form, like the reference
-    if len(args) < 2:
-        raise ValueError("updateMany expects (filter, update) arguments")
-    update = json.loads(_js_to_json(args[1]))
-    setter = update.get("$set")
-    if not isinstance(setter, dict) or not setter:
-        raise ValueError("only updateMany with a non-empty $set document is supported")
-    unknown = set(setter) - set(df.columns)
-    if unknown:
-        raise ValueError(f"$set fields not in collection schema: {sorted(unknown)}")
     if pred is None:
         new_state = df
         for fname, val in setter.items():
@@ -542,7 +710,11 @@ WHERE NOT coalesce(c_acctbal < 0, FALSE)
 # unified dispatch — the reference's /sql/execute entry point
 # ---------------------------------------------------------------------------
 
-_REDIS_VERBS = {"KEYS", "GET", "MGET", "EXISTS", "DBSIZE", "SET", "DEL"}
+_REDIS_VERBS = {
+    "KEYS", "GET", "MGET", "EXISTS", "DBSIZE", "TTL",  # reads
+    "SET", "DEL", "EXPIRE", "PERSIST", "SETEX",  # writes (mutate KV state)
+}
+_REDIS_WRITE_VERBS = {"SET", "DEL", "EXPIRE", "PERSIST", "SETEX"}
 
 
 def dispatch_execute(
@@ -565,15 +737,17 @@ def dispatch_execute(
     if _FIND_RE.match(q):
         return ("mongo_find", run_mongo_js(q, resolve), None)
     wm = _WRITE_RE.match(q)
-    if wm:
-        new_state, affected = run_mongo_js_write(q, resolve(wm.group("coll")))
+    pm = None if wm else _PUSH_LOOP_RE.search(q)
+    if wm or pm:
+        coll = wm.group("coll") if wm else pm.group("coll")
+        new_state, affected = run_mongo_js_write(q, resolve(coll))
         return ("mongo_write", affected, new_state)
     first = q.split(None, 1)[0].upper() if q else ""
     if first in _REDIS_VERBS:
         if kv is None:
             raise ValueError(f"Redis command {first!r} needs a KV frame")
         out = run_redis(q, kv)
-        if first in {"SET", "DEL"}:
+        if first in _REDIS_WRITE_VERBS:
             affected = out.agg(F.count(F.lit(1)).alias("n_keys")).select(
                 F.lit(first).alias("op"), F.col("n_keys")
             )

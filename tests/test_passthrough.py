@@ -245,6 +245,122 @@ def test_dispatch_execute_routes_all_dialects(spark, users):
     assert kind == "sql" and out.collect()[0].n == 5
 
 
+def test_mongo_insert_one(users):
+    from sync_spark.operators.passthrough import run_mongo_js_write
+
+    new, affected = run_mongo_js_write(
+        "db.users.insertOne({uid: 6, name: 'fox', age: 40, city: 'nara'})", users
+    )
+    assert new.count() == 6
+    a = affected.collect()[0]
+    assert (a.op, a.affected_rows) == ("insertOne", 1)
+
+
+def test_mongo_update_one_single_row(users):
+    from sync_spark.operators.passthrough import run_mongo_js_write
+
+    stmt = "db.users.updateOne({city: 'tokyo'}, {$set: {age: 99}})"
+    new, affected = run_mongo_js_write(stmt, users)
+    rows = new.collect()
+    assert affected.collect()[0].affected_rows == 1
+    changed = [r.uid for r in rows if r.age == 99]
+    assert len(changed) == 1 and changed[0] in (1, 3, 5)
+    # deterministic: same row wins on re-run
+    new2, _ = run_mongo_js_write(stmt, users)
+    assert [r.uid for r in new2.collect() if r.age == 99] == changed
+    # no-match updateOne: zero affected, state unchanged
+    new3, aff3 = run_mongo_js_write(
+        "db.users.updateOne({city: 'nowhere'}, {$set: {age: 1}})", users
+    )
+    assert aff3.collect()[0].affected_rows == 0
+    assert sorted(r.age for r in new3.collect()) == sorted(r.age for r in users.collect())
+
+
+def test_mongo_delete_one_and_duplicates(spark, users):
+    from pyspark.sql import Row as R
+    from sync_spark.operators.passthrough import run_mongo_js_write
+
+    new, affected = run_mongo_js_write("db.users.deleteOne({city: 'tokyo'})", users)
+    assert affected.collect()[0].affected_rows == 1
+    assert new.count() == 4
+    assert new.filter(F.col("city") == "tokyo").count() == 2
+    # exact-duplicate rows: deleteOne removes exactly ONE copy
+    dup = spark.createDataFrame([R(k=1, v="x"), R(k=1, v="x"), R(k=2, v="y")])
+    new2, aff2 = run_mongo_js_write("db.c.deleteOne({k: 1})", dup)
+    assert aff2.collect()[0].affected_rows == 1
+    assert new2.filter(F.col("k") == 1).count() == 1
+
+
+def test_mongo_remove_verb(users):
+    from sync_spark.operators.passthrough import run_mongo_js_write
+
+    # remove(filter) deletes ALL matches, like Mongo
+    new, affected = run_mongo_js_write("db.users.remove({city: 'tokyo'})", users)
+    assert affected.collect()[0].affected_rows == 3 and new.count() == 2
+    # remove(filter, true) is justOne
+    new1, aff1 = run_mongo_js_write("db.users.remove({city: 'tokyo'}, true)", users)
+    assert aff1.collect()[0].affected_rows == 1 and new1.count() == 4
+
+
+def test_mongo_docs_push_loop(users):
+    """The reference's own documented insertMany loop form
+    (pkg/api/auth_handler.go:1539-1602) routes through dispatch and
+    inserts count sequential documents built from the push template."""
+    from sync_spark.operators.passthrough import dispatch_execute, parse_push_loop_docs
+
+    stmt = (
+        "var docs = []; let count = 3; "
+        "for (let i = 1; i <= count; i++) { "
+        "docs.push({uid: 10 + i, name: 'user' + i, age: 20, "
+        "city: 'user' + i + '@example.com'}); } "
+        "db.users.insertMany(docs);"
+    )
+    coll, docs = parse_push_loop_docs(stmt)
+    assert coll == "users" and len(docs) == 3
+    assert docs[0] == {"uid": 11, "name": "user1", "age": 20, "city": "user1@example.com"}
+    kind, affected, new_state = dispatch_execute(stmt, resolve=lambda c: users)
+    assert kind == "mongo_write"
+    assert affected.collect()[0].affected_rows == 3
+    assert new_state.count() == 8
+    assert new_state.filter(F.col("uid") == 13).collect()[0].name == "user3"
+    # default count (no let count=N) matches the reference fallback of 5
+    stmt2 = (
+        "var docs = []; for (var j = 0; j < n; j++) "
+        "{ docs.push({uid: j, name: 'u', age: 1, city: 'x'}); } "
+        "db.users.insertMany(docs);"
+    )
+    _, docs2 = parse_push_loop_docs(stmt2)
+    assert len(docs2) == 5 and docs2[0]["uid"] == 0 and docs2[4]["uid"] == 4
+
+
+def test_dispatch_routes_new_verbs(spark, users):
+    from sync_spark.operators.passthrough import dispatch_execute
+
+    kind, affected, st = dispatch_execute(
+        "db.users.updateOne({city: 'osaka'}, {$set: {age: 26}})",
+        resolve=lambda c: users,
+    )
+    assert kind == "mongo_write" and affected.collect()[0].affected_rows == 1
+    assert st.filter(F.col("uid") == 2).collect()[0].age == 26
+
+    kv = spark.createDataFrame(
+        [("a", "1", 5000), ("b", "2", None)], "key string, value string, ttl_ms long"
+    )
+    # TTL reads route through the redis arm (was: fell through to SQL)
+    kind, out, st = dispatch_execute("TTL a", resolve=lambda c: users, kv=kv)
+    assert kind == "redis" and st is None and out.collect()[0].ttl == 5
+    # EXPIRE/PERSIST/SETEX are writes: new KV state comes back
+    kind, affected, new_kv = dispatch_execute("EXPIRE b 30", resolve=lambda c: users, kv=kv)
+    assert kind == "redis_write"
+    from sync_spark.operators.passthrough import run_redis
+    assert run_redis("TTL b", new_kv).collect()[0].ttl == 30
+    kind, _, new_kv2 = dispatch_execute("PERSIST a", resolve=lambda c: users, kv=kv)
+    assert kind == "redis_write" and run_redis("TTL a", new_kv2).collect()[0].ttl == -1
+    kind, _, new_kv3 = dispatch_execute("SETEX c 60 v9", resolve=lambda c: users, kv=kv)
+    assert kind == "redis_write" and new_kv3.count() == 3
+    assert run_redis("TTL c", new_kv3).collect()[0].ttl == 60
+
+
 def test_redis_ttl_family(spark):
     from sync_spark.operators.passthrough import run_redis
 

@@ -71,6 +71,21 @@ def test_apply_changes_widens_target_with_new_column(spark):
     assert rows[1].name == "a"
 
 
+def test_apply_changes_missing_key_column_raises(spark):
+    """'Keys can never be evolved' is enforced, not just documented:
+    a changes frame missing a key column fails loudly instead of
+    null-filling keys via the REPLACE loop (NULL-key upserts)."""
+    import pytest
+
+    target = spark.createDataFrame([Row(id=1, name="a")], V1)
+    keyless = spark.createDataFrame(
+        [Row(name="c", score=1.0, op="insert", seq=1)],
+        "name string, score double, op string, seq long",
+    )
+    with pytest.raises(ValueError, match="missing keys \\['id'\\]"):
+        apply_changes(target, keyless, keys=["id"], evolve_schema=True, compact=False)
+
+
 def test_apply_changes_replace_semantics_nulls_missing_columns(spark):
     """A field absent from the after-image is removed (reference
     ReplaceOne, mongodb.go:1132-1182) — an old-schema replay after an
