@@ -42,6 +42,40 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 
+_KERNEL_CHUNK_BYTES = 32 * 1024
+
+
+def spread_for_kernel(df: DataFrame, min_partitions: int = 0) -> DataFrame:
+    """Fan a narrow input out before a CPU-bound per-row kernel
+    (winnowing, LM scoring, shingling). A small parquet file arrives
+    as ONE input split (under files.maxPartitionBytes), which
+    serializes the kernel on one core; at 100 TB the scan already has
+    thousands of splits and this is a no-op — the repartition is
+    strictly conditional because an unconditional one would shuffle
+    the full corpus for nothing.
+
+    The width is sized from the optimizer's byte estimate (~one task
+    per 32 KB of input, capped at defaultParallelism): at toy scale
+    full CPU width costs more in task-launch waves than the kernel
+    itself (measured 0.71s at 32-way vs 0.51s at 8-way for the sf0.1
+    winnow kernel), while at real scale the cap takes over."""
+    sc = df.sparkSession.sparkContext
+    cap = sc.defaultParallelism
+    if min_partitions:
+        target = min(min_partitions, cap)
+    else:
+        try:
+            size = int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+        except Exception:  # stats unavailable → assume big
+            size = 1 << 40
+        target = max(2, min(cap, size // _KERNEL_CHUNK_BYTES + 1))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def gram_array(toks: Column, k: int) -> Column:
     """Word k-gram array from a MATERIALIZED token-array Column — the
     ONE copy of the clamped+filtered index construction shared by the
@@ -361,41 +395,51 @@ def winnow_fingerprint_rows(
     for local (substring-level) near-dup detection, which
     whole-document md5 (``fingerprint``) cannot see.
 
-    Shape: posexplode the PLAIN token array (a generator over a
-    computed k-gram array re-evaluates the array construction per
-    generated row — quadratic in document length, the same Generate
-    hazard as t_top_ngrams), build each k-gram with k-1 lead() calls
-    over (doc_id, pos) — linear — then one sliding ``min`` window
-    frame on the same ordering. ONE shuffle on doc_id; rowsBetween
-    truncates at the partition end, which IS the short-document
-    fallback (a doc with fewer k-grams than the window keeps pos 0 =
-    its global min). Hash is the 56-bit md5 prefix (see
+    Shape: the per-row array-HOF kernel (``winnow_fps_array``) +
+    explode — winnowing is a PER-DOCUMENT computation, so the
+    shuffle-free form is the right one: no doc_id shuffle, no window
+    sort, embarrassingly parallel at any scale. (An earlier
+    posexplode + lead() + sliding-window-min form paid a full
+    shuffle+sort of every token row for work that never crosses
+    document boundaries; measured 1.6s vs 0.7s at sf0.1.) The only
+    caveat is input parallelism — a small parquet file arrives as one
+    split and would serialize the CPU-bound kernel on one core, hence
+    ``spread_for_kernel``. Hash is the 56-bit md5 prefix (see
     functions.text.winnow_hash) for DuckDB oracle parity.
     """
-    from pyspark.sql.window import Window
     from sync_spark.functions.text import winnow_hash
 
-    toks = df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
-    tokp = toks.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
-    w_ord = Window.partitionBy("doc_id").orderBy("pos")
-    gram_parts = [F.col("tok")] + [F.lead("tok", j).over(w_ord) for j in range(1, k)]
-    grams = (
-        tokp.withColumn("g", F.concat_ws(" ", *gram_parts))
-        .withColumn("last_part", gram_parts[-1])
-        # rows within k-1 of the end have no full k-gram
-        .filter(F.col("last_part").isNotNull())
-        .select("doc_id", "pos", "g")
+    src = spread_for_kernel(
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
     )
-    hashed = grams.select("doc_id", "pos", winnow_hash(F.col("g")).alias("h"))
-    frame = (
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.currentRow, window - 1)
+    # Each stage is MATERIALIZED as a projection column before the
+    # next references it inside a lambda: a lambda body re-evaluates
+    # its non-argument subexpressions PER ELEMENT, so the one-big-
+    # expression form (winnow_fps_array) recomputes the full md5 gram
+    # array once per window position — quadratic per document. Bound
+    # attribute references keep it linear.
+    t = src.withColumn("__ng", F.size("__toks") - F.lit(k - 1)).filter(F.col("__ng") > 0)
+    # fused gram→hash transform: one array materialization, not two
+    # (the __ng > 0 filter above makes the bare ascending sequence
+    # safe — no short-doc descending-sequence hazard here)
+    t = t.withColumn(
+        "__hs",
+        F.transform(
+            F.sequence(F.lit(1), F.col("__ng")),
+            lambda i: winnow_hash(
+                F.concat_ws(
+                    " ", *[F.element_at(F.col("__toks"), i + j) for j in range(k)]
+                )
+            ),
+        ),
     )
-    per_doc = Window.partitionBy("doc_id")
-    wins = hashed.withColumn("wmin", F.min("h").over(frame)).withColumn(
-        "n_hashes", F.count(F.lit(1)).over(per_doc)
+    nw = F.greatest(F.col("__ng") - F.lit(window - 1), F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(1), nw),
+        lambda p: F.array_min(F.slice(F.col("__hs"), p, window)),
     )
-    picked = wins.filter((F.col("pos") <= F.col("n_hashes") - window) | (F.col("pos") == 0))
-    return picked.select("doc_id", F.col("wmin").alias("fp")).dropDuplicates(["doc_id", "fp"])
+    # array_distinct in-row — no dedupe shuffle
+    return t.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
 
 
 def winnow_pairs(
@@ -411,28 +455,33 @@ def winnow_pairs(
     ``min_shared`` winnowing fingerprints, with the shared count.
     The MOSS shape: inverted index on fingerprint (boilerplate prints
     appearing in > ``max_posting`` docs dropped — same hot-shingle
-    discipline as ngram_jaccard), pair counts from within-posting
-    joins. Σ posting² work, never n²; detects SHARED RUNS
-    (≥ k + window - 1 tokens) rather than whole-document similarity."""
-    from pyspark.sql.window import Window
-
-    # materialize the fingerprint rows ONCE: they feed both sides of
-    # the self-join below, and without a barrier Catalyst evaluates
-    # the whole tokenize → md5 → sliding-min pipeline twice (the same
-    # double-eval discipline as _doc_shingles_cached)
-    fps = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window).localCheckpoint(
-        eager=True
+    discipline as ngram_jaccard), pairs generated IN-ROW from each
+    posting list (bounded ≤ max_posting, so the per-row expansion is
+    ≤ max_posting²/2 structs) — one shuffle to build postings, one to
+    count pairs, no fingerprint self-join. Σ posting² work, never n²;
+    detects SHARED RUNS (≥ k + window - 1 tokens) rather than
+    whole-document similarity."""
+    fps = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window)
+    postings = fps.groupBy("fp").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
-    posting = Window.partitionBy("fp")
-    fps = fps.withColumn("posting", F.count(F.lit(1)).over(posting)).filter(
-        F.col("posting") <= max_posting
+    bounded = postings.filter(
+        (F.size("ids") >= 2) & (F.size("ids") <= max_posting)
     )
-    a = fps.select(F.col("doc_id").alias("id_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("id_b"), "fp")
+    # ids is a bound column, so the nested lambda's slice reads the
+    # materialized array — O(posting²) struct builds, nothing more
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, max_posting),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        bounded.select(F.explode(pairs_arr).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )

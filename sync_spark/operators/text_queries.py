@@ -1245,39 +1245,47 @@ def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     no decimal-division rounding, both engines do identical integer
     math, so the score hash-matches the oracle bit for bit.
 
-    Scale: count tables have one row per distinct (bi)gram — the
-    joins are against AGGREGATED sides (broadcastable vocab for
-    unigrams; the bigram join shuffles on the gram key, skew-free
-    because the count side is one row per key)."""
-    from pyspark.sql.window import Window
+    Scale: bigrams are built IN-ROW from the token array (winnowing's
+    kernel discipline — no posexplode, no lead window, no doc_id
+    shuffle, no materialization barrier), then immediately reduced to
+    the per-(doc, bigram) multiset, so everything downstream joins
+    AGGREGATED sides: broadcastable vocab for unigrams; the bigram
+    join shuffles on the gram key, skew-free because the count side
+    is one row per key. p6 is identical for every occurrence of a
+    bigram, so Σp6-per-occurrence ≡ p6·cnt — the pre-aggregation is
+    exact, not approximate."""
+    from sync_spark.operators.dedup import spread_for_kernel
 
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    # materialize the exploded tokens ONCE (the module's double-eval
-    # discipline): without the barrier the tokenize→posexplode
-    # pipeline evaluates three times (probe side, bigram-count side,
-    # unigram side) and the lead window twice
-    tokp = toks.select(
-        "doc_id", F.posexplode("toks").alias("pos", "tok")
-    ).localCheckpoint(eager=True)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    big = (
-        tokp.withColumn("nxt", F.lead("tok").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select("doc_id", F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
-        .localCheckpoint(eager=True)
+    toks = spread_for_kernel(d.select("doc_id", T.tokens(F.col("text")).alias("toks")))
+    # the >= 2 filter guards the descending-sequence hazard
+    # (sequence(1, 0) generates [1, 0], not [])
+    bigr = toks.filter(F.size("toks") >= 2).withColumn(
+        "bi",
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("w1"),
+                F.element_at(F.col("toks"), i + 1).alias("w2"),
+            ),
+        ),
     )
-    uni = tokp.groupBy(F.col("tok").alias("w1")).agg(
+    big = bigr.select("doc_id", F.explode("bi").alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    uni = toks.select(F.explode("toks").alias("w1")).groupBy("w1").agg(
         F.count(F.lit(1)).alias("c1")
     )
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    docbi = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    bc = docbi.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
     scored = (
-        big.join(bc, ["w1", "w2"])
+        docbi.join(bc, ["w1", "w2"])
         .join(F.broadcast(uni), "w1")
         .withColumn("p6", F.expr("(c2 * 1000000) DIV c1"))
     )
     doc = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"), F.sum("p6").alias("s")
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.sum(F.col("p6") * F.col("cnt")).alias("s"),
     )
     return (
         d.select("doc_id")
