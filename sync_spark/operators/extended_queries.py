@@ -535,7 +535,10 @@ def a_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionize operator (x_sessionize); the oracle recomputes the
     same sessions with the lag/cumsum construction, using the
     builtin's STRICT overlap rule (a gap of exactly 30:00 starts a
-    new session)."""
+    new session). No final ORDER BY on either side: the result is a
+    session SET (the driver's compare sorts before hashing), and the
+    global range-sort was measured at half the query's runtime — a
+    sampling pass plus an extra exchange for ordering nobody needs."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
@@ -550,7 +553,6 @@ def a_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "session_value",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
@@ -577,7 +579,6 @@ SELECT user_id,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
 FROM sessions GROUP BY user_id, sid
-ORDER BY user_id, session_start
 """
 
 

@@ -6,10 +6,13 @@ one executor per key range instead of one giant serial cursor (the
 reference reads serially in 100-row batches, mysql.go:154-267; Spark
 replaces that with N parallel range scans).
 
-This container has no databases or JDBC drivers, so the connection
-call is a thin wrapper; the partitioning math — numeric ranges and
-explicit predicate lists (for string/date keys) — is pure logic,
-tested locally, and is what actually matters at 100 TB.
+The partitioning math — numeric ranges and explicit predicate lists
+(for string/date keys) — is pure logic and is what actually matters
+at 100 TB. The live read/write path is exercised for real against
+embedded Derby (bundled with Spark, ``jdbc:derby:memory:``) in
+tests/test_jdbc_partitioning.py: write → partitioned read with both
+range and predicate partitioning. No MySQL/Postgres server exists in
+this container; swapping the URL + driver is configuration.
 """
 
 from __future__ import annotations
@@ -108,10 +111,17 @@ def write_jdbc(
     mode: str = "append",
     properties: Optional[dict[str, str]] = None,
     batch_size: int = 1000,
+    column_types: Optional[str] = None,
 ) -> None:
     """S11 batch-insert sink: Spark batches inserts per partition
     (batchsize option replaces the reference's hand-built multi-row
-    VALUES, mysql.go:338-393)."""
+    VALUES, mysql.go:338-393). ``column_types`` maps to Spark's
+    createTableColumnTypes — needed when the dialect's default string
+    mapping is non-comparable (e.g. Derby maps StringType to CLOB,
+    which cannot appear in WHERE predicates)."""
     props = dict(properties or {})
     props.setdefault("batchsize", str(batch_size))
-    df.write.jdbc(url, table, mode=mode, properties=props)
+    w = df.write
+    if column_types:
+        w = w.option("createTableColumnTypes", column_types)
+    w.jdbc(url, table, mode=mode, properties=props)
