@@ -10,15 +10,16 @@ Design for 100 TB of media:
 - decode / feature-extract / resize / frame-sample run as
   ``mapInPandas`` Arrow-batched pipelines — the ONLY place in the
   engine where Python touches row data, because codecs are Python-only;
-- the codec call is isolated behind ``_decode_payload``. UNCOMPRESSED
-  formats are decoded FOR REAL with stdlib + numpy (RIFF/PCM WAV:
-  fmt/data chunk walk → sample rate, channels, duration; binary PPM
-  P6: header parse → dims; pixel/sample math in ``audio_features`` /
-  ``image_stats``). COMPRESSED formats (JPEG/PNG/MP3/H.264) need
-  external codec libraries this container does not ship — those
-  raise ``NotImplementedError`` behind the same seam, and the
-  engine's deterministic fake header keeps end-to-end tests
-  independent of any codec.
+- the codec call is isolated behind ``_decode_payload``. Decoded FOR
+  REAL with stdlib + numpy: RIFF/PCM WAV (fmt/data chunk walk →
+  sample rate, channels, duration), binary PPM P6 (header parse →
+  dims), and PNG (pure-zlib inflate, CRC-verified chunk walk, full
+  filter-0..4 unfilter, 8-bit gray/RGB/RGBA) — pixel/sample math in
+  ``audio_features`` / ``image_stats`` / ``resize_image``. Formats
+  needing external codec libraries this container does not ship
+  (JPEG/MP3/H.264) raise ``NotImplementedError`` behind the same
+  seam, and the engine's deterministic fake header keeps end-to-end
+  tests independent of any codec.
 """
 
 from __future__ import annotations
@@ -93,6 +94,178 @@ def ppm_payload(media_id: int, width: int = 8, height: int = 6) -> bytes:
         for x in range(width):
             px += bytes(((x * 7 + media_id) % 256, (y * 11 + media_id) % 256, (x + y) % 256))
     return header + bytes(px)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_payload(
+    media_id: int, width: int = 8, height: int = 6, color_type: int = 2
+) -> bytes:
+    """Build a REAL PNG (pure stdlib: zlib + struct): the same
+    deterministic RGB gradient as ``ppm_payload`` so the two image
+    containers share one closed-form oracle. Scanline filters cycle
+    through all five types (None/Sub/Up/Average/Paeth) by row, so a
+    roundtrip exercises the decoder's full unfilter path, not just
+    filter 0. ``color_type``: 2 = RGB, 6 = RGBA (alpha 255),
+    0 = grayscale (R channel)."""
+    import numpy as np
+    import zlib
+
+    rgb = np.zeros((height, width, 3), dtype=np.uint8)
+    ys, xs = np.mgrid[0:height, 0:width]
+    rgb[..., 0] = (xs * 7 + media_id) % 256
+    rgb[..., 1] = (ys * 11 + media_id) % 256
+    rgb[..., 2] = (xs + ys) % 256
+    if color_type == 2:
+        raw = rgb
+    elif color_type == 6:
+        raw = np.concatenate([rgb, np.full((height, width, 1), 255, np.uint8)], axis=2)
+    elif color_type == 0:
+        raw = rgb[..., :1]
+    else:
+        raise ValueError(f"unsupported color_type {color_type}")
+    return _png_from_raw(raw, color_type)
+
+
+def _png_from_raw(raw, color_type: int) -> bytes:
+    """Encode an (h, w, bpp) uint8 array as a PNG with per-row
+    cycling filters (also the resize kernel's re-encoder)."""
+    import numpy as np
+    import zlib
+
+    height, width, bpp = raw.shape
+    lines = bytearray()
+    prev = np.zeros(width * bpp, dtype=np.int16)
+    for y in range(height):
+        cur = raw[y].reshape(-1).astype(np.int16)
+        ftype = y % 5
+        left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            filt = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            filt = cur - pred
+        lines.append(ftype)
+        lines += (filt % 256).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(bytes(lines))
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _parse_png_header(payload: bytes) -> tuple[int, int, int, int]:
+    """IHDR walk → (width, height, bit_depth, color_type). Raises
+    ValueError on malformed/truncated headers or an IHDR CRC mismatch
+    (callers map that to a NULL row)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG or len(payload) < 33:
+        raise ValueError("malformed PNG: bad signature or truncated")
+    (ln,) = struct.unpack(">I", payload[8:12])
+    if payload[12:16] != b"IHDR" or ln != 13:
+        raise ValueError("malformed PNG: first chunk is not IHDR")
+    ihdr = payload[16:29]
+    (crc,) = struct.unpack(">I", payload[29:33])
+    if zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF != crc:
+        raise ValueError("malformed PNG: IHDR CRC mismatch")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if w <= 0 or h <= 0:
+        raise ValueError(f"malformed PNG: non-positive dimensions {w}x{h}")
+    if interlace != 0:
+        raise ValueError("unsupported PNG: Adam7 interlacing")
+    return w, h, depth, color
+
+
+_PNG_BPP = {0: 1, 2: 3, 6: 4}  # 8-bit gray / RGB / RGBA
+
+
+def _decode_png(payload: bytes):
+    """Full pixel decode (pure stdlib + numpy) → (w, h, RGB uint8
+    array). Chunk CRCs are verified; 8-bit gray/RGB/RGBA supported
+    (gray replicated, alpha dropped — stats/resize operate on RGB).
+    Filters 0-4 are unfiltered per spec; the left-dependent ones
+    (Sub/Average/Paeth) are sequential by definition, so that loop
+    runs per scanline pixel — fine for the thumbnail-scale images the
+    in-engine codec targets; a production path swaps in a C codec
+    behind this same seam."""
+    import numpy as np
+    import zlib
+
+    w, h, depth, color = _parse_png_header(payload)
+    if depth != 8 or color not in _PNG_BPP:
+        raise ValueError(f"unsupported PNG: depth={depth} color_type={color}")
+    bpp = _PNG_BPP[color]
+    # chunk walk from after IHDR
+    pos, idat = 33, bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln or pos + 12 + ln > len(payload):
+            raise ValueError("malformed PNG: truncated chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"malformed PNG: {ctype!r} CRC mismatch")
+        if ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("malformed PNG: decompressed size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up — vectorized
+            cur = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) % 256
+        else:
+            raise ValueError(f"malformed PNG: unknown filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    px = out.reshape(h, w, bpp)
+    if color == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif color == 6:
+        px = px[..., :3]
+    return w, h, px
 
 
 def _parse_wav(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
@@ -199,9 +372,15 @@ def _decode_payload(payload: bytes | None) -> tuple[int | None, int | None, int 
         except ValueError:
             return (None, None, None)
         return (w, h, None)
+    if payload[:8] == _PNG_SIG:
+        try:
+            w, h, _, _ = _parse_png_header(payload)
+        except ValueError:
+            return (None, None, None)
+        return (w, h, None)
     raise NotImplementedError(
-        "compressed media decoding (JPEG/PNG/MP3/H.264) requires codec "
-        "libraries; WAV, PPM, and the deterministic fake codec are "
+        "compressed media decoding (JPEG/MP3/H.264) requires codec "
+        "libraries; WAV, PPM, PNG and the deterministic fake codec are "
         "available in this environment"
     )
 
@@ -415,12 +594,29 @@ IMAGE_STATS_SCHEMA = T.StructType(
 )
 
 
+def _decode_image_pixels(p: bytes):
+    """(w, h, RGB uint8 array, container) for P6 / PNG payloads.
+    Raises ValueError for unsupported containers or malformed files —
+    the image kernels map that to a NULL row."""
+    import numpy as np
+
+    if len(p) >= 2 and p[:2] == b"P6":
+        w, h, off = _parse_ppm_header(p)
+        px = np.frombuffer(p, dtype=np.uint8, count=w * h * 3, offset=off).reshape(
+            h, w, 3
+        )
+        return w, h, px, "ppm"
+    if len(p) >= 8 and p[:8] == _PNG_SIG:
+        w, h, px = _decode_png(p)
+        return w, h, px, "png"
+    raise ValueError("not a supported image container")
+
+
 def image_stats(df: DataFrame) -> DataFrame:
-    """REAL image statistics for binary PPM (P6) payloads: numpy view
-    over the pixel plane → per-channel means. NULL / non-PPM /
+    """REAL image statistics for binary PPM (P6) and PNG payloads:
+    full pixel decode → per-channel means. NULL / non-image /
     malformed payloads yield NULL stats — one bad row never kills the
     batch."""
-    import numpy as np
 
     cols = ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")
 
@@ -431,15 +627,12 @@ def image_stats(df: DataFrame) -> DataFrame:
                 out["media_id"].append(mid)
                 row = (None, None, None, None, None)
                 try:
-                    if p is not None and len(p) >= 2 and p[:2] == b"P6":
-                        w, h, off = _parse_ppm_header(p)
-                        px = np.frombuffer(
-                            p, dtype=np.uint8, count=w * h * 3, offset=off
-                        ).reshape(h, w, 3)
+                    if p is not None:
+                        w, h, px, _ = _decode_image_pixels(p)
                         means = px.reshape(-1, 3).mean(axis=0)
                         row = (w, h, float(means[0]), float(means[1]), float(means[2]))
                 except (ValueError, IndexError):
-                    pass  # malformed header / truncated pixels → NULL row
+                    pass  # malformed / unsupported container → NULL row
                 for k, v in zip(cols[1:], row):
                     out[k].append(v)
             yield pd.DataFrame(out)
@@ -459,14 +652,15 @@ RESIZED_SCHEMA = T.StructType(
 
 def resize_image(df: DataFrame, max_side: int) -> DataFrame:
     """REAL aspect-preserving nearest-neighbor resize of binary PPM
-    (P6) payloads: numpy fancy-indexing over the pixel plane, emitting
-    a valid resized P6 payload + its dims. Images already within
-    ``max_side`` pass through byte-identical (no decode-re-encode
-    drift). Target-dim math is EXACTLY ``resize_meta``'s plan-time
-    column math (HALF_UP rounding — consistency asserted in tests), so
-    the plan-time cost estimate and the pixel kernel can never
-    disagree. NULL / non-PPM / malformed payloads yield a NULL row —
-    one bad row never kills the Arrow batch."""
+    (P6) and PNG payloads: numpy fancy-indexing over the decoded pixel
+    plane, re-encoded in the SAME container the payload arrived in
+    (PPM → PPM, PNG → PNG). Images already within ``max_side`` pass
+    through byte-identical (no decode-re-encode drift). Target-dim
+    math is EXACTLY ``resize_meta``'s plan-time column math (HALF_UP
+    rounding — consistency asserted in tests), so the plan-time cost
+    estimate and the pixel kernel can never disagree. NULL /
+    non-image / malformed payloads yield a NULL row — one bad row
+    never kills the Arrow batch."""
     import numpy as np
 
     cols = ("media_id", "width", "height", "payload")
@@ -478,8 +672,8 @@ def resize_image(df: DataFrame, max_side: int) -> DataFrame:
                 out["media_id"].append(mid)
                 row = (None, None, None)
                 try:
-                    if p is not None and len(p) >= 2 and p[:2] == b"P6":
-                        w, h, off = _parse_ppm_header(p)
+                    if p is not None:
+                        w, h, px, container = _decode_image_pixels(p)
                         if max(w, h) <= max_side:
                             row = (w, h, p)  # pass-through, byte-identical
                         else:
@@ -489,14 +683,15 @@ def resize_image(df: DataFrame, max_side: int) -> DataFrame:
                             # resize_meta
                             tw = max(1, int(w / scale + 0.5))
                             th = max(1, int(h / scale + 0.5))
-                            px = np.frombuffer(
-                                p, dtype=np.uint8, count=w * h * 3, offset=off
-                            ).reshape(h, w, 3)
                             ys = (np.arange(th) * h) // th
                             xs = (np.arange(tw) * w) // tw
-                            rp = px[ys][:, xs]
-                            header = f"P6\n{tw} {th}\n255\n".encode()
-                            row = (tw, th, header + rp.tobytes())
+                            rp = np.ascontiguousarray(px[ys][:, xs])
+                            if container == "png":
+                                payload = _png_from_raw(rp, 2)
+                            else:
+                                header = f"P6\n{tw} {th}\n255\n".encode()
+                                payload = header + rp.tobytes()
+                            row = (tw, th, payload)
                 except (ValueError, IndexError):
                     pass  # malformed → NULL row
                 for k, v in zip(cols[1:], row):

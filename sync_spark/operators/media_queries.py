@@ -10,8 +10,10 @@ Parameter algebra (kept in ONE place, mirrored in the oracle):
 - even vec_id → audio: mono 16-bit PCM at 8000 Hz,
   n = 2000 · (1 + vec_id mod 4) samples ⇒ duration_ms exactly
   250 · (1 + vec_id mod 4).
-- odd vec_id → image: P6, width 4 + vec_id mod 5, height
-  3 + vec_id mod 3.
+- odd vec_id → image: width 4 + vec_id mod 5, height
+  3 + vec_id mod 3; container alternates by vec_id mod 4 — 1 → P6,
+  3 → PNG (CRC-verified zlib path) — same dims algebra, so ONE
+  closed-form oracle gates both real image codecs.
 """
 
 from __future__ import annotations
@@ -41,8 +43,9 @@ def m_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["payload"].append(M.wav_payload(mid, seconds=seconds, rate=8000))
                 else:
                     rows["kind"].append("image")
+                    build_img = M.png_payload if mid % 4 == 3 else M.ppm_payload
                     rows["payload"].append(
-                        M.ppm_payload(mid, width=4 + mid % 5, height=3 + mid % 3)
+                        build_img(mid, width=4 + mid % 5, height=3 + mid % 3)
                     )
             yield pd.DataFrame(rows)
 
@@ -82,7 +85,8 @@ def m_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 rows["media_id"].append(mid)
-                rows["payload"].append(M.ppm_payload(mid, width=4 + mid % 5, height=3 + mid % 3))
+                build_img = M.png_payload if mid % 4 == 3 else M.ppm_payload
+                rows["payload"].append(build_img(mid, width=4 + mid % 5, height=3 + mid % 3))
             yield pd.DataFrame(rows)
 
     media = ids.mapInPandas(build, "media_id long, payload binary")

@@ -39,8 +39,11 @@ def test_decode_media_schema_and_values(spark):
 
 
 def test_real_codec_is_stubbed():
+    # PNG is a REAL in-engine codec now: a malformed PNG is a NULL
+    # row, not an exception; truly external codecs (JPEG) still raise
+    assert _decode_payload(b"\x89PNG\r\n\x1a\nxxxxxxxxxxxx") == (None, None, None)
     with pytest.raises(NotImplementedError, match="codec"):
-        _decode_payload(b"\x89PNG\r\n\x1a\nxxxxxxxxxxxx")
+        _decode_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
 
 
 def test_features_deterministic_and_shaped(spark):
@@ -384,3 +387,108 @@ def test_resample_audio_rejects_unsupported_variants(spark):
     df = spark.createDataFrame(rows, "media_id long, payload binary")
     out = {r.media_id: r for r in resample_audio(df, 4000).collect()}
     assert all(out[i].payload is None for i in (1, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# PNG: the pure-stdlib (zlib) in-engine codec
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filters():
+    """Encoder cycles filters 0-4 by row; a >=5-row image therefore
+    exercises every unfilter branch. Decoded pixels must equal the
+    closed-form gradient exactly."""
+    import numpy as np
+    from sync_spark.functions.multimodal import _decode_png, png_payload
+
+    w, h, mid = 7, 9, 42
+    p = png_payload(mid, width=w, height=h)
+    gw, gh, px = _decode_png(p)
+    assert (gw, gh) == (w, h) and px.shape == (h, w, 3)
+    ys, xs = np.mgrid[0:h, 0:w]
+    assert np.array_equal(px[..., 0], (xs * 7 + mid) % 256)
+    assert np.array_equal(px[..., 1], (ys * 11 + mid) % 256)
+    assert np.array_equal(px[..., 2], (xs + ys) % 256)
+
+
+def test_png_color_types_decode_to_rgb():
+    import numpy as np
+    from sync_spark.functions.multimodal import _decode_png, png_payload
+
+    rgba = png_payload(7, width=5, height=6, color_type=6)
+    _, _, px_rgba = _decode_png(rgba)
+    rgb = png_payload(7, width=5, height=6, color_type=2)
+    _, _, px_rgb = _decode_png(rgb)
+    assert np.array_equal(px_rgba, px_rgb)  # alpha dropped
+
+    gray = png_payload(7, width=5, height=6, color_type=0)
+    _, _, px_g = _decode_png(gray)
+    assert np.array_equal(px_g[..., 0], px_g[..., 1])  # replicated
+    assert np.array_equal(px_g[..., 0], px_rgb[..., 0])
+
+
+def test_png_crc_corruption_is_null_row_not_dead_batch(spark):
+    from sync_spark.functions.multimodal import decode_media, image_stats, png_payload
+
+    good = png_payload(3, width=6, height=5)
+    bad_ihdr = bytearray(good)
+    bad_ihdr[20] ^= 0xFF  # inside IHDR data → header CRC mismatch
+    rows = [(1, "image", bytes(good)), (2, "image", bytes(bad_ihdr))]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: r for r in decode_media(df).collect()}
+    assert (out[1].width, out[1].height) == (6, 5)
+    assert out[2].width is None and out[2].height is None
+
+    # IDAT corruption is invisible to the header walk but must fail
+    # the PIXEL decode (CRC check) → NULL stats row
+    bad_idat = bytearray(good)
+    bad_idat[40] ^= 0xFF
+    df2 = spark.createDataFrame(
+        [(1, bytes(good)), (2, bytes(bad_idat))], "media_id long, payload binary"
+    )
+    st = {r.media_id: r for r in image_stats(df2).collect()}
+    assert st[1].mean_r is not None
+    assert st[2].mean_r is None and st[2].width is None
+
+
+def test_png_image_stats_match_ppm(spark):
+    """Same gradient, two containers: channel means must agree
+    exactly — two independent decode paths, one truth."""
+    from sync_spark.functions.multimodal import image_stats, png_payload, ppm_payload
+
+    rows = [(1, png_payload(9, width=8, height=6)), (2, ppm_payload(9, width=8, height=6))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in image_stats(df).collect()}
+    assert out[1].mean_r == out[2].mean_r
+    assert out[1].mean_g == out[2].mean_g
+    assert out[1].mean_b == out[2].mean_b
+    assert (out[1].width, out[1].height) == (8, 6)
+
+
+def test_png_resize_reencodes_as_png(spark):
+    """Resize keeps the container: PNG in → valid PNG out, re-parsed
+    pixel-exactly; nearest-neighbor grid must equal the PPM kernel's
+    on the same gradient."""
+    import numpy as np
+    from sync_spark.functions.multimodal import (
+        _decode_png,
+        _parse_ppm_header,
+        png_payload,
+        ppm_payload,
+        resize_image,
+    )
+
+    rows = [(1, png_payload(5, width=10, height=8)), (2, ppm_payload(5, width=10, height=8))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in resize_image(df, max_side=4).collect()}
+    assert (out[1].width, out[1].height) == (4, 3) == (out[2].width, out[2].height)
+    pw, ph, png_px = _decode_png(bytes(out[1].payload))
+    assert (pw, ph) == (4, 3)
+    w, h, off = _parse_ppm_header(bytes(out[2].payload))
+    ppm_px = np.frombuffer(bytes(out[2].payload), np.uint8, count=w * h * 3, offset=off).reshape(h, w, 3)
+    assert np.array_equal(png_px, ppm_px)
+    # small PNG passes through byte-identical
+    small = png_payload(5, width=3, height=3)
+    df2 = spark.createDataFrame([(3, small)], "media_id long, payload binary")
+    got = resize_image(df2, max_side=4).collect()[0]
+    assert bytes(got.payload) == small
