@@ -37,16 +37,33 @@ def main() -> None:
     # pandas-kernel query eats session infrastructure cost
     spark.range(32).repartition(32).mapInArrow(lambda it: it, "id long").count()
 
+    # heavy queries (first run above this) are re-run to a 3-run
+    # median: the dedup/ANN family shows ±bimodal multi-second noise
+    # on this box (GC + task-placement), making single-run deltas
+    # between rounds unreadable
+    MEDIAN_THRESHOLD_S = 1.0
+
     timings: dict[str, float] = {}
+    repeated: list[str] = []
     for name, spec in sorted(specs.items()):
-        t0 = time.perf_counter()
-        df = spec.spark_fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
-        # queries are independent: drop any operator-internal caches so
-        # memory doesn't accumulate and timings stay isolated
-        spark.catalog.clearCache()
+        runs: list[float] = []
+        n = 0
+        for attempt in range(3):
+            t0 = time.perf_counter()
+            df = spec.spark_fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+            # queries are independent: drop any operator-internal
+            # caches so memory doesn't accumulate and timings stay
+            # isolated
+            spark.catalog.clearCache()
+            if attempt == 0 and runs[0] <= MEDIAN_THRESHOLD_S:
+                break
+        timings[name] = round(sorted(runs)[len(runs) // 2], 4)
+        if len(runs) > 1:
+            repeated.append(name)
+        detail = "/".join(f"{t:.2f}" for t in runs)
+        print(f"# {name}: {timings[name]:.3f}s runs=[{detail}] rows={n}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -60,6 +77,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "repeated_to_median": repeated,
                 "sf": sf_val,
             }
         )

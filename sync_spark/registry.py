@@ -164,6 +164,16 @@ def _populate() -> None:
     register("q18_large_orders", th.q18_large_orders, th.Q18_SQL)
     register("q12_priority_shipping", th.q12_priority_shipping, th.Q12_SQL)
     register("q5_local_supplier_volume", th.q5_local_supplier_volume, th.Q5_SQL)
+    register("q4_priority_late_ship", th.q4_priority_late_ship, th.Q4_SQL)
+    register("q6_forecast_revenue", th.q6_forecast_revenue, th.Q6_SQL)
+    register("q7_volume_shipping", th.q7_volume_shipping, th.Q7_SQL)
+    register("q9_product_profit", th.q9_product_profit, th.Q9_SQL)
+    register("q13_customer_distribution", th.q13_customer_distribution, th.Q13_SQL)
+    register("q15_top_supplier", th.q15_top_supplier, th.Q15_SQL)
+    register("q16_supplier_part_counts", th.q16_supplier_part_counts, th.Q16_SQL)
+    register("q17_small_quantity_revenue", th.q17_small_quantity_revenue, th.Q17_SQL)
+    register("q19_discounted_revenue", th.q19_discounted_revenue, th.Q19_SQL)
+    register("q22_global_sales_opportunity", th.q22_global_sales_opportunity, th.Q22_SQL)
 
     from sync_spark.operators import media_queries as mq
 
