@@ -98,8 +98,8 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
     order lambdas run interpreted (no codegen), so an un-materialized
     split() child would be re-evaluated per element — measured 13×
     slower."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")
+    toks = spread_for_kernel(
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
     )
     gram = gram_array(F.col("toks"), n)
     # the ONE persisted shingle column is stored SORTED: the jaccard

@@ -519,6 +519,119 @@ def run_mongo_js_write(src: str, df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 # ---------------------------------------------------------------------------
+# Mongo aggregate() pipeline
+# ---------------------------------------------------------------------------
+
+_AGG_RE = re.compile(r"^\s*db\.(?P<coll>\w+)\.aggregate\s*\(", re.DOTALL)
+
+
+def run_mongo_aggregate(src: str, resolve: Callable[[str], DataFrame]) -> DataFrame:
+    """Execute a ``db.<coll>.aggregate([...])`` pipeline — the Mongo
+    surface users reach for the moment find() is not enough. Supported
+    stages: ``$match`` (same filter compiler as find), ``$group``
+    (_id: null or "$field"; accumulators $sum (field or 1), $avg,
+    $min, $max, $count), ``$sort``, ``$skip``, ``$limit``,
+    ``$project`` (inclusion with "$field" renames, or exclusion).
+
+    Numeric $sum/$avg run in DECIMAL(18,2) and cast to DOUBLE at the
+    end — the repo-wide cross-engine money discipline (double sums
+    are order-dependent; a Mongo user gets the same number the SQL
+    surface reports)."""
+    m = _AGG_RE.match(src)
+    if not m:
+        raise ValueError(f"not a Mongo aggregate call: {src[:60]!r}")
+    args, _ = _split_args(src, m.end() - 1)  # regex ends at the open paren
+    pipeline = json.loads(_js_to_json(args[0]))
+    if not isinstance(pipeline, list):
+        raise ValueError("aggregate expects a pipeline array")
+    df = resolve(m.group("coll"))
+
+    def field_ref(v: Any) -> Column:
+        if isinstance(v, str) and v.startswith("$"):
+            return F.col(v[1:])
+        raise ValueError(f"expected a '$field' reference, got {v!r}")
+
+    def money(v: Any) -> Column:
+        return field_ref(v).cast("decimal(18,2)")
+
+    for stage in pipeline:
+        if not isinstance(stage, dict) or len(stage) != 1:
+            raise ValueError(f"each pipeline stage must be a single-key document: {stage!r}")
+        op, spec = next(iter(stage.items()))
+        if op == "$match":
+            pred = mongo_filter_to_column(spec)
+            if pred is not None:
+                df = df.filter(pred)
+        elif op == "$group":
+            gid = spec.get("_id", None)
+            aggs = []
+            for out, acc in spec.items():
+                if out == "_id":
+                    continue
+                if not isinstance(acc, dict) or len(acc) != 1:
+                    raise ValueError(f"accumulator must be a single-op document: {acc!r}")
+                aop, aval = next(iter(acc.items()))
+                if aop == "$sum" and aval == 1:
+                    aggs.append(F.count(F.lit(1)).cast("long").alias(out))
+                elif aop == "$sum":
+                    aggs.append(F.sum(money(aval)).cast("double").alias(out))
+                elif aop == "$avg":
+                    aggs.append(
+                        (
+                            F.sum(money(aval)).cast("double")
+                            / F.count(money(aval)).cast("double")
+                        ).alias(out)
+                    )
+                elif aop == "$min":
+                    aggs.append(F.min(field_ref(aval)).alias(out))
+                elif aop == "$max":
+                    aggs.append(F.max(field_ref(aval)).alias(out))
+                elif aop == "$count":
+                    aggs.append(F.count(F.lit(1)).cast("long").alias(out))
+                else:
+                    raise ValueError(f"unsupported accumulator: {aop!r}")
+            if not aggs:
+                raise ValueError("$group needs at least one accumulator")
+            if gid is None:
+                df = df.agg(*aggs)
+            elif isinstance(gid, str) and gid.startswith("$"):
+                df = df.groupBy(F.col(gid[1:]).alias("_id")).agg(*aggs)
+            else:
+                raise ValueError(
+                    "only _id: null or _id: '$field' group keys are supported"
+                )
+        elif op == "$sort":
+            df = df.orderBy(
+                *[
+                    F.col(k).asc() if d >= 0 else F.col(k).desc()
+                    for k, d in spec.items()
+                ]
+            )
+        elif op == "$limit":
+            df = df.limit(int(spec))
+        elif op == "$skip":
+            df = df.offset(int(spec))
+        elif op == "$project":
+            keep, drop, renames = [], [], []
+            for k, v in spec.items():
+                if isinstance(v, str) and v.startswith("$"):
+                    renames.append(F.col(v[1:]).alias(k))
+                elif v:
+                    keep.append(k)
+                else:
+                    drop.append(k)
+            if (keep or renames) and drop:
+                raise ValueError("$project cannot mix inclusion and exclusion")
+            if keep or renames:
+                df = df.select(*keep, *renames)
+            elif drop:
+                df = df.drop(*drop)
+        else:
+            raise ValueError(f"unsupported pipeline stage: {op!r}")
+    return df
+
+
+# ---------------------------------------------------------------------------
 # Redis
 # ---------------------------------------------------------------------------
 
@@ -669,6 +782,36 @@ ORDER BY key
 """
 
 
+MONGO_AGG_STMT = (
+    "db.orders.aggregate(["
+    "{$match: {o_orderstatus: 'F'}}, "
+    "{$group: {_id: '$o_orderpriority', n: {$sum: 1}, "
+    "total: {$sum: '$o_totalprice'}, avg_price: {$avg: '$o_totalprice'}, "
+    "max_price: {$max: '$o_totalprice'}}}, "
+    "{$sort: {_id: 1}}"
+    "])"
+)
+
+
+def pt_mongo_aggregate(spark, sf_dir: str) -> DataFrame:
+    """aggregate() pipeline → groupBy/agg plan; DECIMAL money sums
+    per the repo discipline, so DuckDB reproduces the exact doubles."""
+    return run_mongo_aggregate(MONGO_AGG_STMT, lambda c: _t(spark, sf_dir, c))
+
+
+PT_MONGO_AGG_SQL = """
+SELECT o_orderpriority AS _id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY _id
+"""
+
+
 MONGO_UPDATE_STMT = (
     "db.customer.updateMany({c_mktsegment: 'BUILDING', c_acctbal: {$lt: 0}}, "
     "{$set: {c_mktsegment: 'REVIEW'}})"
@@ -736,6 +879,8 @@ def dispatch_execute(
     q = query.strip()
     if _FIND_RE.match(q):
         return ("mongo_find", run_mongo_js(q, resolve), None)
+    if _AGG_RE.match(q):
+        return ("mongo_aggregate", run_mongo_aggregate(q, resolve), None)
     wm = _WRITE_RE.match(q)
     pm = None if wm else _PUSH_LOOP_RE.search(q)
     if wm or pm:

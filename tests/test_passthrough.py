@@ -394,3 +394,66 @@ def test_redis_ttl_family(spark):
     assert run_redis("TTL y", plain).collect()[0].ttl == -2
     with_ttl = run_redis("EXPIRE x 10", plain)
     assert run_redis("TTL x", with_ttl).collect()[0].ttl == 10
+
+
+# ---------------------------------------------------------------------------
+# Mongo aggregate() pipeline
+# ---------------------------------------------------------------------------
+
+
+def test_mongo_aggregate_group_sort(users):
+    from sync_spark.operators.passthrough import run_mongo_aggregate
+
+    out = run_mongo_aggregate(
+        "db.users.aggregate(["
+        "{$match: {age: {$gte: 25}}}, "
+        "{$group: {_id: '$city', n: {$sum: 1}, max_age: {$max: '$age'}}}, "
+        "{$sort: {n: -1, _id: 1}}"
+        "])",
+        _resolve(users),
+    ).collect()
+    assert [(r._id, r.n, r.max_age) for r in out] == [
+        ("tokyo", 3, 35), ("kyoto", 1, 28), ("osaka", 1, 25),
+    ]
+
+
+def test_mongo_aggregate_global_group_and_project(users):
+    from sync_spark.operators.passthrough import run_mongo_aggregate
+
+    out = run_mongo_aggregate(
+        "db.users.aggregate([{$group: {_id: null, total: {$sum: '$age'}, n: {$count: {}}}}])",
+        _resolve(users),
+    ).collect()[0]
+    assert (out.total, out.n) == (153.0, 5)
+
+    ren = run_mongo_aggregate(
+        "db.users.aggregate([{$match: {uid: 1}}, {$project: {who: '$name', uid: 1}}])",
+        _resolve(users),
+    ).collect()[0]
+    assert (ren.who, ren.uid) == ("ann", 1)
+
+
+def test_mongo_aggregate_skip_limit_and_errors(users):
+    import pytest as _pt
+    from sync_spark.operators.passthrough import dispatch_execute, run_mongo_aggregate
+
+    out = run_mongo_aggregate(
+        "db.users.aggregate([{$sort: {uid: 1}}, {$skip: 2}, {$limit: 2}])",
+        _resolve(users),
+    ).collect()
+    assert [r.uid for r in out] == [3, 4]
+
+    with _pt.raises(ValueError, match="unsupported pipeline stage"):
+        run_mongo_aggregate("db.users.aggregate([{$lookup: {}}])", _resolve(users))
+    with _pt.raises(ValueError, match="unsupported accumulator"):
+        run_mongo_aggregate(
+            "db.users.aggregate([{$group: {_id: null, x: {$stdDevPop: '$age'}}}])",
+            _resolve(users),
+        )
+
+    kind, out, st = dispatch_execute(
+        "db.users.aggregate([{$group: {_id: '$city', n: {$sum: 1}}}, {$sort: {_id: 1}}])",
+        resolve=lambda c: users,
+    )
+    assert kind == "mongo_aggregate" and st is None
+    assert [(r._id, r.n) for r in out.collect()] == [("kyoto", 1), ("osaka", 1), ("tokyo", 3)]
