@@ -1,0 +1,197 @@
+"""Snapshot / time-travel layer for the bucketed CDC store — the
+dependency-free slice of what Delta/Iceberg would provide on a real
+cluster (SURVEY.md §2.1 S12/S13 extension; the table-format MERGE
+backend itself stays environment-blocked, this closes the *read*
+side: reproducible as-of reads and operational rollback).
+
+Mechanism: after a merge, ``snapshot_create`` HARD-LINKS every live
+bucket's parquet files into ``.snapshots/v{N}/__bucket=K/``. Links are
+metadata-only (no data copy) and pin the inode: the store's
+rename-aside swaps later delete the live *directory entries*, but the
+snapshot's links keep the bytes alive. Parquet part files are
+immutable once written (the store swaps directories, never rewrites
+files in place), so a link IS a consistent frozen copy.
+
+Cost model at 100 TB: one snapshot = O(#files) link syscalls + one
+manifest write — no data movement, no scan. Retention is explicit
+(``expire_snapshots``); space cost of old snapshots is only the delta
+of replaced buckets, because untouched buckets share inodes across
+every snapshot that references them.
+
+The ``.snapshots`` root is dot-prefixed, so Spark's file listing on
+the LIVE table never sees it (same discipline as the ``.old_*``
+parking dirs and ``.sync_meta.json``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sync_spark.sources.bucketed import (
+    BUCKET_COL,
+    read_target,
+    recover_interrupted_swaps,
+)
+
+SNAP_DIR = ".snapshots"
+MANIFEST = "manifest.json"
+
+
+def _snap_root(path: str) -> str:
+    return os.path.join(path, SNAP_DIR)
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(_snap_root(path), MANIFEST)
+
+
+def _read_manifest(path: str) -> dict:
+    mp = _manifest_path(path)
+    if not os.path.exists(mp):
+        return {"versions": []}
+    with open(mp) as fh:
+        return json.load(fh)
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    """Atomic (write-tmp + rename) so a crash mid-write can't leave a
+    torn manifest that orphans every existing snapshot."""
+    os.makedirs(_snap_root(path), exist_ok=True)
+    tmp = _manifest_path(path) + f".tmp_{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.replace(tmp, _manifest_path(path))
+
+
+def snapshot_versions(path: str) -> list[dict]:
+    """Committed snapshot descriptors, oldest first."""
+    return list(_read_manifest(path)["versions"])
+
+
+def _link_tree(src_dir: str, dst_dir: str) -> int:
+    """Hard-link every regular file of one bucket dir; falls back to
+    copy if the filesystem refuses links (still correct, just not
+    free). Returns the file count."""
+    os.makedirs(dst_dir, exist_ok=True)
+    n = 0
+    for entry in os.listdir(src_dir):
+        s, d = os.path.join(src_dir, entry), os.path.join(dst_dir, entry)
+        if not os.path.isfile(s):
+            continue
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+        n += 1
+    return n
+
+
+def snapshot_create(path: str, note: str = "") -> int:
+    """Freeze the CURRENT live state as the next version. Staged under
+    a dot-tmp name and renamed into place, so a crash mid-link leaves
+    no half-registered version (the manifest is only updated after the
+    rename)."""
+    recover_interrupted_swaps(path)
+    manifest = _read_manifest(path)
+    version = 1 + max((v["version"] for v in manifest["versions"]), default=0)
+    final = os.path.join(_snap_root(path), f"v{version}")
+    stage = os.path.join(_snap_root(path), f".tmp_v{version}_{uuid.uuid4().hex[:8]}")
+    buckets = [e for e in os.listdir(path) if e.startswith(f"{BUCKET_COL}=")]
+    if not buckets:
+        raise ValueError(f"nothing to snapshot: no {BUCKET_COL}= dirs under {path!r}")
+    n_files = 0
+    for b in sorted(buckets):
+        n_files += _link_tree(os.path.join(path, b), os.path.join(stage, b))
+    # carry the layout contract so a snapshot is self-describing even
+    # if the live table is later re-bucketized
+    meta_src = os.path.join(path, ".sync_meta.json")
+    if os.path.exists(meta_src):
+        shutil.copy2(meta_src, os.path.join(stage, ".sync_meta.json"))
+    os.rename(stage, final)
+    manifest["versions"].append(
+        {
+            "version": version,
+            "buckets": len(buckets),
+            "files": n_files,
+            "created_unix": int(time.time()),
+            "note": note,
+        }
+    )
+    _write_manifest(path, manifest)
+    return version
+
+
+def read_snapshot(spark: SparkSession, path: str, version: int) -> DataFrame:
+    """Time-travel read: the table exactly as of ``version``. Same
+    reader as the live table (bucket column dropped), so downstream
+    plans are identical."""
+    versions = {v["version"] for v in snapshot_versions(path)}
+    if version not in versions:
+        raise ValueError(
+            f"unknown snapshot version {version} for {path!r}; have {sorted(versions)}"
+        )
+    return read_target(spark, os.path.join(_snap_root(path), f"v{version}"))
+
+
+def snapshot_rollback(spark: SparkSession, path: str, version: int) -> int:
+    """Restore the live table to ``version``. The pre-rollback state
+    is snapshotted FIRST, so a rollback is itself undoable (returns
+    that safety version). Buckets are replaced wholesale: dirs present
+    live but absent from the snapshot are removed (the snapshot is the
+    full table state, not a delta)."""
+    versions = {v["version"] for v in snapshot_versions(path)}
+    if version not in versions:
+        raise ValueError(
+            f"unknown snapshot version {version} for {path!r}; have {sorted(versions)}"
+        )
+    safety = snapshot_create(path, note=f"pre-rollback-to-v{version}")
+    snap = os.path.join(_snap_root(path), f"v{version}")
+    live_buckets = {e for e in os.listdir(path) if e.startswith(f"{BUCKET_COL}=")}
+    snap_buckets = {e for e in os.listdir(snap) if e.startswith(f"{BUCKET_COL}=")}
+    for b in sorted(snap_buckets):
+        dst = os.path.join(path, b)
+        stage = os.path.join(path, f".rb_{uuid.uuid4().hex[:8]}")
+        _link_tree(os.path.join(snap, b), stage)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        os.rename(stage, dst)
+    for b in sorted(live_buckets - snap_buckets):
+        shutil.rmtree(os.path.join(path, b))
+    meta_src = os.path.join(snap, ".sync_meta.json")
+    if os.path.exists(meta_src):
+        shutil.copy2(meta_src, os.path.join(path, ".sync_meta.json"))
+    return safety
+
+
+def expire_snapshots(path: str, keep_last: int) -> list[int]:
+    """Drop all but the newest ``keep_last`` versions. Shared inodes
+    mean only bytes unreferenced by ANY remaining snapshot (or the
+    live table) are actually reclaimed. Returns expired versions."""
+    if keep_last < 0:
+        raise ValueError("keep_last must be >= 0")
+    manifest = _read_manifest(path)
+    vs = sorted(manifest["versions"], key=lambda v: v["version"])
+    doomed = vs[: max(0, len(vs) - keep_last)]
+    keep = vs[len(doomed):]
+    # manifest first: a crash after this point leaves unreferenced
+    # dirs (garbage, harmless) rather than referenced-but-deleted ones
+    _write_manifest(path, {"versions": keep})
+    expired = []
+    for v in doomed:
+        d = os.path.join(_snap_root(path), f"v{v['version']}")
+        if os.path.exists(d):
+            shutil.rmtree(d)
+        expired.append(v["version"])
+    return expired
+
+
+def latest_version(path: str) -> Optional[int]:
+    vs = snapshot_versions(path)
+    return vs[-1]["version"] if vs else None
