@@ -142,6 +142,7 @@ class CdcPipeline:
         max_files_per_trigger: int | None = None,
         stats_path: Optional[str] = None,
         n_buckets: int = DEFAULT_N_BUCKETS,
+        snapshot_after_batch: bool = False,
     ) -> None:
         self.spark = spark
         self.spec = spec
@@ -153,6 +154,11 @@ class CdcPipeline:
         self.max_files_per_trigger = max_files_per_trigger
         self.stats_path = stats_path
         self.n_buckets = n_buckets
+        # opt-in time travel: freeze each table's post-merge state as
+        # a hard-link snapshot version (sources/snapshots.py) — the
+        # batch id goes in the note so an operator can map versions
+        # back to the stream position for as-of debugging / rollback
+        self.snapshot_after_batch = snapshot_after_batch
         self._schema_checked: set[str] = set()
         # fail LOUDLY on a security rule targeting a key column: keys
         # can never be masked/encrypted (CDC events carry real keys —
@@ -383,6 +389,10 @@ class CdcPipeline:
                 overwrite_buckets(
                     merged, t.target_path, t.key_cols, self.n_buckets, touched
                 )
+                if self.snapshot_after_batch:
+                    from sync_spark.sources.snapshots import snapshot_create
+
+                    snapshot_create(t.target_path, note=f"batch={batch_id}")
         finally:
             batch.unpersist()
 

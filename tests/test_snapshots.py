@@ -166,3 +166,53 @@ def test_unknown_version_errors(spark, tmp_path):
         read_snapshot(spark, tgt, 1)
     with pytest.raises(ValueError, match="unknown snapshot version"):
         snapshot_rollback(spark, tgt, 1)
+
+
+def test_pipeline_snapshot_after_batch(spark, tmp_path):
+    """Opt-in streaming integration: each applied micro-batch freezes
+    a version tagged with its batch id; as-of reads reproduce the
+    state between batches."""
+    import json as _json
+
+    from pyspark.sql import Row
+    from sync_spark.sources.cdc import write_event_batch
+    from sync_spark.spec import SyncSpec
+    from sync_spark.streaming.pipeline import CdcPipeline, TableTarget, snapshot_if_empty
+
+    ROW_SCHEMA = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+
+    def ev(op, seq, key, after=None):
+        return {
+            "op": op, "seq": seq, "ts": "2024-01-01T00:00:00Z",
+            "source_table": "users", "key_json": _json.dumps(key),
+            "after_json": _json.dumps(after) if after is not None else None,
+        }
+
+    dirs = {k: str(tmp_path / k) for k in ("events", "target", "ckpt")}
+    src = spark.createDataFrame([Row(id=1, name="a"), Row(id=2, name="b")], ROW_SCHEMA)
+    assert snapshot_if_empty(spark, src, dirs["target"])
+    pipe = CdcPipeline(
+        spark,
+        SyncSpec(task_id=1, type="parquet"),
+        [TableTarget("users", dirs["target"], ROW_SCHEMA, ["id"])],
+        event_log_dir=dirs["events"],
+        checkpoint_dir=dirs["ckpt"],
+        max_files_per_trigger=1,
+        snapshot_after_batch=True,
+    )
+    write_event_batch(dirs["events"], [ev("update", 1, {"id": 1}, {"id": 1, "name": "a2"})], 1)
+    pipe.run_available()
+    write_event_batch(dirs["events"], [ev("delete", 2, {"id": 2})], 2)
+    pipe.run_available()
+
+    vs = snapshot_versions(dirs["target"])
+    assert len(vs) == 2
+    assert all(v["note"].startswith("batch=") for v in vs)
+    v1 = {(r.id, r.name) for r in read_snapshot(spark, dirs["target"], vs[0]["version"]).collect()}
+    v2 = {(r.id, r.name) for r in read_snapshot(spark, dirs["target"], vs[1]["version"]).collect()}
+    assert v1 == {(1, "a2"), (2, "b")}
+    assert v2 == {(1, "a2")}
+    live = {(r.id, r.name) for r in read_target(spark, dirs["target"]).collect()}
+    assert live == v2
