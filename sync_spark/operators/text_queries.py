@@ -1327,3 +1327,85 @@ SELECT t.doc_id,
 FROM t LEFT JOIN doc USING (doc_id)
 ORDER BY t.doc_id
 """
+
+
+def t_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 keywords by a TF-IDF-shaped weight computed
+    ENTIRELY in scaled integers — score_e6 = (tf · 10⁶ · N) DIV
+    (df · doc_len) — i.e. term frequency normalized by document length
+    times the inverse document frequency RATIO N/df (the log-free
+    variant: same ranking direction, and floor division makes both
+    engines produce bit-identical scores, where ln() would be at the
+    mercy of each engine's libm). Ties break on token asc; tokens
+    shorter than 3 chars are dropped (stopword stand-in).
+
+    Shape: one explode → (doc, tok) counts (partial agg), df from the
+    same aggregate (count over docs per token), one join on tok
+    (aggregated side, vocab-scale — AQE broadcasts it when small,
+    degrades to a skew-free shuffle otherwise), one bounded per-doc
+    window, no global sort (the driver gate sorts before hashing).
+    Bench note: at sf0.1 this plan is scheduler-wave-bound (~1s for
+    six tiny stages; the explode alone costs 0.9s of waves on 260k
+    rows) — the per-row work is where DuckDB spends its time, so the
+    ratio improves, not degrades, with scale."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = dedup.spread_for_kernel(
+        d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    )
+    tok_rows = toks.select(
+        "doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("tok")
+    ).filter(F.length("tok") >= 3)
+    tf = tok_rows.groupBy("doc_id", "doc_len", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "tok")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score_e6",
+            F.expr("(tf * 1000000 * n_docs) DIV (df * doc_len)").cast("long"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e6").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", F.col("rk").cast("long").alias("rk"), "tok", "score_e6")
+    )
+
+
+T_KEYWORD_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), tok_rows AS (
+  SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS tok FROM t
+), tf AS (
+  SELECT doc_id, doc_len, tok, COUNT(*) AS tf
+  FROM tok_rows WHERE length(tok) >= 3
+  GROUP BY doc_id, doc_len, tok
+), df_tbl AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, tok,
+         CAST((tf * 1000000 * n_docs) // (df * doc_len) AS BIGINT) AS score_e6
+  FROM tf JOIN df_tbl USING (tok) CROSS JOIN n
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, score_e6
+FROM (
+  SELECT doc_id, tok, score_e6,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, tok ASC) AS rk
+  FROM scored
+)
+WHERE rk <= 5
+"""

@@ -116,6 +116,7 @@ def _populate() -> None:
     register("t_mixture_sample", tq.t_mixture_sample, tq.T_MIXTURE_SQL)
     register("t_topk_per_stratum_sample", tq.t_topk_per_stratum_sample, tq.T_TOPK_STRATUM_SQL)
     register("t_lm_score", tq.t_lm_score, tq.T_LM_SCORE_SQL)
+    register("t_keyword_topk", tq.t_keyword_topk, tq.T_KEYWORD_SQL)
 
     from sync_spark.operators import extended_queries as xq
 
