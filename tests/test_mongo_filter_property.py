@@ -188,3 +188,53 @@ def test_redis_set_keeps_null_key_rows(spark):
     )
     out = run_redis("SET b 2", kv)
     assert out.count() == 3  # a, the NULL-key row, and the new b
+
+
+# ---------------------------------------------------------------------------
+# docs.push loop parser + tiny JS expression evaluator (round 4)
+# ---------------------------------------------------------------------------
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True)
+
+
+@given(
+    var=_ident,
+    start=st.integers(-3, 5),
+    count=st.integers(1, 9),
+    cmp_le=st.booleans(),
+    base=st.integers(0, 100),
+    prefix=st.from_regex(r"[A-Za-z@.]{0,8}", fullmatch=True),
+)
+@settings(max_examples=60, suppress_health_check=[HealthCheck.too_slow])
+def test_push_loop_parses_any_shape(var, start, count, cmp_le, base, prefix):
+    from sync_spark.operators.passthrough import parse_push_loop_docs
+
+    end = start + count - 1 if cmp_le else start + count
+    cmp_op = "<=" if cmp_le else "<"
+    stmt = (
+        f"var docs = []; "
+        f"for (let {var} = {start}; {var} {cmp_op} {end}; {var}++) {{ "
+        f"docs.push({{uid: {base} + {var}, name: '{prefix}' + {var}}}); }} "
+        f"db.users.insertMany(docs);"
+    )
+    coll, docs = parse_push_loop_docs(stmt)
+    assert coll == "users" and len(docs) == count
+    for i, d in enumerate(docs):
+        loopv = start + i
+        assert d["uid"] == base + loopv
+        assert d["name"] == f"{prefix}{loopv}"
+
+
+def test_js_expr_evaluator_edges():
+    from sync_spark.operators.passthrough import _eval_js_expr
+
+    assert _eval_js_expr("1 + 2 + 3", {}) == 6
+    assert _eval_js_expr("'a' + 1 + 'b'", {"i": 9}) == "a1b"
+    assert _eval_js_expr("i", {"i": 4}) == 4
+    assert _eval_js_expr("'x + y'", {}) == "x + y"  # + inside string literal
+    assert _eval_js_expr("true", {}) is True
+    assert _eval_js_expr("null", {}) is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unsupported JS expression"):
+        _eval_js_expr("foo(1)", {})
