@@ -122,6 +122,45 @@ class SyncTask:
         """Drain the event log (batch-style catch-up)."""
         self.pipeline().run_available()
 
+    def execute(self, query: str, kv: Optional[DataFrame] = None):
+        """The reference's /sql/execute endpoint surface on THIS
+        task's targets (pkg/api/auth_handler.go:1267-1883, cited for
+        parity not ported): one string in, ``(kind, result,
+        new_state)`` out — pattern-matched into Mongo-JS read/write/
+        aggregate, Redis command, else ANSI SQL. Collections resolve
+        to the task's target tables; the SQL branch sees every mapped
+        target as a temp view named after its TARGET table (what a
+        user who knows the task config expects to query)."""
+        from sync_spark.operators.passthrough import dispatch_execute
+
+        names = {
+            t.target_table: os.path.join(self.target_root, t.target_table)
+            for m in self.spec.mappings
+            for t in m.tables
+        }
+        # source-table spellings resolve too (find() examples are
+        # usually written against the source collection name)
+        for m in self.spec.mappings:
+            for t in m.tables:
+                names.setdefault(
+                    t.source_table, os.path.join(self.target_root, t.target_table)
+                )
+
+        def resolve(coll: str) -> DataFrame:
+            if coll not in names:
+                raise ValueError(
+                    f"collection {coll!r} is not mapped by task "
+                    f"{self.spec.task_id}; mapped: {sorted(names)}"
+                )
+            return read_target(self.spark, names[coll])
+
+        def run_sql(q: str) -> DataFrame:
+            for name, path in names.items():
+                read_target(self.spark, path).createOrReplaceTempView(name)
+            return self.spark.sql(q)
+
+        return dispatch_execute(query, resolve=resolve, kv=kv, run_sql=run_sql)
+
     def monitor(self, logged_at: Optional[datetime] = None) -> DataFrame:
         """T11 tick: source vs target counts per mapping. When the
         spec carries an ENABLED countQuery, both sides count only the

@@ -123,3 +123,47 @@ def test_kv_ttl_and_restore(spark):
     )
     restored = {r.key: r.value for r in restore_replace(kv, dump).collect()}
     assert restored == {"a": "1", "b": "2new", "c": "3"}
+
+
+def test_sync_task_execute_dispatch(spark, tmp_path):
+    """SyncTask.execute = the reference's /sql/execute surface on the
+    task's own targets: Mongo-JS reads/aggregates, Redis with a KV
+    frame, ANSI SQL over mapped-table views — and unmapped
+    collections refused loudly."""
+    spec = SyncSpec.from_json(SPEC_JSON)
+    source = spark.createDataFrame(
+        [Row(id=i, name=f"u{i}", email=f"u{i}@x.io") for i in range(1, 6)],
+        USERS_SCHEMA,
+    )
+    task = SyncTask(
+        spark,
+        spec,
+        source_loader={"users": source}.get,
+        row_schemas={"users": USERS_SCHEMA},
+        target_root=str(tmp_path / "tgt"),
+        event_log_dir=str(tmp_path / "ev"),
+        checkpoint_root=str(tmp_path / "ck"),
+    )
+    task.snapshot()
+
+    # Mongo read against the SOURCE spelling and the TARGET spelling
+    for coll in ("users", "users_t"):
+        kind, out, st = task.execute(f"db.{coll}.find({{id: {{$gte: 4}}}}).sort({{id: 1}})")
+        assert kind == "mongo_find" and [r.id for r in out.collect()] == [4, 5]
+
+    kind, out, _ = task.execute(
+        "db.users.aggregate([{$group: {_id: null, n: {$sum: 1}}}])"
+    )
+    assert kind == "mongo_aggregate" and out.collect()[0].n == 5
+
+    kind, out, _ = task.execute("SELECT COUNT(*) AS n FROM users_t WHERE id > 2")
+    assert kind == "sql" and out.collect()[0].n == 3
+
+    kv = spark.createDataFrame([("a", "1")], "key string, value string")
+    kind, out, st = task.execute("GET a", kv=kv)
+    assert kind == "redis" and out.collect()[0].value == "1"
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not mapped by task"):
+        task.execute("db.nope.find({})")
