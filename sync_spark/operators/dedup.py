@@ -407,39 +407,95 @@ def winnow_fingerprint_rows(
     ``spread_for_kernel``. Hash is the 56-bit md5 prefix (see
     functions.text.winnow_hash) for DuckDB oracle parity.
     """
+    src = spread_for_kernel(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__wtext"))
+    )
+    staged = winnow_fps_columns(src, "__wtext", k=k, window=window, out="__fps")
+    # explode_outer + post-filter, NOT a plain explode of the bare
+    # attribute: InferFiltersFromGenerate turns explode(attr) into a
+    # pushed-down `size(attr) > 0` filter, and predicate pushdown
+    # substitutes the alias chain — the whole tokenize→hash pipeline
+    # re-evaluated in a Filter with per-element token splits (measured
+    # quadratic hang). The rule does not apply to outer generate, and
+    # the null-filter on the OUTPUT attribute cannot push below the
+    # Generate. fps are non-null longs by construction, so dropping
+    # null fp rows is exactly "skip empty-fingerprint docs".
+    return staged.select("doc_id", F.explode_outer("__fps").alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
+
+
+def winnow_fps_columns(
+    df: DataFrame,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    out: str = "fps",
+) -> DataFrame:
+    """Per-row winnowing fingerprint set as an ``out`` array column,
+    built through MATERIALIZED projection stages. This is the one
+    linear-cost form: a lambda body re-evaluates its non-argument
+    subexpressions PER ELEMENT, so the one-big-expression variant
+    (``winnow_fps_array``) recomputes the full md5 gram array once per
+    window position — quadratic per document, measured as a hang at
+    sf0.1. Bound attribute references keep it linear, and every op is
+    a narrow projection, so the SAME builder serves batch frames and
+    STREAMING frames (the curation pipeline's decontamination probe).
+
+    Rows with zero grams (docs shorter than k tokens) keep an EMPTY
+    ``out`` array — no row loss, callers filter or explode as they
+    need."""
     from sync_spark.functions.text import winnow_hash
 
-    src = spread_for_kernel(
-        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks"))
+    helper_ng, helper_hs = f"__{out}_ng", f"__{out}_hs"
+    t = df.withColumn("__wtoks", tokens(F.col(text_col))).withColumn(
+        helper_ng, F.size("__wtoks") - F.lit(k - 1)
     )
-    # Each stage is MATERIALIZED as a projection column before the
-    # next references it inside a lambda: a lambda body re-evaluates
-    # its non-argument subexpressions PER ELEMENT, so the one-big-
-    # expression form (winnow_fps_array) recomputes the full md5 gram
-    # array once per window position — quadratic per document. Bound
-    # attribute references keep it linear.
-    t = src.withColumn("__ng", F.size("__toks") - F.lit(k - 1)).filter(F.col("__ng") > 0)
-    # fused gram→hash transform: one array materialization, not two
-    # (the __ng > 0 filter above makes the bare ascending sequence
-    # safe — no short-doc descending-sequence hazard here)
+    # fused gram→hash transform: one array materialization, not two.
+    # sequence() is guarded by when(): a bare sequence(1, ng) with
+    # ng <= 0 generates a DESCENDING sequence (the short-doc hazard)
     t = t.withColumn(
-        "__hs",
-        F.transform(
-            F.sequence(F.lit(1), F.col("__ng")),
-            lambda i: winnow_hash(
-                F.concat_ws(
-                    " ", *[F.element_at(F.col("__toks"), i + j) for j in range(k)]
-                )
-            ),
+        helper_hs,
+        F.when(F.col(helper_ng) < 1, F.array().cast("array<bigint>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.col(helper_ng), F.lit(1))),
+                lambda i: winnow_hash(
+                    F.concat_ws(
+                        " ", *[F.element_at(F.col("__wtoks"), i + j) for j in range(k)]
+                    )
+                ),
+            )
         ),
     )
-    nw = F.greatest(F.col("__ng") - F.lit(window - 1), F.lit(1))
-    wins = F.transform(
-        F.sequence(F.lit(1), nw),
-        lambda p: F.array_min(F.slice(F.col("__hs"), p, window)),
-    )
+    # Sliding window-min WITHOUT referencing the hash column inside a
+    # lambda body: wins[p] = least(hs[p], ..., hs[p+window-1]) built as
+    # a zip_with chain against shifted slices. Every lambda here reads
+    # ONLY its own arguments, so even if the optimizer collapses the
+    # projections and inlines the hash transform into each top-level
+    # reference, the worst case is `window` whole-array evaluations
+    # per ROW — linear. (The transform(sequence, p -> array_min(
+    # slice(hs, p, w))) form looks equivalent but references hs inside
+    # the lambda; CollapseProject inlines the single-use transform into
+    # the body, and an inlined subexpression re-evaluates PER ELEMENT —
+    # measured as an 80s-at-sf0.001 quadratic blow-up.)
+    hs = F.col(helper_hs)
+    acc = hs
+    for j in range(1, window):
+        # start beyond the array end yields an empty slice; zip_with
+        # null-pads the shorter side and least() skips nulls, which IS
+        # the truncated-tail-window rule (short docs keep their
+        # global min at position 1)
+        shifted = F.slice(hs, j + 1, F.greatest(F.size(hs) - j, F.lit(1)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.least(a, b))
+    nw = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(1))
     # array_distinct in-row — no dedupe shuffle
-    return t.select("doc_id", F.explode(F.array_distinct(wins)).alias("fp"))
+    t = t.withColumn(
+        out,
+        F.when(F.size(hs) < 1, F.array().cast("array<bigint>")).otherwise(
+            F.array_distinct(F.slice(acc, 1, nw))
+        ),
+    )
+    return t.drop("__wtoks", helper_ng, helper_hs)
 
 
 def winnow_pairs(
@@ -617,18 +673,18 @@ def span_dedup(
 
 
 def winnow_fps_array(text: F.Column, k: int = 5, window: int = 4) -> F.Column:
-    """Per-ROW winnowing fingerprint set as an array Column — the
-    window-free twin of ``winnow_fingerprint_rows`` (same k-grams,
-    same 56-bit hash, same short-doc rule; agreement asserted in
-    tests). Pure higher-order array functions, so it is legal on a
-    STREAMING DataFrame where the posexplode+window form is not —
-    the streaming decontamination gate's probe side.
+    """Per-ROW winnowing fingerprint set as ONE Column expression —
+    the single-expression twin of ``winnow_fps_columns`` (same
+    k-grams, same 56-bit hash, same short-doc rule; agreement asserted
+    in tests).
 
-    Cost: the nested transform/slice evaluates O(n_grams × window)
-    hash comparisons per doc — linear in document length for the
-    fixed small window (the quadratic HOF hazard in SCALE.md concerns
-    Generate over computed arrays at corpus grain, not this per-row
-    bounded form)."""
+    COST WARNING — use ``winnow_fps_columns`` on anything bigger than
+    toy rows: because ``hs`` here is a subexpression and not a bound
+    attribute, the outer transform's lambda re-evaluates the full
+    gram-hash array once PER WINDOW POSITION — quadratic per document
+    (measured as a multi-minute hang on the sf0.1 corpus). This form
+    survives only as the agreement-test reference and for expression
+    positions where a projection stage is impossible."""
     from sync_spark.functions.text import tokens as _tokens
     from sync_spark.functions.text import winnow_hash
 

@@ -88,22 +88,23 @@ def curate_stream(
         # fingerprints (STATIC — computed once batch-side, collected
         # once; eval sets are MBs) become an array literal, and each
         # streaming doc recomputes its own fingerprint set PER ROW via
-        # the window-free array-HOF twin of the batch winnowing
-        # (dedup.winnow_fps_array — agreement with the batch operator
-        # is test-asserted). arrays_overlap is a map-side predicate:
-        # no join, no state, a doc sharing any verbatim
-        # >= k+window-1 token run with the benchmark dies in the scan
-        # stage. Same decontamination criterion as the batch
+        # the staged-column winnowing builder (dedup.winnow_fps_columns
+        # — narrow projections only, so it is streaming-legal, and
+        # linear per document where the one-big-expression HOF form
+        # re-evaluates the gram hashes per window position). agreement
+        # with the batch operator is test-asserted. arrays_overlap is a
+        # map-side predicate: no join, no state, a doc sharing any
+        # verbatim >= k+window-1 token run with the benchmark dies in
+        # the scan stage. Same decontamination criterion as the batch
         # d_decontaminate operator.
-        from sync_spark.operators.dedup import winnow_fps_array
+        from sync_spark.operators.dedup import winnow_fps_columns
 
         bench = [r["fp"] for r in benchmark_fps.select("fp").distinct().collect()]
         if bench:
+            kept = winnow_fps_columns(kept, "text", out="__doc_fps")
             kept = kept.filter(
-                ~F.arrays_overlap(
-                    winnow_fps_array(F.col("text")), F.lit(bench)
-                )
-            )
+                ~F.arrays_overlap(F.col("__doc_fps"), F.lit(bench))
+            ).drop("__doc_fps")
     return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])
 
 
