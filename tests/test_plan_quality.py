@@ -152,6 +152,20 @@ def test_winnow_pipeline_jvm_side(spark, sf_small):
     assert "HashAggregate" in pairs
 
 
+def test_winnow_kernel_single_evaluation(spark, sf_small):
+    """Optimizer-trap regression guard (dedup.winnow_fps_columns):
+    the fingerprint plan must evaluate the tokenizer and the gram
+    hash exactly ONCE. CollapseProject inlining a single-use alias
+    into a lambda body, or InferFiltersFromGenerate's pushed-down
+    size() filter substituting the alias chain, both re-evaluate the
+    kernel per array element — measured as a quadratic hang. The safe
+    shape (zip_with sliding min + explode_outer) keeps one split()
+    and one md5() in the executed plan."""
+    plan = plan_of(tq.t_winnow_fingerprints(spark, sf_small))
+    assert plan.count("split(") == 1, f"tokenizer duplicated: {plan.count('split(')}"
+    assert plan.count("md5(") == 1, f"gram hash duplicated: {plan.count('md5(')}"
+
+
 def test_range_join_no_nested_loop(spark, sf_small):
     """The bare range predicate would plan BroadcastNestedLoopJoin;
     the binned rewrite must plan an equi join (hash or sort-merge)."""
