@@ -1249,11 +1249,15 @@ def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernel discipline — no posexplode, no lead window, no doc_id
     shuffle, no materialization barrier), then immediately reduced to
     the per-(doc, bigram) multiset, so everything downstream joins
-    AGGREGATED sides: broadcastable vocab for unigrams; the bigram
-    join shuffles on the gram key, skew-free because the count side
-    is one row per key. p6 is identical for every occurrence of a
-    bigram, so Σp6-per-occurrence ≡ p6·cnt — the pre-aggregation is
-    exact, not approximate."""
+    AGGREGATED sides. The denominator is the CONTEXT count
+    c(w1) = Σ_w2 c(w1, w2) — the exact bigram-MLE denominator — and
+    it derives from the bigram counts themselves, so the corpus text
+    is scanned and tokenized exactly ONCE (a separate unigram branch
+    re-scans the corpus and, post predicate-pushdown inlining,
+    re-tokenizes per operator — 22 split() evaluations in the plan
+    before this change, 1 after). p6 is identical for every
+    occurrence of a bigram, so Σp6-per-occurrence ≡ p6·cnt — the
+    pre-aggregation is exact, not approximate."""
     from sync_spark.operators.dedup import spread_for_kernel
 
     d = _t(spark, sf_dir, "documents")
@@ -1273,14 +1277,19 @@ def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = bigr.select("doc_id", F.explode("bi").alias("b")).select(
         "doc_id", "b.w1", "b.w2"
     )
-    uni = toks.select(F.explode("toks").alias("w1")).groupBy("w1").agg(
-        F.count(F.lit(1)).alias("c1")
-    )
+    # docbi feeds three branches (the probe join, the bigram counts,
+    # and the context counts derived from those). At bench scale the
+    # re-derivation is waves-cheap and a materialization barrier costs
+    # more than it saves (localCheckpoint measured 6s vs 0.23s); at
+    # 100 TB persist this REDUCED frame (vocab×docs grain, not corpus
+    # grain) to collapse the three branches into one corpus scan —
+    # same knob as _doc_shingles_cached, deliberately not forced here.
     docbi = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     bc = docbi.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
+    ctx = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = (
         docbi.join(bc, ["w1", "w2"])
-        .join(F.broadcast(uni), "w1")
+        .join(F.broadcast(ctx), "w1")
         .withColumn("p6", F.expr("(c2 * 1000000) DIV c1"))
     )
     doc = scored.groupBy("doc_id").agg(
@@ -1310,14 +1319,15 @@ WITH t AS (
   FROM (SELECT doc_id,
                unnest([{'w1': toks[i], 'w2': toks[i+1]} for i in range(1, len(toks))]) AS u
         FROM t)
-), uni AS (
-  SELECT tok AS w1, COUNT(*) AS c1
-  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
 ), bc AS (
   SELECT w1, w2, COUNT(*) AS c2 FROM b2 GROUP BY w1, w2
+), ctx AS (
+  -- exact bigram-MLE denominator: context counts from the bigram
+  -- stream itself (one corpus scan on the Spark side)
+  SELECT w1, SUM(c2) AS c1 FROM bc GROUP BY w1
 ), scored AS (
   SELECT doc_id, (c2 * 1000000) // c1 AS p6
-  FROM b2 JOIN bc USING (w1, w2) JOIN uni USING (w1)
+  FROM b2 JOIN bc USING (w1, w2) JOIN ctx USING (w1)
 ), doc AS (
   SELECT doc_id, COUNT(*) AS n_bigrams, SUM(p6) AS s FROM scored GROUP BY doc_id
 )
