@@ -42,6 +42,12 @@ ENVELOPE_SCHEMA = T.StructType(
         T.StructField("source_table", T.StringType(), False),
         T.StructField("key_json", T.StringType(), False),
         T.StructField("after_json", T.StringType(), True),
+        # PK-changing updates (the reference's binlog UPDATE applies
+        # SET new-values WHERE old-key, mysql.go:600-616 — cited for
+        # parity, not ported): the producer puts the BEFORE-image key
+        # here; absent/null means the key did not change. Old event
+        # logs simply read NULL — schema-compatible.
+        T.StructField("before_key_json", T.StringType(), True),
     ]
 )
 
@@ -107,13 +113,60 @@ def read_event_stream(
     return reader.json(path)
 
 
+def pk_changed_pred(
+    envelope_cols: list[str],
+    row_schema: T.StructType,
+    key_cols: list[str],
+):
+    """Predicate for events whose BEFORE-image key differs from the
+    effective (after) key — shared by the change projection (which
+    synthesizes the old-key delete) and the pipeline's touched-bucket
+    probe (which must read the OLD key's bucket too, or the stale row
+    is stranded). None when the envelope has no before_key_json."""
+    if "before_key_json" not in envelope_cols:
+        return None
+    key_schema = T.StructType([f for f in row_schema.fields if f.name in key_cols])
+    after = F.from_json("after_json", row_schema)
+    key = F.from_json("key_json", key_schema)
+    bkey = F.from_json("before_key_json", key_schema)
+    differs = None
+    for k in key_cols:
+        d = ~F.coalesce(after[k], key[k]).eqNullSafe(bkey[k])
+        differs = d if differs is None else (differs | d)
+    return (
+        F.col("op").isin("update", "replace")
+        & F.col("before_key_json").isNotNull()
+        & differs
+    )
+
+
 def changes_for_table(
-    envelope: DataFrame, source_table: str, row_schema: T.StructType, key_cols: list[str]
+    envelope: DataFrame,
+    source_table: str,
+    row_schema: T.StructType,
+    key_cols: list[str],
+    ignore_source_deletes: bool = False,
 ) -> DataFrame:
     """Project one table's events out of the envelope: parse the
     after-image into typed columns (delete rows keep key-only), attach
-    (op, seq)."""
+    (op, seq).
+
+    PK-changing updates (before_key_json present and different from
+    the after key) become TWO change rows: a synthesized delete of the
+    OLD key plus the normal upsert of the new key, both at the event's
+    seq — the relational re-expression of the reference's
+    ``UPDATE ... SET new WHERE old_pk`` (mysql.go:600-616). Without
+    the synthesized delete the old row would survive as a stale
+    duplicate.
+
+    ``ignore_source_deletes`` drops the SOURCE's delete events (P11,
+    the ignoreDeleteOps mapping flag) at the envelope level — BEFORE
+    the PK-change synthesis, so a synthesized old-key delete (which is
+    part of an update, not a user delete; the reference's UPDATE moves
+    the row even under ignore-delete configs) always survives."""
     ev = envelope.filter(F.col("source_table") == source_table)
+    if ignore_source_deletes:
+        ev = ev.filter(F.col("op") != "delete")
     key_schema = T.StructType([f for f in row_schema.fields if f.name in key_cols])
     after = F.from_json("after_json", row_schema)
     key = F.from_json("key_json", key_schema)
@@ -123,4 +176,16 @@ def changes_for_table(
             cols.append(F.coalesce(after[f_.name], key[f_.name]).alias(f_.name))
         else:
             cols.append(after[f_.name].alias(f_.name))
-    return ev.select(*cols, F.col("op"), F.col("seq"))
+    main = ev.select(*cols, F.col("op"), F.col("seq"))
+    changed = pk_changed_pred(envelope.columns, row_schema, key_cols)
+    if changed is None:
+        return main
+    bkey = F.from_json("before_key_json", key_schema)
+    del_cols = []
+    for f_ in row_schema.fields:
+        if f_.name in key_cols:
+            del_cols.append(bkey[f_.name].alias(f_.name))
+        else:
+            del_cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+    dels = ev.filter(changed).select(*del_cols, F.lit("delete").alias("op"), F.col("seq"))
+    return main.unionByName(dels)

@@ -197,7 +197,9 @@ class CdcPipeline:
         one scan + one shuffle, NOT a union of N per-table projections
         (AQE compiles each union branch into its own shuffle-map job,
         which would put the job count right back at O(tables))."""
-        bad_expr, bucket_col = None, None
+        from sync_spark.sources.cdc import pk_changed_pred
+
+        bad_expr, bucket_col, before_bucket_col = None, None, None
         for t in self.tables:
             key_schema = T.StructType(
                 [f for f in t.row_schema.fields if f.name in t.key_cols]
@@ -211,6 +213,18 @@ class CdcPipeline:
             # THE layout hash (same definition object as the bucketed
             # writer — typed key values in key_cols order)
             bucket = bucket_expr_vals(vals, self.n_buckets)
+            # PK-changing update: the OLD key's bucket is ALSO touched
+            # (its row must be merged away); missing it would leave a
+            # stale duplicate in an unread bucket
+            changed = pk_changed_pred(batch.columns, t.row_schema, t.key_cols)
+            if changed is not None:
+                bkey = F.from_json("before_key_json", key_schema)
+                bbucket = F.when(
+                    changed,
+                    bucket_expr_vals([bkey[k] for k in t.key_cols], self.n_buckets),
+                )
+            else:
+                bbucket = F.lit(None).cast("int")
             cond = F.col("source_table") == t.source_table
             bad_expr = (
                 F.when(cond, pred) if bad_expr is None else bad_expr.when(cond, pred)
@@ -220,17 +234,38 @@ class CdcPipeline:
                 if bucket_col is None
                 else bucket_col.when(cond, bucket)
             )
-        return (
+            before_bucket_col = (
+                F.when(cond, bbucket)
+                if before_bucket_col is None
+                else before_bucket_col.when(cond, bbucket)
+            )
+        rows = (
             batch.select(
                 F.col("source_table").alias("table"),
                 F.col("op"),
                 bad_expr.alias("bad"),
                 bucket_col.alias("b"),
+                before_bucket_col.alias("bb"),
             )
             .groupBy("table", "op", "bad")
-            .agg(F.count(F.lit(1)).alias("n"), F.collect_set("b").alias("buckets"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_set("b").alias("buckets"),
+                F.collect_set("bb").alias("before_buckets"),
+            )
             .collect()
         )
+        # fold before-buckets into the touched set the callers read
+        return [
+            {
+                "table": r["table"],
+                "op": r["op"],
+                "bad": r["bad"],
+                "n": r["n"],
+                "buckets": sorted(set(r["buckets"]) | set(r["before_buckets"])),
+            }
+            for r in rows
+        ]
 
     def _apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         """foreachBatch body. Idempotent: compaction + MERGE + per-
@@ -255,8 +290,16 @@ class CdcPipeline:
                     if not (t.ignore_deletes and r["op"] == DELETE_OP)
                 ]
 
+                # ignoreDeleteOps filters SOURCE deletes at the
+                # envelope level inside changes_for_table, so
+                # synthesized PK-change deletes (part of an update,
+                # not a user delete) always survive to the merge
                 changes = changes_for_table(
-                    batch, t.source_table, t.row_schema, t.key_cols
+                    batch,
+                    t.source_table,
+                    t.row_schema,
+                    t.key_cols,
+                    ignore_source_deletes=t.ignore_deletes,
                 )
                 rules = self.spec.field_security.get(t.source_table, [])
                 # constructor guarantees no rule targets a key column
@@ -377,11 +420,13 @@ class CdcPipeline:
                 target = read_buckets(
                     self.spark, t.target_path, touched, schema=t.row_schema
                 )
+                # ignore_deletes=False here: user deletes were already
+                # dropped at the envelope level; the delete rows that
+                # remain are PK-change synthetics that MUST apply
                 merged = apply_changes(
                     target,
                     good,
                     keys=t.key_cols,
-                    ignore_deletes=t.ignore_deletes,
                 )
                 # merged reads the OLD bucket files while staging; the
                 # swap happens only after the staged write completes,

@@ -244,3 +244,77 @@ def test_events_bootstrap_missing_target(spark, pipeline_dirs):
     _mk_pipeline(spark, pipeline_dirs).run_available()
     state = _read_target(spark, pipeline_dirs["target"])
     assert state == {5: {"name": "new", "balance": 9.0}} or state[5]["name"] == "new"
+
+
+# ---------------------------------------------------------------------------
+# PK-changing updates (before_key_json) — the reference's
+# UPDATE ... SET new WHERE old_pk (mysql.go:600-616)
+# ---------------------------------------------------------------------------
+
+
+def _pk_event(seq, old_id, new_row):
+    e = _event("update", seq, "users", {"id": new_row["id"]}, new_row)
+    e["before_key_json"] = json.dumps({"id": old_id})
+    return e
+
+
+def test_changes_for_table_synthesizes_old_key_delete(spark):
+    from sync_spark.sources.cdc import changes_for_table
+
+    ev = spark.createDataFrame(
+        [
+            _pk_event(1, 1, {"id": 99, "name": "moved", "balance": 5.0}),
+            # before_key equal to the after key: NO synthetic delete
+            {**_event("update", 2, "users", {"id": 2},
+                      {"id": 2, "name": "same", "balance": 6.0}),
+             "before_key_json": json.dumps({"id": 2})},
+            # no before_key at all
+            _event("update", 3, "users", {"id": 3},
+                   {"id": 3, "name": "plain", "balance": 7.0}),
+        ]
+    )
+    out = changes_for_table(ev, "users", ROW_SCHEMA, ["id"]).collect()
+    by_op = {}
+    for r in out:
+        by_op.setdefault(r.op, []).append(r)
+    assert len(out) == 4
+    assert [d.id for d in by_op["delete"]] == [1]  # old key, synthesized
+    assert by_op["delete"][0].seq == 1
+    assert sorted(u.id for u in by_op["update"]) == [2, 3, 99]
+
+
+def test_pipeline_pk_change_moves_row(spark, pipeline_dirs):
+    initial = [Row(id=i, name=f"n{i}", balance=float(i)) for i in range(1, 9)]
+    _snapshot(spark, pipeline_dirs, initial)
+    write_event_batch(
+        pipeline_dirs["events"],
+        [_pk_event(1, 3, {"id": 97, "name": "moved", "balance": 33.0})],
+        1,
+    )
+    _mk_pipeline(spark, pipeline_dirs).run_available()
+    tgt = _read_target(spark, pipeline_dirs["target"])
+    assert 3 not in tgt  # old key gone (bucket of the OLD key was touched)
+    assert tgt[97] == {"id": 97, "name": "moved", "balance": 33.0}
+    assert len(tgt) == len(initial)
+
+
+def test_pk_change_applies_even_with_ignore_deletes(spark, pipeline_dirs):
+    """The synthesized old-key delete is part of an UPDATE, not a user
+    delete: ignoreDeleteOps must drop source deletes but still move
+    the row (the reference's UPDATE runs regardless of the flag)."""
+    _snapshot(
+        spark, pipeline_dirs,
+        [Row(id=1, name="a", balance=1.0), Row(id=2, name="b", balance=2.0)],
+    )
+    write_event_batch(
+        pipeline_dirs["events"],
+        [
+            _pk_event(1, 1, {"id": 50, "name": "moved", "balance": 10.0}),
+            _event("delete", 2, "users", {"id": 2}),  # user delete: ignored
+        ],
+        1,
+    )
+    _mk_pipeline(spark, pipeline_dirs, ignore_deletes=True).run_available()
+    tgt = _read_target(spark, pipeline_dirs["target"])
+    assert 1 not in tgt and 50 in tgt  # moved despite ignore_deletes
+    assert 2 in tgt  # user delete ignored
