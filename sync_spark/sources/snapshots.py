@@ -33,6 +33,7 @@ import uuid
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sync_spark.sources.bucketed import (
     BUCKET_COL,
@@ -195,3 +196,55 @@ def expire_snapshots(path: str, keep_last: int) -> list[int]:
 def latest_version(path: str) -> Optional[int]:
     vs = snapshot_versions(path)
     return vs[-1]["version"] if vs else None
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    version_a: int,
+    version_b: int,
+    key_cols: list,
+) -> DataFrame:
+    """What changed between two frozen versions: one row per key that
+    was ADDED, REMOVED, or CHANGED from ``version_a`` to ``version_b``
+    (unchanged keys are absent). The operational companion to
+    time-travel reads — "what did batch N actually do" without replay.
+
+    Shape: full outer join on the key columns + a null-safe
+    any-column-differs predicate — one co-partitioned shuffle per
+    side, no collect; the same j_src_tgt_diff discipline as the
+    monitoring surface."""
+    a = read_snapshot(spark, path, version_a)
+    b = read_snapshot(spark, path, version_b)
+    value_cols = [c for c in a.columns if c not in key_cols]
+    aa = a.select(
+        *[F.col(k).alias(f"__ka_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__va_{c}") for c in value_cols],
+        F.lit(True).alias("__in_a"),
+    )
+    bb = b.select(
+        *[F.col(k).alias(f"__kb_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__vb_{c}") for c in value_cols],
+        F.lit(True).alias("__in_b"),
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__ka_{k}").eqNullSafe(F.col(f"__kb_{k}"))
+        cond = c if cond is None else (cond & c)
+    j = aa.join(bb, cond, "full_outer")
+    differs = F.lit(False)
+    for c in value_cols:
+        differs = differs | ~F.col(f"__va_{c}").eqNullSafe(F.col(f"__vb_{c}"))
+    status = (
+        F.when(F.col("__in_a").isNull(), F.lit("added"))
+        .when(F.col("__in_b").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"__ka_{k}"), F.col(f"__kb_{k}")).alias(k) for k in key_cols
+    ]
+    return (
+        j.withColumn("change", status)
+        .filter(F.col("change").isNotNull())
+        .select(*out_keys, "change")
+    )

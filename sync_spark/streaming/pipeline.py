@@ -464,3 +464,100 @@ class CdcPipeline:
         deterministic batch-like drain used by tests and backfills."""
         q = self.start(trigger_once=True)
         q.awaitTermination()
+
+
+def replay_dlq(
+    spark: SparkSession,
+    dlq_path: str,
+    event_log_dir: str,
+    source_table: str,
+    row_schema: T.StructType,
+    key_cols: list,
+    fix=None,
+    max_retry: int = 3,
+    replay_batch_id: int = 0,
+) -> tuple[int, int]:
+    """Re-inject quarantined events into the event log — the engine's
+    analog of the reference's dead-letter replay loop
+    (mongodb.go:1836-1950, processDeadLetterQueue: read batch files,
+    retry ops with retry_count < max, persist updated retry counts;
+    cited for parity, not ported).
+
+    ``fix`` is an optional ``DataFrame -> DataFrame`` repair step over
+    the parsed payload rows (typed in ``row_schema`` + op/seq) — the
+    human-in-the-loop part the reference leaves to "retry and hope":
+    our quarantine reason (null keys) is deterministic, so a blind
+    retry can never succeed without a repair. Rows whose keys are
+    valid after the fix are appended to the event log as a normal
+    envelope batch (they re-enter the pipeline through the SAME merge
+    path — no side-door writes to the target); rows still bad get
+    retry_count+1 and are rewritten in place, and rows that exhausted
+    ``max_retry`` stay parked with a terminal reason.
+
+    The DLQ is failure-grain (bounded by what went WRONG, not by data
+    volume), so the driver-side collect of repaired rows is bounded by
+    construction — same argument as the pipeline's summary collect.
+
+    Returns ``(replayed, remaining)``."""
+    import glob as _glob
+    import json as _json
+    import shutil as _shutil
+
+    table_dir = os.path.join(dlq_path, f"table={source_table}")
+    if not _glob.glob(os.path.join(table_dir, "batch_id=*")):
+        return (0, 0)
+    raw = spark.read.parquet(table_dir)
+    if "retry_count" not in raw.columns:
+        raw = raw.withColumn("retry_count", F.lit(0))
+    parsed = raw.select(
+        "op", "seq", "reason", "retry_count", F.from_json("payload", row_schema).alias("p")
+    ).select("op", "seq", "reason", "retry_count", "p.*")
+    if fix is not None:
+        parsed = fix(parsed)
+    key_ok = None
+    for k in key_cols:
+        ok = F.col(k).isNotNull()
+        key_ok = ok if key_ok is None else (key_ok & ok)
+    good = parsed.filter(key_ok).collect()
+    bad = parsed.filter(~key_ok).collect()
+
+    events = []
+    for r in good:
+        d = r.asDict()
+        key = {k: d[k] for k in key_cols}
+        after = {f.name: d[f.name] for f in row_schema.fields}
+        events.append(
+            {
+                "op": d["op"],
+                "seq": d["seq"],
+                "ts": None,
+                "source_table": source_table,
+                "key_json": _json.dumps(key),
+                "after_json": None if d["op"] == "delete" else _json.dumps(after),
+            }
+        )
+    if events:
+        from sync_spark.sources.cdc import write_event_batch
+
+        write_event_batch(
+            event_log_dir, events, 9_000_000_000 + replay_batch_id
+        )
+    # rewrite the queue: only still-bad rows remain, retry bumped;
+    # exhausted rows keep a terminal reason so operators can see them
+    _shutil.rmtree(table_dir, ignore_errors=True)
+    if bad:
+        rows = []
+        for r in bad:
+            d = r.asDict()
+            payload = _json.dumps(
+                {f.name: d[f.name] for f in row_schema.fields}
+            )
+            rc = d["retry_count"] + 1
+            reason = d["reason"] if rc < max_retry else "retries_exhausted"
+            rows.append((d["op"], d["seq"], reason, payload, rc))
+        spark.createDataFrame(
+            rows, "op string, seq long, reason string, payload string, retry_count int"
+        ).write.mode("overwrite").parquet(
+            os.path.join(table_dir, f"batch_id=replay_{replay_batch_id}")
+        )
+    return (len(events), len(bad))

@@ -318,3 +318,59 @@ def test_pk_change_applies_even_with_ignore_deletes(spark, pipeline_dirs):
     tgt = _read_target(spark, pipeline_dirs["target"])
     assert 1 not in tgt and 50 in tgt  # moved despite ignore_deletes
     assert 2 in tgt  # user delete ignored
+
+
+# ---------------------------------------------------------------------------
+# DLQ replay (reference: processDeadLetterQueue, mongodb.go:1836-1950)
+# ---------------------------------------------------------------------------
+
+
+def test_dlq_replay_with_fix(spark, pipeline_dirs):
+    from sync_spark.streaming.pipeline import replay_dlq
+
+    _snapshot(spark, pipeline_dirs, [Row(id=1, name="a", balance=1.0)])
+    # event with a NULL key → quarantined, target untouched
+    bad = _event("insert", 5, "users", {"id": None},
+                 {"id": None, "name": "lost", "balance": 42.0})
+    good = _event("update", 6, "users", {"id": 1},
+                  {"id": 1, "name": "a2", "balance": 11.0})
+    write_event_batch(pipeline_dirs["events"], [bad, good], 1)
+    pipe = _mk_pipeline(spark, pipeline_dirs)
+    pipe.run_available()
+    tgt = _read_target(spark, pipeline_dirs["target"])
+    assert "lost" not in {v["name"] for v in tgt.values()}
+
+    # repair: assign the missing key, then replay through the SAME
+    # pipeline (no side-door writes)
+    def fix(df):
+        return df.withColumn("id", F.coalesce(F.col("id"), F.lit(777)))
+
+    replayed, remaining = replay_dlq(
+        spark, pipeline_dirs["dlq"], pipeline_dirs["events"],
+        "users", ROW_SCHEMA, ["id"], fix=fix,
+    )
+    assert (replayed, remaining) == (1, 0)
+    pipe.run_available()
+    tgt = _read_target(spark, pipeline_dirs["target"])
+    assert tgt[777]["name"] == "lost" and tgt[777]["balance"] == 42.0
+
+
+def test_dlq_replay_without_fix_parks_with_retry_count(spark, pipeline_dirs):
+    from sync_spark.streaming.pipeline import replay_dlq
+
+    _snapshot(spark, pipeline_dirs, [Row(id=1, name="a", balance=1.0)])
+    bad = _event("insert", 5, "users", {"id": None},
+                 {"id": None, "name": "x", "balance": 1.0})
+    write_event_batch(pipeline_dirs["events"], [bad], 1)
+    _mk_pipeline(spark, pipeline_dirs).run_available()
+
+    # blind retries can never fix a null key: row stays, retries tick
+    for i in range(3):
+        replayed, remaining = replay_dlq(
+            spark, pipeline_dirs["dlq"], pipeline_dirs["events"],
+            "users", ROW_SCHEMA, ["id"], replay_batch_id=i,
+        )
+        assert (replayed, remaining) == (0, 1)
+    rows = spark.read.parquet(pipeline_dirs["dlq"] + "/table=users").collect()
+    assert rows[0].retry_count == 3
+    assert rows[0].reason == "retries_exhausted"

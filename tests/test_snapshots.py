@@ -216,3 +216,30 @@ def test_pipeline_snapshot_after_batch(spark, tmp_path):
     assert v2 == {(1, "a2")}
     live = {(r.id, r.name) for r in read_target(spark, dirs["target"]).collect()}
     assert live == v2
+
+
+def test_snapshot_diff(spark, tmp_path):
+    from sync_spark.sources.snapshots import snapshot_diff
+
+    tgt = str(tmp_path / "t")
+    write_bucketed(
+        _rows(spark, [(i, f"v{i}") for i in range(6)]), tgt, ["id"], N_BUCKETS
+    )
+    snapshot_create(tgt)
+    _merge(spark, tgt, [
+        (2, "CHANGED", "upsert"),   # changed
+        (5, None, "delete"),        # removed
+        (9, "NEW", "upsert"),       # added
+    ])
+    snapshot_create(tgt)
+    diff = {
+        (r.id, r.change)
+        for r in snapshot_diff(spark, tgt, 1, 2, ["id"]).collect()
+    }
+    assert diff == {(2, "changed"), (5, "removed"), (9, "added")}
+    # reverse direction flips added/removed
+    rev = {
+        (r.id, r.change)
+        for r in snapshot_diff(spark, tgt, 2, 1, ["id"]).collect()
+    }
+    assert rev == {(2, "changed"), (5, "added"), (9, "removed")}
