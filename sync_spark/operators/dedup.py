@@ -395,15 +395,17 @@ def winnow_fingerprint_rows(
     for local (substring-level) near-dup detection, which
     whole-document md5 (``fingerprint``) cannot see.
 
-    Shape: the per-row array-HOF kernel (``winnow_fps_array``) +
-    explode — winnowing is a PER-DOCUMENT computation, so the
-    shuffle-free form is the right one: no doc_id shuffle, no window
-    sort, embarrassingly parallel at any scale. (An earlier
-    posexplode + lead() + sliding-window-min form paid a full
-    shuffle+sort of every token row for work that never crosses
-    document boundaries; measured 1.6s vs 0.7s at sf0.1.) The only
-    caveat is input parallelism — a small parquet file arrives as one
-    split and would serialize the CPU-bound kernel on one core, hence
+    Shape: the staged-projection per-row kernel
+    (``winnow_fps_columns`` — NOT the single-expression
+    ``winnow_fps_array``, whose cost warning applies) + explode —
+    winnowing is a PER-DOCUMENT computation, so the shuffle-free form
+    is the right one: no doc_id shuffle, no window sort,
+    embarrassingly parallel at any scale. (An earlier posexplode +
+    lead() + sliding-window-min form paid a full shuffle+sort of
+    every token row for work that never crosses document boundaries;
+    measured 1.6s vs 0.7s at sf0.1.) The only caveat is input
+    parallelism — a small parquet file arrives as one split and would
+    serialize the CPU-bound kernel on one core, hence
     ``spread_for_kernel``. Hash is the 56-bit md5 prefix (see
     functions.text.winnow_hash) for DuckDB oracle parity.
     """

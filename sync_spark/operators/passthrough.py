@@ -593,7 +593,12 @@ def run_mongo_aggregate(src: str, resolve: Callable[[str], DataFrame]) -> DataFr
             if not aggs:
                 raise ValueError("$group needs at least one accumulator")
             if gid is None:
-                df = df.agg(*aggs)
+                # Mongo always returns _id (null for the global
+                # group) — omitting it would give the two group forms
+                # inconsistent result shapes
+                df = df.agg(*aggs).select(
+                    F.lit(None).cast("string").alias("_id"), "*"
+                )
             elif isinstance(gid, str) and gid.startswith("$"):
                 df = df.groupBy(F.col(gid[1:]).alias("_id")).agg(*aggs)
             else:
@@ -685,7 +690,9 @@ def run_redis(
         # unrelated data on every SET
         return kv.filter(~key.eqNullSafe(k)).unionByName(row, allowMissingColumns=True)
     if op == "DEL":
-        return kv.filter(~key.isin(args))
+        # null-safe like SET: ~NULL is NULL and filter drops it, so a
+        # bare ~isin would delete unrelated NULL-key rows (3VL)
+        return kv.filter(~F.coalesce(key.isin(args), F.lit(False)))
     # TTL family (the reference copies TTLs with every key,
     # redis.go:125-164; T12): operates on the optional ttl_ms column
     # of the KV model (operators/kv.py)

@@ -130,12 +130,23 @@ def pk_changed_pred(
     key = F.from_json("key_json", key_schema)
     bkey = F.from_json("before_key_json", key_schema)
     differs = None
+    usable = None
     for k in key_cols:
         d = ~F.coalesce(after[k], key[k]).eqNullSafe(bkey[k])
         differs = d if differs is None else (differs | d)
+        # a malformed / field-incomplete before key must NOT match:
+        # it would synthesize a NULL-key delete that the pipeline's
+        # good-row filter silently discards (no DLQ entry — bad_n is
+        # derived from the envelope keys, which are valid here),
+        # leaving the stale-duplicate hazard with no trace.
+        # Conservative rule: unusable before key ⇒ behave as if the
+        # producer sent none.
+        u = bkey[k].isNotNull()
+        usable = u if usable is None else (usable & u)
     return (
         F.col("op").isin("update", "replace")
         & F.col("before_key_json").isNotNull()
+        & usable
         & differs
     )
 

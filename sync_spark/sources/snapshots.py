@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from sync_spark.sources.bucketed import (
     BUCKET_COL,
+    _swap_dir,
     read_target,
     recover_interrupted_swaps,
 )
@@ -101,7 +102,18 @@ def snapshot_create(path: str, note: str = "") -> int:
     rename)."""
     recover_interrupted_swaps(path)
     manifest = _read_manifest(path)
-    version = 1 + max((v["version"] for v in manifest["versions"]), default=0)
+    # next version accounts for ORPHAN v* dirs too (a crash between
+    # the rename below and the manifest append leaves an unreferenced
+    # vN dir): numbering only off the manifest would collide with the
+    # orphan and wedge every subsequent snapshot on ENOTEMPTY
+    on_disk = []
+    if os.path.isdir(_snap_root(path)):
+        for e in os.listdir(_snap_root(path)):
+            if e.startswith("v") and e[1:].isdigit():
+                on_disk.append(int(e[1:]))
+    version = 1 + max(
+        [v["version"] for v in manifest["versions"]] + on_disk, default=0
+    )
     final = os.path.join(_snap_root(path), f"v{version}")
     stage = os.path.join(_snap_root(path), f".tmp_v{version}_{uuid.uuid4().hex[:8]}")
     buckets = [e for e in os.listdir(path) if e.startswith(f"{BUCKET_COL}=")]
@@ -158,11 +170,16 @@ def snapshot_rollback(spark: SparkSession, path: str, version: int) -> int:
     snap_buckets = {e for e in os.listdir(snap) if e.startswith(f"{BUCKET_COL}=")}
     for b in sorted(snap_buckets):
         dst = os.path.join(path, b)
-        stage = os.path.join(path, f".rb_{uuid.uuid4().hex[:8]}")
+        # dot-prefixed stage: a `<bucket>__stage_x` name would read as
+        # a partition dir with a poisoned value; a crash pre-swap
+        # leaks only an invisible dot-dir
+        stage = os.path.join(path, f".rbstage_{uuid.uuid4().hex[:8]}")
         _link_tree(os.path.join(snap, b), stage)
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        os.rename(stage, dst)
+        # the store's crash-safe swap (park live under .old_*, rename
+        # stage in, drop parking): a crash at any point is healed by
+        # recover_interrupted_swaps — a bare rmtree+rename window would
+        # leave the bucket MISSING with nothing to recover from
+        _swap_dir(stage, dst)
     for b in sorted(live_buckets - snap_buckets):
         shutil.rmtree(os.path.join(path, b))
     meta_src = os.path.join(snap, ".sync_meta.json")

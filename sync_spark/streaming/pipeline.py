@@ -328,7 +328,8 @@ class CdcPipeline:
                                 F.struct(*[f.name for f in t.row_schema.fields])
                             ),
                         )
-                        .select("op", "seq", "reason", "payload")
+                        .withColumn("retry_count", F.lit(0))
+                        .select("op", "seq", "reason", "payload", "retry_count")
                         .write.mode("overwrite")
                         .parquet(
                             f"{self.dlq_path}/table={t.source_table}/batch_id={batch_id}"
@@ -475,7 +476,6 @@ def replay_dlq(
     key_cols: list,
     fix=None,
     max_retry: int = 3,
-    replay_batch_id: int = 0,
 ) -> tuple[int, int]:
     """Re-inject quarantined events into the event log — the engine's
     analog of the reference's dead-letter replay loop
@@ -490,9 +490,11 @@ def replay_dlq(
     retry can never succeed without a repair. Rows whose keys are
     valid after the fix are appended to the event log as a normal
     envelope batch (they re-enter the pipeline through the SAME merge
-    path — no side-door writes to the target); rows still bad get
-    retry_count+1 and are rewritten in place, and rows that exhausted
-    ``max_retry`` stay parked with a terminal reason.
+    path — no side-door writes to the target) under a batch id derived
+    from the files already present, so repeated replay cycles never
+    reuse a filename the checkpointed stream has marked as seen; rows
+    still bad get retry_count+1 and are rewritten in place, and rows
+    that exhausted ``max_retry`` stay parked with a terminal reason.
 
     The DLQ is failure-grain (bounded by what went WRONG, not by data
     volume), so the driver-side collect of repaired rows is bounded by
@@ -506,11 +508,20 @@ def replay_dlq(
     table_dir = os.path.join(dlq_path, f"table={source_table}")
     if not _glob.glob(os.path.join(table_dir, "batch_id=*")):
         return (0, 0)
-    raw = spark.read.parquet(table_dir)
+    # mergeSchema: quarantine batches written before the retry_count
+    # column existed coexist with replay rewrites that carry it — a
+    # single arbitrary footer would either reset counts or null-crash
+    # the bump below. The DLQ is failure-grain-small, so the
+    # all-footers read is cheap here (unlike the merge hot path).
+    raw = spark.read.option("mergeSchema", "true").parquet(table_dir)
     if "retry_count" not in raw.columns:
         raw = raw.withColumn("retry_count", F.lit(0))
     parsed = raw.select(
-        "op", "seq", "reason", "retry_count", F.from_json("payload", row_schema).alias("p")
+        "op",
+        "seq",
+        "reason",
+        F.coalesce(F.col("retry_count"), F.lit(0)).alias("retry_count"),
+        F.from_json("payload", row_schema).alias("p"),
     ).select("op", "seq", "reason", "retry_count", "p.*")
     if fix is not None:
         parsed = fix(parsed)
@@ -539,9 +550,19 @@ def replay_dlq(
     if events:
         from sync_spark.sources.cdc import write_event_batch
 
-        write_event_batch(
-            event_log_dir, events, 9_000_000_000 + replay_batch_id
-        )
+        # derive a NEVER-REUSED batch id from the files already in the
+        # log: the streaming source's seen-files map keys on the path,
+        # so overwriting a previously-consumed filename would make the
+        # repaired events silently invisible to the checkpointed query
+        existing = _glob.glob(os.path.join(event_log_dir, "events-9*.jsonl"))
+        ids = []
+        for p in existing:
+            try:
+                ids.append(int(os.path.basename(p)[len("events-"):-len(".jsonl")]))
+            except ValueError:
+                pass
+        next_id = max(ids, default=9_000_000_000 - 1) + 1
+        write_event_batch(event_log_dir, events, next_id)
     # rewrite the queue: only still-bad rows remain, retry bumped;
     # exhausted rows keep a terminal reason so operators can see them
     _shutil.rmtree(table_dir, ignore_errors=True)
@@ -558,6 +579,6 @@ def replay_dlq(
         spark.createDataFrame(
             rows, "op string, seq long, reason string, payload string, retry_count int"
         ).write.mode("overwrite").parquet(
-            os.path.join(table_dir, f"batch_id=replay_{replay_batch_id}")
+            os.path.join(table_dir, f"batch_id=replay_{uuid.uuid4().hex[:8]}")
         )
     return (len(events), len(bad))

@@ -368,9 +368,60 @@ def test_dlq_replay_without_fix_parks_with_retry_count(spark, pipeline_dirs):
     for i in range(3):
         replayed, remaining = replay_dlq(
             spark, pipeline_dirs["dlq"], pipeline_dirs["events"],
-            "users", ROW_SCHEMA, ["id"], replay_batch_id=i,
+            "users", ROW_SCHEMA, ["id"],
         )
         assert (replayed, remaining) == (0, 1)
     rows = spark.read.parquet(pipeline_dirs["dlq"] + "/table=users").collect()
     assert rows[0].retry_count == 3
     assert rows[0].reason == "retries_exhausted"
+
+
+def test_malformed_before_key_synthesizes_nothing(spark):
+    """A field-incomplete / unparseable before key behaves as if the
+    producer sent none: no NULL-key delete (which the pipeline's
+    good-row filter would silently discard without a DLQ trace)."""
+    from sync_spark.sources.cdc import changes_for_table
+
+    events = [
+        {**_event("update", 1, "users", {"id": 9},
+                  {"id": 9, "name": "x", "balance": 1.0}),
+         "before_key_json": "{}"},
+        {**_event("update", 2, "users", {"id": 10},
+                  {"id": 10, "name": "y", "balance": 2.0}),
+         "before_key_json": "not json at all"},
+    ]
+    out = changes_for_table(spark.createDataFrame(events), "users", ROW_SCHEMA, ["id"])
+    rows = out.collect()
+    assert len(rows) == 2 and all(r.op == "update" for r in rows)
+
+
+def test_dlq_replay_merges_mixed_schemas(spark, pipeline_dirs):
+    """Pre-upgrade quarantine batches (no retry_count) and replay
+    rewrites (with it) coexist: mergeSchema + null-coalesce keep every
+    row's count correct instead of resetting or crashing."""
+    import shutil as _sh
+
+    from sync_spark.streaming.pipeline import replay_dlq
+
+    table_dir = pipeline_dirs["dlq"] + "/table=users"
+    # legacy batch WITHOUT retry_count
+    spark.createDataFrame(
+        [("insert", 1, "null_key", json.dumps({"id": None, "name": "old", "balance": 1.0}))],
+        "op string, seq long, reason string, payload string",
+    ).write.parquet(table_dir + "/batch_id=1")
+    # modern batch WITH retry_count=2
+    spark.createDataFrame(
+        [("insert", 2, "null_key", json.dumps({"id": None, "name": "new", "balance": 2.0}), 2)],
+        "op string, seq long, reason string, payload string, retry_count int",
+    ).write.parquet(table_dir + "/batch_id=2")
+
+    replayed, remaining = replay_dlq(
+        spark, pipeline_dirs["dlq"], pipeline_dirs["events"],
+        "users", ROW_SCHEMA, ["id"], max_retry=3,
+    )
+    assert (replayed, remaining) == (0, 2)
+    rows = {r.seq: r for r in spark.read.parquet(table_dir).collect()}
+    assert rows[1].retry_count == 1   # legacy row: 0 -> 1, not reset/crash
+    assert rows[2].retry_count == 3   # modern row: 2 -> 3
+    assert rows[2].reason == "retries_exhausted"
+    _sh.rmtree(table_dir, ignore_errors=True)

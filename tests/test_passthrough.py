@@ -424,7 +424,9 @@ def test_mongo_aggregate_global_group_and_project(users):
         "db.users.aggregate([{$group: {_id: null, total: {$sum: '$age'}, n: {$count: {}}}}])",
         _resolve(users),
     ).collect()[0]
-    assert (out.total, out.n) == (153.0, 5)
+    # Mongo returns _id: null for the global group — same shape as
+    # the '$field' form
+    assert (out._id, out.total, out.n) == (None, 153.0, 5)
 
     ren = run_mongo_aggregate(
         "db.users.aggregate([{$match: {uid: 1}}, {$project: {who: '$name', uid: 1}}])",
@@ -457,3 +459,15 @@ def test_mongo_aggregate_skip_limit_and_errors(users):
     )
     assert kind == "mongo_aggregate" and st is None
     assert [(r._id, r.n) for r in out.collect()] == [("kyoto", 1), ("osaka", 1), ("tokyo", 3)]
+
+
+def test_redis_del_keeps_null_key_rows(spark):
+    from pyspark.sql import Row as R
+
+    kv = spark.createDataFrame(
+        [R(key="a", value="1"), R(key=None, value="orphan"), R(key="b", value="2")]
+    )
+    out = run_redis("DEL a", kv)
+    rows = {r.key: r.value for r in out.collect()}
+    # 3VL guard: deleting 'a' must not drop the unrelated NULL-key row
+    assert rows == {None: "orphan", "b": "2"}

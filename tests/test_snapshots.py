@@ -243,3 +243,23 @@ def test_snapshot_diff(spark, tmp_path):
         for r in snapshot_diff(spark, tgt, 2, 1, ["id"]).collect()
     }
     assert rev == {(2, "changed"), (5, "added"), (9, "removed")}
+
+
+def test_snapshot_create_survives_orphan_version_dir(spark, tmp_path):
+    """Crash window between the vN rename and the manifest append
+    leaves an unreferenced vN dir; the next snapshot must skip past
+    it instead of wedging on ENOTEMPTY forever."""
+    import os as _os
+
+    tgt = str(tmp_path / "t")
+    write_bucketed(_rows(spark, [(1, "a"), (2, "b")]), tgt, ["id"], N_BUCKETS)
+    v1 = snapshot_create(tgt)
+    assert v1 == 1
+    # simulate the crash: an on-disk v2 that the manifest never saw
+    orphan = _os.path.join(tgt, ".snapshots", "v2")
+    _os.makedirs(orphan)
+    with open(_os.path.join(orphan, "junk"), "w") as fh:
+        fh.write("x")
+    v3 = snapshot_create(tgt)
+    assert v3 == 3  # numbered past the orphan, no collision
+    assert read_snapshot(spark, tgt, 3).count() == 2
