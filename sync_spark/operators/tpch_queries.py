@@ -661,3 +661,173 @@ WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_pos
 GROUP BY c_nationkey
 ORDER BY nationkey
 """
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 analog: NATION_3 suppliers' share of PROMO-part revenue into
+    region AMERICA... the fixture has generic regions, so the market
+    is region of the CUSTOMER's nation = the region containing
+    NATION_3. Share = decimal-sum(case)/decimal-sum — both sums exact,
+    one final double division (identical IEEE op in both engines)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    # the market: customers whose nation shares NATION_3's region
+    cn = n.alias("cn").join(
+        F.broadcast(
+            n.filter(F.col("n_name") == "NATION_3").select(
+                F.col("n_regionkey").alias("target_region")
+            )
+        ),
+        F.col("cn.n_regionkey") == F.col("target_region"),
+    ).select(F.col("cn.n_nationkey").alias("mkt_nk"))
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("mkt_nk"), "left_semi")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)).alias("nat_vol"),
+            F.sum(vol).alias("tot_vol"),
+        )
+        .select(
+            F.col("o_year").cast("long").alias("o_year"),
+            (
+                F.coalesce(F.col("nat_vol"), F.lit(0).cast("decimal(18,2)")).cast("double")
+                / F.col("tot_vol").cast("double")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = """
+WITH mkt AS (
+  SELECT n_nationkey FROM nation
+  WHERE n_regionkey = (SELECT n_regionkey FROM nation WHERE n_name = 'NATION_3')
+)
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(COALESCE(SUM(CASE WHEN sn.n_name = 'NATION_3'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END),
+            CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'PROMO'
+  AND c_nationkey IN (SELECT n_nationkey FROM mkt)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 analog (no partsupp — lineitem revenue stands in for stock
+    value): parts whose total revenue exceeds 0.1% of corpus revenue.
+    The threshold compare runs in EXACT decimals scaled by 10⁴
+    (value·10000 > total), no decimal-division rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice")).alias("value")
+    )
+    total = per_part.agg(F.sum("value").alias("total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") * 10000 > F.col("total") * 10)
+        .select("l_partkey", F.col("value").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
+  FROM lineitem GROUP BY l_partkey
+), t AS (SELECT SUM(value) AS total FROM per_part)
+SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+FROM per_part, t
+WHERE value * 10000 > total * 10
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 analog (no commit/receipt dates — 'at fault' = the order's
+    ONLY returned-flag lineitems came from this supplier): suppliers
+    of one nation counted over multi-supplier F-status orders where
+    they shipped a returned item (EXISTS another supplier in the
+    order) and no OTHER supplier did (NOT EXISTS). The classic
+    double-correlated EXISTS/NOT-EXISTS → semi + anti join pair."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(o, F.col("l_orderkey") == o.o_orderkey, "left_semi")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    cand = l1.join(
+        l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    )
+    blamed = cand.join(
+        l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    return (
+        blamed.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey, "left_semi")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+SELECT s_suppkey, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_5')
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""

@@ -176,6 +176,9 @@ def _populate() -> None:
     register("q17_small_quantity_revenue", th.q17_small_quantity_revenue, th.Q17_SQL)
     register("q19_discounted_revenue", th.q19_discounted_revenue, th.Q19_SQL)
     register("q22_global_sales_opportunity", th.q22_global_sales_opportunity, th.Q22_SQL)
+    register("q8_market_share", th.q8_market_share, th.Q8_SQL)
+    register("q11_important_parts", th.q11_important_parts, th.Q11_SQL)
+    register("q21_waiting_suppliers", th.q21_waiting_suppliers, th.Q21_SQL)
 
     from sync_spark.operators import media_queries as mq
 
