@@ -1,0 +1,224 @@
+"""``python -m sync_spark`` — the engine's CLI, mirroring the
+reference's binary surface (cmd/sync/main.go:91-179: load config, run
+sync tasks, poll for config changes, row-count monitoring — cited for
+parity, not ported). Each subcommand is one of the engine's explicit
+entry points, so a scheduler (cron, Airflow, Databricks jobs) can call
+exactly what it needs instead of adopting a long-running daemon:
+
+  run         snapshot-if-empty + drain the CDC event log once; with
+              --watch, poll the spec file and hot-reload on change
+              (T10 — the reference's 10s config reload loop)
+  monitor     append one row-count monitoring tick (T11)
+  execute     one /sql/execute-style statement (ANSI SQL, Mongo-JS,
+              aggregate; Redis needs a KV frame and is API-only)
+  replay-dlq  re-inject quarantined events (schemas inferred from the
+              live target footers)
+  snapshot    create / list / rollback / diff / expire time-travel
+              versions on a bucketed target
+
+Row schemas for ``run`` are inferred from the SOURCE parquet files
+(the spec names tables; parquet footers carry their types) — the same
+contract `snapshot_if_empty` pins them to.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _spark(app: str):
+    from sync_spark.session import get_spark
+
+    return get_spark(app)
+
+
+def _task(args, spark):
+    from sync_spark.engine import SyncTask
+    from sync_spark.spec import SyncSpec
+
+    with open(args.spec) as fh:
+        spec = SyncSpec.from_json(fh.read())
+
+    def load_source(table: str):
+        return spark.read.parquet(os.path.join(args.source_dir, f"{table}.parquet"))
+
+    row_schemas = {}
+    for m in spec.mappings:
+        for t in m.tables:
+            row_schemas[t.source_table] = load_source(t.source_table).schema
+    return SyncTask(
+        spark,
+        spec,
+        source_loader=load_source,
+        row_schemas=row_schemas,
+        target_root=args.target_root,
+        event_log_dir=args.event_log,
+        checkpoint_root=args.checkpoint,
+        security_key=args.security_key,
+    )
+
+
+def cmd_run(args) -> int:
+    spark = _spark("sync_cli_run")
+    task = _task(args, spark)
+    ran = task.snapshot()
+    print(json.dumps({"snapshot": ran}))
+    if not args.watch:
+        task.run_cdc_available()
+        print(json.dumps({"cdc": "drained"}))
+        return 0
+    # hot-reload loop: rebuild the task on spec change, drain on each
+    # poll (the reference reloads config every 10s; --max-cycles keeps
+    # the CLI testable / cron-friendly instead of running forever)
+    from sync_spark.streaming.reload import SpecWatcher
+
+    state = {"cycles": 0}
+
+    def build(spec):
+        class _Handle:
+            def stop(self_inner):
+                pass
+
+        return _Handle()
+
+    watcher = SpecWatcher(args.spec, build)
+    for _ in range(args.max_cycles):
+        reloaded = watcher.poll_once()
+        if reloaded:
+            task = _task(args, spark)
+            task.snapshot()
+        task.run_cdc_available()
+        state["cycles"] += 1
+        if state["cycles"] < args.max_cycles:
+            time.sleep(args.poll_seconds)
+    print(json.dumps({"cdc": "drained", "cycles": state["cycles"], "reloads": watcher.reload_count}))
+    return 0
+
+
+def cmd_monitor(args) -> int:
+    spark = _spark("sync_cli_monitor")
+    task = _task(args, spark)
+    df = task.monitor()
+    rows = df.collect() if args.metrics is None else None
+    if args.metrics is not None:
+        df.write.mode("append").parquet(args.metrics)
+        print(json.dumps({"monitor": "appended", "path": args.metrics}))
+    else:
+        print(json.dumps({"monitor": [r.asDict() for r in rows]}, default=str))
+    return 0
+
+
+def cmd_execute(args) -> int:
+    spark = _spark("sync_cli_execute")
+    task = _task(args, spark)
+    kind, result, new_state = task.execute(args.query)
+    rows = [r.asDict() for r in result.limit(args.limit).collect()]
+    print(json.dumps({"kind": kind, "rows": rows}, default=str))
+    if new_state is not None:
+        print(
+            json.dumps({"note": "write verbs return new state; persist via the pipeline"}),
+            file=sys.stderr,
+        )
+    return 0
+
+
+def cmd_replay_dlq(args) -> int:
+    from sync_spark.sources.bucketed import read_target
+    from sync_spark.streaming.pipeline import replay_dlq
+
+    spark = _spark("sync_cli_replay")
+    row_schema = read_target(spark, os.path.join(args.target_root, args.table)).schema
+    replayed, remaining = replay_dlq(
+        spark,
+        args.dlq,
+        args.event_log,
+        args.table,
+        row_schema,
+        args.keys.split(","),
+    )
+    print(json.dumps({"replayed": replayed, "remaining": remaining}))
+    return 0
+
+
+def cmd_snapshot(args) -> int:
+    from sync_spark.sources import snapshots as S
+
+    spark = _spark("sync_cli_snapshot")
+    if args.action == "create":
+        v = S.snapshot_create(args.target, note=args.note)
+        print(json.dumps({"created": v}))
+    elif args.action == "list":
+        print(json.dumps({"versions": S.snapshot_versions(args.target)}))
+    elif args.action == "rollback":
+        safety = S.snapshot_rollback(spark, args.target, args.version)
+        print(json.dumps({"rolled_back_to": args.version, "safety_version": safety}))
+    elif args.action == "diff":
+        rows = S.snapshot_diff(
+            spark, args.target, args.version, args.version_b, args.keys.split(",")
+        ).collect()
+        print(json.dumps({"diff": [r.asDict() for r in rows]}, default=str))
+    elif args.action == "expire":
+        expired = S.expire_snapshots(args.target, keep_last=args.keep_last)
+        print(json.dumps({"expired": expired}))
+    return 0
+
+
+def _add_task_args(p) -> None:
+    p.add_argument("--spec", required=True, help="SyncSpec JSON path")
+    p.add_argument("--source-dir", required=True)
+    p.add_argument("--target-root", required=True)
+    p.add_argument("--event-log", required=True)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--security-key", default="")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="sync_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("run", help="snapshot + drain the CDC log")
+    _add_task_args(p)
+    p.add_argument("--watch", action="store_true")
+    p.add_argument("--poll-seconds", type=float, default=10.0)
+    p.add_argument("--max-cycles", type=int, default=1)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("monitor", help="one row-count tick")
+    _add_task_args(p)
+    p.add_argument("--metrics", default=None)
+    p.set_defaults(fn=cmd_monitor)
+
+    p = sub.add_parser("execute", help="one /sql/execute statement")
+    _add_task_args(p)
+    p.add_argument("--query", required=True)
+    p.add_argument("--limit", type=int, default=100)
+    p.set_defaults(fn=cmd_execute)
+
+    p = sub.add_parser("replay-dlq", help="re-inject quarantined events")
+    p.add_argument("--dlq", required=True)
+    p.add_argument("--event-log", required=True)
+    p.add_argument("--target-root", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--keys", required=True, help="comma-separated key columns")
+    p.set_defaults(fn=cmd_replay_dlq)
+
+    p = sub.add_parser("snapshot", help="time-travel versions")
+    p.add_argument("action", choices=["create", "list", "rollback", "diff", "expire"])
+    p.add_argument("--target", required=True)
+    p.add_argument("--version", type=int, default=None)
+    p.add_argument("--version-b", type=int, default=None)
+    p.add_argument("--keys", default="id")
+    p.add_argument("--keep-last", type=int, default=5)
+    p.add_argument("--note", default="")
+    p.set_defaults(fn=cmd_snapshot)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,120 @@
+"""python -m sync_spark CLI (sync_spark/__main__.py): the reference's
+binary surface as explicit scheduler-friendly subcommands."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from sync_spark.__main__ import main
+
+SPEC = {
+    "taskId": 7,
+    "type": "parquet",
+    "mappings": [
+        {
+            "sourceDatabase": "src",
+            "targetDatabase": "tgt",
+            "tables": [{"sourceTable": "users", "targetTable": "users_t"}],
+        }
+    ],
+    "pkColumns": {"users": ["id"]},
+}
+
+
+def _setup(spark, tmp_path):
+    dirs = {
+        "src": tmp_path / "src",
+        "tgt": tmp_path / "tgt",
+        "ev": tmp_path / "ev",
+        "ck": tmp_path / "ck",
+    }
+    for d in dirs.values():
+        d.mkdir(exist_ok=True)
+    spark.createDataFrame(
+        [Row(id=1, name="a"), Row(id=2, name="b")],
+        T.StructType([T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]),
+    ).write.mode("overwrite").parquet(str(dirs["src"] / "users.parquet"))
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps(SPEC))
+    return dirs, spec_path
+
+
+def _task_args(dirs, spec_path):
+    return [
+        "--spec", str(spec_path),
+        "--source-dir", str(dirs["src"]),
+        "--target-root", str(dirs["tgt"]),
+        "--event-log", str(dirs["ev"]),
+        "--checkpoint", str(dirs["ck"]),
+    ]
+
+
+def test_cli_run_execute_snapshot(spark, tmp_path, capsys):
+    from sync_spark.sources.cdc import write_event_batch
+
+    dirs, spec_path = _setup(spark, tmp_path)
+    # run once: snapshot + (empty) drain
+    assert main(["run", *_task_args(dirs, spec_path)]) == 0
+    out = capsys.readouterr().out
+    assert '"snapshot": {"users": true}' in out and '"cdc": "drained"' in out
+
+    # events then a second drain picks them up
+    write_event_batch(
+        str(dirs["ev"]),
+        [{
+            "op": "insert", "seq": 1, "ts": "2024-01-01T00:00:00Z",
+            "source_table": "users", "key_json": json.dumps({"id": 3}),
+            "after_json": json.dumps({"id": 3, "name": "c"}),
+        }],
+        1,
+    )
+    assert main(["run", *_task_args(dirs, spec_path)]) == 0
+    capsys.readouterr()
+
+    # execute: SQL over the mapped target view
+    assert main([
+        "execute", *_task_args(dirs, spec_path),
+        "--query", "SELECT COUNT(*) AS n FROM users_t",
+    ]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert payload["kind"] == "sql" and payload["rows"][0]["n"] == 3
+
+    # execute: Mongo dialect through the same dispatch
+    assert main([
+        "execute", *_task_args(dirs, spec_path),
+        "--query", "db.users.find({id: {$gte: 2}}).sort({id: 1})",
+    ]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert payload["kind"] == "mongo_find" and [r["id"] for r in payload["rows"]] == [2, 3]
+
+    # snapshot create + list + diff
+    tgt = str(dirs["tgt"] / "users_t")
+    assert main(["snapshot", "create", "--target", tgt]) == 0
+    capsys.readouterr()
+    write_event_batch(
+        str(dirs["ev"]),
+        [{
+            "op": "delete", "seq": 2, "ts": "2024-01-01T00:00:01Z",
+            "source_table": "users", "key_json": json.dumps({"id": 1}),
+            "after_json": None,
+        }],
+        2,
+    )
+    assert main(["run", *_task_args(dirs, spec_path)]) == 0
+    capsys.readouterr()
+    assert main(["snapshot", "create", "--target", tgt]) == 0
+    capsys.readouterr()
+    assert main([
+        "snapshot", "diff", "--target", tgt, "--version", "1", "--version-b", "2",
+        "--keys", "id",
+    ]) == 0
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["diff"] == [{"id": 1, "change": "removed"}]
+
+    # monitor tick prints counts
+    assert main(["monitor", *_task_args(dirs, spec_path)]) == 0
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["monitor"][0]["tgt_count"] == 2
