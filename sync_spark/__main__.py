@@ -74,28 +74,35 @@ def cmd_run(args) -> int:
     # hot-reload loop: rebuild the task on spec change, drain on each
     # poll (the reference reloads config every 10s; --max-cycles keeps
     # the CLI testable / cron-friendly instead of running forever)
-    from sync_spark.streaming.reload import SpecWatcher
+    import hashlib
 
-    state = {"cycles": 0}
+    def _digest() -> str | None:
+        try:
+            with open(args.spec, "rb") as fh:
+                return hashlib.sha256(fh.read()).hexdigest()
+        except OSError:
+            return None
 
-    def build(spec):
-        class _Handle:
-            def stop(self_inner):
-                pass
-
-        return _Handle()
-
-    watcher = SpecWatcher(args.spec, build)
+    # prime with the digest of the spec ALREADY loaded above — the
+    # first cycle must not re-build/re-snapshot an unchanged task
+    current, cycles, reloads = _digest(), 0, 0
     for _ in range(args.max_cycles):
-        reloaded = watcher.poll_once()
-        if reloaded:
-            task = _task(args, spark)
-            task.snapshot()
+        # a torn/invalid spec write mid-poll must not kill the watch
+        # loop: keep the running task, retry next cycle (same contract
+        # as reload.SpecWatcher.run)
+        try:
+            d = _digest()
+            if d is not None and d != current:
+                task = _task(args, spark)
+                task.snapshot()
+                current, reloads = d, reloads + 1
+        except Exception as exc:  # bad spec: keep the old task
+            print(json.dumps({"reload_error": str(exc)[:200]}), file=sys.stderr)
         task.run_cdc_available()
-        state["cycles"] += 1
-        if state["cycles"] < args.max_cycles:
+        cycles += 1
+        if cycles < args.max_cycles:
             time.sleep(args.poll_seconds)
-    print(json.dumps({"cdc": "drained", "cycles": state["cycles"], "reloads": watcher.reload_count}))
+    print(json.dumps({"cdc": "drained", "cycles": cycles, "reloads": reloads}))
     return 0
 
 
@@ -147,6 +154,12 @@ def cmd_replay_dlq(args) -> int:
 def cmd_snapshot(args) -> int:
     from sync_spark.sources import snapshots as S
 
+    if args.action in ("rollback", "diff") and args.version is None:
+        print("error: --version is required for rollback/diff", file=sys.stderr)
+        return 2
+    if args.action == "diff" and args.version_b is None:
+        print("error: --version-b is required for diff", file=sys.stderr)
+        return 2
     spark = _spark("sync_cli_snapshot")
     if args.action == "create":
         v = S.snapshot_create(args.target, note=args.note)

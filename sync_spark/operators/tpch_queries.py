@@ -740,17 +740,22 @@ ORDER BY o_year
 
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11 analog (no partsupp — lineitem revenue stands in for stock
-    value): parts whose total revenue exceeds 0.1% of corpus revenue.
-    The threshold compare runs in EXACT decimals scaled by 10⁴
-    (value·10000 > total), no decimal-division rounding."""
+    value): parts whose revenue exceeds 1.1× the AVERAGE part's — a
+    share-of-total cutoff shrinks with part count and returns zero
+    rows past sf0.001 (a vacuous empty-vs-empty oracle check); the
+    avg-relative form is scale-stable (~30% of parts at every SF).
+    The compare runs in EXACT scaled integers
+    (value·10·n_parts > total·11), no decimal-division rounding."""
     li = _t(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(dec("l_extendedprice")).alias("value")
     )
-    total = per_part.agg(F.sum("value").alias("total"))
+    total = per_part.agg(
+        F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("value") * 10000 > F.col("total") * 10)
+        .filter(F.col("value") * 10 * F.col("n_parts") > F.col("total") * 11)
         .select("l_partkey", F.col("value").cast("double").alias("part_value"))
         .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
     )
@@ -760,10 +765,10 @@ Q11_SQL = """
 WITH per_part AS (
   SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS value
   FROM lineitem GROUP BY l_partkey
-), t AS (SELECT SUM(value) AS total FROM per_part)
+), t AS (SELECT SUM(value) AS total, COUNT(*) AS n_parts FROM per_part)
 SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
 FROM per_part, t
-WHERE value * 10000 > total * 10
+WHERE value * 10 * n_parts > total * 11
 ORDER BY part_value DESC, l_partkey ASC
 """
 

@@ -48,6 +48,12 @@ ENVELOPE_SCHEMA = T.StructType(
         # here; absent/null means the key did not change. Old event
         # logs simply read NULL — schema-compatible.
         T.StructField("before_key_json", T.StringType(), True),
+        # True for events whose after-image ALREADY passed
+        # fieldSecurity (DLQ replays re-inject the secured payload):
+        # the pipeline must not mask/encrypt such rows a second time
+        # (double-encryption corrupts; DLQ payloads are secured by
+        # design so the queue is no plaintext side-channel).
+        T.StructField("secured", T.BooleanType(), True),
     ]
 )
 
@@ -187,7 +193,12 @@ def changes_for_table(
             cols.append(F.coalesce(after[f_.name], key[f_.name]).alias(f_.name))
         else:
             cols.append(after[f_.name].alias(f_.name))
-    main = ev.select(*cols, F.col("op"), F.col("seq"))
+    secured = (
+        F.coalesce(F.col("secured"), F.lit(False))
+        if "secured" in envelope.columns
+        else F.lit(False)
+    )
+    main = ev.select(*cols, F.col("op"), F.col("seq"), secured.alias("secured"))
     changed = pk_changed_pred(envelope.columns, row_schema, key_cols)
     if changed is None:
         return main
@@ -198,5 +209,8 @@ def changes_for_table(
             del_cols.append(bkey[f_.name].alias(f_.name))
         else:
             del_cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
-    dels = ev.filter(changed).select(*del_cols, F.lit("delete").alias("op"), F.col("seq"))
+    dels = ev.filter(changed).select(
+        *del_cols, F.lit("delete").alias("op"), F.col("seq"),
+        F.lit(False).alias("secured"),
+    )
     return main.unionByName(dels)

@@ -95,12 +95,25 @@ def _link_tree(src_dir: str, dst_dir: str) -> int:
     return n
 
 
+def _clean_stale_stages(path: str) -> None:
+    """Drop leaked rollback staging dirs (a crash between _link_tree
+    and the swap leaves a `.rbstage_*` hard-link tree that pins old
+    file bytes; recover_interrupted_swaps only knows the store's own
+    parking names)."""
+    if not os.path.isdir(path):
+        return
+    for e in os.listdir(path):
+        if e.startswith(".rbstage_"):
+            shutil.rmtree(os.path.join(path, e), ignore_errors=True)
+
+
 def snapshot_create(path: str, note: str = "") -> int:
     """Freeze the CURRENT live state as the next version. Staged under
     a dot-tmp name and renamed into place, so a crash mid-link leaves
     no half-registered version (the manifest is only updated after the
     rename)."""
     recover_interrupted_swaps(path)
+    _clean_stale_stages(path)
     manifest = _read_manifest(path)
     # next version accounts for ORPHAN v* dirs too (a crash between
     # the rename below and the manifest append leaves an unreferenced
@@ -164,6 +177,7 @@ def snapshot_rollback(spark: SparkSession, path: str, version: int) -> int:
         raise ValueError(
             f"unknown snapshot version {version} for {path!r}; have {sorted(versions)}"
         )
+    _clean_stale_stages(path)
     safety = snapshot_create(path, note=f"pre-rollback-to-v{version}")
     snap = os.path.join(_snap_root(path), f"v{version}")
     live_buckets = {e for e in os.listdir(path) if e.startswith(f"{BUCKET_COL}=")}

@@ -180,6 +180,21 @@ class CdcPipeline:
 
     # -- micro-batch apply ------------------------------------------------
 
+    def _apply_rules_unsecured(self, df: DataFrame, rules) -> DataFrame:
+        """Apply fieldSecurity ONLY to rows not already secured: DLQ
+        replays re-inject payloads that passed the rules before
+        quarantine, and a second pass would double-encrypt (masking
+        happens to be idempotent; ciphertext is not)."""
+        if not rules:
+            return df
+        if "secured" in df.columns:
+            pre = F.coalesce(F.col("secured"), F.lit(False))
+            fresh = apply_security_rules(
+                df.filter(~pre), rules, key=self.security_key
+            )
+            return fresh.unionByName(df.filter(pre))
+        return apply_security_rules(df, rules, key=self.security_key)
+
     def _null_key_pred(self, t: TableTarget) -> F.Column:
         """Unappliable ⇔ every key column is null (T6)."""
         pred = None
@@ -311,14 +326,12 @@ class CdcPipeline:
                     # crash-replays rewrite the SAME dir, keeping the
                     # DLQ as idempotent as the merge
                     quarantined = changes.filter(self._null_key_pred(t))
-                    if rules:
-                        # the DLQ is a retained, replayable copy — it
-                        # must honor fieldSecurity like the target, or
-                        # it becomes a plaintext side-channel for the
-                        # very fields configured as protected
-                        quarantined = apply_security_rules(
-                            quarantined, rules, key=self.security_key
-                        )
+                    # the DLQ is a retained, replayable copy — it
+                    # must honor fieldSecurity like the target, or
+                    # it becomes a plaintext side-channel for the
+                    # very fields configured as protected (rows from
+                    # a replay are ALREADY secured; skip those)
+                    quarantined = self._apply_rules_unsecured(quarantined, rules)
                     (
                         quarantined
                         .withColumn("reason", F.lit("null_key"))
@@ -357,12 +370,12 @@ class CdcPipeline:
                 touched = sorted({b for r in applied for b in r["buckets"]})
 
                 good = changes.filter(~self._null_key_pred(t))
-                if rules:
-                    # mask/encrypt the after-image columns; key + op +
-                    # seq stay intact for the merge (the constructor
-                    # rejects rules on key columns, so bucket ids are
-                    # unchanged)
-                    good = apply_security_rules(good, rules, key=self.security_key)
+                # mask/encrypt the after-image columns; key + op +
+                # seq stay intact for the merge (the constructor
+                # rejects rules on key columns, so bucket ids are
+                # unchanged). Replayed rows are already secured and
+                # are passed through untouched.
+                good = self._apply_rules_unsecured(good, rules)
 
                 if not os.path.exists(t.target_path):
                     # first events for a table that was never
@@ -506,6 +519,9 @@ def replay_dlq(
     import shutil as _shutil
 
     table_dir = os.path.join(dlq_path, f"table={source_table}")
+    from sync_spark.sources.bucketed import recover_interrupted_swaps
+
+    recover_interrupted_swaps(table_dir)  # heal a crash mid-queue-swap
     if not _glob.glob(os.path.join(table_dir, "batch_id=*")):
         return (0, 0)
     # mergeSchema: quarantine batches written before the retry_count
@@ -545,6 +561,9 @@ def replay_dlq(
                 "source_table": source_table,
                 "key_json": _json.dumps(key),
                 "after_json": None if d["op"] == "delete" else _json.dumps(after),
+                # the DLQ payload already passed fieldSecurity before
+                # quarantine; the pipeline must not re-mask/re-encrypt
+                "secured": True,
             }
         )
     if events:
@@ -564,8 +583,12 @@ def replay_dlq(
         next_id = max(ids, default=9_000_000_000 - 1) + 1
         write_event_batch(event_log_dir, events, next_id)
     # rewrite the queue: only still-bad rows remain, retry bumped;
-    # exhausted rows keep a terminal reason so operators can see them
-    _shutil.rmtree(table_dir, ignore_errors=True)
+    # exhausted rows keep a terminal reason so operators can see them.
+    # Stage-then-swap, NOT rmtree-then-write: a crash between a bare
+    # rmtree and the rewrite would lose the only copy of the still-
+    # quarantined rows (the repo-wide crash-safety discipline;
+    # recover_interrupted_swaps at the top of the next replay heals a
+    # crash mid-swap)
     if bad:
         rows = []
         for r in bad:
@@ -576,9 +599,18 @@ def replay_dlq(
             rc = d["retry_count"] + 1
             reason = d["reason"] if rc < max_retry else "retries_exhausted"
             rows.append((d["op"], d["seq"], reason, payload, rc))
+        stage = f"{table_dir}__stage_{uuid.uuid4().hex[:8]}"
         spark.createDataFrame(
             rows, "op string, seq long, reason string, payload string, retry_count int"
         ).write.mode("overwrite").parquet(
-            os.path.join(table_dir, f"batch_id=replay_{uuid.uuid4().hex[:8]}")
+            os.path.join(stage, f"batch_id=replay_{uuid.uuid4().hex[:8]}")
         )
+        from sync_spark.sources.bucketed import _swap_dir
+
+        _swap_dir(stage, table_dir)
+    else:
+        # everything replayed: the events are durably in the log, so
+        # dropping the queue copy is safe (a crash before this rmtree
+        # re-injects the same (key, seq) events — compaction dedups)
+        _shutil.rmtree(table_dir, ignore_errors=True)
     return (len(events), len(bad))

@@ -425,3 +425,43 @@ def test_dlq_replay_merges_mixed_schemas(spark, pipeline_dirs):
     assert rows[2].retry_count == 3   # modern row: 2 -> 3
     assert rows[2].reason == "retries_exhausted"
     _sh.rmtree(table_dir, ignore_errors=True)
+
+
+def test_dlq_replay_does_not_double_encrypt(spark, pipeline_dirs):
+    """DLQ payloads already passed fieldSecurity; a replay must NOT
+    re-encrypt them (ciphertext-of-ciphertext never decrypts back).
+    The replayed event carries secured=True and the pipeline passes
+    it through the rules untouched."""
+    from sync_spark.functions.security import decrypt_value
+    from sync_spark.streaming.pipeline import replay_dlq
+
+    KEY = "k" * 16
+    spec = SyncSpec(
+        task_id=1,
+        type="parquet",
+        field_security={"users": [FieldSecurity(field="name", security_type="encrypted")]},
+    )
+    _snapshot(spark, pipeline_dirs, [Row(id=1, name="seed", balance=1.0)])
+    bad = _event("insert", 5, "users", {"id": None},
+                 {"id": None, "name": "secret-name", "balance": 42.0})
+    write_event_batch(pipeline_dirs["events"], [bad], 1)
+    pipe = _mk_pipeline(spark, pipeline_dirs, spec=spec, key=KEY)
+    pipe.run_available()
+
+    def fix(df):
+        return df.withColumn("id", F.coalesce(F.col("id"), F.lit(888)))
+
+    replayed, remaining = replay_dlq(
+        spark, pipeline_dirs["dlq"], pipeline_dirs["events"],
+        "users", ROW_SCHEMA, ["id"], fix=fix,
+    )
+    assert (replayed, remaining) == (1, 0)
+    pipe.run_available()
+    row = (
+        spark.read.parquet(pipeline_dirs["target"])
+        .filter(F.col("id") == 888)
+        .select(decrypt_value(F.col("name"), KEY).alias("plain"))
+        .collect()[0]
+    )
+    # single decryption recovers the original => encrypted exactly once
+    assert row.plain == "secret-name"
