@@ -214,3 +214,29 @@ def changes_for_table(
         F.lit(False).alias("secured"),
     )
     return main.unionByName(dels)
+
+
+def prune_event_log(path: str, before_batch_id: int) -> list[str]:
+    """Retention for the file event log: delete ``events-N.jsonl``
+    files with ``N < before_batch_id``. The log otherwise grows
+    forever — the reference deletes its buffer files after apply
+    (mongodb.go:1656-1712 processes then removes); the streaming
+    analog has to keep files until every consumer's CHECKPOINT has
+    committed them, so the cut-off is explicit and caller-owned:
+    prune only below the lowest batch id all checkpoints have passed.
+    Files at/above the cut-off and non-matching names are untouched.
+    Returns the deleted file names (sorted)."""
+    if not os.path.isdir(path):
+        return []
+    deleted = []
+    for entry in sorted(os.listdir(path)):
+        if not (entry.startswith("events-") and entry.endswith(".jsonl")):
+            continue
+        try:
+            bid = int(entry[len("events-"):-len(".jsonl")])
+        except ValueError:
+            continue
+        if bid < before_batch_id:
+            os.remove(os.path.join(path, entry))
+            deleted.append(entry)
+    return deleted

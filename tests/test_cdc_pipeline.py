@@ -465,3 +465,39 @@ def test_dlq_replay_does_not_double_encrypt(spark, pipeline_dirs):
     )
     # single decryption recovers the original => encrypted exactly once
     assert row.plain == "secret-name"
+
+
+def test_prune_event_log_retention(spark, pipeline_dirs):
+    """Pruning committed batches does not disturb a checkpointed
+    pipeline: the stream continues from its checkpoint over the
+    remaining files, and a fresh consumer sees only what's left."""
+    import os as _os
+
+    from sync_spark.sources.cdc import prune_event_log
+
+    _snapshot(spark, pipeline_dirs, [Row(id=1, name="a", balance=1.0)])
+    for i in (1, 2):
+        write_event_batch(
+            pipeline_dirs["events"],
+            [_event("update", i, "users", {"id": 1},
+                    {"id": 1, "name": f"v{i}", "balance": float(i)})],
+            i,
+        )
+    pipe = _mk_pipeline(spark, pipeline_dirs)
+    pipe.run_available()
+    assert _read_target(spark, pipeline_dirs["target"])[1]["name"] == "v2"
+
+    deleted = prune_event_log(pipeline_dirs["events"], before_batch_id=2)
+    assert deleted == ["events-0000000001.jsonl"]
+    remaining = sorted(_os.listdir(pipeline_dirs["events"]))
+    assert "events-0000000002.jsonl" in remaining
+
+    # the checkpointed pipeline keeps working on new batches
+    write_event_batch(
+        pipeline_dirs["events"],
+        [_event("update", 3, "users", {"id": 1},
+                {"id": 1, "name": "v3", "balance": 3.0})],
+        3,
+    )
+    _mk_pipeline(spark, pipeline_dirs).run_available()
+    assert _read_target(spark, pipeline_dirs["target"])[1]["name"] == "v3"
