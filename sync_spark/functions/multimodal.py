@@ -226,7 +226,14 @@ def _decode_png(payload: bytes):
         elif ctype == b"IEND":
             break
         pos += 12 + ln
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # zlib.error is not a ValueError — without this re-raise a
+        # CRC-valid-IHDR / corrupt-IDAT payload would escape the
+        # kernels' except (ValueError, IndexError) guards and kill
+        # the whole Arrow batch, violating the one-bad-row contract.
+        raise ValueError(f"malformed PNG: IDAT inflate failed: {exc}") from exc
     stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("malformed PNG: decompressed size mismatch")

@@ -195,7 +195,14 @@ def snapshot_rollback(spark: SparkSession, path: str, version: int) -> int:
         # leave the bucket MISSING with nothing to recover from
         _swap_dir(stage, dst)
     for b in sorted(live_buckets - snap_buckets):
-        shutil.rmtree(os.path.join(path, b))
+        # park-then-delete (same discipline as _swap_dir): a crash
+        # mid-rmtree on the live name would leave a partially-deleted
+        # bucket visible to readers; renamed to a dot-prefixed parking
+        # name first, the worst case is an invisible leaked dir that
+        # _clean_stale_stages drops on the next snapshot entry
+        doomed = os.path.join(path, f".rbstage_doomed_{uuid.uuid4().hex[:8]}")
+        os.rename(os.path.join(path, b), doomed)
+        shutil.rmtree(doomed, ignore_errors=True)
     meta_src = os.path.join(snap, ".sync_meta.json")
     if os.path.exists(meta_src):
         shutil.copy2(meta_src, os.path.join(path, ".sync_meta.json"))

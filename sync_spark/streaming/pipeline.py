@@ -294,7 +294,16 @@ class CdcPipeline:
                 rows = [r for r in summary if r["table"] == t.source_table]
                 if not rows:
                     continue  # idle table: zero further jobs
-                bad_n = sum(r["n"] for r in rows if r["bad"])
+                # ignored-delete events never reach changes_for_table's
+                # output, so a null-key delete under ignore_deletes
+                # must not count as quarantinable either — otherwise
+                # bad_n disagrees with the frame actually written to
+                # the DLQ (short/empty batch, event silently vanishes)
+                bad_n = sum(
+                    r["n"]
+                    for r in rows
+                    if r["bad"] and not (t.ignore_deletes and r["op"] == DELETE_OP)
+                )
                 good_rows = [r for r in rows if not r["bad"]]
                 # ops the merge will actually execute (ignored deletes
                 # excluded, mirroring what the reference counts in
@@ -505,7 +514,12 @@ def replay_dlq(
     envelope batch (they re-enter the pipeline through the SAME merge
     path — no side-door writes to the target) under a batch id derived
     from the files already present, so repeated replay cycles never
-    reuse a filename the checkpointed stream has marked as seen; rows
+    reuse a filename the checkpointed stream has marked as seen. The
+    replayed events are re-stamped with seq values above the log's
+    current max, so the replay semantics are REPLAY-WINS: a repaired
+    event overwrites any live update the stream applied for the same
+    key since quarantine (compaction ordering reflects replay time,
+    not original event time). Rows
     still bad get retry_count+1 and are rewritten in place, and rows
     that exhausted ``max_retry`` stay parked with a terminal reason.
 
@@ -548,9 +562,25 @@ def replay_dlq(
     good = parsed.filter(key_ok).collect()
     bad = parsed.filter(~key_ok).collect()
 
+    # Re-stamp replayed events with fresh seq values ABOVE the log's
+    # current max (relative order among replayed rows preserved): the
+    # target stores no seq, so a replayed OLD after-image merged after
+    # a newer live update for the same key would silently win on
+    # original-seq compaction ties-by-arrival. Stamping at
+    # replay time makes compaction ordering reflect the operator's
+    # intent — replay-wins — explicitly rather than by accident.
+    all_log = _glob.glob(os.path.join(event_log_dir, "events-*.jsonl"))
+    if all_log:
+        max_seq = (
+            spark.read.schema("seq long").json(all_log).agg(F.max("seq")).first()[0]
+            or 0
+        )
+    else:
+        max_seq = 0
     events = []
-    for r in good:
+    for i, r in enumerate(sorted(good, key=lambda r: (r["seq"] is None, r["seq"]))):
         d = r.asDict()
+        d["seq"] = max_seq + 1 + i
         key = {k: d[k] for k in key_cols}
         after = {f.name: d[f.name] for f in row_schema.fields}
         events.append(
