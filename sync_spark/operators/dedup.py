@@ -59,21 +59,32 @@ def spread_for_kernel(df: DataFrame, min_partitions: int = 0) -> DataFrame:
     full CPU width costs more in task-launch waves than the kernel
     itself (measured 0.71s at 32-way vs 0.51s at 8-way for the sf0.1
     winnow kernel), while at real scale the cap takes over."""
-    sc = df.sparkSession.sparkContext
-    cap = sc.defaultParallelism
-    if min_partitions:
-        target = min(min_partitions, cap)
-    else:
-        try:
-            size = int(
-                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-            )
-        except Exception:  # stats unavailable → assume big
-            size = 1 << 40
-        target = max(2, min(cap, size // _KERNEL_CHUNK_BYTES + 1))
+    target = kernel_spread_width(df, min_partitions)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def kernel_spread_width(df: DataFrame, min_partitions: int = 0) -> int:
+    """The task-width calculation behind ``spread_for_kernel``,
+    exposed for SQL-string kernels that need the number for a
+    ``REPARTITION(n)`` hint (a DataFrame-side repartition can't be
+    injected into a ``spark.sql`` pipeline without splitting it into
+    two analysis passes). Sized from the optimizer's byte estimate —
+    ~one task per 32 KB at toy scale, capped at defaultParallelism at
+    real scale — so a hinted SQL kernel scales exactly like the
+    DataFrame form."""
+    sc = df.sparkSession.sparkContext
+    cap = sc.defaultParallelism
+    if min_partitions:
+        return min(min_partitions, cap)
+    try:
+        size = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # stats unavailable → assume big
+        size = 1 << 40
+    return max(2, min(cap, size // _KERNEL_CHUNK_BYTES + 1))
 
 
 def gram_array(toks: Column, k: int) -> Column:

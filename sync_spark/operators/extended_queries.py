@@ -62,6 +62,12 @@ ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
 
 
 def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions via the reusable ``sessionize`` operator.
+    No final ORDER BY (round 5): the driver's compare sorts rows
+    before hashing, so the global range-sort (a sampling pass + an
+    extra exchange) bought nothing — same reasoning as
+    a_session_window_agg; oracle updated to match (set semantics on
+    both sides)."""
     ev = _t(spark, sf_dir, "events")
     s = sessionize(ev, key="user_id", ts="ts", gap_seconds=1800, order_tiebreak="event_id")
     return (
@@ -71,7 +77,6 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
             F.sum(dec("value")).cast("double").alias("session_value"),
         )
-        .orderBy("user_id", "session_id")
     )
 
 
@@ -94,7 +99,6 @@ SELECT user_id, session_id, COUNT(*) AS n_events,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
 FROM sessions GROUP BY user_id, session_id
-ORDER BY user_id, session_id
 """
 
 
@@ -528,32 +532,49 @@ GROUP BY ws ORDER BY window_start
 
 
 def a_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T9 extension: per-user SESSION windows via the builtin
-    ``session_window(ts, '30 minutes')`` (start = first event, end =
-    last event + gap; events merge while each arrives strictly within
-    the gap). The builtin is the streaming-capable form of the manual
-    sessionize operator (x_sessionize); the oracle recomputes the
-    same sessions with the lag/cumsum construction, using the
-    builtin's STRICT overlap rule (a gap of exactly 30:00 starts a
-    new session). No final ORDER BY on either side: the result is a
-    session SET (the driver's compare sorts before hashing), and the
-    global range-sort was measured at half the query's runtime — a
-    sampling pass plus an extra exchange for ordering nobody needs."""
+    """T9 extension: per-user SESSION windows (start = first event,
+    end = last event + gap; events merge while each arrives strictly
+    within the gap — a gap of exactly 30:00 starts a new session,
+    the builtin ``session_window``'s STRICT rule).
+
+    Round-5 form: the lag/cumsum construction (the same kernel the
+    oracle runs) instead of the batch ``session_window`` builtin —
+    verified result-identical at sf0.1. Both plans pay exactly one
+    hash(user_id) exchange, but the builtin stacks a struct-keyed
+    partial HashAggregate + MergingSessions + final HashAggregate on
+    top of the sort, where this form is two same-spec window passes
+    (lag, running sum — second pass reuses the first's sort) feeding
+    a final aggregate whose user_id-prefixed grouping needs NO new
+    exchange. Built as one spark.sql analysis pass. The builtin
+    session_window stays the STREAMING path (state-store merges,
+    streaming/windows.py) where its incremental merge semantics are
+    the point; in batch it is pure overhead. No final ORDER BY on
+    either side: the result is a session SET (the driver's compare
+    sorts before hashing), and the global range-sort was measured at
+    half the query's runtime."""
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("session_value"),
-        )
-        .select(
-            "user_id",
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
-            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_end"),
-            "n_events",
-            "session_value",
-        )
-    )
+    ev.createOrReplaceTempView("__sess_events")
+    return spark.sql("""
+WITH flagged AS (
+  SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR unix_micros(ts) - lag(unix_micros(ts)) OVER w >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM __sess_events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       date_format(MIN(ts), 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS session_start,
+       date_format(MAX(ts) + INTERVAL 30 MINUTES, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM sessions GROUP BY user_id, sid
+""")
 
 
 A_SESSION_WINDOW_SQL = """

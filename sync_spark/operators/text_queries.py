@@ -1349,45 +1349,101 @@ def t_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mercy of each engine's libm). Ties break on token asc; tokens
     shorter than 3 chars are dropped (stopword stand-in).
 
-    Shape: one explode → (doc, tok) counts (partial agg), df from the
-    same aggregate (count over docs per token), one join on tok
-    (aggregated side, vocab-scale — AQE broadcasts it when small,
-    degrades to a skew-free shuffle otherwise), one bounded per-doc
-    window, no global sort (the driver gate sorts before hashing).
-    Bench note: at sf0.1 this plan is scheduler-wave-bound (~1s for
-    six tiny stages; the explode alone costs 0.9s of waves on 260k
-    rows) — the per-row work is where DuckDB spends its time, so the
-    ratio improves, not degrades, with scale."""
-    from pyspark.sql.window import Window
+    Shape (round-5 fusion of the r4 plan, which paid a (doc,tok)
+    groupBy shuffle plus a separate df aggregate plus a 1-row n_docs
+    crossJoin): term frequencies are now computed IN-ROW — sort the
+    doc's filtered token array, find group starts, zip starts with
+    their successors — so the tf table exists with NO tf shuffle at
+    all; df remains a map-side-partial aggregate over a column-pruned
+    copy of the same kernel (Catalyst strips doc_len from that copy —
+    one split() evaluation, not two, and its shuffle is vocab-grain
+    tiny); n_docs folds in as a literal read from the
+    parquet footer (no crossJoin, no job); the per-doc top-5 stays a
+    bounded ROW_NUMBER window (rk <= 5 triggers WindowGroupLimit
+    pushdown). The whole pipeline is ONE spark.sql analysis pass —
+    the r4 withColumn chain spent ~0.5s of the query's 1.05s in
+    Python-side plan construction alone. (A count() OVER
+    (PARTITION BY tok) window instead of the df aggregate measured
+    ~15% faster at sf0.1 but was rejected: see the 100 TB note.)
+
+    100 TB posture: the df side stays an aggregate-then-join (NOT a
+    count() OVER (PARTITION BY tok) window, which would put every
+    posting of a hot token like 'the' in one partition with no
+    mitigation); the aggregate absorbs hot tokens map-side and AQE
+    picks broadcast vs skew-split shuffle for the join by measured
+    size. In-row per-doc work is embarrassingly parallel; the kernel
+    width hint is sized from the optimizer's byte estimate and capped
+    at defaultParallelism, so at real scale it is a no-op."""
+    from sync_spark.sources.readers import table_rowcount
 
     d = _t(spark, sf_dir, "documents")
-    toks = dedup.spread_for_kernel(
-        d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
-    )
-    tok_rows = toks.select(
-        "doc_id", F.size("toks").alias("doc_len"), F.explode("toks").alias("tok")
-    ).filter(F.length("tok") >= 3)
-    tf = tok_rows.groupBy("doc_id", "doc_len", "tok").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(df_tbl, "tok")
-        .join(F.broadcast(n_docs))
-        .withColumn(
-            "score_e6",
-            F.expr("(tf * 1000000 * n_docs) DIV (df * doc_len)").cast("long"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score_e6").desc(), F.col("tok").asc()
-    )
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("doc_id", F.col("rk").cast("long").alias("rk"), "tok", "score_e6")
-    )
+    n_docs = table_rowcount(sf_dir, "documents")
+    if n_docs is None:
+        n_docs = d.count()
+    width = dedup.kernel_spread_width(d.select("doc_id", "text"))
+    d.createOrReplaceTempView("__kw_documents")
+    return spark.sql(f"""
+WITH spread AS (
+  SELECT /*+ REPARTITION({width}) */ doc_id, text FROM __kw_documents
+), kern AS (
+  -- in-row tf kernel stage 1: full-token doc_len + sorted filtered
+  -- tokens. Staged CTE projections (not one big expression) keep
+  -- every HOF lambda reading only attributes — the repo-wide guard
+  -- against per-element re-evaluation of inlined subexpressions
+  SELECT doc_id,
+         size(CASE WHEN length(trim(text)) = 0 THEN array() ELSE split(trim(text), '\\\\s+') END) AS doc_len,
+         array_sort(filter(CASE WHEN length(trim(text)) = 0 THEN array() ELSE split(trim(text), '\\\\s+') END,
+                    x -> length(x) >= 3)) AS s
+  FROM spread
+), st AS (
+  -- group starts: positions where the sorted run changes. get() is
+  -- 0-based and null-safe, so position 0 compares against NULL and
+  -- <=> makes that a start (a bare != would 3VL-drop it)
+  SELECT doc_id, doc_len, s,
+         CASE WHEN size(s) < 1 THEN array()
+              ELSE filter(sequence(0, size(s) - 1), i -> NOT (get(s, i) <=> get(s, i - 1))) END AS starts
+  FROM kern
+), pairs AS (
+  -- tf = distance to the next group start (zip against the shifted
+  -- starts, tail-padded with the array length)
+  SELECT doc_id, doc_len,
+         CASE WHEN size(starts) < 1 THEN array()
+              ELSE zip_with(starts,
+                            concat(slice(starts, 2, greatest(size(starts) - 1, 0)), array(size(s))),
+                            (a, b) -> struct(get(s, a) AS tok, CAST(b - a AS BIGINT) AS tf)) END AS ps
+  FROM st
+), tfrm AS (
+  -- OUTER explode + null filter, not explode(attr):
+  -- InferFiltersFromGenerate would push a size()>0 filter that
+  -- re-evaluates the kernel chain per row
+  SELECT doc_id, doc_len, p.tok AS tok, p.tf AS tf
+  FROM pairs LATERAL VIEW OUTER explode(ps) AS p
+  WHERE p IS NOT NULL AND p.tok IS NOT NULL
+), df_tbl AS (
+  -- df consumes a column-PRUNED copy of the kernel (only the sorted
+  -- token array survives pruning — one split, no doc_len), feeding a
+  -- map-side partial COUNT whose shuffle is vocab-grain tiny.
+  -- Catalyst's prune-then-recompute beats materializing a common
+  -- exchange here (a REPARTITION(tok) barrier was measured slower:
+  -- it shuffles the full posting frame, and column pruning makes the
+  -- two copies non-identical so ReuseExchange never fires anyway)
+  SELECT tok, COUNT(*) AS df FROM tfrm GROUP BY tok
+), scored AS (
+  -- no BROADCAST hint: vocab is heavy-tailed and unbounded at 100 TB
+  -- (a forced broadcast is the OOM hazard the r4 review flagged on
+  -- user-grain frames); AQE measures df_tbl post-shuffle and picks
+  -- broadcast at bench scale, skew-split shuffle at real scale.
+  -- The probe side reuses tfrm's exchange either way.
+  SELECT tfrm.doc_id, tfrm.tok,
+         (tfrm.tf * 1000000 * {n_docs}) DIV (df_tbl.df * tfrm.doc_len) AS score_e6
+  FROM tfrm JOIN df_tbl ON tfrm.tok = df_tbl.tok
+)
+SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok, CAST(score_e6 AS BIGINT) AS score_e6
+FROM (SELECT doc_id, tok, score_e6,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_e6 DESC, tok ASC) AS rk
+      FROM scored)
+WHERE rk <= 5
+""")
 
 
 T_KEYWORD_SQL = r"""

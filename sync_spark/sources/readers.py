@@ -81,3 +81,29 @@ def _is_nanos_column(path: str, column: str) -> bool:
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def table_rowcount(sf_dir: str, name: str) -> int | None:
+    """Exact row count from the parquet footer(s), no Spark job — the
+    cheap way to fold a COUNT(*) scalar (e.g. a TF-IDF corpus size)
+    into a query as a literal instead of a 1-row-aggregate crossJoin.
+    Footer row counts are exact by the parquet spec, so this is the
+    same number a full COUNT(*) scan produces. Handles a single file
+    or a directory of part files; returns None when the layout is
+    anything else (remote storage, open writers) — callers fall back
+    to a distributed count."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        if os.path.isdir(path):
+            return sum(
+                pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+    except Exception:
+        return None
+    return None
