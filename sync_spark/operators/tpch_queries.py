@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sync_spark.operators.relational import _t, dec
 
@@ -835,4 +836,203 @@ WHERE o_orderstatus = 'F'
 GROUP BY s_suppkey, s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q20 analogs over a SYNTHESIZED partsupp (the fixture ships no
+# partsupp table): distinct (l_partkey, l_suppkey) pairs from lineitem
+# with deterministic key-derived availqty/supplycost — pure integer
+# arithmetic, so BOTH engines derive bit-identical tables from the
+# same parquet. These close the last two of the 22 classic join
+# shapes: the min-cost-supplier correlated scalar subquery (Q2) and
+# the quantity-threshold semi-join chain (Q20).
+# ---------------------------------------------------------------------------
+
+# shared CTE text — prepended to both oracles so the synthesized
+# table is definitionally identical across engines
+PARTSUPP_CTE = """WITH partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST((l_partkey * 37 + l_suppkey * 17) % 9999 + 1 AS BIGINT) AS ps_availqty,
+         CAST((l_partkey * 13 + l_suppkey * 7) % 100000 + 1 AS BIGINT) AS ps_supplycost_c
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+)
+"""
+
+
+def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of PARTSUPP_CTE. One distinct (= partial-agg
+    shuffle on the pair key — uniform, high-cardinality); the derived
+    columns are key arithmetic, no extra pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_partkey", "l_suppkey").distinct().select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        ((F.col("l_partkey") * 37 + F.col("l_suppkey") * 17) % 9999 + 1)
+        .cast("long")
+        .alias("ps_availqty"),
+        ((F.col("l_partkey") * 13 + F.col("l_suppkey") * 7) % 100000 + 1)
+        .cast("long")
+        .alias("ps_supplycost_c"),
+    )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 analog: for small LARGE-type parts, the EUROPE supplier(s)
+    offering the minimum supply cost — the classic correlated scalar
+    subquery, decorrelated as a per-part window MIN over the eligible
+    (region-restricted) partsupp rows.
+
+    ONE data shuffle for the whole query: the qualifying-part filter
+    broadcasts into a semi-join that prunes lineitem BEFORE the pair
+    distinct (semantics-preserving — partsupp rows are per (part,
+    supp) and the predicate is on part); the explicit
+    repartition(l_partkey) then satisfies BOTH the distinct's
+    (l_partkey, l_suppkey) clustering AND the window's ps_partkey
+    partitioning (subset rule), so neither adds an exchange; the
+    supplier/nation/region dims broadcast and BroadcastHashJoin
+    preserves the partitioning; MIN OVER (PARTITION BY ps_partkey)
+    replaces the aggregate + self-join of the textbook decorrelation
+    (which would recompute the eligible frame or shuffle it twice) —
+    per-part fan is bounded by suppliers-per-part, so the window key
+    is uniform, not skewed; the top-100 is TakeOrderedAndProject, no
+    global sort. Synthesized partsupp per PARTSUPP_CTE."""
+    li = _t(spark, sf_dir, "lineitem")
+    p_f = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_type")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == r.r_regionkey, "left_semi"
+    )
+    pairs = (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(p_f.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .repartition("l_partkey")
+        .distinct()
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            ((F.col("l_partkey") * 13 + F.col("l_suppkey") * 7) % 100000 + 1)
+            .cast("long")
+            .alias("ps_supplycost_c"),
+        )
+    )
+    eligible = pairs.join(F.broadcast(s), pairs.ps_suppkey == s.s_suppkey).join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("ps_supplycost_c").over(w))
+        .filter(F.col("ps_supplycost_c") == F.col("min_cost"))
+        .join(F.broadcast(p_f), F.col("ps_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost_c")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+Q2_SQL = PARTSUPP_CTE + """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost_c
+FROM part, supplier, partsupp, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size <= 15 AND p_type = 'LARGE'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  AND ps_supplycost_c = (
+    SELECT MIN(ps2.ps_supplycost_c)
+    FROM partsupp ps2, supplier s2, nation n2, region r2
+    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 analog: suppliers (of one region's nations) holding more
+    than half the 1996 shipped quantity of any 'small %' part they
+    supply — the nested IN / correlated-quantity-threshold semi-join
+    chain.
+
+    Decorrelation FUSES the synthesized partsupp with the correlated
+    SUM: the distinct (partkey, suppkey) pairs ARE the aggregate's
+    group keys, so one conditional aggregate over the part-pruned
+    lineitem — SUM(CASE WHEN in-date-window THEN quantity END) —
+    yields the pair table and the correlated quantity in the SAME
+    single shuffle (the r5 first cut materialized partsupp and the
+    window sum as two aggregates joined on the pair key — double the
+    shuffles for identical semantics). A NULL sum (no shipments in
+    the window) is filtered, exactly the oracle's NULL-comparison
+    exclusion; ps_availqty is key arithmetic applied post-aggregate;
+    the threshold compares in DECIMAL so both engines are exact.
+    The supplier restriction is a semi-join against the excess pairs
+    (supplier-grain; no forced broadcast — millions of suppliers at
+    100 TB, AQE picks broadcast when measured size allows) and a
+    broadcast nation semi-join. Synthesized partsupp per
+    PARTSUPP_CTE."""
+    li = _t(spark, sf_dir, "lineitem")
+    p_small = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    in_window = (
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    ) & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    g = (
+        li.select("l_partkey", "l_suppkey", "l_shipdate", "l_quantity")
+        .join(
+            F.broadcast(p_small),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.when(in_window, dec("l_quantity"))).alias("q"))
+    )
+    availqty = ((F.col("l_partkey") * 37 + F.col("l_suppkey") * 17) % 9999 + 1).cast(
+        "long"
+    )
+    excess = g.filter(
+        F.col("q").isNotNull() & ((availqty * 2).cast("decimal(18,2)") > F.col("q"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    return (
+        s.join(
+            excess.select(F.col("l_suppkey").alias("k")),
+            s.s_suppkey == F.col("k"),
+            "left_semi",
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = PARTSUPP_CTE + """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT ps_suppkey FROM partsupp
+  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    AND CAST(2 * ps_availqty AS DECIMAL(18,2)) > (
+      SELECT SUM(CAST(l_quantity AS DECIMAL(18,2))) FROM lineitem
+      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+  AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+ORDER BY s_name ASC
 """

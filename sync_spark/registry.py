@@ -179,6 +179,8 @@ def _populate() -> None:
     register("q8_market_share", th.q8_market_share, th.Q8_SQL)
     register("q11_important_parts", th.q11_important_parts, th.Q11_SQL)
     register("q21_waiting_suppliers", th.q21_waiting_suppliers, th.Q21_SQL)
+    register("q2_min_cost_supplier", th.q2_min_cost_supplier, th.Q2_SQL)
+    register("q20_excess_suppliers", th.q20_excess_suppliers, th.Q20_SQL)
 
     from sync_spark.operators import media_queries as mq
 

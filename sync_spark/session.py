@@ -72,13 +72,16 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
         "documents",
         "embeddings",
     ]
-    from sync_spark.sources.readers import read_parquet
+    from sync_spark.sources.readers import read_table
 
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            df = read_parquet(spark, path)  # handles TIMESTAMP(NANOS)
+            # read_table memoizes the immutable corpus per session —
+            # a ten-table registration pass was paying ~1s of repeated
+            # listing + footer inference per call otherwise
+            df = read_table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

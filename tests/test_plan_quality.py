@@ -233,3 +233,41 @@ def test_lm_score_vocab_join_broadcasts(spark, sf_small):
     plan = plan_of(t_lm_score(spark, sf_small))
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_q2_single_data_shuffle_window_min(spark, sf_small):
+    """Q2's decorrelated min-cost: exactly ONE data exchange (the
+    repartition(l_partkey) feeding both the pair distinct and the
+    per-part window via the subset-clustering rule), dims broadcast,
+    top-100 via TakeOrderedAndProject — the properties that make the
+    shape scale."""
+    from sync_spark.operators.tpch_queries import q2_min_cost_supplier
+
+    df = q2_min_cost_supplier(spark, sf_small)
+    df.collect()
+    # final plan only: AQE's toString echoes the Initial Plan below it
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # hashpartitioning exchanges: only the single repartition — the
+    # distinct and the window both reuse its clustering
+    import re
+
+    data_exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert len(data_exchanges) == 1, data_exchanges
+
+
+def test_q20_fused_aggregate_single_shuffle(spark, sf_small):
+    """Q20's partsupp synthesis and correlated quantity sum are ONE
+    conditional aggregate: a single pair-key exchange, no join
+    between two lineitem-derived frames, no sort-merge join."""
+    from sync_spark.operators.tpch_queries import q20_excess_suppliers
+
+    df = q20_excess_suppliers(spark, sf_small)
+    df.collect()
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan
+    import re
+
+    data_exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
+    assert len(data_exchanges) == 1, data_exchanges
