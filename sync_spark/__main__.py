@@ -85,7 +85,7 @@ def cmd_run(args) -> int:
 
     # prime with the digest of the spec ALREADY loaded above — the
     # first cycle must not re-build/re-snapshot an unchanged task
-    current, cycles, reloads = _digest(), 0, 0
+    current, cycles, reloads, pruned = _digest(), 0, 0, 0
     for _ in range(args.max_cycles):
         # a torn/invalid spec write mid-poll must not kill the watch
         # loop: keep the running task, retry next cycle (same contract
@@ -99,10 +99,18 @@ def cmd_run(args) -> int:
         except Exception as exc:  # bad spec: keep the old task
             print(json.dumps({"reload_error": str(exc)[:200]}), file=sys.stderr)
         task.run_cdc_available()
+        if args.retain_committed:
+            # unattended loops must not grow the log forever: drop
+            # exactly what the checkpoint has committed (path-precise;
+            # an unprocessed file can never match)
+            pruned += len(task.prune_committed_events())
         cycles += 1
         if cycles < args.max_cycles:
             time.sleep(args.poll_seconds)
-    print(json.dumps({"cdc": "drained", "cycles": cycles, "reloads": reloads}))
+    out = {"cdc": "drained", "cycles": cycles, "reloads": reloads}
+    if args.retain_committed:
+        out["pruned_files"] = pruned
+    print(json.dumps(out))
     return 0
 
 
@@ -198,6 +206,12 @@ def main(argv=None) -> int:
     p.add_argument("--watch", action="store_true")
     p.add_argument("--poll-seconds", type=float, default=10.0)
     p.add_argument("--max-cycles", type=int, default=1)
+    p.add_argument(
+        "--retain-committed",
+        action="store_true",
+        help="after each drain, delete event files the checkpoint has "
+        "committed (checkpoint-aware retention)",
+    )
     p.set_defaults(fn=cmd_run)
 
     p = sub.add_parser("monitor", help="one row-count tick")

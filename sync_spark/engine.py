@@ -122,6 +122,19 @@ class SyncTask:
         """Drain the event log (batch-style catch-up)."""
         self.pipeline().run_available()
 
+    def prune_committed_events(self) -> list:
+        """Checkpoint-aware event-log retention: drop exactly the
+        files THIS task's streaming checkpoint has committed (see
+        auto_prune_event_log — path-set precise, never an id
+        threshold). Safe to call after every drain; a task that has
+        never run simply deletes nothing."""
+        from sync_spark.sources.cdc import auto_prune_event_log
+
+        return auto_prune_event_log(
+            self.event_log_dir,
+            os.path.join(self.checkpoint_root, f"task-{self.spec.task_id}"),
+        )
+
     def execute(self, query: str, kv: Optional[DataFrame] = None):
         """The reference's /sql/execute endpoint surface on THIS
         task's targets (pkg/api/auth_handler.go:1267-1883, cited for

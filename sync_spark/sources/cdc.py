@@ -216,6 +216,94 @@ def changes_for_table(
     return main.unionByName(dels)
 
 
+def committed_event_files(checkpoint_dir: str) -> set[str]:
+    """Absolute paths of event-log files whose processing the
+    Structured Streaming checkpoint has COMMITTED — the safe-to-delete
+    set for retention.
+
+    Derivation walks the checkpoint's own WAL (public on-disk layout):
+    ``commits/<b>`` marks batch b fully applied; ``offsets/<b>``
+    records, per source, the file-source metadata-log index that batch
+    read up to (``{"logOffset": k}``); ``sources/0/<j>`` (and the
+    periodic ``<j>.compact`` rollups) list the concrete files
+    discovered at index j. Everything listed at an index <= the last
+    COMMITTED logOffset has been both read and applied. A planned-but-
+    uncommitted batch (offsets written, commits absent — the crash
+    window) is correctly excluded because the cut is taken at
+    max(commits), not max(offsets). Single-source checkpoints only
+    (the CdcPipeline reads exactly one file stream)."""
+    import json as _json
+    from urllib.parse import unquote, urlparse
+
+    commits_dir = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(commits_dir):
+        return set()
+    committed = [
+        int(e) for e in os.listdir(commits_dir) if e.isdigit()
+    ]
+    if not committed:
+        return set()
+    offsets_file = os.path.join(checkpoint_dir, "offsets", str(max(committed)))
+    try:
+        with open(offsets_file) as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+        # v1 header, metadata json, then one offset line per source
+        log_offset = _json.loads(lines[2])["logOffset"]
+    except (OSError, IndexError, KeyError, TypeError, ValueError):
+        return set()
+    paths: set[str] = set()
+    src_dir = os.path.join(checkpoint_dir, "sources", "0")
+    if not os.path.isdir(src_dir):
+        return set()
+    for entry in os.listdir(src_dir):
+        base = entry[: -len(".compact")] if entry.endswith(".compact") else entry
+        if not base.isdigit() or int(base) > log_offset:
+            continue
+        try:
+            with open(os.path.join(src_dir, entry)) as fh:
+                for ln in fh:
+                    ln = ln.strip()
+                    if not ln or ln == "v1":
+                        continue
+                    rec = _json.loads(ln)
+                    p = urlparse(rec["path"])
+                    if p.scheme in ("file", ""):
+                        paths.add(os.path.abspath(unquote(p.path)))
+        except (OSError, KeyError, ValueError):
+            continue
+    return paths
+
+
+def auto_prune_event_log(event_log_dir: str, checkpoint_dir: str) -> list[str]:
+    """Checkpoint-aware retention: delete exactly the event files the
+    streaming checkpoint has committed — the caller-owned cut-off of
+    ``prune_event_log`` derived automatically, and by PATH rather than
+    by id threshold. An id cut-off would be wrong here: DLQ-replayed
+    batches carry ids in the reserved 9e9 range (never-reuse rule), so
+    "max committed id + 1" would leap over — and delete — newer NORMAL
+    batches the stream has not consumed yet. Matching the committed
+    path set cannot touch an unprocessed file by construction.
+
+    Caveat (documented, not a correctness hole): ``replay_dlq``
+    re-stamps repaired events above the max seq found in the LOG;
+    pruning shrinks what that scan sees, so an operator replaying
+    long-delayed repairs after aggressive retention should expect
+    replay-wins ordering relative to the retained suffix only.
+    Returns deleted file names (sorted)."""
+    committed = committed_event_files(checkpoint_dir)
+    if not committed or not os.path.isdir(event_log_dir):
+        return []
+    deleted = []
+    for entry in sorted(os.listdir(event_log_dir)):
+        if not (entry.startswith("events-") and entry.endswith(".jsonl")):
+            continue
+        full = os.path.abspath(os.path.join(event_log_dir, entry))
+        if full in committed:
+            os.remove(full)
+            deleted.append(entry)
+    return deleted
+
+
 def prune_event_log(path: str, before_batch_id: int) -> list[str]:
     """Retention for the file event log: delete ``events-N.jsonl``
     files with ``N < before_batch_id``. The log otherwise grows
