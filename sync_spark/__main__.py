@@ -15,6 +15,9 @@ exactly what it needs instead of adopting a long-running daemon:
               live target footers)
   snapshot    create / list / rollback / diff / expire time-travel
               versions on a bucketed target
+  backup      run one BackupSpec export (§3.2 expand→group→prune→
+              export; the reference schedules this cron→HTTP,
+              cronjob.go — a scheduler calls the verb directly here)
 
 Row schemas for ``run`` are inferred from the SOURCE parquet files
 (the spec names tables; parquet footers carry their types) — the same
@@ -159,6 +162,45 @@ def cmd_replay_dlq(args) -> int:
     return 0
 
 
+def cmd_backup(args) -> int:
+    """The reference drives backups cron→HTTP (pkg/cronjob/cronjob.go
+    scheduling backup.Executor runs — cited for parity, not ported);
+    here a scheduler calls this verb directly. The spec is a
+    BackupSpec JSON (tables/regexes, per-table projections, date
+    window, jsonl|csv, gzip); sources are the parquet tables under
+    --source-dir; artifacts land in --out-dir and their paths are
+    printed as JSON."""
+    from datetime import date as _date
+
+    from sync_spark.engine import run_backup_task
+    from sync_spark.spec import BackupSpec
+
+    spark = _spark("sync_cli_backup")
+    with open(args.spec) as fh:
+        spec = BackupSpec.from_json(fh.read())
+    catalog = sorted(
+        f[: -len(".parquet")]
+        for f in os.listdir(args.source_dir)
+        if f.endswith(".parquet")
+    )
+
+    def load_table(name: str):
+        return spark.read.parquet(os.path.join(args.source_dir, f"{name}.parquet"))
+
+    run_day = _date.fromisoformat(args.run_day) if args.run_day else None
+    paths = run_backup_task(
+        spark,
+        spec,
+        catalog=catalog,
+        load_table=load_table,
+        out_dir=args.out_dir,
+        run_day=run_day,
+        ts_col=args.ts_col,
+    )
+    print(json.dumps({"backup": spec.name, "artifacts": paths}))
+    return 0
+
+
 def cmd_snapshot(args) -> int:
     from sync_spark.sources import snapshots as S
 
@@ -232,6 +274,14 @@ def main(argv=None) -> int:
     p.add_argument("--table", required=True)
     p.add_argument("--keys", required=True, help="comma-separated key columns")
     p.set_defaults(fn=cmd_replay_dlq)
+
+    p = sub.add_parser("backup", help="run one BackupSpec export")
+    p.add_argument("--spec", required=True, help="BackupSpec JSON path")
+    p.add_argument("--source-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--run-day", default=None, help="YYYY-MM-DD (default: today)")
+    p.add_argument("--ts-col", default=None)
+    p.set_defaults(fn=cmd_backup)
 
     p = sub.add_parser("snapshot", help="time-travel versions")
     p.add_argument("action", choices=["create", "list", "rollback", "diff", "expire"])

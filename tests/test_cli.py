@@ -118,3 +118,40 @@ def test_cli_run_execute_snapshot(spark, tmp_path, capsys):
     assert main(["monitor", *_task_args(dirs, spec_path)]) == 0
     payload = json.loads(capsys.readouterr().out.strip())
     assert payload["monitor"][0]["tgt_count"] == 2
+
+
+def test_cli_backup_verb(spark, tmp_path, capsys):
+    """`python -m sync_spark backup --spec ...` produces the export
+    artifact (round-5 task 6: run_backup_task had no CLI entry; the
+    reference drives it cron->HTTP, cronjob.go)."""
+    import gzip
+
+    dirs, _ = _setup(spark, tmp_path)
+    bspec = tmp_path / "backup.json"
+    bspec.write_text(json.dumps({
+        "name": "nightly",
+        "tables": ["users"],
+        "fields": {"users": ["id", "name"]},
+        "format": "jsonl",
+        "compression": "gzip",
+        "fileNamePattern": "{table}_{YYYY}-{MM}-{DD}",
+    }))
+    out_dir = tmp_path / "backups"
+    assert main([
+        "backup", "--spec", str(bspec),
+        "--source-dir", str(dirs["src"]),
+        "--out-dir", str(out_dir),
+        "--run-day", "2024-03-05",
+    ]) == 0
+    payload = json.loads(capsys.readouterr().out.strip())
+    assert payload["backup"] == "nightly" and len(payload["artifacts"]) == 1
+    art = payload["artifacts"][0]
+    assert "users_2024-03-05" in art
+    rows = []
+    import glob as _glob
+    import os as _os
+    files = [art] if _os.path.isfile(art) else _glob.glob(_os.path.join(art, "*.gz"))
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            rows += [json.loads(ln) for ln in fh if ln.strip()]
+    assert sorted(r["id"] for r in rows) == [1, 2]
