@@ -129,6 +129,12 @@ def run(n_batches: int, per_batch: int, workdir: str) -> dict:
     from sync_spark.streaming.pipeline import CdcPipeline, TableTarget, snapshot_if_empty
 
     spark = get_spark("sync_spark_streaming_bench")
+    # the progress ring buffer defaults to 100 entries — a --batches
+    # beyond that would silently drop batches from the latency sums
+    # and inflate the sustained rate (no-silent-caps rule)
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates", str(n_batches + 10)
+    )
     dirs = {k: os.path.join(workdir, k) for k in ["events", "target", "ckpt", "dlq"]}
     schema = T.StructType(
         [
@@ -185,8 +191,15 @@ def run(n_batches: int, per_batch: int, workdir: str) -> dict:
     ]
     sustained = None
     if len(by_time) > 1:
+        if len(by_time) < n_batches:
+            print(
+                f"# WARNING: only {len(by_time)}/{n_batches} batch progress "
+                "entries retained; sustained rate computed over those only",
+                file=sys.stderr,
+            )
+        observed_events = per_batch * len(by_time)
         sustained = round(
-            (total_events - per_batch) / (sum(by_time[1:]) / 1000.0), 1
+            (observed_events - per_batch) / (sum(by_time[1:]) / 1000.0), 1
         )
     return {
         "metric": "sync_spark_streaming_pipeline",

@@ -72,7 +72,10 @@ def cmd_run(args) -> int:
     print(json.dumps({"snapshot": ran}))
     if not args.watch:
         task.run_cdc_available()
-        print(json.dumps({"cdc": "drained"}))
+        out = {"cdc": "drained"}
+        if args.retain_committed:
+            out["pruned_files"] = len(task.prune_committed_events())
+        print(json.dumps(out))
         return 0
     # hot-reload loop: rebuild the task on spec change, drain on each
     # poll (the reference reloads config every 10s; --max-cycles keeps

@@ -1380,11 +1380,21 @@ def t_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = table_rowcount(sf_dir, "documents")
     if n_docs is None:
         n_docs = d.count()
-    width = dedup.kernel_spread_width(d.select("doc_id", "text"))
+    # conditional spread, same guard as spread_for_kernel: the hint is
+    # emitted ONLY when the scan is narrower than the kernel width —
+    # at real scale the scan already has thousands of splits and the
+    # query must not pay a full (doc_id, text) shuffle for nothing
+    narrow = d.select("doc_id", "text")
+    width = dedup.kernel_spread_width(narrow)
+    spread_hint = (
+        f"/*+ REPARTITION({width}) */"
+        if narrow.rdd.getNumPartitions() < width
+        else ""
+    )
     d.createOrReplaceTempView("__kw_documents")
     return spark.sql(f"""
 WITH spread AS (
-  SELECT /*+ REPARTITION({width}) */ doc_id, text FROM __kw_documents
+  SELECT {spread_hint} doc_id, text FROM __kw_documents
 ), kern AS (
   -- in-row tf kernel stage 1: full-token doc_len + sorted filtered
   -- tokens. Staged CTE projections (not one big expression) keep

@@ -849,31 +849,35 @@ LIMIT 20
 # the quantity-threshold semi-join chain (Q20).
 # ---------------------------------------------------------------------------
 
-# shared CTE text — prepended to both oracles so the synthesized
-# table is definitionally identical across engines
-PARTSUPP_CTE = """WITH partsupp AS (
+# THE single definition of the synthesis arithmetic. The SQL strings
+# are the source of truth: the oracle CTE interpolates them verbatim,
+# and the Spark implementations evaluate the SAME strings via F.expr
+# over frames carrying l_partkey/l_suppkey — one definition, two
+# engines, no duplicated constants to drift.
+PS_AVAILQTY_EXPR = "(l_partkey * 37 + l_suppkey * 17) % 9999 + 1"
+PS_COST_EXPR = "(l_partkey * 13 + l_suppkey * 7) % 100000 + 1"
+
+PARTSUPP_CTE = f"""WITH partsupp AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         CAST((l_partkey * 37 + l_suppkey * 17) % 9999 + 1 AS BIGINT) AS ps_availqty,
-         CAST((l_partkey * 13 + l_suppkey * 7) % 100000 + 1 AS BIGINT) AS ps_supplycost_c
+         CAST({PS_AVAILQTY_EXPR} AS BIGINT) AS ps_availqty,
+         CAST({PS_COST_EXPR} AS BIGINT) AS ps_supplycost_c
   FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
 )
 """
 
 
 def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The Spark twin of PARTSUPP_CTE. One distinct (= partial-agg
-    shuffle on the pair key — uniform, high-cardinality); the derived
-    columns are key arithmetic, no extra pass."""
+    """The Spark twin of PARTSUPP_CTE — the reference implementation
+    the cross-engine parity test pins (Q2/Q20 inline the same
+    PS_*_EXPR strings into their fused plans). One distinct (=
+    partial-agg shuffle on the pair key — uniform, high-cardinality);
+    the derived columns are key arithmetic, no extra pass."""
     li = _t(spark, sf_dir, "lineitem")
     return li.select("l_partkey", "l_suppkey").distinct().select(
         F.col("l_partkey").alias("ps_partkey"),
         F.col("l_suppkey").alias("ps_suppkey"),
-        ((F.col("l_partkey") * 37 + F.col("l_suppkey") * 17) % 9999 + 1)
-        .cast("long")
-        .alias("ps_availqty"),
-        ((F.col("l_partkey") * 13 + F.col("l_suppkey") * 7) % 100000 + 1)
-        .cast("long")
-        .alias("ps_supplycost_c"),
+        F.expr(PS_AVAILQTY_EXPR).cast("long").alias("ps_availqty"),
+        F.expr(PS_COST_EXPR).cast("long").alias("ps_supplycost_c"),
     )
 
 
@@ -920,9 +924,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_partkey").alias("ps_partkey"),
             F.col("l_suppkey").alias("ps_suppkey"),
-            ((F.col("l_partkey") * 13 + F.col("l_suppkey") * 7) % 100000 + 1)
-            .cast("long")
-            .alias("ps_supplycost_c"),
+            F.expr(PS_COST_EXPR).cast("long").alias("ps_supplycost_c"),
         )
     )
     eligible = pairs.join(F.broadcast(s), pairs.ps_suppkey == s.s_suppkey).join(
@@ -1002,9 +1004,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(F.when(in_window, dec("l_quantity"))).alias("q"))
     )
-    availqty = ((F.col("l_partkey") * 37 + F.col("l_suppkey") * 17) % 9999 + 1).cast(
-        "long"
-    )
+    availqty = F.expr(PS_AVAILQTY_EXPR).cast("long")
     excess = g.filter(
         F.col("q").isNotNull() & ((availqty * 2).cast("decimal(18,2)") > F.col("q"))
     )

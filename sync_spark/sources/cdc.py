@@ -297,6 +297,16 @@ def auto_prune_event_log(event_log_dir: str, checkpoint_dir: str) -> list[str]:
     for entry in sorted(os.listdir(event_log_dir)):
         if not (entry.startswith("events-") and entry.endswith(".jsonl")):
             continue
+        # NEVER prune replay-range files (reserved 9e9 ids): replay_dlq
+        # derives its never-reused batch id from the files still on
+        # disk, so deleting a consumed replay file would reset that
+        # derivation, recreate an already-seen filename on the next
+        # replay, and the checkpointed source (seen-map keys on path)
+        # would silently skip it — repaired events lost with a success
+        # report. Replay batches are failure-grain-small; keeping them
+        # costs bytes, pruning them costs data.
+        if entry.startswith("events-9"):
+            continue
         full = os.path.abspath(os.path.join(event_log_dir, entry))
         if full in committed:
             os.remove(full)

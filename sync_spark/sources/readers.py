@@ -126,10 +126,16 @@ def table_rowcount(sf_dir: str, name: str) -> int | None:
         if os.path.isfile(path):
             return pq.ParquetFile(path).metadata.num_rows
         if os.path.isdir(path):
+            parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not parts:
+                # partitioned/multi-level layout (data in subdirs) or a
+                # dir mid-write: 0-files must be "unknown", NOT zero —
+                # a 0 literal would silently zero out every score that
+                # folds this count in (callers fall back to a count())
+                return None
             return sum(
                 pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                for f in os.listdir(path)
-                if f.endswith(".parquet")
+                for f in parts
             )
     except Exception:
         return None

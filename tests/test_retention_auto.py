@@ -101,12 +101,36 @@ def test_replay_range_ids_do_not_leapfrog_newer_batches(spark, pipeline_dirs):
     before = _log_files(pipeline_dirs["events"])
     assert any(f.startswith("events-9") for f in before)
     deleted = auto_prune_event_log(pipeline_dirs["events"], pipeline_dirs["ckpt"])
-    # both the original bad batch and the replay file were committed;
-    # the unprocessed normal batch 2 survives
-    assert "events-0000000002.jsonl" not in deleted
-    assert _log_files(pipeline_dirs["events"]) == ["events-0000000002.jsonl"]
+    # the original bad batch was committed and goes; the unprocessed
+    # normal batch 2 survives; the REPLAY file survives even though
+    # committed — replay_dlq derives its never-reused batch id from
+    # the replay files still on disk, so pruning one would make the
+    # next replay recreate a seen filename (silent event loss)
+    assert deleted == ["events-0000000001.jsonl"]
+    assert _log_files(pipeline_dirs["events"]) == [
+        "events-0000000002.jsonl",
+        "events-9000000000.jsonl",
+    ]
     _mk_pipeline(spark, pipeline_dirs).run_available()
     assert _read_target(spark, pipeline_dirs["target"])[2]["name"] == "new"
+
+    # and a SECOND replay cycle derives a fresh id above the survivor
+    write_event_batch(
+        pipeline_dirs["events"],
+        [_event("insert", 7, "users", {"id": None},
+                {"id": None, "name": "bad2", "balance": 0.0})],
+        3,
+    )
+    _mk_pipeline(spark, pipeline_dirs).run_available()
+    replayed, remaining = replay_dlq(
+        spark, pipeline_dirs["dlq"], pipeline_dirs["events"],
+        "users", ROW_SCHEMA, ["id"],
+        fix=lambda df: df.withColumn("id", F.coalesce(F.col("id"), F.lit(43))),
+    )
+    assert (replayed, remaining) == (1, 0)
+    assert "events-9000000001.jsonl" in _log_files(pipeline_dirs["events"])
+    _mk_pipeline(spark, pipeline_dirs).run_available()
+    assert _read_target(spark, pipeline_dirs["target"])[43]["name"] == "bad2"
 
 
 def test_cli_watch_retain_committed(spark, pipeline_dirs, tmp_path):
