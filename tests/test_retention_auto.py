@@ -173,3 +173,43 @@ def test_cli_watch_retain_committed(spark, pipeline_dirs, tmp_path):
     last = json.loads(out.stdout.strip().splitlines()[-1])
     assert last["pruned_files"] == 1
     assert _log_files(pipeline_dirs["events"]) == []
+
+
+def test_retention_survives_source_log_compaction(spark, pipeline_dirs):
+    """FileStreamSource compacts its metadata log every 10 batches
+    (sources/0/9.compact holds ALL entries); committed_event_files
+    must read the compact file, not just delta files — 12 batches
+    drained one-per-trigger crosses the compaction boundary."""
+    import glob as _glob
+
+    from sync_spark.spec import SyncSpec
+    from sync_spark.streaming.pipeline import CdcPipeline, TableTarget
+
+    _snapshot(spark, pipeline_dirs, [Row(id=1, name="a", balance=1.0)])
+    for b in range(1, 13):
+        write_event_batch(
+            pipeline_dirs["events"],
+            [_event("update", b, "users", {"id": 1},
+                    {"id": 1, "name": f"v{b}", "balance": float(b)})],
+            b,
+        )
+    pipe = CdcPipeline(
+        spark,
+        SyncSpec(task_id=1, type="parquet"),
+        [TableTarget("users", pipeline_dirs["target"], ROW_SCHEMA, ["id"])],
+        event_log_dir=pipeline_dirs["events"],
+        checkpoint_dir=pipeline_dirs["ckpt"],
+        dlq_path=pipeline_dirs["dlq"],
+        max_files_per_trigger=1,
+    )
+    pipe.run_available()
+    compacts = _glob.glob(
+        os.path.join(pipeline_dirs["ckpt"], "sources", "0", "*.compact")
+    )
+    assert compacts, "fixture must cross the compaction boundary"
+    committed = committed_event_files(pipeline_dirs["ckpt"])
+    assert len(committed) == 12
+    deleted = auto_prune_event_log(pipeline_dirs["events"], pipeline_dirs["ckpt"])
+    assert len(deleted) == 12
+    assert _log_files(pipeline_dirs["events"]) == []
+    assert _read_target(spark, pipeline_dirs["target"])[1]["name"] == "v12"
