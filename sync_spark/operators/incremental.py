@@ -1,0 +1,153 @@
+"""Incremental corpus deduplication against a PERSISTED fingerprint
+index — the production loop batch dedup cannot serve at 100 TB.
+
+The batch operators (dedup.winnow_pairs, dedup.decontaminate) compare
+two frames by recomputing fingerprints on both sides every run. A
+training-data pipeline ingesting a new crawl slice daily cannot
+re-fingerprint the full 100 TB corpus per slice; it needs:
+
+    build_fp_index   corpus text  → bucketed (fp, doc_id) store, once
+    probe_fp_index   new docs     → per-doc shared-fingerprint counts
+                                    against the index, corpus untouched
+    extend_fp_index  accepted docs' fingerprints merged in, ONLY the
+                     touched fp-hash buckets rewritten
+
+The index is the engine's own bucketed CDC store keyed on fp
+(sources/bucketed.py): hash-bucket dirs, key-sorted files, stage-then-
+swap crash discipline, persisted layout metadata — extending it is the
+same touched-bucket rewrite the MERGE path uses, so index maintenance
+cost scales with the DAY'S fingerprints, not the corpus. Fingerprints
+are winnowing (MOSS) hashes — reference parity per
+dedup.winnow_fingerprint_rows; any shared token run of length
+>= k + window - 1 with an indexed document produces a hit.
+
+Semantics contract (pytest-pinned, test_incremental_index.py):
+probe_fp_index against an index built from corpus C equals the direct
+two-frame computation over (new, C) — the persisted path is an
+optimization, never a semantics change.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sync_spark.operators.dedup import winnow_fingerprint_rows
+from sync_spark.sources.bucketed import (
+    bucket_expr,
+    overwrite_buckets,
+    read_buckets,
+    read_meta,
+    read_target,
+    write_bucketed,
+)
+
+_DEFAULT_BUCKETS = 32
+
+
+def build_fp_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    n_buckets: int = _DEFAULT_BUCKETS,
+) -> int:
+    """Fingerprint the corpus once and persist (fp, doc_id) bucketed
+    by fp-hash. One shuffle (the bucketed write's partitionBy); the
+    per-row winnowing kernel is the shuffle-free staged form. Returns
+    the number of distinct fingerprints indexed."""
+    fps = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window).select(
+        "fp", "doc_id"
+    )
+    write_bucketed(fps, path, ["fp"], n_buckets)
+    spark = df.sparkSession
+    return read_target(spark, path).select("fp").distinct().count()
+
+
+def probe_fp_index(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Flag incoming documents sharing >= ``min_shared`` DISTINCT
+    winnowing fingerprints with the indexed corpus. Returns the input
+    rows + (n_shared_fps, is_dup); the corpus is only READ.
+
+    Shape: per-row kernel on the incoming slice (no shuffle), one
+    fp-keyed join against the index scan, one doc-grain aggregate,
+    one broadcast-back join. The index side is data-grain but the
+    join key (56-bit content hash) is uniform; the incoming side is
+    slice-grain. No step touches corpus text."""
+    probe = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window)
+    idx = read_target(spark, path).select("fp").distinct()
+    # NO min_shared filter here: the threshold gates is_dup only —
+    # the true shared count is part of the contract (a curator tuning
+    # the threshold reads the distribution, not a zeroed column)
+    hits = (
+        probe.join(idx, "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("fp").alias("n_shared_fps"))
+        .select(F.col("doc_id").alias("__hit_id"), "n_shared_fps")
+    )
+    out = df.join(hits, F.col(id_col) == F.col("__hit_id"), "left")
+    return (
+        out.withColumn("n_shared_fps", F.coalesce("n_shared_fps", F.lit(0)))
+        .withColumn("is_dup", F.col("n_shared_fps") >= min_shared)
+        .drop("__hit_id")
+    )
+
+
+def extend_fp_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> int:
+    """Merge the accepted documents' fingerprints into the index,
+    rewriting ONLY the fp-hash buckets they land in (the CDC store's
+    touched-bucket discipline — maintenance cost is O(slice), not
+    O(corpus)). Idempotent: (fp, doc_id) rows are distinct-merged, so
+    re-extending with the same slice is a no-op. Returns the number
+    of touched buckets.
+
+    STALENESS HAZARD (inherent to any file-backed store): a LAZY
+    frame built from a pre-extend probe holds references to pre-swap
+    bucket files and fails or reads stale data if evaluated after an
+    extend — materialize probe results you intend to keep BEFORE
+    extending (the pipeline's own merge path does exactly this: the
+    staged write completes before the swap)."""
+    meta = read_meta(path)
+    if meta is None:
+        raise ValueError(f"no fingerprint index at {path!r}; build_fp_index first")
+    n_buckets = meta["n_buckets"]
+    spark = df.sparkSession
+    new_fps = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window).select(
+        "fp", "doc_id"
+    )
+    touched = [
+        int(r[0])
+        for r in new_fps.select(
+            bucket_expr(["fp"], n_buckets).alias("b")
+        ).distinct().collect()
+    ]
+    if not touched:
+        return 0
+    # both sides hash into `touched` by construction: existing was
+    # read from exactly those buckets, and touched was derived from
+    # new_fps itself — overwrite_buckets' contract holds with no
+    # re-filter
+    existing = read_buckets(spark, path, touched)
+    merged = existing.select("fp", "doc_id").unionByName(new_fps).distinct()
+    overwrite_buckets(merged, path, ["fp"], n_buckets, touched)
+    return len(touched)
