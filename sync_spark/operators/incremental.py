@@ -68,6 +68,45 @@ def build_fp_index(
     return read_target(spark, path).select("fp").distinct().count()
 
 
+def shared_fp_counts(
+    df: DataFrame,
+    corpus_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 1,
+) -> DataFrame:
+    """THE probe kernel, independent of where the corpus fingerprints
+    come from: flag documents sharing >= ``min_shared`` DISTINCT
+    winnowing fingerprints with ``corpus_fps`` (a 1-column ``fp``
+    frame). Returns the input rows + (n_shared_fps, is_dup). The
+    registry query ``d_incremental_probe`` runs this same kernel with
+    inline-computed corpus fps under a DuckDB oracle; probe_fp_index
+    feeds it the persisted store. NO min_shared filter on the counts:
+    the threshold gates is_dup only — the true shared count is part
+    of the contract (a curator tuning the threshold reads the
+    distribution, not a zeroed column).
+
+    Shape: per-row kernel on the incoming slice (no shuffle), one
+    fp-keyed semi-join, one doc-grain aggregate, one join back. The
+    corpus side is data-grain but the join key (56-bit content hash)
+    is uniform; the incoming side is slice-grain."""
+    probe = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window)
+    hits = (
+        probe.join(corpus_fps.select("fp"), "fp", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("fp").alias("n_shared_fps"))
+        .select(F.col("doc_id").alias("__hit_id"), "n_shared_fps")
+    )
+    out = df.join(hits, F.col(id_col) == F.col("__hit_id"), "left")
+    return (
+        out.withColumn("n_shared_fps", F.coalesce("n_shared_fps", F.lit(0)))
+        .withColumn("is_dup", F.col("n_shared_fps") >= min_shared)
+        .drop("__hit_id")
+    )
+
+
 def probe_fp_index(
     spark: SparkSession,
     df: DataFrame,
@@ -78,31 +117,11 @@ def probe_fp_index(
     window: int = 4,
     min_shared: int = 1,
 ) -> DataFrame:
-    """Flag incoming documents sharing >= ``min_shared`` DISTINCT
-    winnowing fingerprints with the indexed corpus. Returns the input
-    rows + (n_shared_fps, is_dup); the corpus is only READ.
-
-    Shape: per-row kernel on the incoming slice (no shuffle), one
-    fp-keyed join against the index scan, one doc-grain aggregate,
-    one broadcast-back join. The index side is data-grain but the
-    join key (56-bit content hash) is uniform; the incoming side is
-    slice-grain. No step touches corpus text."""
-    probe = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window)
+    """shared_fp_counts against the PERSISTED index at ``path`` — the
+    corpus is only read, never re-fingerprinted."""
     idx = read_target(spark, path).select("fp").distinct()
-    # NO min_shared filter here: the threshold gates is_dup only —
-    # the true shared count is part of the contract (a curator tuning
-    # the threshold reads the distribution, not a zeroed column)
-    hits = (
-        probe.join(idx, "fp", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count_distinct("fp").alias("n_shared_fps"))
-        .select(F.col("doc_id").alias("__hit_id"), "n_shared_fps")
-    )
-    out = df.join(hits, F.col(id_col) == F.col("__hit_id"), "left")
-    return (
-        out.withColumn("n_shared_fps", F.coalesce("n_shared_fps", F.lit(0)))
-        .withColumn("is_dup", F.col("n_shared_fps") >= min_shared)
-        .drop("__hit_id")
+    return shared_fp_counts(
+        df, idx, text_col, id_col, k=k, window=window, min_shared=min_shared
     )
 
 

@@ -1485,3 +1485,54 @@ FROM (
 )
 WHERE rk <= 5
 """
+
+
+def d_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-dedup probe kernel under the driver's oracle
+    gate: the incoming slice (doc_id % 7 == 0) probed against corpus
+    fingerprints (doc_id % 7 != 0) — per incoming doc, the DISTINCT
+    shared winnowing-fingerprint count and the >= 2 dup flag. This is
+    the SAME shared_fp_counts kernel probe_fp_index runs against the
+    persisted fp-bucketed store (operators/incremental.py); the store
+    leg is filesystem state with no SQL oracle and stays
+    pytest-gated (test_incremental_index.py pins persisted == this)."""
+    from sync_spark.operators.incremental import shared_fp_counts
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    incoming = d.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    corpus_fps = (
+        dedup.winnow_fingerprint_rows(
+            corpus, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W
+        )
+        .select("fp")
+        .distinct()
+    )
+    out = shared_fp_counts(
+        incoming, corpus_fps, "text", "doc_id",
+        k=_WINNOW_K, window=_WINNOW_W, min_shared=2,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_shared_fps").cast("long").alias("n_shared_fps"),
+        "is_dup",
+    )
+
+
+D_INCREMENTAL_PROBE_SQL = f"""
+WITH fps AS (
+  SELECT doc_id, unnest(fps) AS fp FROM ({_winnow_sql_fragment()})
+), corpus_fps AS (
+  SELECT DISTINCT fp FROM fps WHERE doc_id % 7 <> 0
+), hits AS (
+  SELECT f.doc_id, COUNT(DISTINCT f.fp) AS n
+  FROM fps f JOIN corpus_fps USING (fp)
+  WHERE f.doc_id % 7 = 0
+  GROUP BY f.doc_id
+)
+SELECT i.doc_id,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_shared_fps,
+       COALESCE(h.n, 0) >= 2 AS is_dup
+FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) i
+LEFT JOIN hits h ON i.doc_id = h.doc_id
+"""

@@ -105,6 +105,7 @@ def _populate() -> None:
     register("t_bpe_token_stats", tq.t_bpe_token_stats, tq.T_BPE_SQL)
     register("t_winnow_fingerprints", tq.t_winnow_fingerprints, tq.T_WINNOW_SQL)
     register("d_winnow_pairs", tq.d_winnow_pairs, tq.D_WINNOW_PAIRS_SQL)
+    register("d_incremental_probe", tq.d_incremental_probe, tq.D_INCREMENTAL_PROBE_SQL)
     register("d_survivor_by_quality", tq.d_survivor_by_quality, tq.D_SURVIVOR_SQL)
     register("d_decontaminate", tq.d_decontaminate, tq.D_DECONTAM_SQL)
     register("d_span_dedup", tq.d_span_dedup, tq.D_SPAN_SQL)
