@@ -13,11 +13,14 @@ Design for 100 TB of media:
 - the codec call is isolated behind ``_decode_payload``. Decoded FOR
   REAL with stdlib + numpy: RIFF/PCM WAV (fmt/data chunk walk →
   sample rate, channels, duration), binary PPM P6 (header parse →
-  dims), and PNG (pure-zlib inflate, CRC-verified chunk walk, full
-  filter-0..4 unfilter, 8-bit gray/RGB/RGBA) — pixel/sample math in
+  dims), PNG (pure-zlib inflate, CRC-verified chunk walk, full
+  filter-0..4 unfilter, 8-bit gray/RGB/RGBA), and baseline JPEG
+  (functions/jpeg.py — Annex-K canonical-Huffman entropy decode,
+  matrix IDCT, 4:4:4/4:2:2/4:2:0, restart markers; encoder for the
+  resize path, deterministic bytes) — pixel/sample math in
   ``audio_features`` / ``image_stats`` / ``resize_image``. Formats
   needing external codec libraries this container does not ship
-  (JPEG/MP3/H.264) raise ``NotImplementedError`` behind the same
+  (MP3/H.264) raise ``NotImplementedError`` behind the same
   seam, and the engine's deterministic fake header keeps end-to-end
   tests independent of any codec.
 """
@@ -126,6 +129,24 @@ def png_payload(
     else:
         raise ValueError(f"unsupported color_type {color_type}")
     return _png_from_raw(raw, color_type)
+
+
+def jpeg_payload(media_id: int, width: int = 8, height: int = 6) -> bytes:
+    """Build a REAL baseline JPEG (functions/jpeg.py): the same
+    deterministic gradient as ppm_payload/png_payload, so all three
+    image containers share ONE closed-form dims oracle (JPEG is
+    lossy, so only the metadata legs — never pixel values — ride the
+    shared oracle)."""
+    import numpy as np
+
+    from sync_spark.functions.jpeg import jpeg_encode
+
+    rgb = np.zeros((height, width, 3), dtype=np.uint8)
+    ys, xs = np.mgrid[0:height, 0:width]
+    rgb[..., 0] = (xs * 7 + media_id) % 256
+    rgb[..., 1] = (ys * 11 + media_id) % 256
+    rgb[..., 2] = (xs + ys) % 256
+    return jpeg_encode(rgb, quality=90)
 
 
 def _png_from_raw(raw, color_type: int) -> bytes:
@@ -385,10 +406,18 @@ def _decode_payload(payload: bytes | None) -> tuple[int | None, int | None, int 
         except ValueError:
             return (None, None, None)
         return (w, h, None)
+    if payload[:2] == b"\xff\xd8":
+        from sync_spark.functions.jpeg import parse_jpeg_header
+
+        try:
+            w, h = parse_jpeg_header(payload)
+        except ValueError:
+            return (None, None, None)
+        return (w, h, None)
     raise NotImplementedError(
-        "compressed media decoding (JPEG/MP3/H.264) requires codec "
-        "libraries; WAV, PPM, PNG and the deterministic fake codec are "
-        "available in this environment"
+        "compressed media decoding (MP3/H.264) requires codec "
+        "libraries; WAV, PPM, PNG, baseline JPEG and the deterministic "
+        "fake codec are available in this environment"
     )
 
 
@@ -616,6 +645,11 @@ def _decode_image_pixels(p: bytes):
     if len(p) >= 8 and p[:8] == _PNG_SIG:
         w, h, px = _decode_png(p)
         return w, h, px, "png"
+    if len(p) >= 2 and p[:2] == b"\xff\xd8":
+        from sync_spark.functions.jpeg import jpeg_decode
+
+        w, h, px = jpeg_decode(p)
+        return w, h, px, "jpeg"
     raise ValueError("not a supported image container")
 
 
@@ -695,6 +729,12 @@ def resize_image(df: DataFrame, max_side: int) -> DataFrame:
                             rp = np.ascontiguousarray(px[ys][:, xs])
                             if container == "png":
                                 payload = _png_from_raw(rp, 2)
+                            elif container == "jpeg":
+                                from sync_spark.functions.jpeg import jpeg_encode
+
+                                # fixed quality + 4:4:4: deterministic
+                                # bytes, minimal re-encode loss
+                                payload = jpeg_encode(rp, quality=90)
                             else:
                                 header = f"P6\n{tw} {th}\n255\n".encode()
                                 payload = header + rp.tobytes()

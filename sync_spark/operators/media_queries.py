@@ -12,8 +12,10 @@ Parameter algebra (kept in ONE place, mirrored in the oracle):
   250 · (1 + vec_id mod 4).
 - odd vec_id → image: width 4 + vec_id mod 5, height
   3 + vec_id mod 3; container alternates by vec_id mod 4 — 1 → P6,
-  3 → PNG (CRC-verified zlib path) — same dims algebra, so ONE
-  closed-form oracle gates both real image codecs.
+  3 mod 8 → PNG (CRC-verified zlib path), 7 mod 8 → baseline JPEG
+  (canonical-Huffman entropy path; lossy, so only dims ride the
+  oracle) — same dims algebra, so ONE closed-form oracle gates all
+  three real image codecs.
 """
 
 from __future__ import annotations
@@ -43,7 +45,12 @@ def m_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["payload"].append(M.wav_payload(mid, seconds=seconds, rate=8000))
                 else:
                     rows["kind"].append("image")
-                    build_img = M.png_payload if mid % 4 == 3 else M.ppm_payload
+                    if mid % 8 == 7:
+                        build_img = M.jpeg_payload
+                    elif mid % 4 == 3:
+                        build_img = M.png_payload
+                    else:
+                        build_img = M.ppm_payload
                     rows["payload"].append(
                         build_img(mid, width=4 + mid % 5, height=3 + mid % 3)
                     )
@@ -85,7 +92,12 @@ def m_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 rows["media_id"].append(mid)
-                build_img = M.png_payload if mid % 4 == 3 else M.ppm_payload
+                if mid % 8 == 7:
+                    build_img = M.jpeg_payload
+                elif mid % 4 == 3:
+                    build_img = M.png_payload
+                else:
+                    build_img = M.ppm_payload
                 rows["payload"].append(build_img(mid, width=4 + mid % 5, height=3 + mid % 3))
             yield pd.DataFrame(rows)
 

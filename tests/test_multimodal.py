@@ -39,11 +39,13 @@ def test_decode_media_schema_and_values(spark):
 
 
 def test_real_codec_is_stubbed():
-    # PNG is a REAL in-engine codec now: a malformed PNG is a NULL
-    # row, not an exception; truly external codecs (JPEG) still raise
+    # PNG and baseline JPEG are REAL in-engine codecs now: malformed
+    # payloads are NULL rows, not exceptions; truly external codecs
+    # (MP3) still raise behind the same seam
     assert _decode_payload(b"\x89PNG\r\n\x1a\nxxxxxxxxxxxx") == (None, None, None)
+    assert _decode_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 32) == (None, None, None)
     with pytest.raises(NotImplementedError, match="codec"):
-        _decode_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+        _decode_payload(b"ID3\x04" + b"\x00" * 32)  # MP3 with ID3 tag
 
 
 def test_features_deterministic_and_shaped(spark):
@@ -155,9 +157,9 @@ def test_compressed_format_still_raises(spark):
     from sync_spark.functions import multimodal as M
     import pytest as _pt
 
-    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    mp3_ish = b"ID3\x04\x00" + b"\x00" * 32
     with _pt.raises(NotImplementedError):
-        M._decode_payload(jpeg_ish)
+        M._decode_payload(mp3_ish)
 
 
 def test_corrupt_media_yields_null_rows_not_dead_batches(spark):
