@@ -139,17 +139,10 @@ def _canonical_codes(bits, vals):
 
 
 def _decode_table(bits, vals):
-    """((length, code) -> symbol) for the decoder's canonical walk."""
-    table = {}
-    code = 0
-    idx = 0
-    for length in range(1, 17):
-        for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[idx]
-            code += 1
-            idx += 1
-        code <<= 1
-    return table
+    """((length, code) -> symbol): the same canonical assignment as
+    _canonical_codes, orientation flipped — ONE copy of the
+    algorithm."""
+    return {(l, c): s for s, (c, l) in _canonical_codes(bits, vals).items()}
 
 
 # ---------------------------------------------------------------------------
@@ -253,7 +246,16 @@ def _category(v: int) -> int:
 
 def jpeg_decode(payload: bytes):
     """(width, height, RGB uint8 array). Raises ValueError on any
-    malformed or non-baseline stream (kernels map that to NULL)."""
+    malformed or non-baseline stream (kernels map that to NULL) —
+    including short-segment struct.error, normalized here so the
+    one-bad-row contract holds at the codec boundary."""
+    try:
+        return _jpeg_decode_impl(payload)
+    except struct.error as exc:
+        raise ValueError(f"malformed JPEG: truncated segment: {exc}") from exc
+
+
+def _jpeg_decode_impl(payload: bytes):
     import numpy as np
 
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -341,6 +343,11 @@ def jpeg_decode(payload: bytes):
                 scan.append({**comp, "td": tt >> 4, "ta": tt & 0x0F})
             if len(scan) != len(frame["comps"]):
                 raise ValueError("unsupported JPEG: multi-scan file")
+            if len(scan) == 1:
+                # T.81 A.2: a single-component scan is NON-interleaved
+                # — one data unit per MCU in plain raster order; the
+                # frame's sampling factors do not tile it
+                scan[0] = {**scan[0], "h": 1, "v": 1}
             return _decode_scan(
                 payload, pos + 2 + seglen, frame, scan, qtables, htables,
                 restart_interval,
@@ -359,6 +366,16 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
     mcus_x = (w + mcu_w - 1) // mcu_w
     mcus_y = (h + mcu_h - 1) // mcu_h
+    # plausibility bound BEFORE any allocation: every block costs at
+    # least ~2 entropy bits (shortest DC code + EOB), so a tiny
+    # payload claiming 65500x65500 (a ~34 GB plane) is rejected here
+    # with a ValueError instead of an uncatchable MemoryError mid-batch
+    total_blocks = mcus_x * mcus_y * sum(c["h"] * c["v"] for c in scan)
+    if total_blocks // 4 > len(data) - pos:
+        raise ValueError(
+            f"malformed JPEG: {w}x{h} declares {total_blocks} blocks but only "
+            f"{len(data) - pos} entropy bytes remain"
+        )
     M = _dct_matrix()
     planes = []
     for c in scan:
@@ -595,6 +612,13 @@ def _box_down2(plane):
 def parse_jpeg_header(payload: bytes):
     """(width, height) from the SOF marker only — the cheap metadata
     walk decode_media uses (no entropy decode)."""
+    try:
+        return _parse_jpeg_header_impl(payload)
+    except struct.error as exc:
+        raise ValueError(f"malformed JPEG: truncated segment: {exc}") from exc
+
+
+def _parse_jpeg_header_impl(payload: bytes):
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         raise ValueError("malformed JPEG: missing SOI")
     pos = 2

@@ -76,6 +76,7 @@ def shared_fp_counts(
     k: int = 5,
     window: int = 4,
     min_shared: int = 1,
+    probe_fps: DataFrame | None = None,
 ) -> DataFrame:
     """THE probe kernel, independent of where the corpus fingerprints
     come from: flag documents sharing >= ``min_shared`` DISTINCT
@@ -92,8 +93,17 @@ def shared_fp_counts(
     fp-keyed semi-join, one doc-grain aggregate, one join back. The
     corpus side is data-grain but the join key (56-bit content hash)
     is uniform; the incoming side is slice-grain."""
-    probe = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window)
+    # probe_fps lets callers that already materialized the slice's
+    # fingerprints (probe_fp_index caches them for bucket pruning)
+    # avoid a second run of the CPU-bound winnowing kernel
+    probe = (
+        probe_fps
+        if probe_fps is not None
+        else winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window)
+    )
     hits = (
+        # left_semi is unaffected by right-side duplicates — no
+        # .distinct() of the corpus side (a corpus-sized shuffle)
         probe.join(corpus_fps.select("fp"), "fp", "left_semi")
         .groupBy("doc_id")
         .agg(F.count_distinct("fp").alias("n_shared_fps"))
@@ -118,10 +128,35 @@ def probe_fp_index(
     min_shared: int = 1,
 ) -> DataFrame:
     """shared_fp_counts against the PERSISTED index at ``path`` — the
-    corpus is only read, never re-fingerprinted."""
-    idx = read_target(spark, path).select("fp").distinct()
+    corpus is only read, never re-fingerprinted, and only the index
+    buckets the slice's fingerprints can land in are opened: the
+    probe fp set determines the candidate buckets exactly (same
+    hash layout the writer used), so probe I/O is O(touched buckets),
+    not O(corpus) — the pruned-read design the store exists for.
+    The slice's fingerprints are persisted (slice-grain, bounded) so
+    the touched-bucket derivation and the semi-join share ONE run of
+    the winnowing kernel; Spark evicts the block LRU after the
+    caller's action."""
+    meta = read_meta(path)
+    if meta is None:
+        raise ValueError(f"no fingerprint index at {path!r}; build_fp_index first")
+    n_buckets = meta["n_buckets"]
+    fps = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window).persist()
+    touched = [
+        int(r[0])
+        for r in fps.select(bucket_expr(["fp"], n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    if not touched:  # slice has no fingerprints: nothing can match
+        return (
+            df.withColumn("n_shared_fps", F.lit(0).cast("long"))
+            .withColumn("is_dup", F.lit(False))
+        )
+    idx = read_buckets(spark, path, touched).select("fp")
     return shared_fp_counts(
-        df, idx, text_col, id_col, k=k, window=window, min_shared=min_shared
+        df, idx, text_col, id_col,
+        k=k, window=window, min_shared=min_shared, probe_fps=fps,
     )
 
 
@@ -151,22 +186,30 @@ def extend_fp_index(
         raise ValueError(f"no fingerprint index at {path!r}; build_fp_index first")
     n_buckets = meta["n_buckets"]
     spark = df.sparkSession
-    new_fps = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window).select(
-        "fp", "doc_id"
+    # persist: the touched-bucket collect below and the staged
+    # overwrite write both consume these rows — without the cache the
+    # CPU-bound winnowing kernel would run twice over the slice
+    new_fps = (
+        winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window)
+        .select("fp", "doc_id")
+        .persist()
     )
-    touched = [
-        int(r[0])
-        for r in new_fps.select(
-            bucket_expr(["fp"], n_buckets).alias("b")
-        ).distinct().collect()
-    ]
-    if not touched:
-        return 0
-    # both sides hash into `touched` by construction: existing was
-    # read from exactly those buckets, and touched was derived from
-    # new_fps itself — overwrite_buckets' contract holds with no
-    # re-filter
-    existing = read_buckets(spark, path, touched)
-    merged = existing.select("fp", "doc_id").unionByName(new_fps).distinct()
-    overwrite_buckets(merged, path, ["fp"], n_buckets, touched)
+    try:
+        touched = [
+            int(r[0])
+            for r in new_fps.select(
+                bucket_expr(["fp"], n_buckets).alias("b")
+            ).distinct().collect()
+        ]
+        if not touched:
+            return 0
+        # both sides hash into `touched` by construction: existing was
+        # read from exactly those buckets, and touched was derived
+        # from new_fps itself — overwrite_buckets' contract holds
+        # with no re-filter
+        existing = read_buckets(spark, path, touched)
+        merged = existing.select("fp", "doc_id").unionByName(new_fps).distinct()
+        overwrite_buckets(merged, path, ["fp"], n_buckets, touched)
+    finally:
+        new_fps.unpersist()
     return len(touched)

@@ -66,7 +66,7 @@ def _dht(tc, th, bits, vals):
     )
 
 
-def _handmade_gray(w, n_mcus, dri=0):
+def _handmade_gray(w, n_mcus, dri=0, samp=0x11):
     """Grayscale 8-tall stream, quant table all ones, each block one
     DC diff of +8 then EOB. With the orthonormal IDCT a DC
     coefficient c contributes c/8 per pixel, so every pixel is
@@ -76,7 +76,7 @@ def _handmade_gray(w, n_mcus, dri=0):
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
     out += b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
-    out += struct.pack(">HH", 8, w) + bytes([1, 1, 0x11, 0])
+    out += struct.pack(">HH", 8, w) + bytes([1, 1, samp, 0])
     out += _dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
     out += _dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
     if dri:
@@ -154,3 +154,47 @@ def test_multimodal_kernels_decode_and_resize_jpeg(spark):
     w2, h2, px2 = jpeg_decode(bytes(resized[1].payload))
     assert (w2, h2) == (24, 16)
     assert resized[2].payload is None
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2: a one-component scan is NON-interleaved regardless of
+    the frame's declared sampling factors — a grayscale stream with
+    samp=2x2 must decode block-raster, same closed-form 129s."""
+    # dri=1: each hand-made block is byte-aligned, so restarts must
+    # separate them (same as the restart test). Under the OLD
+    # interleaved-MCU bug this stream would decode as ONE 2x2-block
+    # MCU and fail on the restart cadence.
+    w, h, px = jpeg_decode(_handmade_gray(16, 2, dri=1, samp=0x22))
+    assert (w, h) == (16, 8)
+    assert np.all(px == 129)
+
+
+def test_truncated_segments_raise_valueerror_not_struct_error():
+    # SOF segment shorter than its dims field: must surface as
+    # ValueError (the kernels' NULL-row contract), never struct.error
+    bad_sof = b"\xff\xd8\xff\xc0" + struct.pack(">H", 4) + b"\x08\x00"
+    with pytest.raises(ValueError):
+        jpeg_decode(bad_sof)
+    with pytest.raises(ValueError):
+        parse_jpeg_header(bad_sof)
+    bad_dri = (
+        b"\xff\xd8\xff\xdd" + struct.pack(">H", 3) + b"\x01"
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError):
+        jpeg_decode(bad_dri)
+
+
+def test_dimension_bomb_rejected_before_allocation():
+    """A ~100-byte payload claiming 65500x65500 must raise ValueError
+    from the entropy-plausibility bound, not allocate ~34 GB."""
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    out += b"\xff\xc0" + struct.pack(">H", 11) + bytes([8])
+    out += struct.pack(">HH", 65500, 65500) + bytes([1, 1, 0x11, 0])
+    out += _dht(0, 0, DC_LUM_BITS, DC_LUM_VALS)
+    out += _dht(1, 0, AC_LUM_BITS, AC_LUM_VALS)
+    out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    out += bytes([0xB1, 0x5F]) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="blocks"):
+        jpeg_decode(bytes(out))
