@@ -16,6 +16,7 @@ on schedule (:839-959, :961-1203). Here:
 
 from __future__ import annotations
 
+import os
 from datetime import date, datetime
 from typing import Mapping, Optional
 
@@ -153,13 +154,141 @@ def jst_daily_stats(log: DataFrame) -> DataFrame:
 def apply_stats_totals(spark: SparkSession, stats_path: str) -> DataFrame:
     """A6 rollup over the pipeline's per-batch apply counters
     (CdcPipeline stats_path): totals per table per op across all
-    batches — the changestream_statistics serving query."""
-    stats = spark.read.parquet(stats_path)  # partition cols: table, batch_id
+    batches — the changestream_statistics serving query.
+
+    Compaction-aware (round 5): ``compact_apply_stats`` rolls old
+    per-batch dirs into one ``batch_id=cNNNNNNNNNN`` dir per table
+    whose rows carry their contributing-batch count (``src_batches``),
+    so totals AND n_batches are exactly preserved. The reader derives
+    each table's max compacted cut-off and EXCLUDES live batch dirs
+    below it — that makes a crash between "compacted dir renamed in"
+    and "old dirs deleted" harmless (the superseded dirs are ignored,
+    never double-counted) and the next compact call finishes the
+    deletion."""
+    stats = spark.read.option("mergeSchema", "true").parquet(stats_path)
+    if "src_batches" not in stats.columns:
+        stats = stats.withColumn("src_batches", F.lit(None).cast("long"))
+    bid = F.col("batch_id").cast("string")
+    is_comp = bid.startswith("c")
+    live_id = F.when(~is_comp, bid.cast("long"))
+    comp_cutoff = F.when(is_comp, F.substring(bid, 2, 10).cast("long"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("table")
+    # only the NEWEST compacted dir per table counts (a crash between
+    # "new compacted dir in" and "old one deleted" would otherwise
+    # double-count the folded history), and live dirs below its
+    # cut-off are superseded by it
+    stats = stats.withColumn("__cut", F.max(comp_cutoff).over(w)).filter(
+        (is_comp & (comp_cutoff == F.col("__cut")))
+        | (~is_comp & (F.col("__cut").isNull() | (live_id >= F.col("__cut"))))
+    )
     return (
         stats.groupBy("table", "op")
-        .agg(F.sum("n").alias("total"), F.countDistinct("batch_id").alias("n_batches"))
+        .agg(
+            F.sum("n").alias("total"),
+            (
+                F.countDistinct(F.when(~is_comp, bid))
+                + F.coalesce(
+                    F.sum(F.when(is_comp, F.col("src_batches"))), F.lit(0)
+                )
+            ).alias("n_batches"),
+        )
         .orderBy("table", "op")
     )
+
+
+def compact_apply_stats(
+    spark: SparkSession, stats_path: str, below_batch_id: int
+) -> dict:
+    """Retention for the per-batch apply counters WITHOUT losing
+    history: per table, fold every live batch dir with id <
+    ``below_batch_id`` plus the NEWEST existing compacted dir into ONE
+    ``batch_id=c<below>`` dir whose rows are (op, n=total,
+    src_batches=batches-that-contained-the-op) — the exact state
+    ``apply_stats_totals`` needs, in O(ops) rows instead of
+    O(batches) dirs/files. Strictly-older compacted dirs are crash
+    leftovers whose content already lives in the newer one — they are
+    deleted, never re-folded (double-count hazard).
+
+    Crash ordering: the compacted dir is staged under a dot-name and
+    renamed in BEFORE the folded dirs are deleted; between those steps
+    the reader's newest-compacted-wins filter already ignores the
+    superseded dirs, and re-running compaction (same or higher
+    cut-off) finishes the deletion. Returns
+    {table: folded_dir_count}."""
+    import shutil
+
+    out = {}
+    if not os.path.isdir(stats_path):
+        return out
+    for tdir in sorted(os.listdir(stats_path)):
+        if not tdir.startswith("table="):
+            continue
+        troot = os.path.join(stats_path, tdir)
+        live, comp = [], []
+        for entry in os.listdir(troot):
+            if not entry.startswith("batch_id="):
+                continue
+            val = entry[len("batch_id="):]
+            if val.startswith("c"):
+                if int(val[1:]) <= below_batch_id:
+                    comp.append((int(val[1:]), entry))
+            elif val.isdigit() and int(val) < below_batch_id:
+                live.append(entry)
+        # among compacted dirs, ONLY the newest participates: any
+        # older one is a crash leftover whose content was already
+        # folded into the newer — folding it again would double-count;
+        # delete it instead (the reader's newest-wins filter has been
+        # ignoring it all along)
+        comp.sort()
+        for _, stale in comp[:-1]:
+            shutil.rmtree(os.path.join(troot, stale), ignore_errors=True)
+        folded = live + [comp[-1][1]] if comp else live
+        if not folded:
+            continue
+        src = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(troot, e) for e in folded])
+            # the batch DIR, not the file: a dir may hold several part
+            # files and must still count as one contributing batch
+            .withColumn(
+                "__b",
+                F.regexp_extract(F.input_file_name(), r"(batch_id=[^/]+)", 1),
+            )
+        )
+        if "src_batches" not in src.columns:
+            src = src.withColumn("src_batches", F.lit(None).cast("long"))
+        rows = (
+            src.groupBy("op")
+            .agg(
+                F.sum("n").alias("n"),
+                (
+                    F.countDistinct(
+                        F.when(F.col("src_batches").isNull(), F.col("__b"))
+                    )
+                    + F.coalesce(F.sum("src_batches"), F.lit(0))
+                ).cast("long").alias("src_batches"),
+            )
+            .collect()
+        )
+        stage = os.path.join(troot, f".stats_compact_{below_batch_id}")
+        final = os.path.join(troot, f"batch_id=c{below_batch_id:010d}")
+        spark.createDataFrame(
+            [(r["op"], r["n"], r["src_batches"]) for r in rows],
+            "op string, n long, src_batches long",
+        ).coalesce(1).write.mode("overwrite").parquet(stage)
+        if os.path.isdir(final):
+            shutil.rmtree(final)  # idempotent re-run with same cutoff
+        os.rename(stage, final)
+        for entry in folded:
+            # a re-run with the SAME cutoff folds the existing c<N>
+            # dir into itself — the freshly renamed output must not be
+            # deleted as a "folded source"
+            if entry != os.path.basename(final):
+                shutil.rmtree(os.path.join(troot, entry), ignore_errors=True)
+        out[tdir[len("table="):]] = len(folded)
+    return out
 
 
 def consistency_alerts(log: DataFrame, day: date, tolerance: int = 0) -> DataFrame:

@@ -76,3 +76,62 @@ def test_stats_exclude_ignored_deletes(spark, tmp_path):
     totals = {(r.table, r.op) for r in apply_stats_totals(spark, str(tmp_path / "stats")).collect()}
     assert totals == {("users", "insert")}  # delete never executed
     assert {r.id for r in spark.read.parquet(tgt).collect()} == {1, 2}
+
+
+def test_compaction_preserves_totals_and_batch_counts(spark, tmp_path):
+    """compact_apply_stats folds old batch dirs into one compacted dir
+    per table; apply_stats_totals must be IDENTICAL before and after —
+    totals and n_batches both — across repeated, widening compactions
+    and a simulated crash that leaves a superseded dir behind."""
+    import os
+    import shutil
+
+    from sync_spark.operators.monitor import apply_stats_totals, compact_apply_stats
+
+    stats = str(tmp_path / "stats")
+    # 6 batches, two tables, ops appearing in differing batch subsets
+    rows_by_batch = {
+        1: [("users", "insert", 5), ("users", "update", 2), ("orders", "insert", 7)],
+        2: [("users", "insert", 3), ("orders", "delete", 1)],
+        3: [("users", "delete", 4), ("orders", "insert", 2)],
+        4: [("users", "insert", 1)],
+        5: [("orders", "insert", 9), ("users", "update", 6)],
+        6: [("users", "insert", 8)],
+    }
+    for b, rows in rows_by_batch.items():
+        for table in {t for t, _, _ in rows}:
+            spark.createDataFrame(
+                [(op, n) for t, op, n in rows if t == table], "op string, n long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{stats}/table={table}/batch_id={b}"
+            )
+
+    def snap():
+        return {
+            (r.table, r.op): (r.total, r.n_batches)
+            for r in apply_stats_totals(spark, stats).collect()
+        }
+
+    before = snap()
+    folded = compact_apply_stats(spark, stats, below_batch_id=4)
+    assert folded == {"orders": 3, "users": 3}
+    assert snap() == before
+    # keep a faithful copy of c4 for the crash simulation below
+    stale_c4 = f"{stats}/table=users/batch_id=c0000000004"
+    saved_c4 = str(tmp_path / "saved_c4")
+    shutil.copytree(stale_c4, saved_c4)
+    # widening compaction folds the previous compacted dir too
+    folded = compact_apply_stats(spark, stats, below_batch_id=6)
+    assert folded["users"] == 3  # c4 + batches 4,5
+    assert snap() == before
+    # crash simulation: resurrect the superseded c4 dir WITH ITS REAL
+    # pre-widening content (saved above) — i.e. compact(6) crashed
+    # after renaming c6 in but before deleting c4. The reader must
+    # ignore it (newest-compacted-wins)...
+    shutil.copytree(saved_c4, stale_c4)
+    assert snap() == before
+    # ...and re-running compaction DELETES it without re-folding it
+    # (its content already lives inside c6 — folding would double)
+    compact_apply_stats(spark, stats, below_batch_id=6)
+    assert not os.path.isdir(stale_c4)
+    assert snap() == before
