@@ -149,7 +149,7 @@ def cmd_execute(args) -> int:
 
 def cmd_replay_dlq(args) -> int:
     from sync_spark.sources.bucketed import read_target
-    from sync_spark.streaming.pipeline import replay_dlq
+    from sync_spark.streaming.pipeline import export_exhausted_dlq, replay_dlq
 
     spark = _spark("sync_cli_replay")
     row_schema = read_target(spark, os.path.join(args.target_root, args.table)).schema
@@ -161,7 +161,13 @@ def cmd_replay_dlq(args) -> int:
         row_schema,
         args.keys.split(","),
     )
-    print(json.dumps({"replayed": replayed, "remaining": remaining}))
+    out = {"replayed": replayed, "remaining": remaining}
+    if args.export_exhausted_dir:
+        exported, left = export_exhausted_dlq(
+            spark, args.dlq, args.table, args.export_exhausted_dir
+        )
+        out.update({"exhausted_exported": exported, "remaining": left})
+    print(json.dumps(out))
     return 0
 
 
@@ -276,6 +282,12 @@ def main(argv=None) -> int:
     p.add_argument("--target-root", required=True)
     p.add_argument("--table", required=True)
     p.add_argument("--keys", required=True, help="comma-separated key columns")
+    p.add_argument(
+        "--export-exhausted-dir",
+        default=None,
+        help="after the replay, move retries_exhausted rows out of the "
+        "queue into a parquet artifact under this dir",
+    )
     p.set_defaults(fn=cmd_replay_dlq)
 
     p = sub.add_parser("backup", help="run one BackupSpec export")

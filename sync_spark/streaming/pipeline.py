@@ -644,3 +644,59 @@ def replay_dlq(
         # re-injects the same (key, seq) events — compaction dedups)
         _shutil.rmtree(table_dir, ignore_errors=True)
     return (len(events), len(bad))
+
+
+def export_exhausted_dlq(
+    spark: SparkSession,
+    dlq_path: str,
+    source_table: str,
+    out_dir: str,
+) -> tuple:
+    """Terminal DLQ lifecycle step: move ``retries_exhausted`` rows
+    out of the live queue into a parquet artifact an operator can
+    audit offline — the queue stays failure-grain-small and a replay
+    loop stops re-reading rows that can never succeed (the reference
+    parks these permanently in its dead-letter collection,
+    mongodb.go processDeadLetterQueue's max-retry arm; cited for
+    parity, not ported).
+
+    Crash ordering: the artifact is written (mode=overwrite, keyed by
+    table — re-export is idempotent) BEFORE the queue rewrite; the
+    rewrite itself is the repo-wide stage-then-swap, healed by
+    recover_interrupted_swaps on the next entry. A crash between the
+    two steps leaves the exhausted rows in BOTH places — re-running
+    the export converges (the artifact overwrite is byte-stable for
+    the same rows). Returns ``(exported, remaining)``."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from sync_spark.sources.bucketed import _swap_dir, recover_interrupted_swaps
+
+    table_dir = os.path.join(dlq_path, f"table={source_table}")
+    recover_interrupted_swaps(table_dir)
+    if not _glob.glob(os.path.join(table_dir, "batch_id=*")):
+        return (0, 0)
+    raw = spark.read.option("mergeSchema", "true").parquet(table_dir)
+    if "retry_count" not in raw.columns:
+        raw = raw.withColumn("retry_count", F.lit(0))
+    exhausted = raw.filter(F.col("reason") == "retries_exhausted")
+    keep_rows = raw.filter(F.col("reason") != "retries_exhausted").collect()
+    ex_rows = exhausted.collect()  # failure-grain: bounded by design
+    if not ex_rows:
+        return (0, len(keep_rows))
+    (
+        exhausted.coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, f"table={source_table}"))
+    )
+    if keep_rows:
+        stage = f"{table_dir}__stage_{uuid.uuid4().hex[:8]}"
+        spark.createDataFrame(
+            keep_rows, raw.schema
+        ).write.mode("overwrite").parquet(
+            os.path.join(stage, f"batch_id=exported_{uuid.uuid4().hex[:8]}")
+        )
+        _swap_dir(stage, table_dir)
+    else:
+        _shutil.rmtree(table_dir, ignore_errors=True)
+    return (len(ex_rows), len(keep_rows))

@@ -501,3 +501,90 @@ def test_prune_event_log_retention(spark, pipeline_dirs):
     )
     _mk_pipeline(spark, pipeline_dirs).run_available()
     assert _read_target(spark, pipeline_dirs["target"])[1]["name"] == "v3"
+
+
+def test_export_exhausted_dlq_moves_terminal_rows_out(spark, pipeline_dirs, tmp_path):
+    """Terminal DLQ lifecycle (round 5): after max_retry blind replays
+    a null-key row is parked as retries_exhausted; export moves it to
+    a parquet artifact and the live queue drops it, so replay loops
+    stop re-reading rows that can never succeed. Re-export is a
+    no-op."""
+    from sync_spark.streaming.pipeline import export_exhausted_dlq, replay_dlq
+
+    _snapshot(spark, pipeline_dirs, [Row(id=1, name="a", balance=1.0)])
+    write_event_batch(
+        pipeline_dirs["events"],
+        [_event("insert", 5, "users", {"id": None},
+                {"id": None, "name": "dead", "balance": 0.0}),
+         _event("insert", 6, "users", {"id": None},
+                {"id": None, "name": "fixable", "balance": 1.0})],
+        1,
+    )
+    _mk_pipeline(spark, pipeline_dirs).run_available()
+    for _ in range(3):  # exhaust blind retries
+        replay_dlq(
+            spark, pipeline_dirs["dlq"], pipeline_dirs["events"],
+            "users", ROW_SCHEMA, ["id"],
+        )
+    out_dir = str(tmp_path / "dead_letters")
+    exported, remaining = export_exhausted_dlq(
+        spark, pipeline_dirs["dlq"], "users", out_dir
+    )
+    assert (exported, remaining) == (2, 0)
+    art = spark.read.parquet(out_dir + "/table=users").collect()
+    assert len(art) == 2
+    assert {r.reason for r in art} == {"retries_exhausted"}
+    assert all(r.retry_count == 3 for r in art)
+    # queue is gone; another export is a clean no-op
+    assert export_exhausted_dlq(spark, pipeline_dirs["dlq"], "users", out_dir) == (0, 0)
+    # and a fresh quarantine after the purge starts a clean queue
+    write_event_batch(
+        pipeline_dirs["events"],
+        [_event("insert", 7, "users", {"id": None},
+                {"id": None, "name": "new-bad", "balance": 2.0})],
+        2,
+    )
+    _mk_pipeline(spark, pipeline_dirs).run_available()
+    dlq = spark.read.parquet(pipeline_dirs["dlq"] + "/table=users").collect()
+    assert len(dlq) == 1 and dlq[0].reason == "null_key"
+
+
+def test_export_exhausted_keeps_live_queue_rows(spark, pipeline_dirs, tmp_path):
+    """Mixed queue: one exhausted row is exported, a still-retryable
+    null_key row SURVIVES the stage-then-swap rewrite."""
+    from sync_spark.streaming.pipeline import export_exhausted_dlq, replay_dlq
+
+    _snapshot(spark, pipeline_dirs, [Row(id=1, name="a", balance=1.0)])
+    write_event_batch(
+        pipeline_dirs["events"],
+        [_event("insert", 5, "users", {"id": None},
+                {"id": None, "name": "dead", "balance": 0.0})],
+        1,
+    )
+    _mk_pipeline(spark, pipeline_dirs).run_available()
+    for _ in range(3):
+        replay_dlq(spark, pipeline_dirs["dlq"], pipeline_dirs["events"],
+                   "users", ROW_SCHEMA, ["id"])
+    # a SECOND bad event arrives after the first exhausted
+    write_event_batch(
+        pipeline_dirs["events"],
+        [_event("insert", 6, "users", {"id": None},
+                {"id": None, "name": "young", "balance": 1.0})],
+        2,
+    )
+    _mk_pipeline(spark, pipeline_dirs).run_available()
+    exported, remaining = export_exhausted_dlq(
+        spark, pipeline_dirs["dlq"], "users", str(tmp_path / "dead")
+    )
+    assert (exported, remaining) == (1, 1)
+    live = spark.read.parquet(pipeline_dirs["dlq"] + "/table=users").collect()
+    assert len(live) == 1 and live[0].reason == "null_key"
+    # the survivor is still repairable through the normal loop
+    replayed, left = replay_dlq(
+        spark, pipeline_dirs["dlq"], pipeline_dirs["events"],
+        "users", ROW_SCHEMA, ["id"],
+        fix=lambda df: df.withColumn("id", F.coalesce(F.col("id"), F.lit(99))),
+    )
+    assert (replayed, left) == (1, 0)
+    _mk_pipeline(spark, pipeline_dirs).run_available()
+    assert _read_target(spark, pipeline_dirs["target"])[99]["name"] == "young"

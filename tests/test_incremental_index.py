@@ -114,3 +114,33 @@ def test_extend_makes_new_near_dups_visible(spark, tmp_path):
     flags = {r.doc_id: r.is_dup for r in again.collect()}
     for doc_id in has_fp:
         assert flags[doc_id] is True
+
+
+def test_probe_opens_only_touched_buckets(spark, tmp_path):
+    """The round-5 review fix pinned: probing a tiny slice must read
+    only the index buckets its fingerprints hash into — visible in
+    the scan's file index — never the whole store."""
+    corpus, incoming = _split(spark)
+    idx = str(tmp_path / "fpidx")
+    build_fp_index(corpus, idx)
+    n_bucket_dirs = len([e for e in os.listdir(idx) if e.startswith("__bucket=")])
+    one_doc = incoming.orderBy("doc_id").limit(1)
+    from sync_spark.operators.dedup import winnow_fingerprint_rows as wfr
+    from sync_spark.sources.bucketed import bucket_expr
+
+    expected_touched = (
+        wfr(one_doc, "text", "doc_id")
+        .select(bucket_expr(["fp"], 32).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert expected_touched < n_bucket_dirs, "fixture: one doc must not touch all"
+    out = probe_fp_index(spark, one_doc, idx, min_shared=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # the index scan's InMemoryFileIndex path count == touched buckets
+    counts = [int(m) for m in re.findall(r"InMemoryFileIndex\((\d+) paths\)", plan)]
+    assert counts, plan[:500]
+    assert min(counts) <= expected_touched
+    assert all(c < n_bucket_dirs for c in counts if c > 1) or expected_touched == 1
