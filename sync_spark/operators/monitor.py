@@ -165,9 +165,12 @@ def apply_stats_totals(spark: SparkSession, stats_path: str) -> DataFrame:
     and "old dirs deleted" harmless (the superseded dirs are ignored,
     never double-counted) and the next compact call finishes the
     deletion."""
-    stats = spark.read.option("mergeSchema", "true").parquet(stats_path)
-    if "src_batches" not in stats.columns:
-        stats = stats.withColumn("src_batches", F.lit(None).cast("long"))
+    # explicit schema: pre-compaction batch files lack src_batches and
+    # read NULL by name — mergeSchema would open every footer before
+    # partition pruning, a hot-path trap this serving query must avoid
+    stats = spark.read.schema(
+        "op string, n long, src_batches long, table string, batch_id string"
+    ).parquet(stats_path)
     bid = F.col("batch_id").cast("string")
     is_comp = bid.startswith("c")
     live_id = F.when(~is_comp, bid.cast("long"))
@@ -219,6 +222,8 @@ def compact_apply_stats(
     {table: folded_dir_count}."""
     import shutil
 
+    from sync_spark.sources.bucketed import _swap_dir, recover_interrupted_swaps
+
     out = {}
     if not os.path.isdir(stats_path):
         return out
@@ -226,6 +231,7 @@ def compact_apply_stats(
         if not tdir.startswith("table="):
             continue
         troot = os.path.join(stats_path, tdir)
+        recover_interrupted_swaps(troot)
         live, comp = [], []
         for entry in os.listdir(troot):
             if not entry.startswith("batch_id="):
@@ -244,11 +250,32 @@ def compact_apply_stats(
         comp.sort()
         for _, stale in comp[:-1]:
             shutil.rmtree(os.path.join(troot, stale), ignore_errors=True)
+        if comp:
+            # live dirs BELOW the newest compacted cut-off are crash
+            # leftovers whose counts are already inside that compacted
+            # dir (the reader has been ignoring them all along) —
+            # folding them again would double-count; delete instead
+            cut = comp[-1][0]
+            superseded = [
+                e for e in live if int(e[len("batch_id="):]) < cut
+            ]
+            for e in superseded:
+                shutil.rmtree(os.path.join(troot, e), ignore_errors=True)
+            live = [e for e in live if e not in superseded]
         folded = live + [comp[-1][1]] if comp else live
         if not folded:
             continue
+        if comp and comp[-1][0] == below_batch_id and not live:
+            # same-cutoff re-run with nothing new: the target already
+            # holds exactly this content — a pure self-fold is a no-op
+            # (and rewriting it would open a lose-the-history crash
+            # window between delete and rename)
+            out[tdir[len("table="):]] = 0
+            continue
         src = (
-            spark.read.option("mergeSchema", "true")
+            # explicit schema: pre-compaction files lack src_batches
+            # and read NULL by name (no mergeSchema footer storm)
+            spark.read.schema("op string, n long, src_batches long")
             .parquet(*[os.path.join(troot, e) for e in folded])
             # the batch DIR, not the file: a dir may hold several part
             # files and must still count as one contributing batch
@@ -257,8 +284,6 @@ def compact_apply_stats(
                 F.regexp_extract(F.input_file_name(), r"(batch_id=[^/]+)", 1),
             )
         )
-        if "src_batches" not in src.columns:
-            src = src.withColumn("src_batches", F.lit(None).cast("long"))
         rows = (
             src.groupBy("op")
             .agg(
@@ -278,9 +303,11 @@ def compact_apply_stats(
             [(r["op"], r["n"], r["src_batches"]) for r in rows],
             "op string, n long, src_batches long",
         ).coalesce(1).write.mode("overwrite").parquet(stage)
-        if os.path.isdir(final):
-            shutil.rmtree(final)  # idempotent re-run with same cutoff
-        os.rename(stage, final)
+        # park-then-replace (never delete-then-rename): an existing
+        # target can only arise from unusual manual states given the
+        # self-fold skip above, but if it does, a crash mid-replace
+        # must not lose the folded history
+        _swap_dir(stage, final)
         for entry in folded:
             # a re-run with the SAME cutoff folds the existing c<N>
             # dir into itself — the freshly renamed output must not be

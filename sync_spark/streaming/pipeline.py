@@ -660,13 +660,16 @@ def export_exhausted_dlq(
     mongodb.go processDeadLetterQueue's max-retry arm; cited for
     parity, not ported).
 
-    Crash ordering: the artifact is written (mode=overwrite, keyed by
-    table — re-export is idempotent) BEFORE the queue rewrite; the
-    rewrite itself is the repo-wide stage-then-swap, healed by
-    recover_interrupted_swaps on the next entry. A crash between the
-    two steps leaves the exhausted rows in BOTH places — re-running
-    the export converges (the artifact overwrite is byte-stable for
-    the same rows). Returns ``(exported, remaining)``."""
+    Crash ordering: the artifact is updated BEFORE the queue rewrite,
+    and it ACCUMULATES — new exhausted rows are unioned with any
+    previously exported ones and deduped by ``seq``, so a later export
+    never destroys an earlier artifact and a crash between the two
+    steps converges on re-run (the same rows merge to the same
+    artifact; rows with equal seq are the same event, so the dedup
+    survivor is immaterial). Both the artifact update and the queue
+    rewrite go through the repo-wide stage-then-swap, healed by
+    recover_interrupted_swaps on the next entry. Returns
+    ``(exported, remaining)``."""
     import glob as _glob
     import shutil as _shutil
 
@@ -679,20 +682,34 @@ def export_exhausted_dlq(
     raw = spark.read.option("mergeSchema", "true").parquet(table_dir)
     if "retry_count" not in raw.columns:
         raw = raw.withColumn("retry_count", F.lit(0))
-    exhausted = raw.filter(F.col("reason") == "retries_exhausted")
-    keep_rows = raw.filter(F.col("reason") != "retries_exhausted").collect()
+    # drop the discovered batch_id partition column: the survivor
+    # rewrite below writes INSIDE a new batch_id=... dir, and a stale
+    # batch_id data column there would shadow/conflict with the
+    # partition value on every later read of the queue
+    data_cols = [c for c in raw.columns if c != "batch_id"]
+    exhausted = raw.filter(F.col("reason") == "retries_exhausted").select(*data_cols)
+    keep_rows = (
+        raw.filter(F.col("reason") != "retries_exhausted").select(*data_cols).collect()
+    )
     ex_rows = exhausted.collect()  # failure-grain: bounded by design
     if not ex_rows:
         return (0, len(keep_rows))
-    (
-        exhausted.coalesce(1)
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, f"table={source_table}"))
-    )
+    art_dir = os.path.join(out_dir, f"table={source_table}")
+    os.makedirs(out_dir, exist_ok=True)
+    recover_interrupted_swaps(out_dir)
+    merged = exhausted
+    if _glob.glob(os.path.join(art_dir, "*.parquet")):
+        prev = spark.read.option("mergeSchema", "true").parquet(art_dir)
+        merged = exhausted.unionByName(
+            prev, allowMissingColumns=True
+        ).dropDuplicates(["seq"])
+    art_stage = f"{art_dir}__stage_{uuid.uuid4().hex[:8]}"
+    merged.coalesce(1).write.mode("overwrite").parquet(art_stage)
+    _swap_dir(art_stage, art_dir)
     if keep_rows:
         stage = f"{table_dir}__stage_{uuid.uuid4().hex[:8]}"
         spark.createDataFrame(
-            keep_rows, raw.schema
+            keep_rows, exhausted.schema
         ).write.mode("overwrite").parquet(
             os.path.join(stage, f"batch_id=exported_{uuid.uuid4().hex[:8]}")
         )

@@ -112,6 +112,10 @@ def test_compaction_preserves_totals_and_batch_counts(spark, tmp_path):
             for r in apply_stats_totals(spark, stats).collect()
         }
 
+    # keep a faithful pre-compaction copy of a live batch dir for the
+    # crash simulation below
+    saved_b3 = str(tmp_path / "saved_b3")
+    shutil.copytree(f"{stats}/table=users/batch_id=3", saved_b3)
     before = snap()
     folded = compact_apply_stats(spark, stats, below_batch_id=4)
     assert folded == {"orders": 3, "users": 3}
@@ -134,4 +138,21 @@ def test_compaction_preserves_totals_and_batch_counts(spark, tmp_path):
     # (its content already lives inside c6 — folding would double)
     compact_apply_stats(spark, stats, below_batch_id=6)
     assert not os.path.isdir(stale_c4)
+    assert snap() == before
+    # crash simulation 2: a LIVE batch dir below the cut-off survived
+    # (compact(6) renamed c6 in, died mid source-deletion). Its counts
+    # already live inside c6 — a re-run must DELETE it, never re-fold
+    # it into a fresh c6 (double-count), and totals must not move.
+    live3 = f"{stats}/table=users/batch_id=3"
+    shutil.copytree(saved_b3, live3)
+    assert snap() == before  # reader ignores live dirs below the cut-off
+    compact_apply_stats(spark, stats, below_batch_id=6)
+    assert not os.path.isdir(live3)
+    assert snap() == before
+    # same-cutoff re-run with nothing new to fold: a pure self-fold is
+    # a no-op (rewriting the target would open a crash window)
+    assert compact_apply_stats(spark, stats, below_batch_id=6) == {
+        "orders": 0,
+        "users": 0,
+    }
     assert snap() == before

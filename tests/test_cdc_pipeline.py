@@ -549,6 +549,51 @@ def test_export_exhausted_dlq_moves_terminal_rows_out(spark, pipeline_dirs, tmp_
     assert len(dlq) == 1 and dlq[0].reason == "null_key"
 
 
+def test_export_exhausted_artifact_accumulates(spark, pipeline_dirs, tmp_path):
+    """A later export must not destroy rows a previous export already
+    moved out of the queue (their only remaining copy IS the
+    artifact): the artifact accumulates across exports, deduped by
+    seq, and a crash between artifact write and queue rewrite
+    converges on re-run without duplicating rows."""
+    import shutil
+
+    from sync_spark.streaming.pipeline import export_exhausted_dlq, replay_dlq
+
+    _snapshot(spark, pipeline_dirs, [Row(id=1, name="a", balance=1.0)])
+    out_dir = str(tmp_path / "dead")
+
+    def quarantine_and_exhaust(seq, batch):
+        write_event_batch(
+            pipeline_dirs["events"],
+            [_event("insert", seq, "users", {"id": None},
+                    {"id": None, "name": f"dead{seq}", "balance": 0.0})],
+            batch,
+        )
+        _mk_pipeline(spark, pipeline_dirs).run_available()
+        for _ in range(3):
+            replay_dlq(spark, pipeline_dirs["dlq"], pipeline_dirs["events"],
+                       "users", ROW_SCHEMA, ["id"])
+
+    quarantine_and_exhaust(5, 1)
+    assert export_exhausted_dlq(spark, pipeline_dirs["dlq"], "users", out_dir) == (1, 0)
+    quarantine_and_exhaust(6, 2)
+    # crash simulation: the export writes the artifact but dies before
+    # the queue rewrite — the row sits in BOTH places; the re-run must
+    # converge (same artifact, queue finally rewritten)
+    queue = pipeline_dirs["dlq"] + "/table=users"
+    saved = str(tmp_path / "queue_copy")
+    shutil.copytree(queue, saved)
+    assert export_exhausted_dlq(spark, pipeline_dirs["dlq"], "users", out_dir) == (1, 0)
+    shutil.rmtree(queue, ignore_errors=True)  # export removed the drained queue
+    shutil.copytree(saved, queue)  # the queue rewrite "never happened"
+    assert export_exhausted_dlq(spark, pipeline_dirs["dlq"], "users", out_dir) == (1, 0)
+    art = spark.read.parquet(out_dir + "/table=users").collect()
+    # seq 5 NOT destroyed by the later export; seq 6 NOT duplicated by
+    # the crash re-run
+    assert sorted(r.seq for r in art) == [5, 6]
+    assert all(r.reason == "retries_exhausted" for r in art)
+
+
 def test_export_exhausted_keeps_live_queue_rows(spark, pipeline_dirs, tmp_path):
     """Mixed queue: one exhausted row is exported, a still-retryable
     null_key row SURVIVES the stage-then-swap rewrite."""

@@ -128,19 +128,29 @@ def test_probe_opens_only_touched_buckets(spark, tmp_path):
     from sync_spark.operators.dedup import winnow_fingerprint_rows as wfr
     from sync_spark.sources.bucketed import bucket_expr
 
-    expected_touched = (
-        wfr(one_doc, "text", "doc_id")
+    expected_buckets = sorted(
+        int(r.b)
+        for r in wfr(one_doc, "text", "doc_id")
         .select(bucket_expr(["fp"], 32).alias("b"))
         .distinct()
-        .count()
+        .collect()
     )
-    assert expected_touched < n_bucket_dirs, "fixture: one doc must not touch all"
+    assert 0 < len(expected_buckets) < n_bucket_dirs, "fixture: one doc must not touch all"
     out = probe_fp_index(spark, one_doc, idx, min_shared=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
     import re
 
-    # the index scan's InMemoryFileIndex path count == touched buckets
-    counts = [int(m) for m in re.findall(r"InMemoryFileIndex\((\d+) paths\)", plan)]
-    assert counts, plan[:500]
-    assert min(counts) <= expected_touched
-    assert all(c < n_bucket_dirs for c in counts if c > 1) or expected_touched == 1
+    # the pruning is planning-time partition pruning: the index scan
+    # must carry a PartitionFilters IN-list over __bucket whose members
+    # are EXACTLY the buckets the probe's fingerprints hash into. (The
+    # location path in toString() is truncated at 100 chars, so the
+    # filter — not the path list — is the reliable signal; a regressed
+    # full-store scan has no __bucket filter at all and fails the
+    # `assert filters`.)
+    filters = re.findall(r"PartitionFilters: \[__bucket#\d+ IN \(([-\d,]+)\)\]", plan)
+    assert filters, plan[:500]
+    for grp in filters:
+        assert sorted(int(x) for x in grp.split(",")) == expected_buckets, (
+            grp,
+            expected_buckets,
+        )
