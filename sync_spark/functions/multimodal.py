@@ -131,6 +131,24 @@ def png_payload(
     return _png_from_raw(raw, color_type)
 
 
+def gif_payload(media_id: int, width: int = 8, height: int = 6) -> bytes:
+    """Build a REAL single-frame GIF89a (functions/gif.py): the same
+    deterministic gradient as ppm/png/jpeg_payload. Thumbnail-scale
+    gradients stay under 256 unique colors, so the exact-palette
+    encoder makes the roundtrip LOSSLESS — pixel values can ride the
+    shared closed-form oracle exactly like PPM/PNG."""
+    import numpy as np
+
+    from sync_spark.functions.gif import gif_encode
+
+    rgb = np.zeros((height, width, 3), dtype=np.uint8)
+    ys, xs = np.mgrid[0:height, 0:width]
+    rgb[..., 0] = (xs * 7 + media_id) % 256
+    rgb[..., 1] = (ys * 11 + media_id) % 256
+    rgb[..., 2] = (xs + ys) % 256
+    return gif_encode(rgb)
+
+
 def jpeg_payload(media_id: int, width: int = 8, height: int = 6) -> bytes:
     """Build a REAL baseline JPEG (functions/jpeg.py): the same
     deterministic gradient as ppm_payload/png_payload, so all three
@@ -414,10 +432,18 @@ def _decode_payload(payload: bytes | None) -> tuple[int | None, int | None, int 
         except ValueError:
             return (None, None, None)
         return (w, h, None)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from sync_spark.functions.gif import parse_gif_header
+
+        try:
+            w, h = parse_gif_header(payload)
+        except ValueError:
+            return (None, None, None)
+        return (w, h, None)
     raise NotImplementedError(
         "compressed media decoding (MP3/H.264) requires codec "
-        "libraries; WAV, PPM, PNG, baseline JPEG and the deterministic "
-        "fake codec are available in this environment"
+        "libraries; WAV, PPM, PNG, GIF, baseline JPEG and the "
+        "deterministic fake codec are available in this environment"
     )
 
 
@@ -650,6 +676,11 @@ def _decode_image_pixels(p: bytes):
 
         w, h, px = jpeg_decode(p)
         return w, h, px, "jpeg"
+    if len(p) >= 6 and p[:6] in (b"GIF87a", b"GIF89a"):
+        from sync_spark.functions.gif import gif_decode
+
+        w, h, px = gif_decode(p)
+        return w, h, px, "gif"
     raise ValueError("not a supported image container")
 
 
@@ -729,6 +760,10 @@ def resize_image(df: DataFrame, max_side: int) -> DataFrame:
                             rp = np.ascontiguousarray(px[ys][:, xs])
                             if container == "png":
                                 payload = _png_from_raw(rp, 2)
+                            elif container == "gif":
+                                from sync_spark.functions.gif import gif_encode
+
+                                payload = gif_encode(rp)
                             elif container == "jpeg":
                                 from sync_spark.functions.jpeg import jpeg_encode
 

@@ -11,11 +11,12 @@ Parameter algebra (kept in ONE place, mirrored in the oracle):
   n = 2000 · (1 + vec_id mod 4) samples ⇒ duration_ms exactly
   250 · (1 + vec_id mod 4).
 - odd vec_id → image: width 4 + vec_id mod 5, height
-  3 + vec_id mod 3; container alternates by vec_id mod 4 — 1 → P6,
-  3 mod 8 → PNG (CRC-verified zlib path), 7 mod 8 → baseline JPEG
+  3 + vec_id mod 3; container alternates by vec_id mod 8 —
+  1 → GIF (LZW path, exact palette = lossless), 3 → PNG
+  (CRC-verified zlib path), 5 → P6, 7 → baseline JPEG
   (canonical-Huffman entropy path; lossy, so only dims ride the
   oracle) — same dims algebra, so ONE closed-form oracle gates all
-  three real image codecs.
+  four real image codecs.
 """
 
 from __future__ import annotations
@@ -47,8 +48,10 @@ def m_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows["kind"].append("image")
                     if mid % 8 == 7:
                         build_img = M.jpeg_payload
-                    elif mid % 4 == 3:
+                    elif mid % 8 == 3:
                         build_img = M.png_payload
+                    elif mid % 8 == 1:
+                        build_img = M.gif_payload
                     else:
                         build_img = M.ppm_payload
                     rows["payload"].append(
@@ -94,8 +97,10 @@ def m_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows["media_id"].append(mid)
                 if mid % 8 == 7:
                     build_img = M.jpeg_payload
-                elif mid % 4 == 3:
+                elif mid % 8 == 3:
                     build_img = M.png_payload
+                elif mid % 8 == 1:
+                    build_img = M.gif_payload
                 else:
                     build_img = M.ppm_payload
                 rows["payload"].append(build_img(mid, width=4 + mid % 5, height=3 + mid % 3))
