@@ -147,6 +147,22 @@ def chk_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_check(spark, sf_dir, ann)
 
 
+def chk_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tq._t(spark, sf_dir, "embeddings")
+    ann = similarity.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        k=5,
+        n_lists=16,
+        n_probe=6,
+        m=16,
+        n_codes=32,
+        refine=6,
+        max_iter=10,
+    )
+    return _ann_check(spark, sf_dir, ann)
+
+
 _CHK_ANN_SQL = f"""
 SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
        CAST(COUNT(*) AS BIGINT) AS exact_rows,
@@ -157,6 +173,7 @@ FROM ({tq.E_COSINE_SQL}) exact_topk
 
 CHK_ANN_LSH_SQL = _CHK_ANN_SQL
 CHK_ANN_IVF_SQL = _CHK_ANN_SQL
+CHK_ANN_PQ_SQL = _CHK_ANN_SQL
 
 
 def chk_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -101,6 +101,47 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _sample_matrix(corpus: DataFrame, id_col: str, vec_col: str, sample_n: int):
+    """Bounded deterministic training sample (orderBy-limit; at 100 TB
+    swap for a hash-bucket predicate sample — training math unchanged)."""
+    rows = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.col(id_col))
+        .limit(sample_n)
+        .collect()
+    )
+    return np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+
+
+def _kmeans_fit(X, n_centers: int, rng, max_iter: int):
+    """Driver-side seeded Lloyd with k-means++ (D² sampling) init:
+    spread initial centers so cells don't collapse — cell balance is
+    what IVF/PQ recall depends on. Shared by the IVF coarse codebook
+    and each PQ subspace codebook."""
+    n_centers = min(n_centers, len(X))
+    first = rng.randint(len(X))
+    centers = X[[first]]
+    d2 = ((X - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, n_centers):
+        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(X), 1.0 / len(X))
+        nxt = rng.choice(len(X), p=probs)
+        centers = np.vstack([centers, X[nxt]])
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        d = (centers * centers).sum(axis=1)[None, :] - 2.0 * (X @ centers.T)
+        assign = np.argmin(d, axis=1)
+        new_centers = centers.copy()
+        for j in range(len(centers)):
+            members = X[assign == j]
+            if len(members):
+                new_centers[j] = members.mean(axis=0)
+        if np.allclose(new_centers, centers):
+            break
+        centers = new_centers
+    return centers
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -130,38 +171,8 @@ def ivf_topk(
     training math is unchanged. Deterministic given the seed.
     Recall < 1 by design → rows-only + chk_ floor.
     """
-    sample_rows = (
-        corpus.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.col(id_col))
-        .limit(sample_n)
-        .collect()
-    )
-    X = np.asarray([list(r[1]) for r in sample_rows], dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    # k-means++ seeding (D² sampling): spread initial centers so Lloyd
-    # doesn't converge to collapsed cells — cell balance is what IVF
-    # recall depends on
-    n_centers = min(n_lists, len(X))
-    first = rng.randint(len(X))
-    centers = X[[first]]
-    d2 = ((X - centers[0]) ** 2).sum(axis=1)
-    for _ in range(1, n_centers):
-        probs = d2 / d2.sum() if d2.sum() > 0 else np.full(len(X), 1.0 / len(X))
-        nxt = rng.choice(len(X), p=probs)
-        centers = np.vstack([centers, X[nxt]])
-        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
-    for _ in range(max_iter):
-        d = (centers * centers).sum(axis=1)[None, :] - 2.0 * (X @ centers.T)
-        assign = np.argmin(d, axis=1)
-        new_centers = centers.copy()
-        for j in range(len(centers)):
-            members = X[assign == j]
-            if len(members):
-                new_centers[j] = members.mean(axis=0)
-        if np.allclose(new_centers, centers):
-            break
-        centers = new_centers
+    X = _sample_matrix(corpus, id_col, vec_col, sample_n)
+    centers = _kmeans_fit(X, n_lists, np.random.RandomState(seed), max_iter)
     centroids = [list(c) for c in centers]
 
     # cell assignment is a dense numeric kernel (corpus × centroids
@@ -221,6 +232,158 @@ def ivf_topk(
         .drop("qraw")
     )
     return _scored_topk(c, q, k, on="cell")
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    refine: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+    sample_n: int = 16384,
+) -> DataFrame:
+    """IVF-PQ ANN: the memory-bandwidth scale path. The corpus is
+    coarse-partitioned into ``n_lists`` IVF cells AND product-quantized
+    into ``m`` sub-codes of ``n_codes`` centroids each — the ADC scan
+    inside probed cells touches m small ints + one float per vector
+    instead of the full embedding (m·log2(n_codes) bits vs 32·dim; at
+    100 TB of vectors that is the difference between a memory-bound
+    scan and a compute-bound one). Selection is the standard ADC form:
+    approx_dot(q, x) = Σ_j table_q[j][code_j(x)] with table_q the
+    query's per-subspace dot products against the PQ codebooks
+    (computed once per query, joined as a literal array column, summed
+    JVM-side by zip_with/aggregate). The approximate top ``refine·k``
+    per query are then RE-SCORED with the exact quantized cosine (a
+    broadcast semi-join back to the corpus — one extra scan here; a
+    deployment points it at the key-bucketed store for point reads),
+    so every returned pair carries the IDENTICAL cosine the exact
+    operator would emit (the chk_ann gate's contract); only recall is
+    approximate. Codebooks are trained driver-side on a bounded
+    deterministic sample exactly like ``ivf_topk`` (FAISS-style;
+    PQ on raw vectors, not residuals — residual PQ needs a per
+    (query, cell) lookup table, a join-shape cost this recall target
+    does not justify). Deterministic given the seed.
+    Recall < 1 by design → rows-only + chk_ floor.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    X = _sample_matrix(corpus, id_col, vec_col, sample_n)
+    rng = np.random.RandomState(seed)
+    coarse = _kmeans_fit(X, n_lists, rng, max_iter)  # (n_lists, dim)
+    dim = X.shape[1]
+    # contiguous sub-spaces; np.array_split handles dim % m != 0
+    bounds = np.cumsum([0] + [len(b) for b in np.array_split(np.arange(dim), m)])
+    books = [
+        _kmeans_fit(X[:, bounds[j] : bounds[j + 1]], n_codes, rng, max_iter)
+        for j in range(m)
+    ]
+    coarse_sq = (coarse * coarse).sum(axis=1)
+
+    def _encode(x):
+        """(batch, dim) -> cells, codes (batch, m), reconstructed norms."""
+        cells = np.argmin(coarse_sq[None, :] - 2.0 * (x @ coarse.T), axis=1)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        recon = np.empty((len(x), dim), dtype=np.float64)
+        for j in range(m):
+            sub = x[:, bounds[j] : bounds[j + 1]]
+            bj = books[j]
+            cj = np.argmin(
+                (bj * bj).sum(axis=1)[None, :] - 2.0 * (sub @ bj.T), axis=1
+            )
+            codes[:, j] = cj
+            recon[:, bounds[j] : bounds[j + 1]] = bj[cj]
+        return cells, codes, np.sqrt((recon * recon).sum(axis=1))
+
+    @pandas_udf("struct<cell:int, codes:array<int>, rnorm:double>")
+    def encode_udf(embs: pd.Series) -> pd.DataFrame:
+        x = np.asarray(list(embs), dtype=np.float64)
+        cells, codes, rnorm = _encode(x)
+        return pd.DataFrame(
+            {"cell": cells.astype("int32"), "codes": list(codes), "rnorm": rnorm}
+        )
+
+    @pandas_udf("array<array<double>>")
+    def adc_udf(embs: pd.Series) -> pd.Series:
+        x = np.asarray(list(embs), dtype=np.float64)
+        tables = [x[:, bounds[j] : bounds[j + 1]] @ books[j].T for j in range(m)]
+        return pd.Series(
+            [[list(tables[j][i]) for j in range(m)] for i in range(len(x))]
+        )
+
+    @pandas_udf("array<int>")
+    def probe_cells_udf(embs: pd.Series) -> pd.Series:
+        x = np.asarray(list(embs), dtype=np.float64)
+        d = coarse_sq[None, :] - 2.0 * (x @ coarse.T)
+        n = min(n_probe, len(coarse))
+        top = np.argpartition(d, n - 1, axis=1)[:, :n]
+        return pd.Series([list(map(int, row)) for row in top])
+
+    # deterministic kernels; the flag stops CollapseProject from
+    # inlining the udf into downstream projections and running the
+    # matmul once per consuming expression (see nearest_cell_udf)
+    encode_udf = encode_udf.asNondeterministic()
+    adc_udf = adc_udf.asNondeterministic()
+    probe_cells_udf = probe_cells_udf.asNondeterministic()
+
+    c = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("craw"))
+        .withColumn("enc", encode_udf(F.col("craw")))
+        .select(
+            "neighbor_id",
+            F.col("enc.cell").alias("cell"),
+            F.col("enc.codes").alias("codes"),
+            F.col("enc.rnorm").alias("rnorm"),
+        )
+    )
+    q = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qraw"))
+        .withColumn("adc", adc_udf(F.col("qraw")))
+        .withColumn("cell", F.explode(probe_cells_udf(F.col("qraw"))))
+        .drop("qraw")
+    )
+    approx = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "adc_cos",
+            F.aggregate(
+                F.zip_with(
+                    F.col("adc"),
+                    F.col("codes"),
+                    lambda t, cd: F.element_at(t, cd + F.lit(1)),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.greatest(F.col("rnorm"), F.lit(1e-12)),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cos").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        approx.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= refine * k)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rescore of the shortlisted pairs: identical quantization /
+    # rounding / tiebreak discipline as every other variant
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), _quantize(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", _norm2(F.col("qv")))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _quantize(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", _norm2(F.col("cv")))
+    return _scored_topk(cv, cand.join(qv, "query_id"), k, on="neighbor_id")
 
 
 _EMPTY_PAIR_FRAME = pd.DataFrame({k: [] for k in ("id1", "id2", "dot", "n1", "n2")})

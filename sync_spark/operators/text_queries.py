@@ -277,6 +277,25 @@ def e_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate NN — the memory-bandwidth scale path: probed
+    cells are scanned over 16 sub-codes (5 bits each) per vector
+    instead of the full embedding, then the shortlist is exact-rescored
+    (rows-only: recall < 1 by design, deterministic seed)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        k=5,
+        n_lists=16,
+        n_probe=6,
+        m=16,
+        n_codes=32,
+        refine=6,
+        max_iter=10,
+    )
+
+
 def t_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-corpus selection under a token budget: keep the
     highest-quality documents whose cumulative token count fits in

@@ -79,6 +79,28 @@ def test_ivf_deterministic_and_correct_cosines(spark, sf_small):
     assert sorted(map(tuple, ivf)) == sorted(map(tuple, ivf2))
 
 
+def test_ivfpq_deterministic_exact_rescore_and_recall(spark, sf_small):
+    """IVF-PQ: ADC selects, the exact rescore emits — so every
+    returned pair must carry the IDENTICAL quantized cosine as the
+    brute-force operator, recall must clear the chk_ floor at the
+    registry parameters, and the whole pipeline is seed-deterministic."""
+    emb = _t(spark, sf_small, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(q, emb, k=5).collect()
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    kwargs = dict(k=5, n_lists=16, n_probe=6, m=16, n_codes=32, refine=6, max_iter=10)
+    pq = similarity.ivfpq_topk(q, emb, **kwargs).collect()
+    assert len(pq) > 0
+    got = {(r.query_id, r.neighbor_id): r.cosine for r in pq}
+    for key, cos in got.items():
+        if key in exact_cos:
+            assert cos == exact_cos[key]  # exact rescore, never ADC output
+    recall = len(set(got) & set(exact_cos)) / len(exact_cos)
+    assert recall >= 0.6, recall
+    pq2 = similarity.ivfpq_topk(q, emb, **kwargs).collect()
+    assert sorted(map(tuple, pq)) == sorted(map(tuple, pq2))
+
+
 def test_exact_dedup_counts(spark):
     df = spark.createDataFrame(
         [

@@ -97,6 +97,13 @@ def test_ann_plans_use_one_arrow_kernel_only(spark, sf_small):
         assert "BatchEvalPython" not in plan
         n_arrow = plan.count("ArrowEvalPython")
         assert 1 <= n_arrow <= 2, plan[:800]
+    # IVF-PQ adds the PQ-encode kernel (corpus) and the ADC-table +
+    # probe kernels (query side, possibly fused into one Arrow node);
+    # the ADC sum, shortlist window and exact rescore are all JVM-side
+    plan = plan_of(tq.e_ann_pq(spark, sf_small))
+    assert "BatchEvalPython" not in plan
+    assert 1 <= plan.count("ArrowEvalPython") <= 3, plan[:800]
+    assert "BroadcastHashJoin" in plan  # cell join + rescore never shuffle the corpus
 
 
 def test_mongo_passthrough_filter_pushdown(spark, sf_small):
