@@ -856,6 +856,67 @@ WHERE NOT coalesce(c_acctbal < 0, FALSE)
 """
 
 
+MERGE_STMT = """MERGE INTO customer AS t USING (
+  SELECT c_custkey, c_name || '*' AS c_name, c_nationkey,
+         c_acctbal + 100.0 AS c_acctbal, c_mktsegment,
+         c_custkey % 21 = 0 AS dead
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW-' || c_name, c_nationkey,
+         0.0 AS c_acctbal, 'NEW' AS c_mktsegment, false AS dead
+  FROM customer WHERE c_custkey % 100 = 0
+) s ON t.c_custkey = s.c_custkey
+WHEN MATCHED AND s.dead = true THEN DELETE
+WHEN MATCHED THEN UPDATE SET *
+WHEN NOT MATCHED THEN INSERT *"""
+
+
+def pt_merge_into(spark, sf_dir: str) -> DataFrame:
+    """Statement-level MERGE INTO through dispatch_execute: every
+    %7 customer is replaced with a bumped after-image, every %21 one
+    is deleted, and synthesized %100 keys insert — the S12/S13 merge
+    semantics as a SQL statement, returned as the post-merge state.
+    The oracle recomputes the same merge as anti-join ∪ survivors."""
+    cust = _t(spark, sf_dir, "customer")
+
+    def run_sql(q: str) -> DataFrame:
+        cust.createOrReplaceTempView("customer")
+        return spark.sql(q)
+
+    _, _, new_state = dispatch_execute(
+        MERGE_STMT, resolve={"customer": cust}.__getitem__, run_sql=run_sql
+    )
+    return new_state.select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        "c_mktsegment",
+    ).orderBy("c_custkey")
+
+
+PT_MERGE_SQL = """
+WITH src AS (
+  SELECT c_custkey, c_name || '*' AS c_name, c_nationkey,
+         c_acctbal + 100.0 AS c_acctbal, c_mktsegment,
+         c_custkey % 21 = 0 AS dead
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW-' || c_name, c_nationkey,
+         0.0 AS c_acctbal, 'NEW' AS c_mktsegment, false AS dead
+  FROM customer WHERE c_custkey % 100 = 0
+), merged AS (
+  SELECT t.c_custkey, t.c_name, t.c_acctbal, t.c_mktsegment
+  FROM customer t
+  WHERE t.c_custkey NOT IN (SELECT c_custkey FROM src)
+  UNION ALL
+  SELECT s.c_custkey, s.c_name, s.c_acctbal, s.c_mktsegment
+  FROM src s WHERE NOT s.dead
+)
+SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal, c_mktsegment
+FROM merged ORDER BY c_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # unified dispatch — the reference's /sql/execute entry point
 # ---------------------------------------------------------------------------
@@ -867,6 +928,231 @@ _REDIS_VERBS = {
 _REDIS_WRITE_VERBS = {"SET", "DEL", "EXPIRE", "PERSIST", "SETEX"}
 
 
+# ---------------------------------------------------------------------------
+# SQL MERGE INTO (S12/S13 surface as a statement)
+# ---------------------------------------------------------------------------
+
+_MERGE_RE = re.compile(r"^\s*MERGE\s+INTO\s", re.IGNORECASE)
+_MERGE_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<tgt>\w+)(?:\s+AS\s+(?P<ta>\w+)|\s+(?P<ta2>\w+))?"
+    r"\s+USING\s+",
+    re.IGNORECASE,
+)
+_WHEN_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED\s*(?:AND\s+(?P<cond>.*?))?\s*THEN\s+"
+    r"(?P<act>UPDATE\s+SET\s+\*|INSERT\s+\*|DELETE)",
+    re.IGNORECASE | re.DOTALL,
+)
+_ON_KEY_RE = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
+
+
+@dataclass
+class MergeSql:
+    target: str
+    source: str  # table name, or "(subquery)" verbatim
+    keys: list  # [(target_col, source_col)]
+    matched_delete: Optional[str]  # condition text, "" = unconditional
+    has_update: bool
+    has_insert: bool
+    t_alias: str
+    s_alias: str
+
+
+def parse_merge_sql(q: str) -> MergeSql:
+    """Restricted ANSI MERGE grammar matching the engine's CDC
+    semantics (the reference applies full-document upserts/deletes —
+    mongodb.go ReplaceOne/DeleteOne; cited for parity, not ported):
+
+        MERGE INTO <tgt> [AS t] USING <src | (subquery)> [AS s]
+        ON t.k = s.k [AND ...]
+        [WHEN MATCHED [AND <cond-on-source>] THEN DELETE]
+        [WHEN MATCHED THEN UPDATE SET *]
+        [WHEN NOT MATCHED THEN INSERT *]
+
+    Column-level ``UPDATE SET c = expr`` is deliberately out of scope:
+    the store's merge is full-after-image by design (SET * / INSERT *),
+    exactly the reference's replace semantics. Raises ValueError on
+    anything outside the grammar."""
+    m = _MERGE_HEAD_RE.match(q)
+    if not m:
+        raise ValueError("malformed MERGE: expected MERGE INTO <table> USING ...")
+    tgt = m.group("tgt")
+    t_alias = m.group("ta") or m.group("ta2") or tgt
+    rest = q[m.end():].lstrip()
+    if rest.startswith("("):
+        depth, i = 0, 0
+        for i, ch in enumerate(rest):
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth == 0:
+                break
+        if depth != 0:
+            raise ValueError("malformed MERGE: unbalanced USING subquery")
+        source = rest[: i + 1]
+        rest = rest[i + 1:].lstrip()
+    else:
+        sm = re.match(r"(\w+)", rest)
+        if not sm:
+            raise ValueError("malformed MERGE: missing USING source")
+        source = sm.group(1)
+        rest = rest[sm.end():].lstrip()
+    am = re.match(r"(?:AS\s+)?(\w+)\s+", rest, re.IGNORECASE)
+    s_alias = source
+    if am and am.group(1).upper() != "ON":
+        s_alias = am.group(1)
+        rest = rest[am.end():].lstrip()
+    om = re.match(r"ON\s+(?P<on>.*?)\s*(?=WHEN\s)", rest, re.IGNORECASE | re.DOTALL)
+    if not om:
+        raise ValueError("malformed MERGE: expected ON <keys> WHEN ...")
+    keys = []
+    for term in re.split(r"\s+AND\s+", om.group("on").strip(), flags=re.IGNORECASE):
+        km = _ON_KEY_RE.match(term)
+        if not km:
+            raise ValueError(
+                f"unsupported MERGE ON term {term!r}: only "
+                "<alias>.<col> = <alias>.<col> equality conjunctions"
+            )
+        a1, c1, a2, c2 = km.groups()
+        if a1 == t_alias and a2 == s_alias:
+            keys.append((c1, c2))
+        elif a1 == s_alias and a2 == t_alias:
+            keys.append((c2, c1))
+        else:
+            raise ValueError(
+                f"MERGE ON aliases {a1!r}/{a2!r} do not match "
+                f"target {t_alias!r} / source {s_alias!r}"
+            )
+    matched_delete, has_update, has_insert = None, False, False
+    whens = list(_WHEN_RE.finditer(rest))
+    if not whens:
+        raise ValueError("malformed MERGE: no WHEN clause")
+    for wm in whens:
+        act = re.sub(r"\s+", " ", wm.group("act").upper())
+        is_not = bool(wm.group("not"))
+        cond = (wm.group("cond") or "").strip()
+        if act == "DELETE":
+            if is_not:
+                raise ValueError("WHEN NOT MATCHED THEN DELETE is not meaningful")
+            if matched_delete is not None:
+                raise ValueError("at most one WHEN MATCHED ... DELETE clause")
+            matched_delete = cond
+        elif act == "UPDATE SET *":
+            if is_not or cond:
+                raise ValueError("UPDATE arm must be plain WHEN MATCHED THEN UPDATE SET *")
+            has_update = True
+        else:  # INSERT *
+            if not is_not or cond:
+                raise ValueError("INSERT arm must be plain WHEN NOT MATCHED THEN INSERT *")
+            has_insert = True
+    return MergeSql(tgt, source, keys, matched_delete, has_update, has_insert, t_alias, s_alias)
+
+
+def run_merge_sql(
+    q: str,
+    resolve: Callable[[str], DataFrame],
+    run_sql: Optional[Callable[[str], DataFrame]] = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Execute a restricted MERGE INTO statement against the resolved
+    target frame → ``(affected_counts, new_target_state)``. Compiles
+    onto merge.apply_changes — the SAME kernel the CDC pipeline uses,
+    so statement-merge and stream-merge semantics can never drift.
+
+    ANSI discipline: a source with duplicate join keys makes the merge
+    non-deterministic and raises (SQL:2003's 'attempt to update the
+    same row twice'); UPDATE/INSERT arms require the source to carry
+    every target column (full after-image, SET *)."""
+    from sync_spark.operators import merge as mg
+
+    spec = parse_merge_sql(q)
+    target = resolve(spec.target)
+    if spec.source.startswith("("):
+        if run_sql is None:
+            raise ValueError("MERGE USING (subquery) needs a SQL runner")
+        source = run_sql(spec.source[1:-1])
+    else:
+        source = resolve(spec.source)
+    # rename source key columns onto the target's key names
+    keys = []
+    for t_col, s_col in spec.keys:
+        if s_col != t_col:
+            source = source.withColumnRenamed(s_col, t_col)
+        keys.append(t_col)
+    dup = (
+        source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"MERGE source has duplicate keys (e.g. "
+            f"{[dup[0][k] for k in keys]}): non-deterministic per SQL:2003"
+        )
+    needs_rows = spec.has_update or spec.has_insert
+    if needs_rows:
+        missing = [c for c in target.columns if c not in source.columns]
+        if missing:
+            raise ValueError(
+                f"MERGE ... SET */INSERT * needs the full after-image; "
+                f"source is missing target columns {missing}"
+            )
+    del_cond = None
+    if spec.matched_delete is not None:
+        cond_txt = spec.matched_delete
+        if cond_txt and re.search(rf"\b{re.escape(spec.t_alias)}\.", cond_txt):
+            raise ValueError(
+                "MERGE delete conditions may reference the SOURCE row only "
+                f"(got a {spec.t_alias!r}.<col> reference); the matched "
+                "target row is the full-after-image the source replaces"
+            )
+        if cond_txt:
+            # strip the source alias prefix: the condition evaluates
+            # against the bare source frame
+            cond_txt = re.sub(rf"\b{re.escape(spec.s_alias)}\.", "", cond_txt)
+        del_cond = F.expr(cond_txt) if cond_txt else F.lit(True)
+    parts = []
+    base = source
+    if del_cond is not None:
+        # DELETE arms apply to MATCHED rows only: semi-join to target.
+        # 3VL: rows where the condition is NULL are not deleted and
+        # fall through to the update/insert arm (the coalesce below)
+        dels = base.filter(del_cond).join(
+            F.broadcast(target.select(*keys).dropDuplicates(keys)), keys, "left_semi"
+        )
+        parts.append(("delete", dels.select(*keys)))
+        base = base.filter(~F.coalesce(del_cond, F.lit(False)))
+    if needs_rows:
+        ups = base.select(*target.columns)
+        if spec.has_update and not spec.has_insert:
+            ups = ups.join(
+                F.broadcast(target.select(*keys).dropDuplicates(keys)), keys, "left_semi"
+            )
+        elif spec.has_insert and not spec.has_update:
+            ups = ups.join(
+                F.broadcast(target.select(*keys).dropDuplicates(keys)), keys, "left_anti"
+            )
+        parts.append(("upsert", ups))
+    changes = None
+    counts = []
+    for op, frame in parts:
+        n = frame.count()
+        counts.append((op, n))
+        full = frame
+        for c in target.columns:
+            if c not in full.columns:
+                full = full.withColumn(c, F.lit(None).cast(dict(
+                    (f.name, f.dataType) for f in target.schema.fields
+                )[c]))
+        full = full.select(*target.columns).withColumn(
+            mg.OP_COL, F.lit("delete" if op == "delete" else "insert")
+        )
+        changes = full if changes is None else changes.unionByName(full)
+    spark = target.sparkSession
+    if changes is None:  # grammar guarantees at least one arm, defensive
+        raise ValueError("MERGE produced no action arms")
+    changes = changes.withColumn(mg.SEQ_COL, F.lit(0).cast("long"))
+    new_state = mg.apply_changes(target, changes, keys)
+    affected = spark.createDataFrame(counts, "op string, n long").orderBy("op")
+    return affected, new_state
+
+
 def dispatch_execute(
     query: str,
     *,
@@ -874,9 +1160,11 @@ def dispatch_execute(
     kv: Optional[DataFrame] = None,
     run_sql: Optional[Callable[[str], DataFrame]] = None,
 ) -> tuple[str, DataFrame, Optional[DataFrame]]:
-    """One entry point for all three dialects, like the reference's
+    """One entry point for all the dialects, like the reference's
     /sql/execute (pkg/api/auth_handler.go:1267-1883): pattern-match
-    into Mongo-JS read, Mongo-JS write, Redis command, else ANSI SQL.
+    into SQL MERGE INTO (statement-level upsert/delete on a target,
+    compiled onto the CDC merge kernel), Mongo-JS read, Mongo-JS
+    write, Redis command, else ANSI SQL.
 
     Returns ``(kind, result, new_state)``: for reads ``new_state`` is
     None; for Mongo/Redis writes ``result`` is the affected-rows frame
@@ -884,6 +1172,9 @@ def dispatch_execute(
     post-write collection/KV frame the caller persists.
     """
     q = query.strip()
+    if _MERGE_RE.match(q):
+        affected, new_state = run_merge_sql(q, resolve, run_sql)
+        return ("merge", affected, new_state)
     if _FIND_RE.match(q):
         return ("mongo_find", run_mongo_js(q, resolve), None)
     if _AGG_RE.match(q):

@@ -376,12 +376,19 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
     # exact rescore of the shortlisted pairs: identical quantization /
-    # rounding / tiebreak discipline as every other variant
+    # rounding / tiebreak discipline as every other variant. The
+    # semi-join FIRST so the quantize/norm HOFs run on the ~refine·k·
+    # |queries| shortlisted vectors, not the whole corpus (projection
+    # sits above the scan, so without the prune Catalyst evaluates it
+    # for every corpus row before the broadcast probe)
     qv = queries.select(
         F.col(id_col).alias("query_id"), _quantize(F.col(vec_col)).alias("qv")
     ).withColumn("qn", _norm2(F.col("qv")))
-    cv = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _quantize(F.col(vec_col)).alias("cv")
+    slim = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("craw")
+    ).join(F.broadcast(cand.select("neighbor_id")), "neighbor_id", "left_semi")
+    cv = slim.select(
+        "neighbor_id", _quantize(F.col("craw")).alias("cv")
     ).withColumn("cn", _norm2(F.col("cv")))
     return _scored_topk(cv, cand.join(qv, "query_id"), k, on="neighbor_id")
 

@@ -160,6 +160,7 @@ def _populate() -> None:
     register("pt_redis_keys", pt.pt_redis_keys, pt.PT_REDIS_SQL)
     register("pt_mongo_update", pt.pt_mongo_update, pt.PT_MONGO_UPDATE_SQL)
     register("pt_mongo_delete", pt.pt_mongo_delete, pt.PT_MONGO_DELETE_SQL)
+    register("pt_merge_into", pt.pt_merge_into, pt.PT_MERGE_SQL)
     register("pt_mongo_aggregate", pt.pt_mongo_aggregate, pt.PT_MONGO_AGG_SQL)
 
     from sync_spark.operators import tpch_queries as th
