@@ -9,17 +9,21 @@ cited for parity, not ported) — this module closes the palette-image
 path the same way functions/jpeg.py closed baseline JPEG and
 multimodal.py closed PNG.
 
-Scope, matching the in-engine thumbnail use case:
-- Encode: single-frame GIF89a, global color table. Images with <= 256
-  unique colors encode LOSSLESSLY (exact palette, sorted for
-  determinism); more colors fall back to a deterministic 3-3-2
-  truncation palette (documented lossy, like the JPEG leg — only dims
-  ride the shared closed-form oracle for such payloads).
-- Decode: first image frame of an 87a/89a stream; global and local
-  color tables; interlaced and non-interlaced; extension blocks are
-  skipped per spec; sub-rectangle frames composite onto a
-  background-color canvas. Later animation frames are ignored (the
-  metadata/stat kernels treat a GIF as its first frame).
+Scope, matching the in-engine thumbnail + frame-sampling use cases:
+- Encode: single-frame (``gif_encode``) and animated
+  (``gif_encode_frames``: per-frame graphic-control delays, NETSCAPE
+  loop) GIF89a with a global color table. Content with <= 256 unique
+  colors encodes LOSSLESSLY (exact palette, sorted for determinism);
+  more colors fall back to a deterministic 3-3-2 truncation palette
+  (documented lossy, like the JPEG leg — only dims ride the shared
+  closed-form oracle for such payloads).
+- Decode: ``gif_frames`` plays the full animation (GCE delays,
+  transparency, disposal 0/1/2; 3 treated as 1), ``gif_decode``
+  returns the first frame, ``gif_meta`` is the light no-LZW walk the
+  scan-time metadata kernel uses (dims, frame count, total duration);
+  global and local color tables; interlaced and non-interlaced;
+  non-graphic extension blocks are skipped per spec; sub-rectangle
+  frames composite onto a background-color canvas.
 - Error discipline (repo-wide codec contract): every malformed-input
   path raises ValueError — struct/LZW/palette errors are normalized so
   one bad payload yields one NULL row, never a dead Arrow batch; and
@@ -154,6 +158,47 @@ def _lzw_decode(data: bytes, min_code_size: int, n_expected: int) -> bytearray:
 # ------------------------------------------------------------- encode
 
 
+def _global_palette(flat, np):
+    """Exact palette + indices when <= 256 unique colors, else the
+    deterministic 3-3-2 truncation (R7..5 G7..5 B7..6)."""
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) <= 256:
+        return colors, inverse.astype(np.uint8)
+    indices = (
+        (flat[:, 0] & 0xE0) | ((flat[:, 1] & 0xE0) >> 3) | (flat[:, 2] >> 6)
+    ).astype(np.uint8)
+    ii = np.arange(256, dtype=np.uint8)
+    palette = np.stack(
+        [ii & 0xE0, (ii << 3) & 0xE0, (ii << 6) & 0xC0], axis=1
+    ).astype(np.uint8)
+    return palette, indices
+
+
+def _write_frame(out: bytearray, indices: bytes, w: int, h: int, mcs: int) -> None:
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+    out.append(mcs)
+    data = _lzw_encode(indices, mcs)
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out.append(len(block))
+        out += block
+    out.append(0)  # block terminator
+
+
+def _gif_header(palette, w: int, h: int, np) -> tuple[bytearray, int]:
+    # pad the table to a power-of-two size >= 4 (the spec's smallest
+    # LZW-friendly table; min code size must be >= 2)
+    size = 4
+    while size < len(palette):
+        size *= 2
+    mcs = max(2, size.bit_length() - 1)
+    lsd_packed = 0x80 | ((size.bit_length() - 2) & 0x07)  # GCT flag + size
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, lsd_packed, 0, 0)
+    out += bytearray(palette.tobytes()) + bytes(3 * (size - len(palette)))
+    return out, mcs
+
+
 def gif_encode(rgb) -> bytes:
     """(h, w, 3) uint8 array -> single-frame GIF89a bytes. Exact
     (lossless) palette when the image has <= 256 unique colors, else a
@@ -161,38 +206,39 @@ def gif_encode(rgb) -> bytes:
     import numpy as np
 
     h, w, _ = rgb.shape
-    px = rgb.reshape(-1, 3).astype(np.uint8)
-    colors, inverse = np.unique(px, axis=0, return_inverse=True)
-    if len(colors) <= 256:
-        palette = colors
-        indices = inverse.astype(np.uint8)
-    else:  # deterministic quantization: R7..5 G7..5 B7..6
-        indices = (
-            (px[:, 0] & 0xE0) | ((px[:, 1] & 0xE0) >> 3) | (px[:, 2] >> 6)
-        ).astype(np.uint8)
-        ii = np.arange(256, dtype=np.uint8)
-        palette = np.stack(
-            [ii & 0xE0, (ii << 3) & 0xE0, (ii << 6) & 0xC0], axis=1
-        ).astype(np.uint8)
-    # pad the table to a power-of-two size >= 4 (the spec's smallest
-    # LZW-friendly table; min code size must be >= 2)
-    size = 4
-    while size < len(palette):
-        size *= 2
-    table = bytearray(palette.tobytes()) + bytes(3 * (size - len(palette)))
-    mcs = max(2, size.bit_length() - 1)
-    lsd_packed = 0x80 | ((size.bit_length() - 2) & 0x07)  # GCT flag + size
-    out = bytearray(b"GIF89a")
-    out += struct.pack("<HHBBB", w, h, lsd_packed, 0, 0)
-    out += table
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
-    out.append(mcs)
-    data = _lzw_encode(indices.tobytes(), mcs)
-    for i in range(0, len(data), 255):
-        block = data[i : i + 255]
-        out.append(len(block))
-        out += block
-    out += b"\x00\x3b"  # block terminator + trailer
+    palette, indices = _global_palette(rgb.reshape(-1, 3).astype(np.uint8), np)
+    out, mcs = _gif_header(palette, w, h, np)
+    _write_frame(out, indices.tobytes(), w, h, mcs)
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def gif_encode_frames(frames_rgb, delay_ms: int = 100) -> bytes:
+    """list of same-shape (h, w, 3) uint8 arrays -> animated GIF89a:
+    ONE global palette over the whole animation (exact when <= 256
+    unique colors across all frames — lossless per frame), a
+    NETSCAPE2.0 infinite-loop extension, and a per-frame graphic
+    control block (disposal=1 'do not dispose', delay rounded to the
+    spec's centisecond grain)."""
+    import numpy as np
+
+    if not frames_rgb:
+        raise ValueError("gif_encode_frames needs at least one frame")
+    h, w, _ = frames_rgb[0].shape
+    for f in frames_rgb:
+        if f.shape != (h, w, 3):
+            raise ValueError("all animation frames must share one shape")
+    flat = np.concatenate([f.reshape(-1, 3).astype(np.uint8) for f in frames_rgb])
+    palette, idx_all = _global_palette(flat, np)
+    out, mcs = _gif_header(palette, w, h, np)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    delay_cs = max(1, round(delay_ms / 10))
+    gce = b"\x21\xf9\x04\x04" + struct.pack("<H", delay_cs) + b"\x00\x00"
+    span = w * h
+    for i in range(len(frames_rgb)):
+        out += gce
+        _write_frame(out, idx_all[i * span : (i + 1) * span].tobytes(), w, h, mcs)
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -222,10 +268,23 @@ _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 def gif_decode(payload: bytes):
     """First image frame -> (canvas_w, canvas_h, RGB uint8 array).
     All malformed-input errors are ValueError (codec contract)."""
+    w, h, frames = gif_frames(payload)
+    return w, h, frames[0][1]
+
+
+def gif_frames(payload: bytes):
+    """Full animation decode -> (canvas_w, canvas_h,
+    [(delay_ms, RGB canvas array), ...]) with GIF89a graphic-control
+    semantics: per-frame delays (centiseconds -> ms), transparency
+    (transparent indices keep the underlying canvas pixel), and
+    disposal methods 0/1 (leave) and 2 (restore frame rect to the
+    background color); method 3 (restore-previous) is treated as 1 —
+    the encoder below never emits it and mainstream content rarely
+    does. All malformed-input errors are ValueError."""
     import numpy as np
 
     try:
-        return _gif_decode_inner(payload, np)
+        return _gif_frames_inner(payload, np)
     except ValueError:
         raise
     except (struct.error, IndexError, OverflowError) as exc:
@@ -234,7 +293,17 @@ def gif_decode(payload: bytes):
         raise ValueError(f"malformed GIF: {exc}") from exc
 
 
-def _gif_decode_inner(payload: bytes, np):
+def _skip_subblocks(payload: bytes, pos: int, what: str) -> int:
+    while True:
+        if pos >= len(payload):
+            raise ValueError(f"malformed GIF: truncated {what}")
+        ln = payload[pos]
+        pos += 1 + ln
+        if ln == 0:
+            return pos
+
+
+def _gif_frames_inner(payload: bytes, np):
     w, h = parse_gif_header(payload)
     packed = payload[10]
     bg_index = payload[11]
@@ -244,23 +313,38 @@ def _gif_decode_inner(payload: bytes, np):
         n = 2 << (packed & 0x07)
         gct = np.frombuffer(payload, np.uint8, count=3 * n, offset=pos).reshape(n, 3)
         pos += 3 * n
-    canvas = np.zeros((h, w, 3), dtype=np.uint8)
-    if gct is not None and bg_index < len(gct):
-        canvas[:, :] = gct[bg_index]
+    bg = (
+        gct[bg_index]
+        if gct is not None and bg_index < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.empty((h, w, 3), dtype=np.uint8)
+    canvas[:, :] = bg
+    frames = []
+    delay_ms, disposal, t_index = 0, 0, None  # pending GCE state
     while pos < len(payload):
         block = payload[pos]
         pos += 1
         if block == 0x3B:  # trailer
             break
-        if block == 0x21:  # extension: label + sub-blocks, skipped
+        if block == 0x21:  # extension
+            label = payload[pos]
             pos += 1
-            while True:
-                if pos >= len(payload):
-                    raise ValueError("malformed GIF: truncated extension")
+            if label == 0xF9:  # graphic control: applies to next frame
                 ln = payload[pos]
-                pos += 1 + ln
-                if ln == 0:
-                    break
+                if ln != 4 or pos + 5 > len(payload):
+                    raise ValueError("malformed GIF: bad graphic control block")
+                gpacked = payload[pos + 1]
+                (delay_cs,) = struct.unpack("<H", payload[pos + 2 : pos + 4])
+                delay_ms = delay_cs * 10
+                disposal = (gpacked >> 2) & 0x07
+                t_index = payload[pos + 4] if gpacked & 0x01 else None
+                pos += 5
+                if payload[pos] != 0:
+                    raise ValueError("malformed GIF: unterminated graphic control")
+                pos += 1
+            else:  # other extensions (NETSCAPE loop, comments): skipped
+                pos = _skip_subblocks(payload, pos, "extension")
             continue
         if block != 0x2C:
             raise ValueError(f"malformed GIF: unknown block 0x{block:02x}")
@@ -295,6 +379,7 @@ def _gif_decode_inner(payload: bytes, np):
         if int(indices.max(initial=0)) >= len(palette):
             raise ValueError("malformed GIF: pixel index outside color table")
         frame = palette[indices].reshape(ih, iw, 3)
+        idx2 = indices.reshape(ih, iw)
         if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
             order = [
                 y
@@ -304,6 +389,62 @@ def _gif_decode_inner(payload: bytes, np):
             deinterlaced = np.empty_like(frame)
             deinterlaced[order] = frame
             frame = deinterlaced
-        canvas[top : top + ih, left : left + iw] = frame
-        return w, h, canvas  # first frame only (animation ignored)
-    raise ValueError("malformed GIF: no image frame")
+            di = np.empty_like(idx2)
+            di[order] = idx2
+            idx2 = di
+        rect = canvas[top : top + ih, left : left + iw]
+        if t_index is not None:
+            opaque = idx2 != t_index
+            rect[opaque] = frame[opaque]
+        else:
+            rect[:, :] = frame
+        frames.append((delay_ms, canvas.copy()))
+        if disposal == 2:  # restore frame rect to background
+            canvas[top : top + ih, left : left + iw] = bg
+        delay_ms, disposal, t_index = 0, 0, None
+    if not frames:
+        raise ValueError("malformed GIF: no image frame")
+    return w, h, frames
+
+
+def gif_meta(payload: bytes):
+    """Light metadata walk (no LZW decode — the header-only
+    discipline the decode_media kernel runs at scan time):
+    -> (width, height, n_frames, total_delay_ms). Raises ValueError
+    on malformed streams."""
+    try:
+        w, h = parse_gif_header(payload)
+        packed = payload[10]
+        pos = 13
+        if packed & 0x80:
+            pos += 3 * (2 << (packed & 0x07))
+        n_frames, total_ms = 0, 0
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x3B:
+                break
+            if block == 0x21:
+                label = payload[pos]
+                pos += 1
+                if label == 0xF9 and pos + 4 <= len(payload) and payload[pos] == 4:
+                    (delay_cs,) = struct.unpack("<H", payload[pos + 2 : pos + 4])
+                    total_ms += delay_cs * 10
+                pos = _skip_subblocks(payload, pos, "extension")
+                continue
+            if block != 0x2C:
+                raise ValueError(f"malformed GIF: unknown block 0x{block:02x}")
+            _, _, iw, ih, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+            pos += 9
+            if ipacked & 0x80:
+                pos += 3 * (2 << (ipacked & 0x07))
+            pos += 1  # LZW min code size
+            pos = _skip_subblocks(payload, pos, "image data")
+            n_frames += 1
+        if n_frames == 0:
+            raise ValueError("malformed GIF: no image frame")
+        return w, h, n_frames, total_ms
+    except ValueError:
+        raise
+    except (struct.error, IndexError, OverflowError) as exc:
+        raise ValueError(f"malformed GIF: {exc}") from exc

@@ -149,6 +149,31 @@ def gif_payload(media_id: int, width: int = 8, height: int = 6) -> bytes:
     return gif_encode(rgb)
 
 
+def animated_gif_payload(
+    media_id: int,
+    width: int = 8,
+    height: int = 6,
+    n_frames: int = 4,
+    delay_ms: int = 100,
+) -> bytes:
+    """Build a REAL animated GIF89a: the deterministic gradient with
+    the frame index folded into the channel math, so every frame is
+    distinct and closed-form predictable."""
+    import numpy as np
+
+    from sync_spark.functions.gif import gif_encode_frames
+
+    frames = []
+    ys, xs = np.mgrid[0:height, 0:width]
+    for f in range(n_frames):
+        rgb = np.zeros((height, width, 3), dtype=np.uint8)
+        rgb[..., 0] = (xs * 7 + media_id + f * 31) % 256
+        rgb[..., 1] = (ys * 11 + media_id) % 256
+        rgb[..., 2] = (xs + ys + f) % 256
+        frames.append(rgb)
+    return gif_encode_frames(frames, delay_ms=delay_ms)
+
+
 def jpeg_payload(media_id: int, width: int = 8, height: int = 6) -> bytes:
     """Build a REAL baseline JPEG (functions/jpeg.py): the same
     deterministic gradient as ppm_payload/png_payload, so all three
@@ -433,9 +458,19 @@ def _decode_payload(payload: bytes | None) -> tuple[int | None, int | None, int 
             return (None, None, None)
         return (w, h, None)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
-        from sync_spark.functions.gif import parse_gif_header
+        from sync_spark.functions.gif import gif_meta, parse_gif_header
 
         try:
+            # light walk (no LZW): dims always; duration only when the
+            # stream is actually animated (a still GIF has no duration,
+            # matching the PNG/PPM image legs)
+            w, h, n_frames, total_ms = gif_meta(payload)
+            return (w, h, total_ms if n_frames > 1 else None)
+        except ValueError:
+            pass
+        try:
+            # stream truncated mid-data: dims still live in the screen
+            # descriptor (PNG-leg parity — the header outlives the body)
             w, h = parse_gif_header(payload)
         except ValueError:
             return (None, None, None)
@@ -536,25 +571,54 @@ FRAMES_SCHEMA = T.StructType(
 
 
 def sample_frames(df: DataFrame, every_ms: int) -> DataFrame:
-    """Frame sampling stub for video payloads: emits one row per
-    sampled timestamp (digest stands in for the decoded frame). The
-    explode happens inside the Arrow batch — output rows ≫ input rows
-    without a JVM-side explode of the binary column."""
+    """Frame sampling for video payloads: emits one row per sampled
+    timestamp. Animated GIFs decode FOR REAL (functions/gif.py plays
+    the animation; the digest is the sha256 of the decoded frame the
+    timestamp lands in, so it changes iff the pixels do); other
+    containers ride the deterministic fake-codec digest (the H.264
+    seam this container cannot close). Corrupt payloads yield no rows,
+    never a dead batch. The explode happens inside the Arrow batch —
+    output rows ≫ input rows without a JVM-side explode of the binary
+    column."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame_digest": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _, _, duration_ms = _decode_payload(payload)
+                try:
+                    _, _, duration_ms = _decode_payload(payload)
+                except NotImplementedError:
+                    continue  # compressed container without a codec
                 if duration_ms is None:
-                    continue  # null/undecodable payload: no frames
+                    continue  # null/undecodable/still payload: no frames
+                starts = digests = None
+                if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    from sync_spark.functions.gif import gif_frames
+
+                    try:
+                        _, _, frames = gif_frames(payload)
+                    except ValueError:
+                        continue  # meta walked but pixels corrupt
+                    starts, acc = [], 0
+                    for delay, _px in frames:
+                        starts.append(acc)
+                        acc += delay
+                    digests = [
+                        hashlib.sha256(px.tobytes()).hexdigest()[:16]
+                        for _d, px in frames
+                    ]
                 for idx, ts in enumerate(range(0, max(duration_ms, 1), every_ms)):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(idx)
                     out["frame_ts_ms"].append(ts)
-                    out["frame_digest"].append(
-                        hashlib.sha256(payload + ts.to_bytes(4, "little")).hexdigest()[:16]
-                    )
+                    if digests is None:
+                        out["frame_digest"].append(
+                            hashlib.sha256(payload + ts.to_bytes(4, "little")).hexdigest()[:16]
+                        )
+                    else:
+                        # the animation frame this timestamp lands in
+                        fi = max(i for i, s in enumerate(starts) if s <= ts)
+                        out["frame_digest"].append(digests[fi])
             yield pd.DataFrame(out)
 
     return df.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(

@@ -179,3 +179,52 @@ SELECT vec_id AS media_id,
        CAST(250 * (1 + vec_id % 4) AS INT) AS rs_duration_ms
 FROM embeddings WHERE vec_id % 2 = 0
 """
+
+
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated REAL frame sampling: build animated GIFs from odd
+    vec_ids (2 + id%3 frames at exactly 100 ms each — the delays come
+    from the encoder's graphic-control blocks), play them through the
+    real animation decoder inside ``sample_frames``, and emit the
+    sampled (idx, timestamp) grid. The oracle states the closed form:
+    sampling every 100 ms over a (2 + id%3)·100 ms animation yields
+    exactly one row per frame. The per-frame pixel digests are real
+    too (sha256 of the decoded canvas) but can't ride a SQL oracle —
+    the pytest side pins them against direct gif_frames decodes."""
+    ids = (
+        _t(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("media_id"))
+        .filter(F.col("media_id") % 2 == 1)
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rows["media_id"].append(mid)
+                rows["kind"].append("video")
+                rows["payload"].append(
+                    M.animated_gif_payload(
+                        mid,
+                        width=4 + mid % 5,
+                        height=3 + mid % 3,
+                        n_frames=2 + mid % 3,
+                        delay_ms=100,
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    media = ids.mapInPandas(build, "media_id long, kind string, payload binary")
+    return M.sample_frames(media, every_ms=100).select(
+        "media_id", "frame_idx", "frame_ts_ms"
+    )
+
+
+M_FRAME_SAMPLE_SQL = """
+SELECT vec_id AS media_id,
+       CAST(t.i AS INT) AS frame_idx,
+       CAST(t.i * 100 AS INT) AS frame_ts_ms
+FROM embeddings, LATERAL UNNEST(range(0, 2 + vec_id % 3)) AS t(i)
+WHERE vec_id % 2 = 1
+"""

@@ -141,6 +141,91 @@ def test_gif_malformed_raises_valueerror_only():
             pass  # the ONLY acceptable error class (codec contract)
 
 
+def test_gif_animation_roundtrip_and_meta():
+    """Animated encode → gif_frames plays every frame losslessly with
+    its delay; gif_meta walks the same numbers without touching LZW."""
+    from sync_spark.functions.gif import gif_encode_frames, gif_frames, gif_meta
+
+    frames = [_grad(5 + f, 6, 4) for f in range(3)]
+    p = gif_encode_frames(frames, delay_ms=250)
+    assert gif_meta(p) == (6, 4, 3, 750)
+    w, h, decoded = gif_frames(p)
+    assert (w, h) == (6, 4) and len(decoded) == 3
+    for (delay, px), exp in zip(decoded, frames):
+        assert delay == 250
+        assert (px == exp).all()
+
+
+def test_gif_transparency_and_disposal():
+    """A transparent index keeps the underlying canvas pixel; disposal
+    method 2 restores the frame rect to background before the next
+    frame composites."""
+    from sync_spark.functions.gif import gif_encode_frames, gif_frames
+
+    base = np.full((4, 4, 3), 200, np.uint8)
+    over = np.zeros((4, 4, 3), np.uint8)
+    over[1:3, 1:3] = 50
+    p = bytearray(gif_encode_frames([base, over], delay_ms=100))
+    # locate the SECOND graphic control block and mark color index of
+    # value-200 pixels transparent in frame 2, disposal=2 on frame 1
+    gces = [i for i in range(len(p) - 8) if p[i] == 0x21 and p[i + 1] == 0xF9]
+    assert len(gces) == 2
+    # palette: sorted unique colors → index 0 = (0,0,0), 1 = (50..), 2 = (200..)
+    # mark frame 2's BLACK border (index 0) transparent: those pixels
+    # must keep showing whatever is already on the canvas
+    p[gces[1] + 3] |= 0x01  # transparency flag
+    p[gces[1] + 6] = 0
+    w, h, decoded = gif_frames(bytes(p))
+    f1, f2 = decoded[0][1], decoded[1][1]
+    assert (f1 == base).all()
+    # frame 2's 200-pixels are transparent → canvas (still frame 1) shows
+    assert (f2[1:3, 1:3] == 50).all()
+    assert (f2[0, 0] == 200).all()  # transparent over frame-1 pixels
+    # now disposal=2 on frame 1: canvas resets to background (index 0 =
+    # black) before frame 2, so transparent pixels show background
+    p[gces[0] + 3] = (p[gces[0] + 3] & ~0x1C) | 0x08  # disposal field := 2
+    w, h, decoded = gif_frames(bytes(p))
+    f2 = decoded[1][1]
+    assert (f2[0, 0] == 0).all()
+    assert (f2[1:3, 1:3] == 50).all()
+
+
+def test_gif_sample_frames_real_digests(spark):
+    """sample_frames on an animated GIF emits REAL per-frame digests:
+    the digest at a timestamp equals the sha256 of the directly
+    decoded frame the timestamp lands in — and changes across frames."""
+    import hashlib
+
+    from sync_spark.functions.gif import gif_frames
+    from sync_spark.functions.multimodal import animated_gif_payload, sample_frames
+
+    p = animated_gif_payload(7, width=6, height=5, n_frames=4, delay_ms=100)
+    df = spark.createDataFrame(
+        [(1, "video", p), (2, "video", p[:20]), (3, "image", p)],
+        "media_id long, kind string, payload binary",
+    )
+    rows = sample_frames(df, every_ms=100).collect()
+    got = {(r.media_id, r.frame_ts_ms): r.frame_digest for r in rows}
+    assert {m for m, _ in got} == {1}  # corrupt row → no rows; non-video filtered
+    _, _, frames = gif_frames(p)
+    expected = [hashlib.sha256(px.tobytes()).hexdigest()[:16] for _d, px in frames]
+    assert [got[(1, ts)] for ts in (0, 100, 200, 300)] == expected
+    assert len(set(expected)) == 4  # every frame genuinely distinct
+
+
+def test_gif_decode_media_reports_animation_duration(spark):
+    from sync_spark.functions.multimodal import animated_gif_payload, decode_media, gif_payload
+
+    rows = [
+        (1, "video", animated_gif_payload(3, width=5, height=4, n_frames=3, delay_ms=200)),
+        (2, "image", gif_payload(3, width=5, height=4)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    out = {r.media_id: r for r in decode_media(df).collect()}
+    assert (out[1].width, out[1].height, out[1].duration_ms) == (5, 4, 600)
+    assert (out[2].width, out[2].height, out[2].duration_ms) == (5, 4, None)
+
+
 def test_gif_decode_media_and_null_rows(spark):
     """decode_media reports GIF dims via the header walk; corrupt
     payloads yield NULL rows, never a dead Arrow batch."""
