@@ -9,8 +9,10 @@ exactly what it needs instead of adopting a long-running daemon:
               --watch, poll the spec file and hot-reload on change
               (T10 — the reference's 10s config reload loop)
   monitor     append one row-count monitoring tick (T11)
-  execute     one /sql/execute-style statement (ANSI SQL, Mongo-JS,
-              aggregate; Redis needs a KV frame and is API-only)
+  execute     one /sql/execute-style statement (ANSI SQL, MERGE INTO,
+              Mongo-JS, aggregate; Redis needs a KV frame and is
+              API-only); --apply persists a write verb's new state
+              onto the mapped target (stage-then-swap, layout kept)
   replay-dlq  re-inject quarantined events (schemas inferred from the
               live target footers)
   snapshot    create / list / rollback / diff / expire time-travel
@@ -136,12 +138,20 @@ def cmd_monitor(args) -> int:
 def cmd_execute(args) -> int:
     spark = _spark("sync_cli_execute")
     task = _task(args, spark)
+    if args.apply:
+        kind, result, applied = task.execute_apply(args.query)
+        rows = [r.asDict() for r in result.limit(args.limit).collect()]
+        out = {"kind": kind, "rows": rows}
+        if applied is not None:
+            out["applied"] = applied
+        print(json.dumps(out, default=str))
+        return 0
     kind, result, new_state = task.execute(args.query)
     rows = [r.asDict() for r in result.limit(args.limit).collect()]
     print(json.dumps({"kind": kind, "rows": rows}, default=str))
     if new_state is not None:
         print(
-            json.dumps({"note": "write verbs return new state; persist via the pipeline"}),
+            json.dumps({"note": "write verbs return new state; re-run with --apply to persist"}),
             file=sys.stderr,
         )
     return 0
@@ -274,6 +284,11 @@ def main(argv=None) -> int:
     _add_task_args(p)
     p.add_argument("--query", required=True)
     p.add_argument("--limit", type=int, default=100)
+    p.add_argument(
+        "--apply",
+        action="store_true",
+        help="persist a write verb's new collection state onto the mapped target",
+    )
     p.set_defaults(fn=cmd_execute)
 
     p = sub.add_parser("replay-dlq", help="re-inject quarantined events")

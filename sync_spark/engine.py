@@ -135,6 +135,68 @@ class SyncTask:
             os.path.join(self.checkpoint_root, f"task-{self.spec.task_id}"),
         )
 
+    def _target_paths(self) -> dict:
+        """Mapped collection name → target path, in both the target
+        and source spellings (find() examples are usually written
+        against the source collection name)."""
+        names = {
+            t.target_table: os.path.join(self.target_root, t.target_table)
+            for m in self.spec.mappings
+            for t in m.tables
+        }
+        for m in self.spec.mappings:
+            for t in m.tables:
+                names.setdefault(
+                    t.source_table, os.path.join(self.target_root, t.target_table)
+                )
+        return names
+
+    def execute_apply(self, query: str, kv: Optional[DataFrame] = None):
+        """``execute()`` + persist: when the statement is a write verb
+        whose result is a new collection state (Mongo-JS writes, SQL
+        MERGE INTO), the post-write state REPLACES the mapped target —
+        atomically, via the store's own stage-then-swap writer, keeping
+        the bucketed layout (keys + n_buckets from the target's
+        metadata). Returns ``(kind, result, applied_path_or_None)``.
+        Redis writes are refused: KV state has no mapped table target
+        (persist it via operators/kv restore_replace)."""
+        kind, result, new_state = self.execute(query, kv=kv)
+        if new_state is None:
+            return kind, result, None
+        if kind == "redis_write":
+            raise ValueError(
+                "Redis KV state has no mapped table target; persist it "
+                "via operators/kv restore_replace"
+            )
+        from sync_spark.operators.passthrough import (
+            _MERGE_RE,
+            _PUSH_LOOP_RE,
+            _WRITE_RE,
+            parse_merge_sql,
+        )
+        from sync_spark.sources.bucketed import read_meta, write_bucketed
+        from sync_spark.streaming.pipeline import _write_atomic
+
+        q = query.strip()
+        if _MERGE_RE.match(q):
+            coll = parse_merge_sql(q).target
+        else:
+            m = _WRITE_RE.match(q) or _PUSH_LOOP_RE.search(q)
+            if m is None:  # defensive: kinds above imply one matched
+                raise ValueError("cannot derive the written collection from the query")
+            coll = m.group("coll")
+        path = self._target_paths()[coll]
+        # the affected-rows frame is lazy over the PRE-swap target
+        # files — materialize it before the replace, or a later
+        # collect reads paths the swap deleted (tiny frame by design)
+        result = result.localCheckpoint(eager=True)
+        meta = read_meta(path) if os.path.isdir(path) else None
+        if meta:
+            write_bucketed(new_state, path, meta["key_cols"], meta["n_buckets"])
+        else:
+            _write_atomic(new_state, path)
+        return kind, result, path
+
     def execute(self, query: str, kv: Optional[DataFrame] = None):
         """The reference's /sql/execute endpoint surface on THIS
         task's targets (pkg/api/auth_handler.go:1267-1883, cited for
@@ -146,18 +208,7 @@ class SyncTask:
         user who knows the task config expects to query)."""
         from sync_spark.operators.passthrough import dispatch_execute
 
-        names = {
-            t.target_table: os.path.join(self.target_root, t.target_table)
-            for m in self.spec.mappings
-            for t in m.tables
-        }
-        # source-table spellings resolve too (find() examples are
-        # usually written against the source collection name)
-        for m in self.spec.mappings:
-            for t in m.tables:
-                names.setdefault(
-                    t.source_table, os.path.join(self.target_root, t.target_table)
-                )
+        names = self._target_paths()
 
         def resolve(coll: str) -> DataFrame:
             if coll not in names:

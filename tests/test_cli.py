@@ -90,6 +90,29 @@ def test_cli_run_execute_snapshot(spark, tmp_path, capsys):
     payload = json.loads(capsys.readouterr().out.strip().splitlines()[0])
     assert payload["kind"] == "mongo_find" and [r["id"] for r in payload["rows"]] == [2, 3]
 
+    # execute --apply: a MERGE statement persists onto the target
+    assert main([
+        "execute", *_task_args(dirs, spec_path), "--apply",
+        "--query", (
+            "MERGE INTO users_t AS t USING (SELECT 7 AS id, 'g' AS name) s "
+            "ON t.id = s.id WHEN NOT MATCHED THEN INSERT *"
+        ),
+    ]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert payload["kind"] == "merge" and payload["applied"].endswith("users_t")
+    assert main([
+        "execute", *_task_args(dirs, spec_path),
+        "--query", "SELECT COUNT(*) AS n FROM users_t",
+    ]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert payload["rows"][0]["n"] == 4
+    # put the table back for the snapshot/monitor expectations below
+    assert main([
+        "execute", *_task_args(dirs, spec_path), "--apply",
+        "--query", "db.users_t.deleteMany({id: 7})",
+    ]) == 0
+    capsys.readouterr()
+
     # snapshot create + list + diff
     tgt = str(dirs["tgt"] / "users_t")
     assert main(["snapshot", "create", "--target", tgt]) == 0

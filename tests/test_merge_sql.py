@@ -186,3 +186,53 @@ def test_merge_through_sync_task_execute(spark, tmp_path):
     assert sorted((r.id, r.name) for r in new_state.collect()) == [
         (1, "u1"), (2, "u2x"), (3, "u3"), (9, "u9")
     ]
+
+
+def test_execute_apply_persists_new_state(spark, tmp_path):
+    """execute_apply replaces the mapped target with a write verb's
+    post-state — atomically, keeping the bucketed layout — so a
+    subsequent read (and a plain execute) sees the applied data.
+    Redis writes are refused (no mapped table target)."""
+    import pytest as _pt
+
+    from tests.test_engine_kv import SPEC_JSON, USERS_SCHEMA
+    from sync_spark.engine import SyncTask
+    from sync_spark.sources.bucketed import read_meta, read_target
+    from sync_spark.spec import SyncSpec
+
+    spec = SyncSpec.from_json(SPEC_JSON)
+    source = spark.createDataFrame(
+        [Row(id=i, name=f"u{i}", email=f"u{i}@x.io") for i in range(1, 4)],
+        USERS_SCHEMA,
+    )
+    task = SyncTask(
+        spark,
+        spec,
+        source_loader={"users": source}.get,
+        row_schemas={"users": USERS_SCHEMA},
+        target_root=str(tmp_path / "tgt"),
+        event_log_dir=str(tmp_path / "ev"),
+        checkpoint_root=str(tmp_path / "ck"),
+    )
+    task.snapshot()
+    path = task._target_paths()["users_t"]
+    meta_before = read_meta(path)
+    kind, _, applied = task.execute_apply(
+        "MERGE INTO users_t AS t USING (SELECT 9 AS id, 'u9' AS name, "
+        "'u9@x.io' AS email) s ON t.id = s.id "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    assert kind == "merge" and applied == path
+    assert read_meta(path) == meta_before  # layout contract preserved
+    assert sorted(r.id for r in read_target(spark, path).collect()) == [1, 2, 3, 9]
+    # a Mongo write verb applies the same way
+    kind, _, applied = task.execute_apply("db.users_t.deleteMany({id: {$gte: 9}})")
+    assert kind == "mongo_write" and applied == path
+    assert sorted(r.id for r in read_target(spark, path).collect()) == [1, 2, 3]
+    # reads apply nothing
+    kind, _, applied = task.execute_apply("db.users_t.find({})")
+    assert kind == "mongo_find" and applied is None
+    # Redis KV state has no mapped target
+    kv = spark.createDataFrame([("a", "1")], "key string, value string")
+    with _pt.raises(ValueError, match="no mapped table target"):
+        task.execute_apply("SET a 2", kv=kv)
