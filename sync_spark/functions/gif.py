@@ -398,6 +398,14 @@ def _gif_frames_inner(payload: bytes, np):
             rect[opaque] = frame[opaque]
         else:
             rect[:, :] = frame
+        if (len(frames) + 1) * w * h > _MAX_PIXELS:
+            # frame-multiplication bomb: a tiny payload with a large
+            # canvas and many 1x1 frames would otherwise accumulate
+            # unbounded canvas copies — the per-still dimension guard
+            # must hold for the WHOLE animation's materialized pixels
+            raise ValueError(
+                f"malformed GIF: animation exceeds {_MAX_PIXELS} total pixels"
+            )
         frames.append((delay_ms, canvas.copy()))
         if disposal == 2:  # restore frame rect to background
             canvas[top : top + ih, left : left + iw] = bg

@@ -980,8 +980,17 @@ def parse_merge_sql(q: str) -> MergeSql:
     t_alias = m.group("ta") or m.group("ta2") or tgt
     rest = q[m.end():].lstrip()
     if rest.startswith("("):
-        depth, i = 0, 0
+        depth, i, in_str = 0, 0, ""
         for i, ch in enumerate(rest):
+            if in_str:
+                if ch == in_str:
+                    in_str = ""
+                continue
+            if ch in "'\"":
+                # parens inside string literals / quoted identifiers
+                # must not count toward nesting
+                in_str = ch
+                continue
             depth += ch == "("
             depth -= ch == ")"
             if depth == 0:
@@ -1023,13 +1032,33 @@ def parse_merge_sql(q: str) -> MergeSql:
                 f"target {t_alias!r} / source {s_alias!r}"
             )
     matched_delete, has_update, has_insert = None, False, False
-    whens = list(_WHEN_RE.finditer(rest))
+    when_region = rest[om.end():]
+    whens = list(_WHEN_RE.finditer(when_region))
     if not whens:
         raise ValueError("malformed MERGE: no WHEN clause")
+    # EVERY arm must parse: an unrecognized arm (e.g. column-level
+    # UPDATE SET c = expr) silently skipped would execute the
+    # statement with altered semantics — require the matched spans to
+    # tile the whole WHEN region
+    pos = 0
+    for wm in whens:
+        if when_region[pos : wm.start()].strip():
+            raise ValueError(
+                f"unsupported MERGE clause: {when_region[pos:wm.start()].strip()[:80]!r}"
+            )
+        pos = wm.end()
+    if when_region[pos:].strip(" \t\n;"):
+        raise ValueError(
+            f"unsupported MERGE clause: {when_region[pos:].strip()[:80]!r}"
+        )
     for wm in whens:
         act = re.sub(r"\s+", " ", wm.group("act").upper())
         is_not = bool(wm.group("not"))
         cond = (wm.group("cond") or "").strip()
+        if re.search(r"\b(WHEN|THEN)\b", cond, re.IGNORECASE):
+            # the lazy cond capture would otherwise FUSE an
+            # unrecognized arm into the previous arm's condition
+            raise ValueError(f"unsupported MERGE condition {cond[:80]!r}")
         if act == "DELETE":
             if is_not:
                 raise ValueError("WHEN NOT MATCHED THEN DELETE is not meaningful")
@@ -1107,27 +1136,26 @@ def run_merge_sql(
             # against the bare source frame
             cond_txt = re.sub(rf"\b{re.escape(spec.s_alias)}\.", "", cond_txt)
         del_cond = F.expr(cond_txt) if cond_txt else F.lit(True)
+    # split the source by match status FIRST: every arm is defined on
+    # one side of it (ANSI: a delete arm never touches a NOT MATCHED
+    # row — it must still insert if an INSERT arm exists)
+    tgt_keys = F.broadcast(target.select(*keys).dropDuplicates(keys))
+    matched = source.join(tgt_keys, keys, "left_semi")
+    unmatched = source.join(tgt_keys, keys, "left_anti")
     parts = []
-    base = source
+    upd_src = matched
     if del_cond is not None:
-        # DELETE arms apply to MATCHED rows only: semi-join to target.
+        parts.append(("delete", matched.filter(del_cond).select(*keys)))
         # 3VL: rows where the condition is NULL are not deleted and
-        # fall through to the update/insert arm (the coalesce below)
-        dels = base.filter(del_cond).join(
-            F.broadcast(target.select(*keys).dropDuplicates(keys)), keys, "left_semi"
-        )
-        parts.append(("delete", dels.select(*keys)))
-        base = base.filter(~F.coalesce(del_cond, F.lit(False)))
-    if needs_rows:
-        ups = base.select(*target.columns)
-        if spec.has_update and not spec.has_insert:
-            ups = ups.join(
-                F.broadcast(target.select(*keys).dropDuplicates(keys)), keys, "left_semi"
-            )
-        elif spec.has_insert and not spec.has_update:
-            ups = ups.join(
-                F.broadcast(target.select(*keys).dropDuplicates(keys)), keys, "left_anti"
-            )
+        # fall through to the update arm
+        upd_src = matched.filter(~F.coalesce(del_cond, F.lit(False)))
+    ups = None
+    if spec.has_update:
+        ups = upd_src.select(*target.columns)
+    if spec.has_insert:
+        ins = unmatched.select(*target.columns)
+        ups = ins if ups is None else ups.unionByName(ins)
+    if ups is not None:
         parts.append(("upsert", ups))
     changes = None
     counts = []

@@ -374,6 +374,10 @@ def ivfpq_topk(
         approx.withColumn("arank", F.row_number().over(w))
         .filter(F.col("arank") <= refine * k)
         .select("query_id", "neighbor_id")
+        # the shortlist feeds BOTH the rescore pairs and the corpus
+        # semi-join below — materialize it once (refine·k·|queries|
+        # rows) or the whole encode+ADC pipeline executes twice
+        .localCheckpoint(eager=True)
     )
     # exact rescore of the shortlisted pairs: identical quantization /
     # rounding / tiebreak discipline as every other variant. The

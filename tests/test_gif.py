@@ -123,6 +123,22 @@ def test_gif_extension_skip_and_subrect_composite():
     assert (px[mask] == px[0, 0]).all()
 
 
+def test_gif_frame_multiplication_bomb_raises():
+    """A tiny payload declaring a large canvas plus many small frames
+    must not accumulate unbounded canvas copies: the pixel budget
+    covers the WHOLE animation, not just one still."""
+    from sync_spark.functions.gif import gif_encode_frames, gif_frames
+
+    one_px = [np.zeros((1, 1, 3), np.uint8)] * 6
+    p = bytearray(gif_encode_frames(one_px, delay_ms=100))
+    struct.pack_into("<HH", p, 6, 4096, 4096)  # 16.7M-px canvas per frame
+    try:
+        gif_frames(bytes(p))
+        raise AssertionError("frame bomb decoded")
+    except ValueError as exc:
+        assert "total pixels" in str(exc)
+
+
 def test_gif_malformed_raises_valueerror_only():
     truncated_lzw = gif_encode(_grad(1, 6, 5))[:-10]
     cases = [

@@ -139,6 +139,67 @@ def test_merge_ansi_restrictions(spark, frames):
         run_merge_sql(q, resolve=frames.__getitem__)
 
 
+def test_merge_delete_arm_never_touches_not_matched_rows(spark):
+    """ANSI: WHEN MATCHED ... DELETE applies to matched rows ONLY — a
+    not-matched source row satisfying the delete condition must still
+    insert through the NOT MATCHED arm, never vanish."""
+    tgt = spark.createDataFrame([Row(id=1, v="a", dead=False)])
+    src = spark.createDataFrame(
+        [
+            Row(id=1, v="A", dead=True),  # matched + dead → delete
+            Row(id=5, v="e", dead=True),  # NOT matched + dead → INSERT
+            Row(id=6, v="f", dead=False),  # NOT matched → insert
+        ]
+    )
+    q = (
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED AND s.dead = true THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    _, affected, new = dispatch_execute(q, resolve={"t": tgt, "s": src}.__getitem__)
+    assert sorted(map(tuple, affected.collect())) == [("delete", 1), ("upsert", 2)]
+    assert sorted((r.id, r.v) for r in new.collect()) == [(5, "e"), (6, "f")]
+    # unconditional delete + insert: matched rows die, new rows land
+    q2 = (
+        "MERGE INTO t USING s ON t.id = s.id "
+        "WHEN MATCHED THEN DELETE WHEN NOT MATCHED THEN INSERT *"
+    )
+    _, _, new = dispatch_execute(q2, resolve={"t": tgt, "s": src}.__getitem__)
+    assert sorted(r.id for r in new.collect()) == [5, 6]
+
+
+def test_merge_rejects_unparsed_arms_and_fused_conditions():
+    """An arm outside the restricted grammar must raise, never be
+    silently skipped (altered semantics) or fused into the previous
+    arm's condition by the lazy capture."""
+    with pytest.raises(ValueError, match="unsupported MERGE"):
+        parse_merge_sql(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET v = s.v "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+    with pytest.raises(ValueError, match="unsupported MERGE"):
+        parse_merge_sql(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED AND s.x = 1 THEN FROB "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+
+
+def test_merge_subquery_with_string_literal_parens(spark, frames):
+    """Parens inside string literals must not unbalance the USING
+    subquery scanner."""
+    q = (
+        "MERGE INTO t AS a USING (SELECT 8 AS id, ')' || 'x(' AS v, 1 AS n) b "
+        "ON a.id = b.id WHEN NOT MATCHED THEN INSERT *"
+    )
+    spec = parse_merge_sql(q)
+    assert spec.source == "(SELECT 8 AS id, ')' || 'x(' AS v, 1 AS n)"
+    _, _, new = dispatch_execute(q, resolve=frames.__getitem__, run_sql=spark.sql)
+    assert (8, ")x(", 1) in {(r.id, r.v, r.n) for r in new.collect()}
+
+
 def test_merge_multi_key(spark):
     tgt = spark.createDataFrame([Row(a=1, b=1, v="x"), Row(a=1, b=2, v="y")])
     src = spark.createDataFrame([Row(a=1, b=2, v="Y"), Row(a=2, b=1, v="z")])
