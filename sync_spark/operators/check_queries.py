@@ -176,6 +176,69 @@ CHK_ANN_IVF_SQL = _CHK_ANN_SQL
 CHK_ANN_PQ_SQL = _CHK_ANN_SQL
 
 
+def chk_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor-invariant gate for d_semantic_dedup: (a) every doc got
+    a verdict, (b) no two SURVIVORS in one cell reach the threshold
+    (the greedy would have pruned the higher id), (c) every pruned
+    row's pruned_by names a kept same-cell doc that actually reaches
+    the threshold. n_docs is recomputed by the oracle from the table,
+    so the gate checks the data too. (At this sf every cell is far
+    below the salt cap, so cell-grain verification is exact.)"""
+    emb = tq._t(spark, sf_dir, "embeddings")
+    flags = similarity.semantic_dedup(emb, threshold=0.35, n_cells=16)
+    v = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(
+            F.col("vec_id").alias("id"),
+            similarity._quantize(F.col("embedding")).alias("qv"),
+        )
+        .withColumn("qn", similarity._norm2(F.col("qv")))
+    )
+    j = flags.join(v, "id")
+    cos = similarity._dot(F.col("a.qv"), F.col("b.qv")).cast("double") / (
+        F.sqrt(F.col("a.qn").cast("double")) * F.sqrt(F.col("b.qn").cast("double"))
+    )
+    kept = j.filter(F.col("keep")).alias("a")
+    dup_pairs = (
+        kept.join(
+            j.filter(F.col("keep")).alias("b"),
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(cos >= 0.35)
+        .count()
+    )
+    pruned = j.filter(~F.col("keep")).alias("b")
+    good_prunes = (
+        kept.join(
+            pruned,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.id") == F.col("b.pruned_by")),
+        )
+        .filter(cos >= 0.35)
+        .count()
+    )
+    n_pruned = flags.filter(~F.col("keep")).count()
+    n_docs = flags.count()
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                dup_pairs,
+                n_pruned - good_prunes,
+            )
+        ],
+        "n_docs long, dup_survivor_pairs long, bad_prunes long",
+    )
+
+
+CHK_SEMANTIC_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS dup_survivor_pairs,
+       CAST(0 AS BIGINT) AS bad_prunes
+FROM embeddings WHERE embedding IS NOT NULL
+"""
+
+
 def chk_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ contract: approx within max(3, 15%) of the exact distinct
     count (published HLL error at Spark's default rsd=0.05 is ~5%;

@@ -675,3 +675,101 @@ def ann_lsh_topk(
     q = _prep(queries, "query_id", "qv", "qn")
     c = _prep(corpus, "neighbor_id", "cv", "cn")
     return _scored_topk(c, q, k, on=["tbl", "bucket"], dedup=True)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    max_cell: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 8,
+    sample_n: int = 16384,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public paper; the reference has no embedding-space dedup — this is
+    a training-pipeline extension): k-means the corpus into cells,
+    then WITHIN each cell greedily drop any document whose cosine to
+    an already-kept lower-id document reaches ``threshold``. Returns
+    (id, cell, keep, pruned_by) — ``pruned_by`` is the kept survivor
+    that dominated a dropped row (NULL for survivors), making the
+    decision auditable.
+
+    Determinism: seeded driver-side codebook (same discipline as
+    ``ivf_topk``), min-id greedy survivor (the repo-wide convention),
+    quantized int64 dot products (order-free across partitionings).
+
+    Scale: the quadratic work is per-cell; cells over ``max_cell``
+    rows are salted into sub-shards (xxhash64 of the id) so a tile
+    always fits one task — the standard sharded-SemDeDup trade
+    (cross-shard near-dups within one oversized cell survive; raise
+    n_cells or max_cell to shrink the miss window). One shuffle
+    total (groupBy cell,salt); the codebook rides as literals.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    X = _sample_matrix(corpus, id_col, vec_col, sample_n)
+    centers = _kmeans_fit(X, n_cells, np.random.RandomState(seed), max_iter)
+    cent_sq = (centers * centers).sum(axis=1)
+
+    @pandas_udf("int")
+    def cell_udf(embs: pd.Series) -> pd.Series:
+        x = np.asarray(list(embs), dtype=np.float64)
+        return pd.Series(
+            np.argmin(cent_sq[None, :] - 2.0 * (x @ centers.T), axis=1).astype("int32")
+        )
+
+    cell_udf = cell_udf.asNondeterministic()  # single-evaluation pin
+
+    assigned = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            _quantize(F.col(vec_col)).alias("qv"),
+            cell_udf(F.col(vec_col)).alias("cell"),
+        )
+        .withColumn("qn", _norm2(F.col("qv")))
+    )
+    w = Window.partitionBy("cell")
+    assigned = assigned.withColumn(
+        "salt",
+        F.pmod(
+            F.xxhash64(F.col("id")),
+            F.ceil(F.count(F.lit(1)).over(w) / F.lit(max_cell)).cast("long"),
+        ).cast("int"),
+    )
+
+    out_schema = "id long, cell int, keep boolean, pruned_by long"
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        Q = np.asarray(list(pdf["qv"]), dtype=np.float64)
+        norms = np.sqrt(pdf["qn"].to_numpy(dtype=np.float64))
+        n = len(pdf)
+        keep = np.ones(n, dtype=bool)
+        pruned_by = np.full(n, -1, dtype=np.int64)
+        # greedy min-id dominance: O(n·kept) dot products, vectorized
+        # per candidate row against the kept prefix
+        for i in range(1, n):
+            kept_idx = np.nonzero(keep[:i])[0]
+            if not len(kept_idx):
+                continue
+            denom = norms[kept_idx] * norms[i]
+            denom[denom == 0.0] = np.inf  # zero vectors never match
+            cos = (Q[kept_idx] @ Q[i]) / denom
+            hit = np.nonzero(cos >= threshold)[0]
+            if len(hit):
+                keep[i] = False
+                pruned_by[i] = int(pdf["id"].iloc[int(kept_idx[hit[0]])])
+        return pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "cell": pdf["cell"],
+                "keep": keep,
+                "pruned_by": [None if k else int(p) for k, p in zip(keep, pruned_by)],
+            }
+        )
+
+    return assigned.groupBy("cell", "salt").applyInPandas(dedup_cell, out_schema)

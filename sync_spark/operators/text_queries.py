@@ -296,6 +296,22 @@ def e_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding corpus:
+    k-means cells + within-cell greedy min-id cosine pruning
+    (rows-only: the seeded codebook is not SQL-expressible; the
+    chk_semantic_dedup gate proves the survivor invariants).
+    Threshold 0.35 = the fixture's near-dup tail, the same bar the
+    e_embed_neardup family uses (the synthetic embeddings are
+    near-orthogonal; production corpora run 0.9+)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        similarity.semantic_dedup(emb, threshold=0.35, n_cells=16)
+        .select("id", "keep", "pruned_by")
+        .orderBy("id")
+    )
+
+
 def t_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-corpus selection under a token budget: keep the
     highest-quality documents whose cumulative token count fits in

@@ -99,6 +99,7 @@ def _populate() -> None:
     register("e_ann_lsh", tq.e_ann_lsh, None)
     register("e_ann_ivf", tq.e_ann_ivf, None)
     register("e_ann_pq", tq.e_ann_pq, None)
+    register("d_semantic_dedup", tq.d_semantic_dedup, None)
     register("e_embed_neardup", tq.e_embed_neardup, tq.E_NEARDUP_SQL)
     register("d_embed_neardup_lsh", tq.d_embed_neardup_lsh, None)
     register("t_repetition", tq.t_repetition, tq.T_REPETITION_SQL)
@@ -150,6 +151,7 @@ def _populate() -> None:
     register("chk_ann_lsh", ck.chk_ann_lsh, ck.CHK_ANN_LSH_SQL)
     register("chk_ann_ivf", ck.chk_ann_ivf, ck.CHK_ANN_IVF_SQL)
     register("chk_ann_pq", ck.chk_ann_pq, ck.CHK_ANN_PQ_SQL)
+    register("chk_semantic_dedup", ck.chk_semantic_dedup, ck.CHK_SEMANTIC_SQL)
     register("chk_approx_distinct", ck.chk_approx_distinct, ck.CHK_APPROX_DISTINCT_SQL)
     register("chk_quantile_sketch", ck.chk_quantile_sketch, ck.CHK_QUANTILE_SQL)
     register("chk_embed_neardup", ck.chk_embed_neardup, ck.CHK_EMBED_NEARDUP_SQL)
