@@ -1158,10 +1158,7 @@ def run_merge_sql(
     if ups is not None:
         parts.append(("upsert", ups))
     changes = None
-    counts = []
     for op, frame in parts:
-        n = frame.count()
-        counts.append((op, n))
         full = frame
         for c in target.columns:
             if c not in full.columns:
@@ -1176,6 +1173,18 @@ def run_merge_sql(
     if changes is None:  # grammar guarantees at least one arm, defensive
         raise ValueError("MERGE produced no action arms")
     changes = changes.withColumn(mg.SEQ_COL, F.lit(0).cast("long"))
+    # ONE aggregation job for the affected counts (not one count()
+    # action per arm); arms present in the statement report 0 rows
+    got = {
+        r[0]: r[1]
+        for r in changes.groupBy(mg.OP_COL).agg(F.count(F.lit(1))).collect()
+    }
+    counts = [
+        ("delete" if op == "delete" else "upsert", got.get(
+            "delete" if op == "delete" else "insert", 0
+        ))
+        for op, _ in parts
+    ]
     new_state = mg.apply_changes(target, changes, keys)
     affected = spark.createDataFrame(counts, "op string, n long").orderBy("op")
     return affected, new_state
