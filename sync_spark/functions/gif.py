@@ -402,9 +402,14 @@ def _gif_frames_inner(payload: bytes, np):
             # frame-multiplication bomb: a tiny payload with a large
             # canvas and many 1x1 frames would otherwise accumulate
             # unbounded canvas copies — the per-still dimension guard
-            # must hold for the WHOLE animation's materialized pixels
+            # must hold for the WHOLE animation's materialized pixels.
+            # NOTE: a legitimately long large animation hits this too
+            # — it is an "unsupported at this budget" refusal (still
+            # ValueError = one NULL row, the only contract callers
+            # have), not a corruption claim
             raise ValueError(
-                f"malformed GIF: animation exceeds {_MAX_PIXELS} total pixels"
+                f"unsupported GIF: animation exceeds {_MAX_PIXELS} "
+                "total decoded pixels (decode-budget refusal)"
             )
         frames.append((delay_ms, canvas.copy()))
         if disposal == 2:  # restore frame rect to background

@@ -194,7 +194,11 @@ def chk_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("qn", similarity._norm2(F.col("qv")))
     )
-    j = flags.join(v, "id")
+    # the verification fans out over j four ways (two self-joins +
+    # two counts): materialize once or every action re-runs the whole
+    # k-means-assign + dedup-kernel pipeline (gate-harness context —
+    # bounded sf, same run-once trick as the ivfpq shortlist)
+    j = flags.join(v, "id").localCheckpoint(eager=True)
     cos = similarity._dot(F.col("a.qv"), F.col("b.qv")).cast("double") / (
         F.sqrt(F.col("a.qn").cast("double")) * F.sqrt(F.col("b.qn").cast("double"))
     )
@@ -217,8 +221,8 @@ def chk_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.35)
         .count()
     )
-    n_pruned = flags.filter(~F.col("keep")).count()
-    n_docs = flags.count()
+    n_pruned = j.filter(~F.col("keep")).count()
+    n_docs = j.count()
     return spark.createDataFrame(
         [
             (

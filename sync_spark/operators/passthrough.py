@@ -909,8 +909,13 @@ WITH src AS (
   FROM customer t
   WHERE t.c_custkey NOT IN (SELECT c_custkey FROM src)
   UNION ALL
+  -- ANSI arm semantics: a source row lands unless it is BOTH dead
+  -- and matched (the delete arm only applies to matched rows; an
+  -- unmatched dead row still inserts through the INSERT arm)
   SELECT s.c_custkey, s.c_name, s.c_acctbal, s.c_mktsegment
-  FROM src s WHERE NOT s.dead
+  FROM src s
+  WHERE NOT s.dead
+     OR s.c_custkey NOT IN (SELECT c_custkey FROM customer)
 )
 SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS acctbal, c_mktsegment
 FROM merged ORDER BY c_custkey
@@ -944,6 +949,24 @@ _WHEN_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _ON_KEY_RE = re.compile(r"^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
+
+
+def _mask_quoted(s: str) -> str:
+    """Replace the CONTENTS of quoted spans ('...' / \"...\") with
+    spaces, honoring backslash escapes (same discipline as
+    _split_args) — so token/paren scans never match inside literals
+    while every index still lines up with the original string."""
+    out = list(s)
+    in_str = ""
+    for i, ch in enumerate(s):
+        if in_str:
+            if ch == in_str and s[i - 1] != "\\":
+                in_str = ""
+            else:
+                out[i] = " "
+        elif ch in "'\"":
+            in_str = ch
+    return "".join(out)
 
 
 @dataclass
@@ -980,17 +1003,11 @@ def parse_merge_sql(q: str) -> MergeSql:
     t_alias = m.group("ta") or m.group("ta2") or tgt
     rest = q[m.end():].lstrip()
     if rest.startswith("("):
-        depth, i, in_str = 0, 0, ""
-        for i, ch in enumerate(rest):
-            if in_str:
-                if ch == in_str:
-                    in_str = ""
-                continue
-            if ch in "'\"":
-                # parens inside string literals / quoted identifiers
-                # must not count toward nesting
-                in_str = ch
-                continue
+        # scan the QUOTE-MASKED text (parens inside string literals /
+        # quoted identifiers must not count), slice the original
+        masked = _mask_quoted(rest)
+        depth, i = 0, 0
+        for i, ch in enumerate(masked):
             depth += ch == "("
             depth -= ch == ")"
             if depth == 0:
@@ -1055,9 +1072,10 @@ def parse_merge_sql(q: str) -> MergeSql:
         act = re.sub(r"\s+", " ", wm.group("act").upper())
         is_not = bool(wm.group("not"))
         cond = (wm.group("cond") or "").strip()
-        if re.search(r"\b(WHEN|THEN)\b", cond, re.IGNORECASE):
+        if re.search(r"\b(WHEN|THEN)\b", _mask_quoted(cond), re.IGNORECASE):
             # the lazy cond capture would otherwise FUSE an
             # unrecognized arm into the previous arm's condition
+            # (quote-masked: a literal 'THEN' inside a string is fine)
             raise ValueError(f"unsupported MERGE condition {cond[:80]!r}")
         if act == "DELETE":
             if is_not:

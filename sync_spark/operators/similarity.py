@@ -375,10 +375,14 @@ def ivfpq_topk(
         .filter(F.col("arank") <= refine * k)
         .select("query_id", "neighbor_id")
         # the shortlist feeds BOTH the rescore pairs and the corpus
-        # semi-join below — materialize it once (refine·k·|queries|
-        # rows) or the whole encode+ADC pipeline executes twice
-        .localCheckpoint(eager=True)
+        # semi-join below — persist + materialize so the encode+ADC
+        # pipeline executes once per action. persist (not
+        # localCheckpoint) keeps the LINEAGE: on a cluster a lost
+        # executor recomputes the partition instead of permanently
+        # failing the job, the posture the 100 TB path needs
+        .persist()
     )
+    cand.count()
     # exact rescore of the shortlisted pairs: identical quantization /
     # rounding / tiebreak discipline as every other variant. The
     # semi-join FIRST so the quantize/norm HOFs run on the ~refine·k·
@@ -705,8 +709,11 @@ def semantic_dedup(
     rows are salted into sub-shards (xxhash64 of the id) so a tile
     always fits one task — the standard sharded-SemDeDup trade
     (cross-shard near-dups within one oversized cell survive; raise
-    n_cells or max_cell to shrink the miss window). One shuffle
-    total (groupBy cell,salt); the codebook rides as literals.
+    n_cells or max_cell to shrink the miss window). The VECTORS
+    shuffle exactly once (groupBy cell,salt); cell sizes for the salt
+    ride a tiny aggregated count table broadcast-joined back (a
+    count(*) window would have shuffled the vectors a second time).
+    The codebook rides as literals.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -732,20 +739,23 @@ def semantic_dedup(
         )
         .withColumn("qn", _norm2(F.col("qv")))
     )
-    w = Window.partitionBy("cell")
-    assigned = assigned.withColumn(
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__cell_n"))
+    assigned = assigned.join(F.broadcast(sizes), "cell").withColumn(
         "salt",
         F.pmod(
             F.xxhash64(F.col("id")),
-            F.ceil(F.count(F.lit(1)).over(w) / F.lit(max_cell)).cast("long"),
+            F.ceil(F.col("__cell_n") / F.lit(max_cell)).cast("long"),
         ).cast("int"),
-    )
+    ).drop("__cell_n")
 
     out_schema = "id long, cell int, keep boolean, pruned_by long"
 
     def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)
-        Q = np.asarray(list(pdf["qv"]), dtype=np.float64)
+        # int64 throughout: dot products stay EXACT (the module's
+        # order-free discipline) and agree bit-for-bit with the JVM
+        # _dot the chk gate recomputes; only the final divide is float
+        Q = np.asarray(list(pdf["qv"]), dtype=np.int64)
         norms = np.sqrt(pdf["qn"].to_numpy(dtype=np.float64))
         n = len(pdf)
         keep = np.ones(n, dtype=bool)

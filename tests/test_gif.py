@@ -136,7 +136,7 @@ def test_gif_frame_multiplication_bomb_raises():
         gif_frames(bytes(p))
         raise AssertionError("frame bomb decoded")
     except ValueError as exc:
-        assert "total pixels" in str(exc)
+        assert "decode-budget" in str(exc)
 
 
 def test_gif_malformed_raises_valueerror_only():

@@ -97,15 +97,16 @@ def test_ann_plans_use_one_arrow_kernel_only(spark, sf_small):
         assert "BatchEvalPython" not in plan
         n_arrow = plan.count("ArrowEvalPython")
         assert 1 <= n_arrow <= 2, plan[:800]
-    # IVF-PQ is two-phase: the Arrow-kernel ADC shortlist runs ONCE
-    # (eagerly checkpointed — it feeds two consumers), so the returned
-    # plan is the exact-rescore phase and must be PURE JVM: no Python
-    # nodes at all, shortlist read back as an RDD scan, corpus joined
-    # by broadcast (never shuffled)
+    # IVF-PQ is two-phase: the Arrow-kernel ADC shortlist is persisted
+    # and materialized once (it feeds two consumers; persist keeps the
+    # lineage for cluster-loss recompute), so the returned plan reads
+    # it via InMemoryTableScan and the exact-rescore phase itself must
+    # stay JVM-side with a broadcast-joined corpus. The cached
+    # subtree's own Arrow kernels may print under the scan — what is
+    # forbidden is any row-at-a-time Python anywhere.
     plan = plan_of(tq.e_ann_pq(spark, sf_small))
     assert "BatchEvalPython" not in plan
-    assert plan.count("ArrowEvalPython") == 0, plan[:800]
-    assert "ExistingRDD" in plan or "LocalTableScan" in plan, plan[:800]
+    assert "InMemoryTableScan" in plan, plan[:800]
     assert "BroadcastHashJoin" in plan  # cell join + rescore never shuffle the corpus
 
 
