@@ -15,6 +15,9 @@ exactly what it needs instead of adopting a long-running daemon:
               onto the mapped target (stage-then-swap, layout kept)
   replay-dlq  re-inject quarantined events (schemas inferred from the
               live target footers)
+  compact-stats  fold per-batch apply-counter dirs below a cut-off
+              into one compacted dir per table (serving totals and
+              batch counts exactly preserved)
   snapshot    create / list / rollback / diff / expire time-travel
               versions on a bucketed target
   backup      run one BackupSpec export (§3.2 expand→group→prune→
@@ -181,6 +184,23 @@ def cmd_replay_dlq(args) -> int:
     return 0
 
 
+def cmd_compact_stats(args) -> int:
+    """Fold per-batch apply-counter dirs below a cut-off into one
+    compacted dir per table (totals and batch counts exactly
+    preserved — monitor.compact_apply_stats); the serving rollup
+    stops costing O(batches) directory listings on long-running
+    tasks."""
+    from sync_spark.operators.monitor import apply_stats_totals, compact_apply_stats
+
+    spark = _spark("sync_cli_compact_stats")
+    folded = compact_apply_stats(spark, args.stats, args.below)
+    totals = [
+        r.asDict() for r in apply_stats_totals(spark, args.stats).collect()
+    ]
+    print(json.dumps({"folded_dirs": folded, "totals": totals}, default=str))
+    return 0
+
+
 def cmd_backup(args) -> int:
     """The reference drives backups cron→HTTP (pkg/cronjob/cronjob.go
     scheduling backup.Executor runs — cited for parity, not ported);
@@ -304,6 +324,11 @@ def main(argv=None) -> int:
         "queue into a parquet artifact under this dir",
     )
     p.set_defaults(fn=cmd_replay_dlq)
+
+    p = sub.add_parser("compact-stats", help="fold old apply-counter batch dirs")
+    p.add_argument("--stats", required=True, help="stats_path root (table=*/batch_id=*)")
+    p.add_argument("--below", type=int, required=True, help="fold batch ids < this")
+    p.set_defaults(fn=cmd_compact_stats)
 
     p = sub.add_parser("backup", help="run one BackupSpec export")
     p.add_argument("--spec", required=True, help="BackupSpec JSON path")

@@ -156,3 +156,33 @@ def test_compaction_preserves_totals_and_batch_counts(spark, tmp_path):
         "users": 0,
     }
     assert snap() == before
+
+
+def test_cli_compact_stats_verb(spark, tmp_path, capsys):
+    """python -m sync_spark compact-stats: folds old batch dirs and
+    prints the (unchanged) serving totals."""
+    import json as _json
+    import os
+
+    from sync_spark.__main__ import main
+
+    stats = str(tmp_path / "stats")
+    for b in (1, 2, 3):
+        spark.createDataFrame(
+            [("insert", b)], "op string, n long"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{stats}/table=users/batch_id={b}"
+        )
+    before = {
+        (r.table, r.op): (r.total, r.n_batches)
+        for r in apply_stats_totals(spark, stats).collect()
+    }
+    assert main(["compact-stats", "--stats", stats, "--below", "3"]) == 0
+    payload = _json.loads(capsys.readouterr().out.strip())
+    assert payload["folded_dirs"] == {"users": 2}
+    assert {
+        (t["table"], t["op"]): (t["total"], t["n_batches"])
+        for t in payload["totals"]
+    } == before == {("users", "insert"): (6, 3)}
+    entries = sorted(os.listdir(f"{stats}/table=users"))
+    assert entries == ["batch_id=3", "batch_id=c0000000003"]
