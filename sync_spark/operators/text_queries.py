@@ -1577,3 +1577,279 @@ SELECT i.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) i
 LEFT JOIN hits h ON i.doc_id = h.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via hashed n-gram importance resampling
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 1024  # hashed feature buckets (bounded → broadcastable)
+
+
+def t_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public algorithm):
+    score every raw document by its importance weight under a hashed
+    bag-of-n-grams model, target distribution = the ``lang = 'en'``
+    slice, raw distribution = the whole corpus, and keep the top-100.
+    This is THE published recipe for "give me the 1% of CommonCrawl
+    that looks like Wikipedia" at pretraining scale.
+
+    Model: features are unigrams (``u:w``) and bigrams (``b:w1 w2``)
+    hashed into ``_DSIR_B`` buckets with the same 56-bit md5 hash the
+    winnowing family uses (DuckDB-identical). Per-bucket add-1
+    smoothed probabilities for target and raw; a document's weight is
+    the feature-frequency-weighted mean of the per-bucket probability
+    ratios. The true DSIR samples with Gumbel noise; this operator is
+    the deterministic top-k variant (md5-seeded Gumbel would need
+    float logs, which break scaled-integer cross-engine exactness).
+
+    Cross-engine exactness: probabilities and ratios are scaled-
+    integer floor divisions — p9 = ((c+1)·10⁹) DIV (N+B), r6 =
+    (p9_t·10⁶) DIV max(p9_r, 1), weight = (Σ cnt·r6) DIV Σ cnt — both
+    engines do identical BIGINT math. p9 ≤ 10⁹ and r6 ≤ 10¹⁵, so no
+    BIGINT overflow at any corpus size.
+
+    Scale: features are built IN-ROW from one tokenize (staged
+    projections, winnowing-kernel discipline — no posexplode, no
+    window), then immediately reduced to the (doc, bucket) grain, so
+    the only wide exchanges are one hash-uniform groupBy(doc_id,
+    bucket) and the per-doc final agg. The bucket statistics table is
+    ≤ _DSIR_B rows — target and raw counts come out of the SAME
+    aggregation (a conditional sum, not a second scan) and join back
+    as a broadcast. Totals (N_t, N_r) are a 1-row scalar broadcast
+    derived from the bucket table. Reference parity: the reference has
+    no corpus-selection surface; this extends the training-data
+    toolbox (SURVEY.md LLM-ops section) alongside t_lm_score and the
+    mixture samplers."""
+    from sync_spark.functions.text import winnow_hash
+    from sync_spark.operators.dedup import spread_for_kernel
+
+    d = _t(spark, sf_dir, "documents")
+    src = spread_for_kernel(
+        d.select("doc_id", (F.col("lang") == "en").alias("is_tgt"), "text")
+    )
+    t = src.withColumn("__toks", T.tokens(F.col("text")))
+    # unigram + bigram feature array, one materialized stage each so
+    # lambda bodies only ever read bound attributes (CollapseProject
+    # substitutes attribute→attribute, never re-evaluates per element)
+    t = t.withColumn(
+        "__uni", F.transform(F.col("__toks"), lambda w: F.concat(F.lit("u:"), w))
+    )
+    nbi = F.size("__toks") - 1
+    t = t.withColumn(
+        "__bi",
+        F.when(nbi < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(nbi, F.lit(1))),
+                lambda i: F.concat(
+                    F.lit("b:"),
+                    F.element_at(F.col("__toks"), i),
+                    F.lit(" "),
+                    F.element_at(F.col("__toks"), i + 1),
+                ),
+            )
+        ),
+    )
+    t = t.withColumn("__feats", F.concat("__uni", "__bi"))
+    t = t.withColumn(
+        "__buckets",
+        F.transform(F.col("__feats"), lambda f: winnow_hash(f) % F.lit(_DSIR_B)),
+    )
+    docb = (
+        t.select("doc_id", "is_tgt", F.explode_outer("__buckets").alias("bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("doc_id", "is_tgt", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # one aggregation yields BOTH distributions: raw = every doc,
+    # target = the is_tgt slice via conditional sum
+    btab = docb.groupBy("bucket").agg(
+        F.sum("cnt").alias("c_r"),
+        F.sum(F.when(F.col("is_tgt"), F.col("cnt")).otherwise(F.lit(0))).alias("c_t"),
+    )
+    totals = btab.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
+    )  # 1-row scalar broadcast
+    scored_buckets = (
+        btab.crossJoin(F.broadcast(totals))
+        .withColumn("p9_t", F.expr(f"((c_t + 1) * 1000000000) DIV (n_t + {_DSIR_B})"))
+        .withColumn("p9_r", F.expr(f"((c_r + 1) * 1000000000) DIV (n_r + {_DSIR_B})"))
+        .withColumn("r6", F.expr("(p9_t * 1000000) DIV greatest(p9_r, 1)"))
+        .select("bucket", "r6")
+    )
+    weights = (
+        docb.join(F.broadcast(scored_buckets), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.expr("sum(cnt * r6) DIV sum(cnt)").alias("weight_e6"),
+        )
+    )
+    return (
+        weights.select("doc_id", "n_feats", "weight_e6")
+        .orderBy(F.col("weight_e6").desc(), F.col("doc_id").asc())
+        .limit(100)
+    )
+
+
+T_DSIR_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang = 'en' AS is_tgt,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), feats AS (
+  SELECT doc_id, is_tgt,
+         list_concat(
+           [ 'u:' || w FOR w IN toks ],
+           [ 'b:' || toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks)) ]
+         ) AS fs
+  FROM t
+), docb AS (
+  SELECT doc_id, is_tgt,
+         CAST('0x' || substring(md5(u.f), 1, 14) AS BIGINT) % {_DSIR_B} AS bucket,
+         COUNT(*) AS cnt
+  FROM (SELECT doc_id, is_tgt, unnest(fs) AS f FROM feats) u
+  GROUP BY 1, 2, 3
+), btab AS (
+  SELECT bucket, SUM(cnt) AS c_r,
+         SUM(CASE WHEN is_tgt THEN cnt ELSE 0 END) AS c_t
+  FROM docb GROUP BY bucket
+), totals AS (
+  SELECT SUM(c_r) AS n_r, SUM(c_t) AS n_t FROM btab
+), sb AS (
+  SELECT bucket,
+         (((c_t + 1) * 1000000000) // (n_t + {_DSIR_B}) * 1000000)
+           // greatest(((c_r + 1) * 1000000000) // (n_r + {_DSIR_B}), 1) AS r6
+  FROM btab CROSS JOIN totals
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_feats,
+       CAST(SUM(cnt * r6) // SUM(cnt) AS BIGINT) AS weight_e6
+FROM docb JOIN sb USING (bucket)
+GROUP BY doc_id
+ORDER BY weight_e6 DESC, doc_id ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# UniMax: language-capped token-budget allocation (waterfilling)
+# ---------------------------------------------------------------------------
+
+_UNIMAX_PCT = 60  # token budget as a percentage of the corpus
+
+
+def t_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style per-language token-budget allocation (Chung et al.
+    2023, "UniMax: Fairer and More Effective Language Sampling" —
+    public algorithm): given a total token budget (60% of the corpus
+    here), allocate it as UNIFORMLY across languages as possible,
+    capping each language at what it actually has — small languages
+    are taken whole, head languages are truncated at the waterfilling
+    level θ. Then materialize the selection: within each language,
+    docs are ranked by the deterministic md5 coin (same 56-bit prefix
+    as the stratified sampler) and the prefix whose cumulative token
+    count fits the language's allocation is kept.
+
+    θ is the classic closed form: sort languages by availability
+    ascending; at the first row j where avail_j ≥ (T − prefix_j) DIV
+    (L − j + 1) the level is pinned, and every language's allocation
+    is least(avail, θ). All integer floor math — both engines agree
+    bit for bit (Σ alloc may undershoot T by < L tokens, the floor
+    remainder; documented, deterministic).
+
+    Scale: the waterfilling window runs on the LANGUAGE table — L
+    rows, bounded by design (a corpus has tens of languages, not
+    millions), so the single-partition window is a constant-size
+    driver-free step. The doc-grain work is one groupBy(lang) agg and
+    one per-lang rank/cumsum window; the per-lang cumsum is the same
+    shape as t_pack_offsets — at 100 TB swap in its two-phase
+    distributed prefix sum if a single language's doc list outgrows a
+    partition."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", "lang", T.token_count(F.col("text")).alias("n_tok"))
+    avail = docs.groupBy("lang").agg(F.sum("n_tok").alias("avail"))
+
+    wj = Window.orderBy(F.col("avail").asc(), F.col("lang").asc())
+    wall = Window.partitionBy()
+    lt = (
+        avail.withColumn("j", F.row_number().over(wj))
+        .withColumn(
+            "prefix",
+            F.coalesce(
+                F.sum("avail").over(wj.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("nlangs", F.count(F.lit(1)).over(wall))
+        .withColumn("total", F.sum("avail").over(wall))
+        .withColumn("budget", F.expr(f"(total * {_UNIMAX_PCT}) DIV 100"))
+        .withColumn("theta_j", F.expr("(budget - prefix) DIV (nlangs - j + 1)"))
+        .withColumn("valid", F.col("avail") >= F.col("theta_j"))
+    )
+    # θ* = θ at the FIRST valid row (min j); first_value over the
+    # valid-desc, j-asc ordering — no collect, stays declarative
+    lt = lt.withColumn(
+        "theta",
+        F.first(F.when(F.col("valid"), F.col("theta_j"))).over(
+            Window.orderBy(F.col("valid").desc(), F.col("j").asc()).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    ).withColumn("alloc", F.least(F.col("avail"), F.col("theta")))
+    alloc_tab = lt.select("lang", "avail", "alloc")
+
+    sel_w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.join(F.broadcast(alloc_tab), "lang")
+        .withColumn("cum_tok", F.sum("n_tok").over(sel_w))
+        .filter(F.col("cum_tok") <= F.col("alloc"))
+        .select("lang", "doc_id", "n_tok", "cum_tok", "alloc")
+        .orderBy("lang", "cum_tok")
+    )
+
+
+T_UNIMAX_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+  FROM documents
+), avail AS (
+  SELECT lang, SUM(n_tok) AS avail FROM docs GROUP BY lang
+), lt AS (
+  SELECT lang, avail,
+         ROW_NUMBER() OVER (ORDER BY avail ASC, lang ASC) AS j,
+         COALESCE(SUM(avail) OVER (ORDER BY avail ASC, lang ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+         COUNT(*) OVER () AS nlangs,
+         SUM(avail) OVER () AS total
+  FROM avail
+), lt2 AS (
+  SELECT *, ((total * {_UNIMAX_PCT}) // 100 - prefix) // (nlangs - j + 1) AS theta_j,
+         avail >= ((total * {_UNIMAX_PCT}) // 100 - prefix) // (nlangs - j + 1) AS valid
+  FROM lt
+), lt3 AS (
+  SELECT *, FIRST_VALUE(CASE WHEN valid THEN theta_j END)
+              OVER (ORDER BY valid DESC, j ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS theta
+  FROM lt2
+), alloc_tab AS (
+  SELECT lang, avail, LEAST(avail, theta) AS alloc FROM lt3
+), ranked AS (
+  SELECT d.lang, d.doc_id, d.n_tok, a.alloc,
+         SUM(d.n_tok) OVER (PARTITION BY d.lang
+                            ORDER BY md5(CAST(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC) AS cum_tok
+  FROM docs d JOIN alloc_tab a USING (lang)
+)
+SELECT lang, doc_id, n_tok,
+       CAST(cum_tok AS BIGINT) AS cum_tok, CAST(alloc AS BIGINT) AS alloc
+FROM ranked WHERE cum_tok <= alloc
+ORDER BY lang, cum_tok
+"""

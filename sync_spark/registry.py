@@ -202,6 +202,9 @@ def _populate() -> None:
     register("a_theta_set_ops", sk.a_theta_set_ops, sk.A_THETA_SET_SQL)
     register("a_rolling_distinct_users", sk.a_rolling_distinct_users, sk.A_ROLLING_DISTINCT_SQL)
 
+    register("t_dsir_select", tq.t_dsir_select, tq.T_DSIR_SQL)
+    register("t_unimax_alloc", tq.t_unimax_alloc, tq.T_UNIMAX_SQL)
+
     # flag flips only AFTER every registration succeeded — setting it
     # first would make a mid-populate exception leave a silently
     # partial registry for every later call (the driver's gate would
