@@ -282,3 +282,22 @@ def test_q20_fused_aggregate_single_shuffle(spark, sf_small):
 
     data_exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
     assert len(data_exchanges) == 1, data_exchanges
+
+
+def test_dsir_bucket_tables_broadcast_no_python(spark, sf_small):
+    """DSIR's bucket-statistics and ratio tables are ≤ _DSIR_B rows —
+    both joins back to the (doc, bucket) stream must broadcast, and
+    the whole feature pipeline stays JVM-side."""
+    plan = plan_of(tq.t_dsir_select(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    # the final top-100 must not global-sort the weight table
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_unimax_alloc_table_broadcasts(spark, sf_small):
+    """The waterfilled language-allocation table is L rows — its join
+    back to the doc grain must broadcast, not shuffle the corpus."""
+    plan = plan_of(tq.t_unimax_alloc(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
