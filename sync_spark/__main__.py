@@ -80,6 +80,8 @@ def cmd_run(args) -> int:
         out = {"cdc": "drained"}
         if args.retain_committed:
             out["pruned_files"] = len(task.prune_committed_events())
+        if args.export_delta:
+            out["delta_versions"] = _export_all_targets(spark, task, args.export_delta)
         print(json.dumps(out))
         return 0
     # hot-reload loop: rebuild the task on spec change, drain on each
@@ -121,8 +123,32 @@ def cmd_run(args) -> int:
     out = {"cdc": "drained", "cycles": cycles, "reloads": reloads}
     if args.retain_committed:
         out["pruned_files"] = pruned
+    if args.export_delta:
+        out["delta_versions"] = _export_all_targets(spark, task, args.export_delta)
     print(json.dumps(out))
     return 0
+
+
+def _export_all_targets(spark, task, export_root: str) -> dict:
+    """Publish every mapped bucketed target as a Delta-protocol table
+    under ``export_root/<target_table>`` (post-drain, so the export is
+    a consistent committed state). Non-bucketed (legacy flat) targets
+    are skipped — the export's incremental diff is defined on the
+    bucketed layout."""
+    import os
+
+    from sync_spark.sources import delta_export as D
+    from sync_spark.sources.bucketed import is_bucketed
+
+    versions: dict[str, int | None] = {}
+    for t in task._targets():
+        if not is_bucketed(t.target_path):
+            continue
+        name = os.path.basename(t.target_path.rstrip("/"))
+        versions[name] = D.export_delta(
+            spark, t.target_path, os.path.join(export_root, name)
+        )
+    return versions
 
 
 def cmd_monitor(args) -> int:
@@ -269,6 +295,22 @@ def cmd_snapshot(args) -> int:
     return 0
 
 
+def cmd_export_delta(args) -> int:
+    from sync_spark.sources import delta_export as D
+
+    spark = _spark("sync_cli_export_delta")
+    v = D.export_delta(spark, args.target, args.out, operation=args.operation)
+    if v is None:
+        out = {"exported": None, "reason": "no_changes",
+               "latest": D.replay_log(args.out)["version"]}
+    else:
+        out = {"exported": v, "active_files": len(D.replay_log(args.out)["files"])}
+    if args.vacuum_keep is not None:
+        out["vacuum"] = D.vacuum_export(args.out, keep_versions=args.vacuum_keep)
+    print(json.dumps(out))
+    return 0
+
+
 def _add_task_args(p) -> None:
     p.add_argument("--spec", required=True, help="SyncSpec JSON path")
     p.add_argument("--source-dir", required=True)
@@ -292,6 +334,13 @@ def main(argv=None) -> int:
         action="store_true",
         help="after each drain, delete event files the checkpoint has "
         "committed (checkpoint-aware retention)",
+    )
+    p.add_argument(
+        "--export-delta",
+        default=None,
+        metavar="DIR",
+        help="after the drain, publish every bucketed target as a "
+        "Delta-protocol table under DIR/<table>",
     )
     p.set_defaults(fn=cmd_run)
 
@@ -347,6 +396,22 @@ def main(argv=None) -> int:
     p.add_argument("--keep-last", type=int, default=5)
     p.add_argument("--note", default="")
     p.set_defaults(fn=cmd_snapshot)
+
+    p = sub.add_parser(
+        "export-delta", help="publish the bucketed store as a Delta-protocol table"
+    )
+    p.add_argument("--target", required=True, help="bucketed store path")
+    p.add_argument("--out", required=True, help="Delta table directory")
+    p.add_argument("--operation", default="MERGE")
+    p.add_argument(
+        "--vacuum-keep",
+        type=int,
+        default=None,
+        metavar="N",
+        help="after exporting, vacuum the export to the last N versions "
+        "(deletes unreferenced data files, collapses the log base)",
+    )
+    p.set_defaults(fn=cmd_export_delta)
 
     args = ap.parse_args(argv)
     return args.fn(args)

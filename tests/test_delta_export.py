@@ -1,0 +1,321 @@
+"""Delta-protocol export of the bucketed CDC store
+(sources/delta_export.py): the transaction log replays to exactly the
+live table, incremental exports remove/add only the touched buckets'
+files, tombstoned files stay readable (time travel), the version-0
+commit carries protocol+metaData with a parseable Spark schemaString,
+and no-change exports are idempotent."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sync_spark.operators.merge import apply_changes
+from sync_spark.sources.bucketed import (
+    BUCKET_COL,
+    bucket_expr,
+    overwrite_buckets,
+    read_target,
+    write_bucketed,
+)
+from sync_spark.sources.delta_export import (
+    export_delta,
+    log_versions,
+    read_export,
+    replay_log,
+)
+
+SCHEMA = T.StructType(
+    [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+)
+N_BUCKETS = 8
+
+
+def _rows(spark, pairs):
+    return spark.createDataFrame([(i, v) for i, v in pairs], SCHEMA)
+
+
+def _state(spark, path):
+    return {(r.id, r.v) for r in read_target(spark, path).collect()}
+
+
+def _merge(spark, path, changes_rows):
+    ch = spark.createDataFrame(
+        [(i, v, op, s) for s, (i, v, op) in enumerate(changes_rows, 1)],
+        "id long, v string, op string, seq long",
+    )
+    target = read_target(spark, path)
+    merged = apply_changes(target, ch, keys=["id"])
+    touched = [
+        r[0]
+        for r in ch.select(bucket_expr(["id"], N_BUCKETS).alias("b")).distinct().collect()
+    ]
+    merged_touched = merged.filter(
+        bucket_expr(["id"], N_BUCKETS).isin([int(b) for b in touched])
+    )
+    overwrite_buckets(merged_touched, path, ["id"], N_BUCKETS, touched)
+
+
+def test_export_replays_to_live_table(spark, tmp_path):
+    tgt, dl = str(tmp_path / "t"), str(tmp_path / "delta")
+    write_bucketed(_rows(spark, [(i, f"v{i}") for i in range(20)]), tgt, ["id"], N_BUCKETS)
+    v = export_delta(spark, tgt, dl)
+    assert v == 0
+    got = {(r.id, r.v) for r in read_export(spark, dl).collect()}
+    assert got == _state(spark, tgt)
+
+
+def test_version0_protocol_and_metadata(spark, tmp_path):
+    tgt, dl = str(tmp_path / "t"), str(tmp_path / "delta")
+    write_bucketed(_rows(spark, [(i, f"v{i}") for i in range(10)]), tgt, ["id"], N_BUCKETS)
+    export_delta(spark, tgt, dl)
+    with open(os.path.join(dl, "_delta_log", f"{0:020d}.json")) as fh:
+        actions = [json.loads(l) for l in fh if l.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "commitInfo"
+    assert "protocol" in kinds and "metaData" in kinds and "add" in kinds
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["partitionColumns"] == [BUCKET_COL]
+    assert meta["format"]["provider"] == "parquet"
+    # schemaString must round-trip through Spark's own StructType JSON
+    schema = T.StructType.fromJson(json.loads(meta["schemaString"]))
+    names = [f.name for f in schema.fields]
+    assert names == ["id", "v", BUCKET_COL]
+    # every add carries a partition value consistent with its path
+    for a in actions:
+        if "add" in a:
+            assert a["add"]["path"].startswith(f"{BUCKET_COL}=")
+            assert (
+                a["add"]["partitionValues"][BUCKET_COL]
+                == a["add"]["path"].split("=", 1)[1].split("/", 1)[0]
+            )
+            assert a["add"]["size"] > 0
+
+
+def test_incremental_export_touches_only_changed_buckets(spark, tmp_path):
+    tgt, dl = str(tmp_path / "t"), str(tmp_path / "delta")
+    write_bucketed(_rows(spark, [(i, f"v{i}") for i in range(20)]), tgt, ["id"], N_BUCKETS)
+    export_delta(spark, tgt, dl)
+    v0_files = set(replay_log(dl)["files"])
+
+    _merge(spark, tgt, [(3, "CHANGED", "upsert"), (99, "NEW", "upsert")])
+    v = export_delta(spark, tgt, dl)
+    assert v == 1
+    with open(os.path.join(dl, "_delta_log", f"{1:020d}.json")) as fh:
+        actions = [json.loads(l) for l in fh if l.strip()]
+    removed = {a["remove"]["path"] for a in actions if "remove" in a}
+    added = {a["add"]["path"] for a in actions if "add" in a}
+    changed_buckets = {p.split("/", 1)[0] for p in removed | added}
+    # only the buckets holding ids 3 and 99 may appear
+    expect = {
+        f"{BUCKET_COL}={r[0]}"
+        for r in spark.createDataFrame([(3,), (99,)], "id long")
+        .select(bucket_expr(["id"], N_BUCKETS).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert changed_buckets == expect
+    # no metaData re-emitted (schema unchanged)
+    assert not any("metaData" in a for a in actions)
+    # removes reference files that were active at v0
+    assert removed <= v0_files
+    # replay equals live
+    got = {(r.id, r.v) for r in read_export(spark, dl).collect()}
+    assert got == _state(spark, tgt)
+
+
+def test_time_travel_and_tombstone_files_stay_readable(spark, tmp_path):
+    tgt, dl = str(tmp_path / "t"), str(tmp_path / "delta")
+    base = [(i, f"v{i}") for i in range(20)]
+    write_bucketed(_rows(spark, base), tgt, ["id"], N_BUCKETS)
+    export_delta(spark, tgt, dl)
+    _merge(spark, tgt, [(3, "CHANGED", "upsert"), (7, None, "delete")])
+    export_delta(spark, tgt, dl)
+
+    live = _state(spark, tgt)
+    asof0 = {(r.id, r.v) for r in read_export(spark, dl, version=0).collect()}
+    asof1 = {(r.id, r.v) for r in read_export(spark, dl, version=1).collect()}
+    # the store's swap deleted the old bucket dirs, but the export's
+    # hard links pin the old bytes: version 0 still reads in full
+    assert asof0 == set(base)
+    assert asof1 == live and (3, "CHANGED") in asof1 and all(i != 7 for i, _ in asof1)
+
+
+def test_idempotent_when_unchanged(spark, tmp_path):
+    tgt, dl = str(tmp_path / "t"), str(tmp_path / "delta")
+    write_bucketed(_rows(spark, [(i, f"v{i}") for i in range(10)]), tgt, ["id"], N_BUCKETS)
+    assert export_delta(spark, tgt, dl) == 0
+    assert export_delta(spark, tgt, dl) is None
+    assert log_versions(dl) == [0]
+
+
+def test_schema_evolution_reemits_metadata(spark, tmp_path):
+    tgt, dl = str(tmp_path / "t"), str(tmp_path / "delta")
+    write_bucketed(_rows(spark, [(i, f"v{i}") for i in range(10)]), tgt, ["id"], N_BUCKETS)
+    export_delta(spark, tgt, dl)
+
+    # widen: new column arrives on a touched bucket (mergeSchema path)
+    ch = spark.createDataFrame(
+        [(3, "W", "upsert", 1, "extra3")],
+        "id long, v string, op string, seq long, extra string",
+    )
+    target = read_target(spark, tgt)
+    merged = apply_changes(
+        target.withColumn("extra", F.lit(None).cast("string")), ch, keys=["id"]
+    )
+    touched = [
+        r[0]
+        for r in ch.select(bucket_expr(["id"], N_BUCKETS).alias("b")).distinct().collect()
+    ]
+    overwrite_buckets(
+        merged.filter(bucket_expr(["id"], N_BUCKETS).isin([int(b) for b in touched])),
+        tgt, ["id"], N_BUCKETS, touched,
+    )
+
+    v = export_delta(spark, tgt, dl)
+    assert v == 1
+    state = replay_log(dl)
+    schema = T.StructType.fromJson(json.loads(state["metaData"]["schemaString"]))
+    assert "extra" in [f.name for f in schema.fields]
+    # id is stable across metaData re-emissions
+    with open(os.path.join(dl, "_delta_log", f"{0:020d}.json")) as fh:
+        meta0 = next(
+            json.loads(l)["metaData"] for l in fh if '"metaData"' in l
+        )
+    assert state["metaData"]["id"] == meta0["id"]
+    got = {(r.id, r.v, r.extra) for r in read_export(spark, dl).collect()}
+    want = {(r.id, r.v, r.extra) for r in read_target(spark, tgt).collect()}
+    assert got == want
+
+
+def test_cli_export_delta_verb(spark, tmp_path, capsys):
+    from sync_spark.__main__ import main
+
+    tgt, dl = str(tmp_path / "t"), str(tmp_path / "delta")
+    write_bucketed(_rows(spark, [(i, f"v{i}") for i in range(10)]), tgt, ["id"], N_BUCKETS)
+    assert main(["export-delta", "--target", tgt, "--out", dl]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["exported"] == 0 and out["active_files"] > 0
+    # second run with no changes reports no_changes
+    assert main(["export-delta", "--target", tgt, "--out", dl]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["exported"] is None and out["reason"] == "no_changes"
+
+
+def test_cli_run_with_export_delta(spark, tmp_path, capsys):
+    """run --export-delta publishes every bucketed mapped target after
+    the drain; the export replays to the target's post-snapshot state."""
+    from pyspark.sql import Row
+
+    from sync_spark.__main__ import main
+
+    spec = {
+        "taskId": 9,
+        "type": "parquet",
+        "mappings": [
+            {
+                "sourceDatabase": "src",
+                "targetDatabase": "tgt",
+                "tables": [{"sourceTable": "users", "targetTable": "users_t"}],
+            }
+        ],
+        "pkColumns": {"users": ["id"]},
+    }
+    for d in ("src", "tgt", "ev", "ck"):
+        (tmp_path / d).mkdir(exist_ok=True)
+    spark.createDataFrame(
+        [Row(id=1, name="a"), Row(id=2, name="b")],
+        T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+        ),
+    ).write.mode("overwrite").parquet(str(tmp_path / "src" / "users.parquet"))
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps(spec))
+    dl_root = tmp_path / "delta"
+
+    assert main([
+        "run",
+        "--spec", str(spec_path),
+        "--source-dir", str(tmp_path / "src"),
+        "--target-root", str(tmp_path / "tgt"),
+        "--event-log", str(tmp_path / "ev"),
+        "--checkpoint", str(tmp_path / "ck"),
+        "--export-delta", str(dl_root),
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["delta_versions"] == {"users_t": 0}
+    got = {(r.id, r.name) for r in read_export(spark, str(dl_root / "users_t")).collect()}
+    want = {(r.id, r.name) for r in read_target(spark, str(tmp_path / "tgt" / "users_t")).collect()}
+    assert got == want == {(1, "a"), (2, "b")}
+
+
+def test_vacuum_deletes_unreferenced_keeps_retained_window(spark, tmp_path):
+    """Three versions; vacuum keep_versions=2 must delete only files
+    referenced solely by version 0, keep versions 1..2 time-travelable,
+    and collapse version 1 into a self-contained base commit."""
+    from sync_spark.sources.delta_export import vacuum_export
+
+    tgt, dl = str(tmp_path / "t"), str(tmp_path / "delta")
+    base = [(i, f"v{i}") for i in range(20)]
+    write_bucketed(_rows(spark, base), tgt, ["id"], N_BUCKETS)
+    export_delta(spark, tgt, dl)                      # v0
+    _merge(spark, tgt, [(3, "A", "upsert")])
+    export_delta(spark, tgt, dl)                      # v1
+    _merge(spark, tgt, [(3, "B", "upsert"), (99, "NEW", "upsert")])
+    export_delta(spark, tgt, dl)                      # v2
+
+    state_v1 = {(r.id, r.v) for r in read_export(spark, dl, version=1).collect()}
+    state_v2 = {(r.id, r.v) for r in read_export(spark, dl, version=2).collect()}
+
+    out = vacuum_export(dl, keep_versions=2)
+    assert out["dropped_versions"] == 1
+    assert out["deleted_files"] >= 1  # v0's replaced bucket file(s)
+
+    assert log_versions(dl) == [1, 2]
+    # retained versions still read exactly
+    assert {(r.id, r.v) for r in read_export(spark, dl, version=1).collect()} == state_v1
+    assert {(r.id, r.v) for r in read_export(spark, dl, version=2).collect()} == state_v2
+    # the rewritten v1 is self-contained: protocol + metaData + adds
+    with open(os.path.join(dl, "_delta_log", f"{1:020d}.json")) as fh:
+        kinds = [next(iter(json.loads(l))) for l in fh if l.strip()]
+    assert "protocol" in kinds and "metaData" in kinds and "add" in kinds
+    assert "remove" not in kinds
+    # no orphan data files remain beyond the union of retained actives
+    on_disk = {
+        f"{b}/{f}"
+        for b in os.listdir(dl)
+        if b.startswith(BUCKET_COL + "=")
+        for f in os.listdir(os.path.join(dl, b))
+        if f.endswith(".parquet")
+    }
+    # every on-disk file is referenced by v1 or v2
+    v1_files = set()
+    files = {}
+    for v in log_versions(dl):
+        with open(os.path.join(dl, "_delta_log", f"{v:020d}.json")) as fh:
+            for l in fh:
+                a = json.loads(l)
+                if "add" in a:
+                    files[a["add"]["path"]] = True
+                elif "remove" in a:
+                    files.pop(a["remove"]["path"], None)
+        if v == 1:
+            v1_files = set(files)
+    v2_files = set(files)
+    assert on_disk == (v1_files | v2_files)
+
+
+def test_vacuum_noop_when_everything_retained(spark, tmp_path):
+    from sync_spark.sources.delta_export import vacuum_export
+
+    tgt, dl = str(tmp_path / "t"), str(tmp_path / "delta")
+    write_bucketed(_rows(spark, [(i, f"v{i}") for i in range(10)]), tgt, ["id"], N_BUCKETS)
+    export_delta(spark, tgt, dl)
+    out = vacuum_export(dl, keep_versions=5)
+    assert out == {"deleted_files": 0, "dropped_versions": 0}
+    assert log_versions(dl) == [0]
