@@ -713,3 +713,145 @@ def winnow_fps_array(text: F.Column, k: int = 5, window: int = 4) -> F.Column:
     return F.when(n_grams < 1, F.array().cast("array<bigint>")).otherwise(
         F.array_distinct(wins)
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination: broadcast-bitmap probe
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 20  # 1 Mi bits = 128 KB bitmap; 2^20 = one 5-hex-digit slice
+BLOOM_K_HASH = 4
+
+
+def _bloom_hash_sql(h_expr: str, j_expr: str) -> str:
+    """SQL text for one Bloom bit position from a PRECOMPUTED md5 hex
+    digest: position j = hex digits [5j, 5j+5) parsed base-16 — four
+    disjoint 20-bit slices of one digest, and 2^20 = m exactly, so no
+    modulo is even needed. One md5 per fingerprint instead of k
+    (partitioned hashing — the standard Bloom practice of splitting a
+    single wide digest into k index fields; Kirsch & Mitzenmacher 2006
+    analyze why derived positions lose nothing). The slices are plain
+    substrings, so a DuckDB oracle reproduces every position — and
+    therefore every false positive — exactly.
+
+    SQL text, not Column composition, deliberately: the kernels below
+    sit inside higher-order lambdas, and SQL ``shiftleft`` accepts an
+    EXPRESSION shift amount where the Python wrapper takes only a
+    literal; building the same tree from Python Columns needs a
+    64-element power-of-two literal array plus hundreds of py4j round
+    trips — measured ~1.4s of per-call plan-construction latency,
+    3× the query's actual execution. One F.expr call is one round
+    trip, and bench timings include construction."""
+    return (
+        f"CAST(conv(substring({h_expr}, 1 + 5 * {j_expr}, 5), 16, 10) AS BIGINT)"
+    )
+
+
+def bloom_bitmap(
+    fps: DataFrame,
+    fp_col: str = "fp",
+    m_bits: int = BLOOM_M_BITS,
+    k_hash: int = BLOOM_K_HASH,
+) -> DataFrame:
+    """Fold a fingerprint column into a ONE-ROW Bloom bitmap
+    (``bloom: map<long,long>`` of word-index → 64-bit word, words with
+    no set bits omitted), fully distributed: bit positions explode
+    from the fp rows, per-word masks combine with the map-side-partial
+    ``bit_or`` aggregate (the word id is the shuffle key — ≤ m/64
+    distinct keys, uniform), and the final map assembles via
+    map_from_entries(collect_list) in a single-group agg —
+    constant-size (≤ m/64 entries, 128 KB at the default sizing),
+    never data-sized. The sparse-map form skips the dense
+    range-densify join an array bitmap would need (an absent word IS
+    zero, via coalesce at probe time). No driver collect anywhere; the
+    result row is made for ``F.broadcast(...).crossJoin`` probing."""
+    pos = fps.select(F.md5(F.col(fp_col).cast("string")).alias("h")).select(
+        F.expr(
+            f"explode(transform(sequence(0, {k_hash - 1}), "
+            f"j -> {_bloom_hash_sql('h', 'j')}))"
+        ).alias("pos")
+    )
+    word_bits = (
+        pos.select(
+            F.expr("pos DIV 64").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    return word_bits.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom")
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 1,
+    m_bits: int = BLOOM_M_BITS,
+    k_hash: int = BLOOM_K_HASH,
+) -> DataFrame:
+    """Benchmark decontamination through a broadcast Bloom filter —
+    the 100 TB form of ``decontaminate``: instead of JOINING corpus
+    fingerprints against benchmark fingerprints (a shuffle, or a
+    broadcast of the full eval fp SET), the benchmark folds into a
+    fixed 128 KB bitmap and every corpus document probes it IN-ROW —
+    the corpus side is a pure map over the scan, no shuffle, no
+    per-executor hash set, and the bitmap cost is independent of how
+    large the eval suite grows. One-sided error only: a shared
+    fingerprint ALWAYS hits (no false negatives — the guarantee
+    decontamination must not lose); hash collisions can flag extra
+    docs at the documented rate (1−e^{−kn/m})^k, ~1e-5 at the default
+    sizing for 60k benchmark fps — the standard Bloom trade
+    (conservative: never leaks contamination, occasionally
+    over-quarantines).
+
+    Returns (doc_id, n_maybe, flagged): per corpus doc, the count of
+    its distinct fingerprints whose k positions are all set, and the
+    ≥ ``min_shared`` flag.
+
+    The probe is deterministic (md5-derived positions), so the exact
+    bit pattern — including the false positives — is reproducible in
+    the DuckDB oracle via position-set membership (bit b set ≡ b ∈
+    distinct benchmark positions): the registry query hash-matches
+    end to end, no approximation gate needed."""
+    # benchmark-side kernel WITHOUT spread_for_kernel, and WITHOUT a
+    # .distinct() on the fps: eval sets are small by definition (MBs
+    # against the corpus), so the repartition wave costs more than the
+    # single-split kernel it would parallelize, and bit_or is
+    # idempotent — duplicate fingerprints re-set the same bits for
+    # free. The PROBE side below keeps the spread: that's the corpus.
+    bsrc = benchmark.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("__wtext")
+    )
+    bstaged = winnow_fps_columns(bsrc, "__wtext", k=k, window=window, out="__fps")
+    bfp = bstaged.select(F.explode_outer("__fps").alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
+    bitmap = bloom_bitmap(bfp, "fp", m_bits=m_bits, k_hash=k_hash)
+
+    src = spread_for_kernel(
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__btext"))
+    )
+    staged = winnow_fps_columns(src, "__btext", k=k, window=window, out="__fps")
+    probed = staged.crossJoin(F.broadcast(bitmap))
+
+    # one F.expr = one analysis pass (see _bloom_hash_sql): map each
+    # distinct fp to its k-position array, keep those with every bit
+    # set. Lambda bodies read only their own args plus the broadcast
+    # `bloom` attribute — nothing re-evaluates per element, and md5
+    # runs exactly once per (fp, j).
+    n_maybe = (
+        f"CAST(size(filter("
+        f"transform(array_distinct(__fps), fp -> md5(CAST(fp AS STRING))), "
+        f"h -> forall(transform(sequence(0, {k_hash - 1}), j -> {_bloom_hash_sql('h', 'j')}), "
+        f"p -> (coalesce(element_at(bloom, p DIV 64), 0L) & shiftleft(1L, CAST(p % 64 AS INT))) != 0"
+        f"))) AS BIGINT)"
+    )
+    return probed.select(
+        "doc_id", F.expr(n_maybe).alias("n_maybe")
+    ).withColumn("flagged", F.col("n_maybe") >= min_shared)

@@ -1853,3 +1853,183 @@ SELECT lang, doc_id, n_tok,
 FROM ranked WHERE cum_tok <= alloc
 ORDER BY lang, cum_tok
 """
+
+
+# ---------------------------------------------------------------------------
+# fastText-style linear quality classifier (hashed bag-of-ngrams)
+# ---------------------------------------------------------------------------
+
+_QC_BUCKETS = 512  # hashed feature space (fastText's -bucket knob)
+_QC_WRANGE = 2001  # weights live in [-1000, 1000] (scaled ints)
+
+
+def _qc_bucket(feat):
+    """Feature hash: md5_56('f:'||feat) mod B — the hashing-trick
+    projection of an unbounded n-gram vocabulary onto a fixed weight
+    vector (Weinberger et al. 2009, public technique). Positive hash,
+    so % and pmod agree across engines."""
+    return F.pmod(
+        T.winnow_hash(F.concat(F.lit("f:"), feat)), F.lit(_QC_BUCKETS)
+    )
+
+
+def _qc_weight(feat):
+    """Deterministic stand-in weight for bucket(feat): md5_56('w:'||b)
+    mod 2001 − 1000. A trained fastText/CCNet quality model would load
+    its real vector here (a B-row broadcast table or literal array —
+    same plan either way); the hash-derived fixture keeps the query
+    self-contained and bit-identical in both engines."""
+    b = _qc_bucket(feat).cast("string")
+    return F.pmod(
+        T.winnow_hash(F.concat(F.lit("w:"), b)), F.lit(_QC_WRANGE)
+    ) - F.lit(1000)
+
+
+def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier over hashed unigram+bigram features —
+    the fastText-architecture scorer used by CCNet/LLaMA-style corpus
+    filtering (Joulin et al. 2016; public architecture), in exact
+    scaled-integer math: score = Σ_f w[h(f)], keep iff score ≥ 0.
+
+    Reference parity: the reference's quality gates are fixed-rule
+    filters; this is the learned-filter extension a training-data
+    pipeline runs at ingest (flag in SURVEY.md §2 extensions).
+
+    Shape — ZERO shuffles: features (unigrams ∪ bigrams) are built
+    in-row from the token array, and the weight lookup is a pure
+    function of the feature hash, so the whole classifier is one
+    narrow projection — aggregate(feats, 0, acc + w(f)) per row. No
+    explode, no groupBy, no join; embarrassingly parallel at any
+    scale, and a 100 TB corpus classifies at scan speed. Staged
+    projections (toks → feats → score) keep every HOF lambda reading
+    only bound attributes — the repo-wide guard against per-element
+    re-evaluation of inlined subexpressions. With a real trained
+    vector the only change is w(f) reading element_at(lit(weights),
+    bucket+1) — still in-row; B×8 bytes rides the closure, the same
+    footprint class as a broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    toks = dedup.spread_for_kernel(
+        d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+    )
+    feats = toks.withColumn(
+        "feats",
+        F.concat(
+            F.col("toks"),
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i),
+                        F.element_at(F.col("toks"), i + 1),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+    )
+    scored = feats.select(
+        "doc_id",
+        F.size("feats").cast("long").alias("n_feats"),
+        F.aggregate(
+            F.col("feats"),
+            F.lit(0).cast("long"),
+            lambda acc, f: acc + _qc_weight(f).cast("long"),
+        ).alias("w_sum"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "w_sum",
+        F.when(F.col("n_feats") == 0, F.lit("drop"))
+        .when(F.col("w_sum") >= 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    )
+
+
+T_QUALITY_CLASSIFIER_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         unnest(toks || [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS feat
+  FROM t
+), w AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('w:' || CAST(
+           CAST('0x' || substring(md5('f:' || feat), 1, 14) AS BIGINT) % {_QC_BUCKETS}
+         AS VARCHAR)), 1, 14) AS BIGINT) % {_QC_WRANGE} - 1000 AS wt
+  FROM f
+), s AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats, CAST(SUM(wt) AS BIGINT) AS w_sum
+  FROM w GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(s.n_feats, 0) AS n_feats,
+       COALESCE(s.w_sum, 0) AS w_sum,
+       CASE WHEN COALESCE(s.n_feats, 0) = 0 THEN 'drop'
+            WHEN s.w_sum >= 0 THEN 'keep' ELSE 'drop' END AS label
+FROM t LEFT JOIN s USING (doc_id)
+"""
+
+
+def d_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a broadcast 128 KB Bloom bitmap — the
+    shuffle-free 100 TB form of d_decontaminate (same src0-as-eval-set
+    split, same winnowing fingerprints). Deterministic md5 positions
+    make even the Bloom false positives bit-reproducible, so this is
+    a full hash-match query, not an approximation gate. See
+    dedup.bloom_decontaminate."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == "src0")
+    corpus = d.filter(F.col("source") != "src0")
+    return dedup.bloom_decontaminate(
+        corpus, bench, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W, min_shared=1
+    )
+
+
+def _bloom_pos_sql(fp_expr: str, j_expr: str) -> str:
+    """DuckDB replay of dedup._bloom_hash_sql: Bloom position j = hex
+    digits [5j, 5j+5) of md5(fp), parsed base-16 — a 20-bit slice, and
+    2^20 = m exactly (no modulo)."""
+    return (
+        f"CAST('0x' || substring(md5(CAST({fp_expr} AS VARCHAR)), "
+        f"1 + 5 * {j_expr}, 5) AS BIGINT)"
+    )
+
+
+D_BLOOM_DECONTAM_SQL = f"""
+WITH allfps AS (
+  SELECT f.doc_id, f.fp, d.source
+  FROM (SELECT doc_id, unnest(fps) AS fp FROM ({_winnow_sql_fragment()})) f
+  JOIN documents d USING (doc_id)
+), cfp AS (
+  SELECT DISTINCT doc_id, fp FROM allfps WHERE source <> 'src0'
+), bfp AS (
+  SELECT DISTINCT fp FROM allfps WHERE source = 'src0'
+), js AS (
+  SELECT unnest([{", ".join(str(j) for j in range(dedup.BLOOM_K_HASH))}]) AS j
+), bpos AS (
+  -- bit b set in the bitmap ≡ b ∈ this distinct position set: the
+  -- exact Bloom semantics, no bit arithmetic needed oracle-side
+  SELECT DISTINCT {_bloom_pos_sql("fp", "j")} AS pos FROM bfp, js
+), ppos AS (
+  SELECT doc_id, fp, {_bloom_pos_sql("fp", "j")} AS pos FROM cfp, js
+), fphit AS (
+  SELECT p.doc_id, p.fp
+  FROM ppos p LEFT JOIN bpos b ON p.pos = b.pos
+  GROUP BY p.doc_id, p.fp
+  HAVING COUNT(b.pos) = {dedup.BLOOM_K_HASH}
+), maybe AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_maybe FROM fphit GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(m.n_maybe, 0) AS n_maybe,
+       COALESCE(m.n_maybe, 0) >= 1 AS flagged
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN maybe m USING (doc_id)
+"""

@@ -204,6 +204,16 @@ def _populate() -> None:
 
     register("t_dsir_select", tq.t_dsir_select, tq.T_DSIR_SQL)
     register("t_unimax_alloc", tq.t_unimax_alloc, tq.T_UNIMAX_SQL)
+    register(
+        "t_quality_classifier",
+        tq.t_quality_classifier,
+        tq.T_QUALITY_CLASSIFIER_SQL,
+    )
+    register(
+        "d_bloom_decontaminate",
+        tq.d_bloom_decontaminate,
+        tq.D_BLOOM_DECONTAM_SQL,
+    )
 
     # flag flips only AFTER every registration succeeded — setting it
     # first would make a mid-populate exception leave a silently
