@@ -307,6 +307,8 @@ def cmd_export_delta(args) -> int:
         out = {"exported": v, "active_files": len(D.replay_log(args.out)["files"])}
     if args.vacuum_keep is not None:
         out["vacuum"] = D.vacuum_export(args.out, keep_versions=args.vacuum_keep)
+    if args.checkpoint:
+        out["checkpoint"] = D.write_checkpoint(args.out, clean_log=args.clean_log)
     print(json.dumps(out))
     return 0
 
@@ -410,6 +412,18 @@ def main(argv=None) -> int:
         metavar="N",
         help="after exporting, vacuum the export to the last N versions "
         "(deletes unreferenced data files, collapses the log base)",
+    )
+    p.add_argument(
+        "--checkpoint",
+        action="store_true",
+        help="after exporting, write the protocol checkpoint parquet "
+        "(N.checkpoint.parquet + _last_checkpoint)",
+    )
+    p.add_argument(
+        "--clean-log",
+        action="store_true",
+        help="with --checkpoint: delete JSON commits covered by the "
+        "checkpoint (readers start from the checkpoint)",
     )
     p.set_defaults(fn=cmd_export_delta)
 

@@ -163,8 +163,13 @@ def export_delta(
     """Publish the store's CURRENT state as the next Delta log version
     under ``delta_dir``. Returns the committed version number, or None
     when nothing changed (no empty commits). Safe to call after every
-    CdcPipeline batch; cost is proportional to the touched buckets."""
-    state = replay_log(delta_dir)
+    CdcPipeline batch; cost is proportional to the touched buckets.
+
+    The previous-state diff is checkpoint-aware: after a
+    ``write_checkpoint(..., clean_log=True)`` the JSON log may be
+    empty, and diffing against a JSON-only replay would re-add every
+    live file under an already-used version number."""
+    state = replay_with_checkpoint(delta_dir)
     live = _live_files(store_path)
 
     adds = {p: a for p, a in live.items() if p not in state["files"]}
@@ -257,23 +262,16 @@ def export_delta(
 
 def read_export(spark: SparkSession, delta_dir: str, version: Optional[int] = None):
     """Read the exported table AS A DELTA READER WOULD — replay the
-    log up to ``version`` (default: latest) and scan exactly the
-    active file set with partition values from the log, NOT from
-    directory listing. This is the in-container verification path (no
+    log up to ``version`` (default: latest) — seeding from the
+    ``_last_checkpoint`` parquet when one applies, exactly like a
+    checkpoint-aware reader — and scan the active file set with
+    partition values from the log, NOT from directory listing. This is the in-container verification path (no
     delta jar needed) and doubles as time travel over the export."""
     from pyspark.sql import functions as F
 
-    if version is None:
-        version = replay_log(delta_dir)["version"]
-    files: dict[str, dict] = {}
-    for v in log_versions(delta_dir):
-        if v > version:
-            break
-        for action in _read_actions(delta_dir, v):
-            if "add" in action:
-                files[action["add"]["path"]] = action["add"]
-            elif "remove" in action:
-                files.pop(action["remove"]["path"], None)
+    state = replay_with_checkpoint(delta_dir, version)
+    version = state["version"]
+    files = state["files"]
     if not files:
         raise ValueError(f"no active files at version {version} in {delta_dir!r}")
     paths = [os.path.join(delta_dir, p) for p in sorted(files)]
@@ -380,3 +378,209 @@ def vacuum_export(delta_dir: str, keep_versions: int = 2) -> dict:
         for v in dropped:
             os.unlink(_version_file(delta_dir, v))
     return {"deleted_files": deleted, "dropped_versions": len(dropped)}
+
+
+# ---------------------------------------------------------------------------
+# Protocol checkpoints: N.checkpoint.parquet + _last_checkpoint
+# ---------------------------------------------------------------------------
+
+LAST_CHECKPOINT = "_last_checkpoint"
+
+
+def _checkpoint_file(delta_dir: str, version: int) -> str:
+    return os.path.join(_log_path(delta_dir), f"{version:020d}.checkpoint.parquet")
+
+
+def write_checkpoint(
+    delta_dir: str, version: Optional[int] = None, clean_log: bool = False
+) -> dict:
+    """Write the Delta-protocol checkpoint for ``version`` (default:
+    latest): one parquet file ``{v:020d}.checkpoint.parquet`` holding
+    the replayed state — a `protocol` row, a `metaData` row, and one
+    `add` row per active file (no expired tombstones to carry: the
+    export's vacuum owns physical deletion) — plus the
+    ``_last_checkpoint`` pointer JSON {"version", "size"}. External
+    readers then replay from the checkpoint and only the JSON versions
+    AFTER it, instead of the whole log (PROTOCOL.md's checkpoint
+    contract; delta-rs/Spark+delta/Trino all consume this).
+
+    With ``clean_log=True`` the JSON commits at or below the
+    checkpointed version are deleted afterwards — the protocol's
+    metadata-cleanup step, valid because any reader now starts at the
+    checkpoint. Time travel below the checkpoint is surrendered (the
+    same trade as vacuum's base-commit collapse; this is the
+    protocol-standard variant of it).
+
+    The parquet is written with pyarrow (NOT a Spark write: Spark
+    writes a directory of parts, and the protocol demands exactly one
+    file at exactly this name), staged and os.replace'd like every
+    commit; ``_last_checkpoint`` is replaced only after the checkpoint
+    file is durable, so a crash between the two leaves a valid
+    (checkpoint-less) log. Scale: the checkpoint is O(#active files)
+    rows — file metadata, never data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    versions = log_versions(delta_dir)
+    if not versions:
+        raise ValueError(f"no log to checkpoint in {delta_dir!r}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in log (have {versions})")
+
+    files: dict[str, dict] = {}
+    meta: Optional[dict] = None
+    proto: Optional[dict] = None
+    for v in versions:
+        if v > version:
+            break
+        for action in _read_actions(delta_dir, v):
+            if "add" in action:
+                files[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                files.pop(action["remove"]["path"], None)
+            elif "metaData" in action:
+                meta = action["metaData"]
+            elif "protocol" in action:
+                proto = action["protocol"]
+    if meta is None or proto is None:
+        raise ValueError("log replay found no metaData/protocol — corrupt log?")
+
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+    format_t = pa.struct(
+        [("provider", pa.string()), ("options", pa.map_(pa.string(), pa.string()))]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("format", format_t),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+
+    meta_row = dict(meta)
+    meta_row["configuration"] = list((meta_row.get("configuration") or {}).items())
+    fmt = dict(meta_row.get("format") or {})
+    fmt["options"] = list((fmt.get("options") or {}).items())
+    meta_row["format"] = fmt
+    add_rows = [
+        {**a, "partitionValues": list((a.get("partitionValues") or {}).items()),
+         "dataChange": False}
+        for _, a in sorted(files.items())
+    ]
+    n = 2 + len(add_rows)
+    protocol_col = [proto] + [None] * (n - 1)
+    meta_col = [None, meta_row] + [None] * (n - 2)
+    add_col = [None, None] + add_rows
+    table = pa.table(
+        {
+            "protocol": pa.array(protocol_col, type=proto_t),
+            "metaData": pa.array(meta_col, type=meta_t),
+            "add": pa.array(add_col, type=add_t),
+        }
+    )
+    final = _checkpoint_file(delta_dir, version)
+    tmp = final + f".tmp_{uuid.uuid4().hex[:8]}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+
+    lc_final = os.path.join(_log_path(delta_dir), LAST_CHECKPOINT)
+    lc_tmp = lc_final + f".tmp_{uuid.uuid4().hex[:8]}"
+    with open(lc_tmp, "w") as fh:
+        json.dump({"version": version, "size": n}, fh)
+    os.replace(lc_tmp, lc_final)
+
+    dropped = 0
+    if clean_log:
+        for v in versions:
+            if v <= version:
+                os.unlink(_version_file(delta_dir, v))
+                dropped += 1
+    return {"version": version, "rows": n, "dropped_versions": dropped}
+
+
+def read_last_checkpoint(delta_dir: str) -> Optional[dict]:
+    p = os.path.join(_log_path(delta_dir), LAST_CHECKPOINT)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def replay_with_checkpoint(delta_dir: str, version: Optional[int] = None) -> dict:
+    """State replay the way a checkpoint-aware Delta reader does:
+    load ``_last_checkpoint`` (if usable for the requested version),
+    seed the state from the checkpoint parquet's rows, then apply only
+    the JSON commits after it. Falls back to the pure-JSON replay when
+    no checkpoint applies — e.g. time travel BELOW the checkpoint with
+    the JSON still present."""
+    import pyarrow.parquet as pq
+
+    lc = read_last_checkpoint(delta_dir)
+    if version is None:
+        v_all = log_versions(delta_dir)
+        version = max(v_all[-1] if v_all else -1, lc["version"] if lc else -1)
+    if lc is None or lc["version"] > version:
+        # pure-JSON replay trimmed to `version`
+        files: dict[str, dict] = {}
+        meta = proto = None
+        for v in log_versions(delta_dir):
+            if v > version:
+                break
+            for action in _read_actions(delta_dir, v):
+                if "add" in action:
+                    files[action["add"]["path"]] = action["add"]
+                elif "remove" in action:
+                    files.pop(action["remove"]["path"], None)
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "protocol" in action:
+                    proto = action["protocol"]
+        return {"files": files, "metaData": meta, "protocol": proto,
+                "version": version}
+
+    tbl = pq.read_table(_checkpoint_file(delta_dir, lc["version"]))
+    files = {}
+    meta = proto = None
+    for row in tbl.to_pylist():
+        if row.get("protocol"):
+            proto = row["protocol"]
+        if row.get("metaData"):
+            m = dict(row["metaData"])
+            m["configuration"] = dict(m.get("configuration") or [])
+            f = dict(m["format"] or {})
+            f["options"] = dict(f.get("options") or [])
+            m["format"] = f
+            meta = m
+        if row.get("add"):
+            a = dict(row["add"])
+            a["partitionValues"] = dict(a.get("partitionValues") or [])
+            files[a["path"]] = a
+    for v in log_versions(delta_dir):
+        if v <= lc["version"] or v > version:
+            continue
+        for action in _read_actions(delta_dir, v):
+            if "add" in action:
+                files[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                files.pop(action["remove"]["path"], None)
+            elif "metaData" in action:
+                meta = action["metaData"]
+            elif "protocol" in action:
+                proto = action["protocol"]
+    return {"files": files, "metaData": meta, "protocol": proto, "version": version}

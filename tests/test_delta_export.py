@@ -319,3 +319,92 @@ def test_vacuum_noop_when_everything_retained(spark, tmp_path):
     out = vacuum_export(dl, keep_versions=5)
     assert out == {"deleted_files": 0, "dropped_versions": 0}
     assert log_versions(dl) == [0]
+
+
+class TestCheckpoint:
+    def _build(self, spark, tmp_path):
+        store = str(tmp_path / "store")
+        out = str(tmp_path / "delta")
+        write_bucketed(
+            _rows(spark, [(1, "a"), (2, "b"), (9, "c")]), store, ["id"], N_BUCKETS
+        )
+        export_delta(spark, store, out)
+        _merge(spark, store, [(2, "B", "u"), (5, "e", "u")])
+        export_delta(spark, store, out)
+        _merge(spark, store, [(9, None, "d")])
+        export_delta(spark, store, out)
+        return store, out
+
+    def test_checkpoint_matches_json_replay(self, spark, tmp_path):
+        from sync_spark.sources.delta_export import (
+            read_last_checkpoint,
+            replay_with_checkpoint,
+            write_checkpoint,
+        )
+
+        store, out = self._build(spark, tmp_path)
+        json_state = replay_log(out)
+        info = write_checkpoint(out)
+        assert info["version"] == json_state["version"]
+        assert read_last_checkpoint(out)["version"] == info["version"]
+        ck_state = replay_with_checkpoint(out)
+        assert set(ck_state["files"]) == set(json_state["files"])
+        assert ck_state["metaData"]["schemaString"] == json_state["metaData"]["schemaString"]
+        for p, a in json_state["files"].items():
+            assert ck_state["files"][p]["size"] == a["size"]
+            assert ck_state["files"][p]["partitionValues"] == a["partitionValues"]
+
+    def test_read_export_after_clean_log(self, spark, tmp_path):
+        """Delete every JSON commit covered by the checkpoint — the
+        reader must reconstruct the table from the checkpoint alone."""
+        from sync_spark.sources.delta_export import write_checkpoint
+
+        store, out = self._build(spark, tmp_path)
+        before = _state(spark, store)
+        write_checkpoint(out, clean_log=True)
+        assert log_versions(out) == []
+        got = {(r.id, r.v) for r in read_export(spark, out).collect()}
+        assert got == before
+
+    def test_incremental_commits_after_checkpoint(self, spark, tmp_path):
+        """New JSON versions after the checkpoint apply on top of it."""
+        from sync_spark.sources.delta_export import write_checkpoint
+
+        store, out = self._build(spark, tmp_path)
+        write_checkpoint(out, clean_log=True)
+        _merge(spark, store, [(1, "A2", "u"), (7, "g", "u")])
+        v = export_delta(spark, store, out)
+        assert v is not None
+        got = {(r.id, r.v) for r in read_export(spark, out).collect()}
+        assert got == _state(spark, store)
+
+    def test_time_travel_below_checkpoint_uses_json(self, spark, tmp_path):
+        """With the JSON intact, as-of reads below the checkpoint
+        still replay from JSON (fallback path)."""
+        from sync_spark.sources.delta_export import write_checkpoint
+
+        from sync_spark.sources.delta_export import replay_with_checkpoint
+
+        store, out = self._build(spark, tmp_path)
+        expected_v0 = replay_with_checkpoint(out, version=0)  # JSON path
+        write_checkpoint(out)  # no clean_log
+        st0 = replay_with_checkpoint(out, version=0)
+        assert st0["version"] == 0
+        assert set(st0["files"]) == set(expected_v0["files"])
+
+    def test_checkpoint_is_single_protocol_file(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+        from sync_spark.sources.delta_export import write_checkpoint
+
+        store, out = self._build(spark, tmp_path)
+        info = write_checkpoint(out)
+        path = os.path.join(out, "_delta_log", f"{info['version']:020d}.checkpoint.parquet")
+        assert os.path.isfile(path)
+        tbl = pq.read_table(path)
+        rows = tbl.to_pylist()
+        assert sum(1 for r in rows if r["protocol"]) == 1
+        assert sum(1 for r in rows if r["metaData"]) == 1
+        n_adds = sum(1 for r in rows if r["add"])
+        assert n_adds == len(replay_log(out)["files"])
+        lc = json.load(open(os.path.join(out, "_delta_log", "_last_checkpoint")))
+        assert lc == {"version": info["version"], "size": len(rows)}
