@@ -215,6 +215,11 @@ def _populate() -> None:
         tq.D_BLOOM_DECONTAM_SQL,
     )
 
+    from sync_spark.operators import bpe
+
+    register("t_bpe_train", bpe.t_bpe_train, None)
+    register("chk_bpe_train", bpe.chk_bpe_train, bpe.CHK_BPE_TRAIN_SQL)
+
     # flag flips only AFTER every registration succeeded — setting it
     # first would make a mid-populate exception leave a silently
     # partial registry for every later call (the driver's gate would

