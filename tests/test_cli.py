@@ -178,3 +178,35 @@ def test_cli_backup_verb(spark, tmp_path, capsys):
         with gzip.open(f, "rt") as fh:
             rows += [json.loads(ln) for ln in fh if ln.strip()]
     assert sorted(r["id"] for r in rows) == [1, 2]
+
+
+def test_cli_run_export_delta_and_checkpoint(spark, tmp_path, capsys):
+    """run --export-delta publishes every bucketed target as a Delta
+    table post-drain; the export-delta verb then checkpoints it and the
+    cleaned-log export still reads back the full table."""
+    from sync_spark.sources.delta_export import log_versions, read_export
+
+    dirs, spec_path = _setup(spark, tmp_path)
+    exp = tmp_path / "delta"
+    assert main([
+        "run", *_task_args(dirs, spec_path), "--export-delta", str(exp)
+    ]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["delta_versions"] == {"users_t": 0}
+    table = str(exp / "users_t")
+    got = {(r.id, r.name) for r in read_export(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b")}
+
+    # export-delta verb: idempotent no-change export, then checkpoint
+    # with log cleanup
+    tgt = str(dirs["tgt"] / "users_t")
+    assert main([
+        "export-delta", "--target", tgt, "--out", table,
+        "--checkpoint", "--clean-log",
+    ]) == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["exported"] is None  # nothing changed since run
+    assert payload["checkpoint"]["version"] == 0
+    assert log_versions(table) == []
+    got = {(r.id, r.name) for r in read_export(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b")}
