@@ -2033,3 +2033,88 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
 LEFT JOIN maybe m USING (doc_id)
 """
+
+
+def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix — the provenance/contamination
+    report a corpus curator runs before mixing sources (which crawls
+    duplicate each other, whether a vendor dataset leaked into the
+    web scrape): for every source pair, the number of winnowing
+    fingerprints (≥ 8-token verbatim runs) both sources contain, plus
+    the containment ratio against the smaller side (scaled-integer,
+    cross-engine exact).
+
+    Shape: the corpus reduces to DISTINCT (source, fp) — one fp-keyed
+    shuffle, and the ONLY corpus-scale step — then folds to fp-grain
+    rows carrying the sorted source ARRAY (bounded: sources are a
+    label set, like languages). That fp-grain frame is PERSISTED and
+    both outputs branch from it: pair counts come from an IN-ROW
+    combination expansion (no self-join — a fp-fp join would
+    re-evaluate the whole winnow kernel once per branch, measured 3×
+    the kernel cost), and the per-source fingerprint totals from one
+    explode. The final aggregates land on ≤ |sources|² rows; at
+    100 TB the matrix stays KBs and every shuffle key is md5-uniform
+    (fp) or bounded (source pair)."""
+    from pyspark.storagelevel import StorageLevel
+
+    d = _t(spark, sf_dir, "documents")
+    fps = dedup.winnow_fingerprint_rows(d, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W)
+    fpg = (
+        fps.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    per_src = (
+        fpg.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_fps"))
+    )
+    pairs = fpg.filter(F.size("srcs") >= 2).select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(srcs) - 1), "
+                "i -> transform(sequence(i + 1, size(srcs)), "
+                "j -> struct(element_at(srcs, i) AS source_a, "
+                "element_at(srcs, j) AS source_b))))"
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("shared_fps")
+    )
+    na = per_src.select(F.col("source").alias("source_a"), F.col("n_fps").alias("n_a"))
+    nb = per_src.select(F.col("source").alias("source_b"), F.col("n_fps").alias("n_b"))
+    return (
+        shared.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared_fps",
+            F.expr("(shared_fps * 1000000) DIV least(n_a, n_b)").alias(
+                "containment_e6"
+            ),
+        )
+    )
+
+
+D_SOURCE_OVERLAP_SQL = f"""
+WITH sfp AS (
+  SELECT DISTINCT d.source, f.fp
+  FROM (SELECT doc_id, unnest(fps) AS fp FROM ({_winnow_sql_fragment()})) f
+  JOIN documents d USING (doc_id)
+), per_src AS (
+  SELECT source, COUNT(*) AS n_fps FROM sfp GROUP BY source
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_fps
+  FROM sfp a JOIN sfp b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s.source_a, s.source_b, s.shared_fps,
+       (s.shared_fps * 1000000) // LEAST(na.n_fps, nb.n_fps) AS containment_e6
+FROM shared s
+JOIN per_src na ON na.source = s.source_a
+JOIN per_src nb ON nb.source = s.source_b
+"""

@@ -215,6 +215,8 @@ def _populate() -> None:
         tq.D_BLOOM_DECONTAM_SQL,
     )
 
+    register("d_source_overlap", tq.d_source_overlap, tq.D_SOURCE_OVERLAP_SQL)
+
     from sync_spark.operators import bpe
 
     register("t_bpe_train", bpe.t_bpe_train, None)

@@ -301,3 +301,24 @@ def test_unimax_alloc_table_broadcasts(spark, sf_small):
     plan = plan_of(tq.t_unimax_alloc(spark, sf_small))
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
+
+
+def test_source_overlap_reuses_cached_fp_grain(spark, sf_small):
+    """d_source_overlap branches twice (pair expansion + per-source
+    totals) from the fp-grain frame. Both branches must read the
+    PERSISTED frame — an InMemoryTableScan — rather than re-running
+    the winnow kernel per branch (measured 3× the kernel cost), and
+    the two count joins onto the ≤|sources|² pair matrix must
+    broadcast, never shuffle. Everything stays JVM-side."""
+    df = tq.d_source_overlap(spark, sf_small)
+    try:
+        plan = plan_of(df)
+        # both branches (pair expansion, per-source totals) read the
+        # cache; the cached subtree's own plan prints inside each scan,
+        # so assert presence + no shuffle joins rather than exact counts
+        assert plan.count("InMemoryTableScan") >= 2, plan[:800]
+        assert "BroadcastHashJoin" in plan, plan[:800]
+        assert "EvalPython" not in plan
+        assert "SortMergeJoin" not in plan
+    finally:
+        spark.catalog.clearCache()
