@@ -1265,7 +1265,7 @@ ORDER BY cc.doc_id
 """
 
 
-def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lm_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM quality signal (the poor-man's CCNet perplexity
     filter): score every document by the average corpus-wide bigram
     conditional probability avg(c(w1,w2)/c(w1)) of its bigrams —
@@ -1293,54 +1293,76 @@ def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     before this change, 1 after). p6 is identical for every
     occurrence of a bigram, so Σp6-per-occurrence ≡ p6·cnt — the
     pre-aggregation is exact, not approximate."""
-    from sync_spark.operators.dedup import spread_for_kernel
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__lm_documents")
+    return spark.sql(f"WITH {_LM_KERNEL_CTES} {_LM_FINAL_SELECT}")
 
-    d = _t(spark, sf_dir, "documents")
-    toks = spread_for_kernel(d.select("doc_id", T.tokens(F.col("text")).alias("toks")))
-    # the >= 2 filter guards the descending-sequence hazard
-    # (sequence(1, 0) generates [1, 0], not [])
-    bigr = toks.filter(F.size("toks") >= 2).withColumn(
-        "bi",
-        F.transform(
-            F.sequence(F.lit(1), F.size("toks") - 1),
-            lambda i: F.struct(
-                F.element_at(F.col("toks"), i).alias("w1"),
-                F.element_at(F.col("toks"), i + 1).alias("w2"),
-            ),
-        ),
-    )
-    big = bigr.select("doc_id", F.explode("bi").alias("b")).select(
-        "doc_id", "b.w1", "b.w2"
-    )
-    # docbi feeds three branches (the probe join, the bigram counts,
-    # and the context counts derived from those). At bench scale the
-    # re-derivation is waves-cheap and a materialization barrier costs
-    # more than it saves (localCheckpoint measured 6s vs 0.23s); at
-    # 100 TB persist this REDUCED frame (vocab×docs grain, not corpus
-    # grain) to collapse the three branches into one corpus scan —
-    # same knob as _doc_shingles_cached, deliberately not forced here.
-    docbi = big.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
-    bc = docbi.groupBy("w1", "w2").agg(F.sum("cnt").alias("c2"))
-    ctx = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    scored = (
-        docbi.join(bc, ["w1", "w2"])
-        .join(F.broadcast(ctx), "w1")
-        .withColumn("p6", F.expr("(c2 * 1000000) DIV c1"))
-    )
-    doc = scored.groupBy("doc_id").agg(
-        F.sum("cnt").cast("long").alias("n_bigrams"),
-        F.sum(F.col("p6") * F.col("cnt")).alias("s"),
-    )
-    return (
-        d.select("doc_id")
-        .join(doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
-            F.expr("(s * 1000000) DIV n_bigrams").cast("long").alias("score_e6"),
-        )
-        .orderBy("doc_id")
-    )
+
+# The kernel as ONE spark.sql pipeline (keyword-topk precedent): the
+# equivalent withColumn chain spent ~1-2s per bench run in Python-side
+# plan construction alone. Staged CTE projections keep every HOF
+# lambda reading only attributes — the repo-wide guard against
+# per-element re-evaluation of inlined subexpressions (the previous
+# element_at(toks, i) form re-evaluated an InferFiltersFromGenerate-
+# pushed, CollapseProject-inlined split() per array element: O(tokens²)
+# per doc at the SCAN, measured 7s of this query's 10s at sf0.1;
+# zip_with lambdas touch only their arguments, and LATERAL VIEW OUTER
+# + IS NOT NULL keeps that optimizer rule from synthesizing
+# generator-input filters at all). No spread_for_kernel (unlike
+# winnowing): post-rework the per-row work is one split + one zip and
+# the docbi groupBy exchange spreads the reduce side anyway.
+#
+# docbi feeds two branches (the probe join + the bigram counts): the
+# re-derivation is waves-cheap at bench scale and a materialization
+# barrier measured strictly slower (localCheckpoint AND persist — the
+# cached InMemoryRelation loses AQE inside its subtree); at 100 TB
+# persist that REDUCED frame (vocab×docs grain, not corpus grain) to
+# collapse the branches into one corpus scan. Context counts c(w1)
+# fold onto bc as a window over the VOCAB²-bounded aggregate (931
+# rows at sf0.1, never corpus grain, so no skew hazard) — a separate
+# ctx aggregate re-derived docbi a third time. The bc2 probe join is
+# hint-free: AQE broadcasts it at bench scale; bigram vocab is
+# unbounded at 100 TB so a forced broadcast would be the OOM hazard.
+_LM_KERNEL_CTES = r"""lm_toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN array()
+              ELSE split(trim(text), '\\s+') END AS toks
+  FROM __lm_documents
+), lm_bigr AS (
+  SELECT doc_id,
+         zip_with(slice(toks, 1, size(toks) - 1),
+                  slice(toks, 2, size(toks) - 1),
+                  (x, y) -> struct(x AS w1, y AS w2)) AS bi
+  FROM lm_toks WHERE size(toks) >= 2
+), lm_big AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+  FROM lm_bigr LATERAL VIEW OUTER explode(bi) AS b
+  WHERE b IS NOT NULL
+), lm_docbi AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS cnt FROM lm_big GROUP BY doc_id, w1, w2
+), lm_bc AS (
+  SELECT w1, w2, SUM(cnt) AS c2 FROM lm_docbi GROUP BY w1, w2
+), lm_bc2 AS (
+  SELECT w1, w2, c2, SUM(c2) OVER (PARTITION BY w1) AS c1 FROM lm_bc
+), lm_scored AS (
+  SELECT d.doc_id, d.cnt, (b.c2 * 1000000) DIV b.c1 AS p6
+  FROM lm_docbi d JOIN lm_bc2 b ON d.w1 = b.w1 AND d.w2 = b.w2
+), lm_doc AS (
+  SELECT doc_id, SUM(cnt) AS n_bigrams, SUM(p6 * cnt) AS s
+  FROM lm_scored GROUP BY doc_id
+)"""
+
+_LM_FINAL_SELECT = """
+SELECT t.doc_id,
+       CAST(COALESCE(lm_doc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST((lm_doc.s * 1000000) DIV lm_doc.n_bigrams AS BIGINT) AS score_e6
+FROM (SELECT doc_id FROM __lm_documents) t LEFT JOIN lm_doc USING (doc_id)
+"""
+
+
+def t_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface for the LM-score kernel (see _lm_scored_docs);
+    t_ppl_buckets shares the same scored-doc frame."""
+    return _lm_scored_docs(spark, sf_dir).orderBy("doc_id")
 
 
 T_LM_SCORE_SQL = r"""
@@ -2117,4 +2139,194 @@ SELECT s.source_a, s.source_b, s.shared_fps,
 FROM shared s
 JOIN per_src na ON na.source = s.source_a
 JOIN per_src nb ON nb.source = s.source_b
+"""
+
+
+def t_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+    each language's documents into head / middle / tail terciles by
+    the corpus-LM score (head = most fluent third). CCNet uses the
+    buckets to keep head+middle and drop (or down-sample) tail; the
+    per-doc assignment is the reusable artifact.
+
+    Shape — cutoff table, NOT a per-doc NTILE: an NTILE(3) OVER
+    (PARTITION BY lang) would sort every document of a language inside
+    one window partition (a whole-corpus skewed sort at 100 TB, the
+    dominant language being most of the data). Instead the scored doc
+    frame reduces to a (lang, score) HISTOGRAM — bounded by
+    |langs| × 10⁶+2 distinct scaled scores, corpus-size-independent —
+    a running sum over that histogram grain finds the tercile
+    boundaries, and because bucket assignment is monotone in score the
+    histogram collapses further to an L-row CUTOFF table (min score of
+    the head / middle bands). Docs pick up their bucket through a
+    BROADCAST join on lang alone — the corpus side is never shuffled
+    by this operator at all. Bucket rule is pure integer math —
+    (3 · cum_before) DIV n_lang, cum_before = count of strictly-
+    better-scored docs — so equal scores land in the same bucket
+    deterministically in both engines; a lang whose groups jump
+    head→tail (a straddling group) has no middle floor, sc >= NULL is
+    never true, and those docs fall to tail, exactly matching the
+    per-group rule. Unscorable docs (< 2 tokens → NULL score) sink to
+    tail via a COALESCE(-1) sentinel below the score range.
+
+    The scored doc frame feeds TWO consumers (histogram + final
+    select), so the LM kernel re-derives once per consumer — linear
+    re-computation; persist/localCheckpoint both measured slower at
+    bench scale (the cached plan loses AQE), and at 100 TB the knob is
+    persisting the doc-grain frame (doc_id, lang, score — KBs per
+    million docs). One spark.sql pass, same rationale as
+    t_keyword_topk (Python-side plan construction measured ~1-2s for
+    the equivalent withColumn chain)."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__lm_documents")
+    return spark.sql(f"""
+WITH {_LM_KERNEL_CTES}, s AS ({_LM_FINAL_SELECT}),
+d AS (
+  SELECT doc.doc_id, doc.lang, s.score_e6, COALESCE(s.score_e6, -1) AS sc
+  FROM __lm_documents doc JOIN s USING (doc_id)
+), hist AS (
+  SELECT lang, sc, COUNT(*) AS cnt FROM d GROUP BY lang, sc
+), cum AS (
+  SELECT lang, sc,
+         COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY sc DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         SUM(cnt) OVER (PARTITION BY lang) AS n_lang
+  FROM hist
+), cutoffs AS (
+  SELECT lang,
+         MIN(CASE WHEN (3 * cum_before) DIV n_lang = 0 THEN sc END) AS head_floor,
+         MIN(CASE WHEN (3 * cum_before) DIV n_lang = 1 THEN sc END) AS mid_floor
+  FROM cum GROUP BY lang
+)
+SELECT /*+ BROADCAST(c) */ d.doc_id, d.lang, d.score_e6,
+       CASE WHEN d.sc >= c.head_floor THEN 'head'
+            WHEN d.sc >= c.mid_floor THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM d JOIN cutoffs c USING (lang)
+""")
+
+
+T_PPL_BUCKETS_SQL = rf"""
+WITH s AS ({T_LM_SCORE_SQL}),
+d AS (
+  SELECT doc.doc_id, doc.lang, s.score_e6, COALESCE(s.score_e6, -1) AS sc
+  FROM documents doc JOIN s USING (doc_id)
+), hist AS (
+  SELECT lang, sc, COUNT(*) AS cnt FROM d GROUP BY lang, sc
+), cum AS (
+  SELECT lang, sc,
+         COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY sc DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         SUM(cnt) OVER (PARTITION BY lang) AS n_lang
+  FROM hist
+), cutoffs AS (
+  SELECT lang,
+         MIN(CASE WHEN (3 * cum_before) // n_lang = 0 THEN sc END) AS head_floor,
+         MIN(CASE WHEN (3 * cum_before) // n_lang = 1 THEN sc END) AS mid_floor
+  FROM cum GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.score_e6,
+       CASE WHEN d.sc >= c.head_floor THEN 'head'
+            WHEN d.sc >= c.mid_floor THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM d JOIN cutoffs c USING (lang)
+"""
+
+
+def e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid + intra-label cohesion over the embedding
+    corpus — the cluster-quality report a curator runs on a labeled
+    (or k-means-assigned) embedding space: each label's mean vector,
+    member count, and average member-to-centroid cosine.
+
+    Numeric discipline matches cosine_topk: components quantize to
+    e6-scaled longs (one round per element), every cross-row sum is
+    INTEGER (order-independent — a float sum would differ between
+    Spark's partition order and DuckDB's), centroid components are
+    floor divisions staying in e6 scale, and the ONE double
+    sqrt/divide/round happens per member row before an integer
+    average. Zero-norm members yield NULL cosine (no ANSI
+    divide-by-zero), excluded from the average by COUNT(cos_e6).
+
+    Shape: the only corpus×dim frame is the posexplode feeding the
+    (label, pos) centroid aggregate — shuffle keys bounded by
+    |labels| × dim and perfectly uniform. The centroid table
+    (|labels| × dim rows) folds to |labels| array rows and BROADCASTS
+    back; each member's cosine is computed IN-ROW with zip_with
+    (argument-only lambdas), so the corpus is never shuffled again —
+    the final aggregate is map-side partial onto |labels| rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label", similarity._quantize(F.col("embedding")).alias("qv")
+    )
+    e = q.select("label", F.posexplode("qv").alias("pos", "qval"))
+    cent = e.groupBy("label", "pos").agg(F.expr("SUM(qval) DIV COUNT(*)").alias("c6"))
+    centarr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c6"))), lambda s: s["c6"]
+        ).alias("centroid_e6"),
+        F.sum(F.col("c6") * F.col("c6")).alias("nc"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("centroid_e6"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    nv = F.aggregate(
+        F.transform(F.col("qv"), lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        q.join(F.broadcast(centarr), "label")
+        .withColumn("dot", dot)
+        .withColumn("nv", nv)
+        .withColumn(
+            "cos_e6",
+            F.when(
+                (F.col("nv") > 0) & (F.col("nc") > 0),
+                F.round(
+                    F.col("dot").cast("double")
+                    / (F.sqrt(F.col("nv").cast("double")) * F.sqrt(F.col("nc").cast("double")))
+                    * 1000000
+                ).cast("long"),
+            ),
+        )
+    )
+    out = scored.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.expr("SUM(cos_e6) DIV COUNT(cos_e6)").alias("cohesion_e6"),
+    )
+    return out.join(F.broadcast(centarr.select("label", "centroid_e6")), "label").select(
+        "label", "n_vectors", "centroid_e6", "cohesion_e6"
+    )
+
+
+E_LABEL_CENTROIDS_SQL = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings
+), e AS (
+  SELECT label, u.pos AS pos, u.val AS qval
+  FROM (SELECT label,
+               unnest([{'pos': i, 'val': qv[i]} for i in range(1, len(qv) + 1)]) AS u
+        FROM q)
+), cent AS (
+  SELECT label, pos, CAST(SUM(qval) // COUNT(*) AS BIGINT) AS c6 FROM e GROUP BY label, pos
+), centarr AS (
+  SELECT label, list(c6 ORDER BY pos) AS centroid_e6, SUM(c6 * c6) AS nc
+  FROM cent GROUP BY label
+), scored AS (
+  SELECT q.vec_id, q.label,
+         CASE WHEN list_sum(list_transform(q.qv, x -> x * x)) > 0 AND c.nc > 0
+              THEN CAST(round(
+                     CAST(list_sum(list_transform(list_zip(q.qv, c.centroid_e6),
+                                                  p -> p[1] * p[2])) AS DOUBLE)
+                     / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+                        * sqrt(CAST(c.nc AS DOUBLE))) * 1000000) AS BIGINT)
+              END AS cos_e6
+  FROM q JOIN centarr c USING (label)
+)
+SELECT s.label, CAST(COUNT(*) AS BIGINT) AS n_vectors, c.centroid_e6,
+       CAST(SUM(s.cos_e6) // COUNT(s.cos_e6) AS BIGINT) AS cohesion_e6
+FROM scored s JOIN centarr c USING (label)
+GROUP BY s.label, c.centroid_e6
 """

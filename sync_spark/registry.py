@@ -216,6 +216,8 @@ def _populate() -> None:
     )
 
     register("d_source_overlap", tq.d_source_overlap, tq.D_SOURCE_OVERLAP_SQL)
+    register("t_ppl_buckets", tq.t_ppl_buckets, tq.T_PPL_BUCKETS_SQL)
+    register("e_label_centroids", tq.e_label_centroids, tq.E_LABEL_CENTROIDS_SQL)
 
     from sync_spark.operators import bpe
 

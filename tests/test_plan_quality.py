@@ -322,3 +322,32 @@ def test_source_overlap_reuses_cached_fp_grain(spark, sf_small):
         assert "SortMergeJoin" not in plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_ppl_buckets_histogram_not_doc_grain_window(spark, sf_small):
+    """t_ppl_buckets must bucket via the (lang, score) histogram → L-row
+    cutoff table — a Window whose input is an aggregate plus a BROADCAST
+    join on lang — never an NTILE over the doc grain (a whole-corpus
+    per-language sort at 100 TB) and never a (lang, score) shuffle of
+    the doc side. JVM-side throughout."""
+    plan = plan_of(tq.t_ppl_buckets(spark, sf_small))
+    assert "ntile" not in plan.lower()
+    assert "EvalPython" not in plan
+    # the cutoff table joins back via broadcast: the corpus side is
+    # never exchanged by the bucket assignment
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    # the running-sum window exists and sits above a HashAggregate
+    # (histogram grain), not above the raw scan
+    assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_label_centroids_broadcast_centroids_no_corpus_reshuffle(spark, sf_small):
+    """e_label_centroids: the |labels|-row centroid table must
+    BROADCAST back to the corpus (cosines are computed in-row with
+    zip_with) — the corpus is shuffled only by the (label, pos)
+    centroid aggregate, never by a join. All-JVM, partial aggregates."""
+    plan = plan_of(tq.e_label_centroids(spark, sf_small))
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "HashAggregate" in plan
