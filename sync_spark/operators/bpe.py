@@ -204,3 +204,84 @@ SELECT CAST({BPE_N_MERGES} AS BIGINT) AS n_merges,
        l AS first_left, r AS first_right, CAST(c AS BIGINT) AS first_count
 FROM agg ORDER BY c DESC, l ASC, r ASC LIMIT 1
 """
+
+
+def t_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility report under the CORPUS-TRAINED tokenizer
+    — the number every tokenizer evaluation leads with (tokens/word,
+    chars/token): a language whose fertility explodes is under-served
+    by the merge table and will eat a multiple of its fair token
+    budget at training time.
+
+    Shape: training is the documented driver-bounded merge loop
+    (bpe_train); ENCODING runs at VOCAB grain, not corpus grain — the
+    corpus explodes to (lang, word) pretokens (one map-side-partial
+    aggregation to (lang, word, n) so repeated words encode once per
+    DISTINCT spelling), the distinct-word frame runs the in-row merge
+    fold (N merges = N narrow projections, no UDF), and the corpus
+    side picks the symbol count back up through an AQE-sized join on
+    word. At 100 TB the encode cost is ∝ pretoken vocabulary
+    (millions), corpus cost is the one (lang, word) aggregation.
+
+    Scaled-integer outputs: fertility_e6 = (Σsyms·10⁶) DIV Σwords,
+    chars_per_token_e6 = (Σchars·10⁶) DIV Σsyms — deterministic
+    integer math (same discipline as the rest of the registry).
+    Rows-only for the driver (the merge list is sequential-by-
+    definition training state); chk_bpe_fertility gates the contract
+    against DuckDB ground truth."""
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, "text", n_merges=BPE_N_MERGES)
+    lw = (
+        d.select("lang", F.explode(bpe_pretokens(F.col("text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    enc = bpe_encode_words(lw.select("word").distinct(), merges).select(
+        "word", F.size("syms").alias("n_syms"), F.length("word").alias("n_chars")
+    )
+    return (
+        lw.join(enc, "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_syms")).cast("long").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("n_chars")).cast("long").alias("n_chars"),
+            F.expr("(SUM(n * n_syms) * 1000000) DIV SUM(n)").alias("fertility_e6"),
+            F.expr("(SUM(n * n_chars) * 1000000) DIV SUM(n * n_syms)").alias(
+                "chars_per_token_e6"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def chk_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility contract row, hash-gated against DuckDB ground truth:
+    per-language word and char totals must equal an independent DuckDB
+    fold of the same pre-tokenizer regex (the encode step cannot
+    invent or lose words/chars — symbols always concatenate back to
+    the word), and 1 ≤ tokens ≤ chars must hold per language (merges
+    only ever shrink the symbol count; no symbol is ever empty)."""
+    f = t_bpe_fertility(spark, sf_dir)
+    return f.select(
+        "lang",
+        "n_words",
+        F.col("n_chars").alias("total_chars"),
+        (F.col("n_tokens") >= F.col("n_words")).alias("tokens_ge_words"),
+        (F.col("n_tokens") <= F.col("n_chars")).alias("tokens_le_chars"),
+    ).orderBy("lang")
+
+
+CHK_BPE_FERTILITY_SQL = r"""
+WITH pt AS (
+  SELECT lang,
+         unnest(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')) AS w
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(w)) AS BIGINT) AS total_chars,
+       TRUE AS tokens_ge_words,
+       TRUE AS tokens_le_chars
+FROM pt GROUP BY lang ORDER BY lang
+"""

@@ -223,6 +223,8 @@ def _populate() -> None:
 
     register("t_bpe_train", bpe.t_bpe_train, None)
     register("chk_bpe_train", bpe.chk_bpe_train, bpe.CHK_BPE_TRAIN_SQL)
+    register("t_bpe_fertility", bpe.t_bpe_fertility, None)
+    register("chk_bpe_fertility", bpe.chk_bpe_fertility, bpe.CHK_BPE_FERTILITY_SQL)
 
     # flag flips only AFTER every registration succeeded — setting it
     # first would make a mid-populate exception leave a silently

@@ -110,3 +110,35 @@ class TestRegistry:
         row = bpe.chk_bpe_train(spark, sf_small).collect()[0]
         assert row["ranks_ok"] and row["counts_nonincreasing"]
         assert row["n_merges"] == bpe.BPE_N_MERGES
+
+
+def test_fertility_totals_and_bounds(spark, sf_small):
+    """t_bpe_fertility: per-lang totals must equal a direct pretoken
+    fold, and tokens must sit in [words, chars] (merges shrink, never
+    grow; no empty symbols)."""
+    from pyspark.sql import functions as F
+
+    from sync_spark.functions.text import bpe_pretokens
+    from sync_spark.operators import bpe
+    from sync_spark.operators.relational import _t
+
+    out = {r["lang"]: r for r in bpe.t_bpe_fertility(spark, sf_small).collect()}
+    direct = {
+        r["lang"]: r
+        for r in (
+            _t(spark, sf_small, "documents")
+            .select("lang", F.explode(bpe_pretokens(F.col("text"))).alias("w"))
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.sum(F.length("w")).alias("n_chars"),
+            )
+            .collect()
+        )
+    }
+    assert set(out) == set(direct)
+    for lang, r in out.items():
+        assert r["n_words"] == direct[lang]["n_words"]
+        assert r["n_chars"] == direct[lang]["n_chars"]
+        assert r["n_words"] <= r["n_tokens"] <= r["n_chars"]
+        assert r["fertility_e6"] >= 1_000_000
