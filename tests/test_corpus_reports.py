@@ -1,0 +1,73 @@
+"""Independent cross-implementation checks for the corpus-report
+operators (t_ppl_buckets, e_label_centroids, d_source_overlap): the
+DuckDB oracles mirror the same algebra, so a shared logic slip would
+pass the hash gate — these re-derive the expected outputs from the
+DEFINITION (per-doc strictly-better counts; numpy centroid math)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sync_spark.registry import all_queries
+
+
+def test_ppl_bucket_matches_per_doc_definition(spark, sf_small):
+    """bucket(doc) must equal floor(3 · #strictly-better-scored docs
+    in the same lang / n_lang) computed directly per doc — the
+    definition, with none of the histogram/cutoff machinery."""
+    out = all_queries()["t_ppl_buckets"].spark_fn(spark, sf_small).toPandas()
+    sc = out["score_e6"].fillna(-1).astype("int64")
+    names = {0: "head", 1: "middle", 2: "tail"}
+    for lang, grp in out.assign(sc=sc).groupby("lang"):
+        n = len(grp)
+        for _, row in grp.iterrows():
+            better = int((grp["sc"] > row["sc"]).sum())
+            assert row["ppl_bucket"] == names[(3 * better) // n], (
+                lang, row["doc_id"], better, n, row["ppl_bucket"])
+
+
+def test_ppl_buckets_tercile_sizes(spark, sf_small):
+    """Band sizes differ by at most one doc per language, up to tie
+    groups (equal scores may not split): with the fixture's all-
+    distinct scores the bands are exact terciles."""
+    out = all_queries()["t_ppl_buckets"].spark_fn(spark, sf_small).toPandas()
+    for lang, grp in out.groupby("lang"):
+        sizes = grp["ppl_bucket"].value_counts()
+        if grp["score_e6"].nunique() == len(grp):  # no ties
+            assert sizes.max() - sizes.min() <= 1, (lang, dict(sizes))
+
+
+def test_label_centroids_match_numpy(spark, sf_small):
+    out = all_queries()["e_label_centroids"].spark_fn(spark, sf_small).toPandas()
+    emb = pd.read_parquet(f"{sf_small}/embeddings.parquet")
+    for _, row in out.iterrows():
+        sub = emb[emb["label"] == row["label"]]
+        qv = np.array([
+            np.round(np.asarray(v, dtype=np.float64) * 1_000_000).astype(np.int64)
+            for v in sub["embedding"]
+        ])
+        n = len(sub)
+        assert row["n_vectors"] == n
+        # Spark's DIV truncates toward ZERO (numpy floor_divide goes
+        # toward -inf and is off by one on negative sums)
+        s = qv.sum(axis=0)
+        cent = np.sign(s) * (np.abs(s) // n)
+        assert list(row["centroid_e6"]) == cent.tolist()
+        nc = int((cent * cent).sum())
+        coss = []
+        for v in qv:
+            nv = int((v * v).sum())
+            if nv > 0 and nc > 0:
+                c = float(int((v * cent).sum())) / (np.sqrt(nv) * np.sqrt(nc))
+                coss.append(int(np.round(c * 1_000_000)))
+        tot = sum(coss)
+        assert row["cohesion_e6"] == int(np.sign(tot)) * (abs(tot) // len(coss))
+
+
+def test_source_overlap_containment_bounds(spark, sf_small):
+    out = all_queries()["d_source_overlap"].spark_fn(spark, sf_small).toPandas()
+    assert (out["source_a"] < out["source_b"]).all()
+    assert (out["shared_fps"] >= 1).all()
+    assert out["containment_e6"].between(0, 1_000_000).all()
