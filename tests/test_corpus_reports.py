@@ -71,3 +71,54 @@ def test_source_overlap_containment_bounds(spark, sf_small):
     assert (out["source_a"] < out["source_b"]).all()
     assert (out["shared_fps"] >= 1).all()
     assert out["containment_e6"].between(0, 1_000_000).all()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# score pools with heavy tie probability: ties are exactly where a
+# cutoff rule can drift from the per-doc definition (the fixture's
+# scores are all-distinct, so the oracle gate never sees a tie group
+# straddling a tercile boundary)
+_scores = st.lists(st.integers(-1, 6), min_size=1, max_size=40)
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=_scores, b=_scores)
+def test_cutoff_algebra_equals_definition_under_ties(spark, a, b):
+    """The histogram → cutoff-table pipeline (the exact SQL fragment
+    t_ppl_buckets uses) must assign every row the definitional bucket
+    floor(3 · #strictly-better / n), for arbitrary tie structure."""
+    import pandas as pd
+
+    rows = [("la", s) for s in a] + [("lb", s) for s in b]
+    pdf = pd.DataFrame(rows, columns=["lang", "sc"])
+    spark.createDataFrame(pdf).createOrReplaceTempView("__ppl_prop_d")
+    out = spark.sql("""
+WITH hist AS (
+  SELECT lang, sc, COUNT(*) AS cnt FROM __ppl_prop_d GROUP BY lang, sc
+), cum AS (
+  SELECT lang, sc,
+         COALESCE(SUM(cnt) OVER (PARTITION BY lang ORDER BY sc DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+         SUM(cnt) OVER (PARTITION BY lang) AS n_lang
+  FROM hist
+), cutoffs AS (
+  SELECT lang,
+         MIN(CASE WHEN (3 * cum_before) DIV n_lang = 0 THEN sc END) AS head_floor,
+         MIN(CASE WHEN (3 * cum_before) DIV n_lang = 1 THEN sc END) AS mid_floor
+  FROM cum GROUP BY lang
+)
+SELECT d.lang, d.sc,
+       CASE WHEN d.sc >= c.head_floor THEN 'head'
+            WHEN d.sc >= c.mid_floor THEN 'middle' ELSE 'tail' END AS b
+FROM __ppl_prop_d d JOIN cutoffs c USING (lang)
+""").toPandas()
+    assert len(out) == len(pdf)
+    names = {0: "head", 1: "middle", 2: "tail"}
+    for lang, grp in out.groupby("lang"):
+        n = len(grp)
+        for _, row in grp.iterrows():
+            better = int((grp["sc"] > row["sc"]).sum())
+            assert row["b"] == names[(3 * better) // n], (lang, row["sc"], better, n)
