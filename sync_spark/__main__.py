@@ -13,6 +13,9 @@ exactly what it needs instead of adopting a long-running daemon:
               Mongo-JS, aggregate; Redis needs a KV frame and is
               API-only); --apply persists a write verb's new state
               onto the mapped target (stage-then-swap, layout kept)
+  query       run one registry query (any SURVEY.md §2 operator or
+              LLM-pipeline report) against a testdata-layout dir and
+              print rows as JSON; --list enumerates the registry
   replay-dlq  re-inject quarantined events (schemas inferred from the
               live target footers)
   compact-stats  fold per-batch apply-counter dirs below a cut-off
@@ -183,6 +186,34 @@ def cmd_execute(args) -> int:
             json.dumps({"note": "write verbs return new state; re-run with --apply to persist"}),
             file=sys.stderr,
         )
+    return 0
+
+
+def cmd_query(args) -> int:
+    """Run one registry query (the SURVEY.md §2 / LLM-pipeline
+    surface) against a testdata-layout directory and print rows as
+    JSON — the CLI twin of ``__spark_entry__.queries()[name]``, so a
+    scheduler or a shell user can run any operator without writing a
+    driver script."""
+    from sync_spark.registry import all_queries
+
+    specs = all_queries()
+    if args.list:
+        for name in sorted(specs):
+            oracle = "oracled" if specs[name].oracle else "rows-only"
+            print(json.dumps({"query": name, "check": oracle}))
+        return 0
+    if args.name is None or args.name not in specs:
+        known = ", ".join(sorted(specs))
+        print(
+            json.dumps({"error": f"unknown query {args.name!r}", "known": known}),
+            file=sys.stderr,
+        )
+        return 2
+    spark = _spark("sync_cli_query")
+    df = specs[args.name].spark_fn(spark, args.sf_dir)
+    rows = [r.asDict() for r in df.limit(args.limit).collect()]
+    print(json.dumps({"query": args.name, "rows": rows}, default=str))
     return 0
 
 
@@ -361,6 +392,13 @@ def main(argv=None) -> int:
         help="persist a write verb's new collection state onto the mapped target",
     )
     p.set_defaults(fn=cmd_execute)
+
+    p = sub.add_parser("query", help="run one registry query")
+    p.add_argument("name", nargs="?", help="registry query name (see --list)")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    p.add_argument("--limit", type=int, default=100)
+    p.add_argument("--list", action="store_true", help="list query names")
+    p.set_defaults(fn=cmd_query)
 
     p = sub.add_parser("replay-dlq", help="re-inject quarantined events")
     p.add_argument("--dlq", required=True)

@@ -2153,8 +2153,11 @@ def t_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (PARTITION BY lang) would sort every document of a language inside
     one window partition (a whole-corpus skewed sort at 100 TB, the
     dominant language being most of the data). Instead the scored doc
-    frame reduces to a (lang, score) HISTOGRAM — bounded by
-    |langs| × 10⁶+2 distinct scaled scores, corpus-size-independent —
+    frame reduces to a (lang, score) HISTOGRAM — one row per DISTINCT
+    score, ≪ corpus here; at 100 TB, where distinct exact scores can
+    approach doc count, coarsen the histogram grain (sc DIV 10⁶ gives
+    ≤ 10⁶+2 buckets per lang, bounding the per-lang window partition)
+    at a one-bucket-boundary precision cost —
     a running sum over that histogram grain finds the tercile
     boundaries, and because bucket assignment is monotone in score the
     histogram collapses further to an L-row CUTOFF table (min score of

@@ -210,3 +210,18 @@ def test_cli_run_export_delta_and_checkpoint(spark, tmp_path, capsys):
     assert log_versions(table) == []
     got = {(r.id, r.name) for r in read_export(spark, table).collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+def test_cli_query_verb(spark, sf_small, capsys):
+    # --list enumerates the registry with check mode
+    assert main(["query", "--list"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    names = {r["query"] for r in lines}
+    assert "q1_pricing_summary" in names and "t_ppl_buckets" in names
+    assert {r["check"] for r in lines} == {"oracled", "rows-only"}
+    # run one query against the fixture
+    assert main(["query", "w_topk_per_group", "--sf-dir", sf_small, "--limit", "5"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["query"] == "w_topk_per_group" and 1 <= len(out["rows"]) <= 5
+    # unknown name: exit 2, error on stderr
+    assert main(["query", "no_such_query"]) == 2
