@@ -67,6 +67,8 @@ def curate_stream(
     min_tokens: int = DEFAULT_MIN_TOKENS,
     min_quality: float = DEFAULT_MIN_QUALITY,
     benchmark_fps: DataFrame | None = None,
+    coverage_model: Optional[list] = None,
+    min_coverage_e6: int = 0,
 ) -> DataFrame:
     """signals → quality/language gate → streaming exact dedup.
 
@@ -105,7 +107,77 @@ def curate_stream(
             kept = kept.filter(
                 ~F.arrays_overlap(F.col("__doc_fps"), F.lit(bench))
             ).drop("__doc_fps")
+    if coverage_model is not None:
+        # model-assisted gate: per-row coverage against the static
+        # top-k bigram table (see lm_coverage_col) — unscorable docs
+        # (< 2 tokens) pass this gate (min_tokens owns that decision)
+        kept = kept.withColumn("lm_coverage_e6", lm_coverage_col(F.col("text"), coverage_model))
+        kept = kept.filter(
+            F.col("lm_coverage_e6").isNull()
+            | (F.col("lm_coverage_e6") >= min_coverage_e6)
+        )
     return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])
+
+
+def train_topk_bigrams(docs: DataFrame, k: int = 4096) -> list:
+    """Distill a reference corpus into its top-k most frequent bigrams
+    — the static "model" for the streaming coverage gate. The corpus
+    work is one map-side-partial aggregation; the collect is
+    K-BOUNDED by construction (the repo's bounded-collect discipline),
+    ordered (count desc, bigram asc) so the model is deterministic
+    across runs and partitionings."""
+    from sync_spark.functions.text import tokens
+
+    toks = docs.select(tokens(F.col("text")).alias("toks"))
+    bi = (
+        toks.filter(F.size("toks") >= 2)
+        .select(
+            F.explode_outer(
+                F.zip_with(
+                    F.slice(F.col("toks"), F.lit(1), F.size("toks") - 1),
+                    F.slice(F.col("toks"), F.lit(2), F.size("toks") - 1),
+                    lambda x, y: F.concat_ws("\x1f", x, y),
+                )
+            ).alias("bi")
+        )
+        .filter(F.col("bi").isNotNull())
+    )
+    top = (
+        bi.groupBy("bi")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("bi").asc())
+        .limit(k)
+    )
+    return [r["bi"] for r in top.collect()]
+
+
+def lm_coverage_col(text_col, topk_bigrams: list):
+    """Per-row model-coverage score: the fraction (e6-scaled integer)
+    of the document's DISTINCT bigrams found in the static top-k
+    table. A cheap CCNet-style fluency proxy that is fully
+    streaming-legal — no join, no state, no shuffle: the model rides
+    along as an array literal (k·avg-bigram-len bytes, KBs at
+    k=4096), array_intersect hashes one side per row (O(len + k)),
+    and a gibberish document whose transitions never appear in the
+    reference corpus scores 0. Staged columns keep the tokenizer
+    single-evaluation (the same CollapseProject discipline as the
+    winnow/LM kernels); NULL when the doc has no bigram (< 2 tokens)
+    so callers choose the polarity of the gate."""
+    from pyspark.sql import Column  # noqa: F401
+
+    toks = F.split(F.trim(text_col), r"\s+")
+    toks = F.when(F.length(F.trim(text_col)) == 0, F.array().cast("array<string>")).otherwise(toks)
+    bi = F.zip_with(
+        F.slice(toks, F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, F.lit(2), F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat_ws("\x1f", x, y),
+    )
+    dbi = F.array_distinct(bi)
+    covered = F.size(F.array_intersect(dbi, F.lit(topk_bigrams).cast("array<string>")))
+    return F.when(
+        F.size(dbi) > 0,
+        (covered.cast("long") * F.lit(1000000)) / F.size(dbi),
+    ).cast("long").alias("lm_coverage_e6")
 
 
 class CurationPipeline:
@@ -125,6 +197,8 @@ class CurationPipeline:
         min_quality: float = DEFAULT_MIN_QUALITY,
         max_files_per_trigger: Optional[int] = None,
         benchmark: Optional[DataFrame] = None,
+        coverage_model: Optional[list] = None,
+        min_coverage_e6: int = 0,
     ) -> None:
         self.spark = spark
         self.event_log_dir = event_log_dir
@@ -136,6 +210,8 @@ class CurationPipeline:
         self.min_tokens = min_tokens
         self.min_quality = min_quality
         self.max_files_per_trigger = max_files_per_trigger
+        self.coverage_model = coverage_model
+        self.min_coverage_e6 = min_coverage_e6
         # static decontamination probe: fingerprint the eval set ONCE
         # at pipeline build (batch side), not per micro-batch
         self._benchmark_fps: Optional[DataFrame] = None
@@ -167,12 +243,15 @@ class CurationPipeline:
             min_tokens=self.min_tokens,
             min_quality=self.min_quality,
             benchmark_fps=self._benchmark_fps,
+            coverage_model=self.coverage_model,
+            min_coverage_e6=self.min_coverage_e6,
         )
 
     def start(self, trigger_once: bool = True):
-        curated = self._stream().select(
-            "doc_id", "text", "lang", "n_tokens", "quality", "fp", "seq"
-        )
+        cols = ["doc_id", "text", "lang", "n_tokens", "quality", "fp", "seq"]
+        if self.coverage_model is not None:
+            cols.append("lm_coverage_e6")
+        curated = self._stream().select(*cols)
         writer = (
             curated.writeStream.format("parquet")
             .option("path", self.out_path)

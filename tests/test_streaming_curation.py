@@ -215,3 +215,55 @@ def test_streaming_decontamination_gate(spark, dirs):
     )
     p.run_available()
     assert set(_curated(spark, dirs)) == {1, 3}
+
+
+def test_coverage_model_gate(spark, dirs):
+    """Model-assisted streaming gate: docs whose bigrams never appear
+    in the reference corpus (gibberish transitions) die in the scan
+    stage; docs made of reference-corpus transitions pass, and the
+    streaming column equals the batch computation of the same score."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from sync_spark.streaming.curation import (
+        CurationPipeline,
+        lm_coverage_col,
+        train_topk_bigrams,
+    )
+
+    ref = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate([GOOD_A, GOOD_B, GOOD_C])]
+    )
+    model = train_topk_bigrams(ref, k=4096)
+    assert model and all(isinstance(m, str) for m in model)
+
+    fluent = GOOD_C  # transitions all inside the reference corpus
+    gibberish = "dog the fox hills quick away brown lazy runs jumps the over and to"
+    write_event_batch(
+        dirs["events"],
+        [_event(1, 1, fluent), _event(2, 2, gibberish)],
+        1,
+    )
+    pipe = CurationPipeline(
+        spark,
+        event_log_dir=dirs["events"],
+        out_path=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+        coverage_model=model,
+        min_coverage_e6=500_000,
+    )
+    pipe.run_available()
+    got = _curated(spark, dirs)
+    assert 1 in got and 2 not in got
+    assert got[1]["lm_coverage_e6"] == 1_000_000
+    # streaming column == batch computation of the same score
+    batch = spark.createDataFrame([Row(text=fluent)]).select(
+        lm_coverage_col(F.col("text"), model)
+    ).collect()[0][0]
+    assert batch == got[1]["lm_coverage_e6"]
+    # unscorable doc (single token, no bigram): NULL coverage passes
+    # the coverage gate but min_tokens still owns the short-doc gate
+    one = spark.createDataFrame([Row(text="hello")]).select(
+        lm_coverage_col(F.col("text"), model)
+    ).collect()[0][0]
+    assert one is None
