@@ -2069,23 +2069,23 @@ def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: the corpus reduces to DISTINCT (source, fp) — one fp-keyed
     shuffle, and the ONLY corpus-scale step — then folds to fp-grain
     rows carrying the sorted source ARRAY (bounded: sources are a
-    label set, like languages). That fp-grain frame is PERSISTED and
-    both outputs branch from it: pair counts come from an IN-ROW
-    combination expansion (no self-join — a fp-fp join would
-    re-evaluate the whole winnow kernel once per branch, measured 3×
-    the kernel cost), and the per-source fingerprint totals from one
-    explode. The final aggregates land on ≤ |sources|² rows; at
-    100 TB the matrix stays KBs and every shuffle key is md5-uniform
-    (fp) or bounded (source pair)."""
-    from pyspark.storagelevel import StorageLevel
-
+    label set, like languages). Both outputs branch from that fp-grain
+    frame: pair counts come from an IN-ROW combination expansion (no
+    fp-fp self-join), and the per-source fingerprint totals from one
+    explode. The two branches re-derive the kernel — persist() was
+    measured strictly SLOWER here (6.5/2.0/1.5s vs 1.3/1.1/1.0s at
+    sf0.1: a cached InMemoryRelation loses AQE in its subtree, the
+    repo-wide persist-vs-rederive lesson), so the 100 TB knob is
+    persisting the REDUCED fp-grain frame externally, not forcing it
+    at bench scale. The final aggregates land on ≤ |sources|² rows;
+    at 100 TB the matrix stays KBs and every shuffle key is
+    md5-uniform (fp) or bounded (source pair)."""
     d = _t(spark, sf_dir, "documents")
     fps = dedup.winnow_fingerprint_rows(d, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W)
     fpg = (
         fps.join(d.select("doc_id", "source"), "doc_id")
         .groupBy("fp")
         .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     per_src = (
         fpg.select(F.explode("srcs").alias("source"))
@@ -2107,6 +2107,14 @@ def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = per_src.select(F.col("source").alias("source_a"), F.col("n_fps").alias("n_a"))
     nb = per_src.select(F.col("source").alias("source_b"), F.col("n_fps").alias("n_b"))
+    # A measured note on the two-branch shape (each branch re-derives
+    # the kernel): persist() of fpg ran 6.5/2.0/1.5s vs 1.3/1.1/1.0s
+    # re-derived (cached subtrees lose AQE), and a fused single-pass
+    # variant (singletons + pairs in one tagged explode, output-grain
+    # assembly) ran ~1.9s — the big concat-of-HOFs expression falls
+    # out of whole-stage codegen into interpreted eval. The ~2× floor
+    # vs DuckDB here is two kernel passes + scheduler waves, not a
+    # scale hazard: both branches shuffle on md5-uniform fp keys.
     return (
         shared.join(F.broadcast(na), "source_a")
         .join(F.broadcast(nb), "source_b")

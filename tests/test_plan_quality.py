@@ -303,25 +303,18 @@ def test_unimax_alloc_table_broadcasts(spark, sf_small):
     assert "EvalPython" not in plan
 
 
-def test_source_overlap_reuses_cached_fp_grain(spark, sf_small):
-    """d_source_overlap branches twice (pair expansion + per-source
-    totals) from the fp-grain frame. Both branches must read the
-    PERSISTED frame — an InMemoryTableScan — rather than re-running
-    the winnow kernel per branch (measured 3× the kernel cost), and
-    the two count joins onto the ≤|sources|² pair matrix must
-    broadcast, never shuffle. Everything stays JVM-side."""
-    df = tq.d_source_overlap(spark, sf_small)
-    try:
-        plan = plan_of(df)
-        # both branches (pair expansion, per-source totals) read the
-        # cache; the cached subtree's own plan prints inside each scan,
-        # so assert presence + no shuffle joins rather than exact counts
-        assert plan.count("InMemoryTableScan") >= 2, plan[:800]
-        assert "BroadcastHashJoin" in plan, plan[:800]
-        assert "EvalPython" not in plan
-        assert "SortMergeJoin" not in plan
-    finally:
-        spark.catalog.clearCache()
+def test_source_overlap_inrow_pairs_broadcast_counts(spark, sf_small):
+    """d_source_overlap: the pair expansion is IN-ROW over the
+    per-fingerprint source array (no fp-fp self-join, no cartesian),
+    and the two count joins onto the ≤|sources|² pair matrix
+    broadcast, never shuffle. Everything stays JVM-side. (The two
+    branches re-derive the kernel deliberately — persist measured
+    strictly slower; see the operator docstring.)"""
+    plan = plan_of(tq.d_source_overlap(spark, sf_small))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_ppl_buckets_histogram_not_doc_grain_window(spark, sf_small):
