@@ -163,6 +163,15 @@ def chk_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     must concatenate its parts."""
     d = _t(spark, sf_dir, "documents")
     merges = bpe_train(d, "text", n_merges=BPE_N_MERGES)
+    schema = (
+        "n_merges long, ranks_ok boolean, counts_nonincreasing boolean, "
+        "first_left string, first_right string, first_count long"
+    )
+    if not merges:
+        # empty/trivial corpus (no adjacent symbol pairs): the oracle's
+        # LIMIT 1 over an empty aggregate returns zero rows — mirror it
+        # (ADVICE r5: previously an IndexError)
+        return spark.createDataFrame([], schema)
     ranks_ok = [r for r, *_ in merges] == list(range(1, len(merges) + 1))
     counts = [c for *_, c in merges]
     noninc = all(a >= b for a, b in zip(counts, counts[1:]))
@@ -178,8 +187,7 @@ def chk_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 int(first[3]),
             )
         ],
-        "n_merges long, ranks_ok boolean, counts_nonincreasing boolean, "
-        "first_left string, first_right string, first_count long",
+        schema,
     )
 
 

@@ -306,32 +306,38 @@ def vacuum_export(delta_dir: str, keep_versions: int = 2) -> dict:
     (protocol + metaData + every active add) under its own version
     number before older JSON files are dropped — the same collapsing a
     Delta checkpoint performs, expressed in the JSON log itself so
-    readers need no checkpoint support."""
-    versions = log_versions(delta_dir)
-    if not versions:
+    readers need no checkpoint support.
+
+    Checkpoint-aware (ADVICE r5): after ``write_checkpoint(...,
+    clean_log=True)`` the state at/below the checkpoint exists only in
+    the checkpoint parquet — a pure-JSON replay would miss those adds
+    and delete still-active data files. Survivors and per-version
+    actives are therefore built via ``replay_with_checkpoint``, and
+    when the truncation cutoff moves ABOVE an existing checkpoint the
+    now-stale ``_last_checkpoint`` pointer and checkpoint parquet are
+    deleted BEFORE any JSON is dropped (a reader mid-crash then falls
+    back to the full, still-valid JSON chain rather than seeding from
+    a checkpoint that no longer sees the dropped remove actions)."""
+    json_versions = log_versions(delta_dir)
+    lc = read_last_checkpoint(delta_dir)
+    cp_version = lc["version"] if lc else None
+    all_versions = sorted(
+        set(json_versions) | ({cp_version} if cp_version is not None else set())
+    )
+    if not all_versions:
         return {"deleted_files": 0, "dropped_versions": 0}
-    retained = versions[-keep_versions:]
+    retained = all_versions[-keep_versions:]
     cutoff = retained[0]
 
-    # replay up to each retained version; union of actives = survivors
+    # checkpoint-seeded replay per retained version; union = survivors
     survivors: set[str] = set()
     per_version: dict[int, dict[str, dict]] = {}
-    files: dict[str, dict] = {}
-    meta: Optional[dict] = None
-    proto: Optional[dict] = None
-    for v in versions:
-        for action in _read_actions(delta_dir, v):
-            if "add" in action:
-                files[action["add"]["path"]] = action["add"]
-            elif "remove" in action:
-                files.pop(action["remove"]["path"], None)
-            elif "metaData" in action:
-                meta = action["metaData"]
-            elif "protocol" in action:
-                proto = action["protocol"]
-        if v >= cutoff:
-            per_version[v] = dict(files)
-            survivors |= set(files)
+    for v in retained:
+        st = replay_with_checkpoint(delta_dir, v)
+        per_version[v] = st["files"]
+        survivors |= set(st["files"])
+    latest = replay_with_checkpoint(delta_dir, all_versions[-1])
+    meta, proto = latest["metaData"], latest["protocol"]
 
     # delete unreferenced data files
     deleted = 0
@@ -347,8 +353,9 @@ def vacuum_export(delta_dir: str, keep_versions: int = 2) -> dict:
         if not os.listdir(bdir):
             os.rmdir(bdir)
 
-    dropped = [v for v in versions if v < cutoff]
-    if dropped:
+    dropped = [v for v in json_versions if v < cutoff]
+    cp_stale = cp_version is not None and cp_version < cutoff
+    if dropped or cp_stale:
         # rewrite the cutoff version as a self-contained base commit
         # (staged + os.replace: a crash leaves the old, still-valid
         # chain in place)
@@ -375,6 +382,13 @@ def vacuum_export(delta_dir: str, keep_versions: int = 2) -> dict:
             for action in base_actions:
                 fh.write(json.dumps(action, separators=(",", ":")) + "\n")
         os.replace(tmp, _version_file(delta_dir, cutoff))
+        if cp_stale:
+            # pointer first, then the parquet: an orphan checkpoint
+            # file without _last_checkpoint is never consulted
+            os.unlink(os.path.join(_log_path(delta_dir), LAST_CHECKPOINT))
+            cp_file = _checkpoint_file(delta_dir, cp_version)
+            if os.path.exists(cp_file):
+                os.unlink(cp_file)
         for v in dropped:
             os.unlink(_version_file(delta_dir, v))
     return {"deleted_files": deleted, "dropped_versions": len(dropped)}
@@ -421,29 +435,26 @@ def write_checkpoint(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    versions = log_versions(delta_dir)
-    if not versions:
+    json_versions = log_versions(delta_dir)
+    lc = read_last_checkpoint(delta_dir)
+    all_versions = sorted(
+        set(json_versions) | ({lc["version"]} if lc else set())
+    )
+    if not all_versions:
         raise ValueError(f"no log to checkpoint in {delta_dir!r}")
     if version is None:
-        version = versions[-1]
-    if version not in versions:
-        raise ValueError(f"version {version} not in log (have {versions})")
+        version = all_versions[-1]
+    if version not in all_versions:
+        raise ValueError(f"version {version} not in log (have {all_versions})")
 
-    files: dict[str, dict] = {}
-    meta: Optional[dict] = None
-    proto: Optional[dict] = None
-    for v in versions:
-        if v > version:
-            break
-        for action in _read_actions(delta_dir, v):
-            if "add" in action:
-                files[action["add"]["path"]] = action["add"]
-            elif "remove" in action:
-                files.pop(action["remove"]["path"], None)
-            elif "metaData" in action:
-                meta = action["metaData"]
-            elif "protocol" in action:
-                proto = action["protocol"]
+    # seed from the previous checkpoint + trailing JSON (ADVICE r5):
+    # after a clean_log cycle the protocol/metaData live only in the
+    # prior checkpoint, and a pure-JSON replay would brick the next
+    # checkpoint with 'no metaData/protocol'
+    state = replay_with_checkpoint(delta_dir, version)
+    files = state["files"]
+    meta = state["metaData"]
+    proto = state["protocol"]
     if meta is None or proto is None:
         raise ValueError("log replay found no metaData/protocol — corrupt log?")
 
@@ -507,10 +518,16 @@ def write_checkpoint(
 
     dropped = 0
     if clean_log:
-        for v in versions:
+        for v in json_versions:
             if v <= version:
                 os.unlink(_version_file(delta_dir, v))
                 dropped += 1
+        # the superseded checkpoint parquet (if any) is no longer
+        # reachable once _last_checkpoint advanced and its JSON is gone
+        if lc and lc["version"] < version:
+            old_cp = _checkpoint_file(delta_dir, lc["version"])
+            if os.path.exists(old_cp):
+                os.unlink(old_cp)
     return {"version": version, "rows": n, "dropped_versions": dropped}
 
 

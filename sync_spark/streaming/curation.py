@@ -116,6 +116,11 @@ def curate_stream(
             F.col("lm_coverage_e6").isNull()
             | (F.col("lm_coverage_e6") >= min_coverage_e6)
         )
+    else:
+        # always emit the column (ADVICE r5): re-running a pipeline on
+        # an existing out_path with the coverage option toggled must
+        # not append parquet files with a different schema
+        kept = kept.withColumn("lm_coverage_e6", F.lit(None).cast("long"))
     return kept.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(["fp"])
 
 
@@ -248,9 +253,13 @@ class CurationPipeline:
         )
 
     def start(self, trigger_once: bool = True):
-        cols = ["doc_id", "text", "lang", "n_tokens", "quality", "fp", "seq"]
-        if self.coverage_model is not None:
-            cols.append("lm_coverage_e6")
+        # lm_coverage_e6 is always in the sink schema (null when no
+        # coverage model) so out_path stays schema-stable across
+        # differently-configured runs
+        cols = [
+            "doc_id", "text", "lang", "n_tokens", "quality", "fp", "seq",
+            "lm_coverage_e6",
+        ]
         curated = self._stream().select(*cols)
         writer = (
             curated.writeStream.format("parquet")

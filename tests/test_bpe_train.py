@@ -142,3 +142,20 @@ def test_fertility_totals_and_bounds(spark, sf_small):
         assert r["n_chars"] == direct[lang]["n_chars"]
         assert r["n_words"] <= r["n_tokens"] <= r["n_chars"]
         assert r["fertility_e6"] >= 1_000_000
+
+
+def test_chk_contract_empty_corpus(spark, tmp_path):
+    """ADVICE r5 (low): an empty/trivial corpus (no adjacent symbol
+    pairs) returns zero contract rows — mirroring the oracle's LIMIT 1
+    over an empty aggregate — instead of raising IndexError."""
+    d = str(tmp_path / "sf_empty")
+    spark.createDataFrame([], "doc_id long, text string, lang string") \
+        .write.parquet(f"{d}/documents.parquet")
+    out = bpe.chk_bpe_train(spark, d)
+    assert out.count() == 0
+    assert "first_left" in out.columns
+    # single-char words only: still no adjacent pair → zero rows
+    d2 = str(tmp_path / "sf_single")
+    spark.createDataFrame([(1, "a", "en")], "doc_id long, text string, lang string") \
+        .write.parquet(f"{d2}/documents.parquet")
+    assert bpe.chk_bpe_train(spark, d2).count() == 0

@@ -392,6 +392,89 @@ class TestCheckpoint:
         assert st0["version"] == 0
         assert set(st0["files"]) == set(expected_v0["files"])
 
+    def test_repeat_checkpoint_after_clean_log(self, spark, tmp_path):
+        """ADVICE r5 (medium): a second write_checkpoint after a
+        clean_log cycle must seed protocol/metaData from the previous
+        checkpoint instead of raising 'no metaData/protocol'."""
+        from sync_spark.sources.delta_export import (
+            read_last_checkpoint,
+            write_checkpoint,
+        )
+
+        store, out = self._build(spark, tmp_path)
+        write_checkpoint(out, clean_log=True)
+        _merge(spark, store, [(1, "A2", "u"), (7, "g", "u")])
+        v = export_delta(spark, store, out)
+        info = write_checkpoint(out, clean_log=True)  # raised before fix
+        assert info["version"] == v
+        assert read_last_checkpoint(out)["version"] == v
+        # superseded checkpoint parquet is gone, new one exists
+        assert not os.path.exists(
+            os.path.join(out, "_delta_log", f"{2:020d}.checkpoint.parquet")
+        )
+        got = {(r.id, r.v) for r in read_export(spark, out).collect()}
+        assert got == _state(spark, store)
+
+    def test_vacuum_after_checkpoint_keeps_active_files(self, spark, tmp_path):
+        """ADVICE r5 (high): vacuum after write_checkpoint(clean_log=
+        True) + later exports must union checkpoint-referenced actives
+        into survivors — before the fix it unlinked still-active
+        parquet files (data loss) and wrote a base commit with no
+        protocol/metaData."""
+        from sync_spark.sources.delta_export import (
+            read_last_checkpoint,
+            vacuum_export,
+            write_checkpoint,
+        )
+
+        store, out = self._build(spark, tmp_path)           # v0..v2
+        write_checkpoint(out, clean_log=True)               # cp@2, JSON gone
+        _merge(spark, store, [(1, "A2", "u")])
+        export_delta(spark, store, out)                     # v3
+        _merge(spark, store, [(7, "g", "u")])
+        export_delta(spark, store, out)                     # v4
+
+        state_v3 = {(r.id, r.v) for r in read_export(spark, out, version=3).collect()}
+        state_v4 = {(r.id, r.v) for r in read_export(spark, out, version=4).collect()}
+
+        out_info = vacuum_export(out, keep_versions=2)
+        # cutoff=3 > cp=2: the stale checkpoint must be retired
+        assert read_last_checkpoint(out) is None
+        assert not os.path.exists(
+            os.path.join(out, "_delta_log", f"{2:020d}.checkpoint.parquet")
+        )
+        assert log_versions(out) == [3, 4]
+        # the rewritten v3 base commit is self-contained
+        with open(os.path.join(out, "_delta_log", f"{3:020d}.json")) as fh:
+            kinds = [next(iter(json.loads(l))) for l in fh if l.strip()]
+        assert "protocol" in kinds and "metaData" in kinds and "add" in kinds
+        # both retained versions read exactly (no active file was lost)
+        assert {(r.id, r.v) for r in read_export(spark, out, version=3).collect()} == state_v3
+        assert {(r.id, r.v) for r in read_export(spark, out, version=4).collect()} == state_v4
+        assert state_v4 == _state(spark, store)
+        assert out_info["dropped_versions"] == 0  # no JSON below cutoff existed
+
+    def test_vacuum_retains_checkpoint_inside_window(self, spark, tmp_path):
+        """Vacuum whose cutoff sits at/below the checkpoint keeps the
+        checkpoint and _last_checkpoint valid."""
+        from sync_spark.sources.delta_export import (
+            read_last_checkpoint,
+            vacuum_export,
+            write_checkpoint,
+        )
+
+        store, out = self._build(spark, tmp_path)           # v0..v2
+        write_checkpoint(out)                               # cp@2, JSON kept
+        _merge(spark, store, [(1, "A2", "u")])
+        export_delta(spark, store, out)                     # v3
+        state_v2 = {(r.id, r.v) for r in read_export(spark, out, version=2).collect()}
+
+        vacuum_export(out, keep_versions=2)                 # cutoff=2 == cp
+        assert read_last_checkpoint(out)["version"] == 2
+        assert log_versions(out) == [2, 3]
+        assert {(r.id, r.v) for r in read_export(spark, out, version=2).collect()} == state_v2
+        assert {(r.id, r.v) for r in read_export(spark, out).collect()} == _state(spark, store)
+
     def test_checkpoint_is_single_protocol_file(self, spark, tmp_path):
         import pyarrow.parquet as pq
         from sync_spark.sources.delta_export import write_checkpoint

@@ -267,3 +267,31 @@ def test_coverage_model_gate(spark, dirs):
         lm_coverage_col(F.col("text"), model)
     ).collect()[0][0]
     assert one is None
+
+
+def test_schema_stable_across_coverage_toggle(spark, dirs):
+    """ADVICE r5 (low): lm_coverage_e6 is always in the sink schema
+    (null when no coverage model), so re-running the pipeline on an
+    existing out_path with the option toggled never appends parquet
+    files with a different schema."""
+    write_event_batch(dirs["events"], [_event(1, 1, GOOD_A)], 1)
+    _pipeline(spark, dirs).run_available()
+    first = spark.read.parquet(dirs["out"])
+    assert "lm_coverage_e6" in first.columns
+    assert first.collect()[0]["lm_coverage_e6"] is None
+
+    # second run over the SAME out_path, coverage model now on
+    write_event_batch(dirs["events"], [_event(2, 2, GOOD_B)], 2)
+    CurationPipeline(
+        spark,
+        event_log_dir=dirs["events"],
+        out_path=dirs["out"],
+        checkpoint_dir=dirs["ckpt"],
+        watermark="1 hour",
+        coverage_model=["the\x1fquick", "a\x1fmodel"],
+        min_coverage_e6=0,
+    ).run_available()
+    both = spark.read.parquet(dirs["out"])
+    assert both.count() == 2
+    got = {r.doc_id: r["lm_coverage_e6"] for r in both.collect()}
+    assert got[1] is None and got[2] is not None
