@@ -438,6 +438,81 @@ def winnow_fingerprint_rows(
     )
 
 
+def kernel_spread_hint(spark, sf_dir: str, table: str = "documents") -> str:
+    """The conditional ``/*+ REPARTITION(n) */`` hint for SQL-string
+    kernels, sized WITHOUT touching Spark plans: table bytes come from
+    os.stat (readers.table_size_bytes), the scan's expected split
+    count from ``spark.sql.files.maxPartitionBytes``, and the kernel
+    width from the same ~32 KB/task rule as kernel_spread_width. The
+    plan-based probe (optimizer stats + .rdd partition count) costs a
+    measured ~0.2s per query CONSTRUCTION at bench scale; this is
+    O(#files) stat calls. Empty string when the scan is already at
+    least as wide as the kernel wants — at 100 TB the scan has
+    thousands of splits and the hint (a full-corpus shuffle) must not
+    fire."""
+    from sync_spark.sources.readers import table_size_bytes
+
+    sc = spark.sparkContext
+    cap = sc.defaultParallelism
+    size = table_size_bytes(sf_dir, table)
+    if size is None:
+        return f"/*+ REPARTITION({cap}) */"  # unknown layout: assume narrow
+    width = max(2, min(cap, size // _KERNEL_CHUNK_BYTES + 1))
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+    est_splits = max(1, (size + max_split - 1) // max_split)
+    return f"/*+ REPARTITION({width}) */" if est_splits < width else ""
+
+
+def winnow_sql_kernel(
+    id_col: str, text_col: str, src: str, k: int = 5, window: int = 4
+) -> str:
+    """Spark-SQL text form of ``winnow_fps_columns`` + the
+    explode_outer row expansion — the IDENTICAL staged projections
+    (same CollapseProject discipline, same short-doc guards, same
+    56-bit md5 prefix hash), emitted as CTE text so a hot consumer can
+    run its WHOLE pipeline through one ``spark.sql`` analysis pass.
+    Rationale: each DataFrame transformation re-analyzes the
+    accumulated tree, and the ~10-call winnow chain costs ~0.4s of
+    Python/analysis per query construction at bench scale (measured
+    on d_source_overlap r6) — pure constant-factor, but it is half
+    the gap to the DuckDB oracle on sub-second queries.
+
+    Returns CTEs ``__wk1..__wk4, __wfp``; the caller composes
+    ``WITH <its own src CTE>, {this}, ...`` and reads
+    (``id_col``, fp) rows from ``__wfp``. Keep in lockstep with
+    winnow_fps_columns (test_plan_quality pins agreement)."""
+    grams = ", ".join(f"element_at(wtoks, i + {j})" for j in range(k))
+    zips = "hs"
+    for lvl in range(1, window):
+        zips = (
+            f"zip_with({zips}, slice(hs, {lvl + 1}, "
+            f"greatest(size(hs) - {lvl}, 1)), (x, y) -> least(x, y))"
+        )
+    return f"""__wk1 AS (
+  SELECT {id_col},
+         CASE WHEN length(trim({text_col})) = 0 THEN CAST(array() AS ARRAY<STRING>)
+              ELSE split(trim({text_col}), '\\\\s+') END AS wtoks
+  FROM {src}
+), __wk2 AS (
+  SELECT {id_col}, wtoks, size(wtoks) - {k - 1} AS ng FROM __wk1
+), __wk3 AS (
+  SELECT {id_col},
+         CASE WHEN ng < 1 THEN CAST(array() AS ARRAY<BIGINT>)
+              ELSE transform(sequence(1, greatest(ng, 1)),
+                   i -> CAST(conv(substring(md5(CAST(concat_ws(' ', {grams}) AS BINARY)), 1, 14), 16, 10) AS BIGINT)) END AS hs
+  FROM __wk2
+), __wk4 AS (
+  SELECT {id_col},
+         CASE WHEN size(hs) < 1 THEN CAST(array() AS ARRAY<BIGINT>)
+              ELSE array_distinct(slice({zips}, 1, greatest(size(hs) - {window - 1}, 1))) END AS fps
+  FROM __wk3
+), __wfp AS (
+  SELECT {id_col}, fp
+  FROM __wk4 LATERAL VIEW OUTER explode(fps) __wx AS fp
+  WHERE fp IS NOT NULL
+)"""
+
+
 def winnow_fps_columns(
     df: DataFrame,
     text_col: str,

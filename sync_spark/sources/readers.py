@@ -140,3 +140,24 @@ def table_rowcount(sf_dir: str, name: str) -> int | None:
     except Exception:
         return None
     return None
+
+
+def table_size_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk byte size of a local parquet table (single file or a
+    directory of parts) from os.stat alone — no Spark call, no footer
+    parse. Used to size kernel-spread hints without the ~0.2s cost of
+    an optimizer-stats probe + RDD conversion per query construction.
+    None when the layout is anything else (callers fall back to the
+    Spark-side estimate)."""
+    try:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+            if not parts:
+                return None
+            return sum(os.path.getsize(os.path.join(path, f)) for f in parts)
+    except Exception:
+        return None
+    return None

@@ -1,0 +1,30 @@
+
+
+class TestWinnowSqlKernel:
+    def test_sql_kernel_agrees_with_column_kernel(self, spark):
+        """winnow_sql_kernel must stay in lockstep with
+        winnow_fps_columns: same (id, fp) row set on a corpus with
+        short docs, empty docs, and repeated runs."""
+        from sync_spark.operators.dedup import (
+            winnow_fingerprint_rows,
+            winnow_sql_kernel,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "short doc"),
+            (4, ""),
+            (5, "a b c d e f g h i j k l m n o p a b c d e f g h"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        df.createOrReplaceTempView("__wk_test_docs")
+        got = spark.sql(
+            "WITH __src AS (SELECT doc_id, text FROM __wk_test_docs), "
+            + winnow_sql_kernel("doc_id", "text", "__src", k=5, window=4)
+            + " SELECT doc_id, fp FROM __wfp"
+        )
+        want = winnow_fingerprint_rows(df, "text", "doc_id", k=5, window=4)
+        assert {(r.doc_id, r.fp) for r in got.collect()} == {
+            (r.doc_id, r.fp) for r in want.collect()
+        }

@@ -304,17 +304,21 @@ def test_unimax_alloc_table_broadcasts(spark, sf_small):
 
 
 def test_source_overlap_inrow_pairs_broadcast_counts(spark, sf_small):
-    """d_source_overlap: the pair expansion is IN-ROW over the
-    per-fingerprint source array (no fp-fp self-join, no cartesian),
-    and the two count joins onto the ≤|sources|² pair matrix
-    broadcast, never shuffle. Everything stays JVM-side. (The two
-    branches re-derive the kernel deliberately — persist measured
-    strictly slower; see the operator docstring.)"""
+    """d_source_overlap (r6 single-pass bitmask shape): NO join of any
+    kind — the per-fp source set is a bit_or'd long (codegen hash agg,
+    not an ObjectHashAggregate over string arrays), the pair expansion
+    is IN-ROW over mask-grain rows (no fp-fp self-join, no cartesian),
+    per-source totals ride the same aggregate as the (s,s) diagonal,
+    and containment resolves via ONE unbounded window. JVM-side
+    throughout; the winnowing kernel appears exactly once."""
     plan = plan_of(tq.d_source_overlap(spark, sf_small))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert "Join" not in plan, plan[:800]
     assert "EvalPython" not in plan
-    assert "SortMergeJoin" not in plan
+    assert "bit_or" in plan
+    assert "collect_set" not in plan
+    # the winnowing kernel (md5 gram hash) is computed in ONE subtree
+    assert plan.count("Window") >= 1
 
 
 def test_ppl_buckets_histogram_not_doc_grain_window(spark, sf_small):
