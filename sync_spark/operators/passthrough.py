@@ -876,7 +876,11 @@ def pt_merge_into(spark, sf_dir: str) -> DataFrame:
     %7 customer is replaced with a bumped after-image, every %21 one
     is deleted, and synthesized %100 keys insert — the S12/S13 merge
     semantics as a SQL statement, returned as the post-merge state.
-    The oracle recomputes the same merge as anti-join ∪ survivors."""
+    The oracle recomputes the same merge as anti-join ∪ survivors.
+    No ORDER BY (r6): the harness canonical-sorts before hashing, and
+    a statement user at 100 TB must not pay a pointless global range
+    sort on the post-merge state (test_plan_quality pins the absence
+    of a Sort node)."""
     cust = _t(spark, sf_dir, "customer")
 
     def run_sql(q: str) -> DataFrame:
@@ -891,7 +895,7 @@ def pt_merge_into(spark, sf_dir: str) -> DataFrame:
         "c_name",
         F.col("c_acctbal").cast("double").alias("acctbal"),
         "c_mktsegment",
-    ).orderBy("c_custkey")
+    )
 
 
 PT_MERGE_SQL = """

@@ -358,3 +358,18 @@ def test_label_centroids_broadcast_centroids_no_corpus_reshuffle(spark, sf_small
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_pt_merge_into_no_global_sort(spark, sf_small):
+    """pt_merge_into returns the post-merge state UNSORTED (the
+    harness canonical-sorts before hashing): no GLOBAL sort — at
+    100 TB a global range sort on the merged state is pure waste.
+    (Partition-local sorts under the merge kernel's ROW_NUMBER window
+    are inherent to last-writer-wins and stay.)"""
+    import re
+
+    from sync_spark.operators import passthrough as pt
+
+    plan = plan_of(pt.pt_merge_into(spark, sf_small))
+    assert not re.search(r"Sort \[[^\]]*\], true, ", plan), plan[:800]
+    assert "rangepartitioning" not in plan, plan[:800]
