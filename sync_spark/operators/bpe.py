@@ -74,35 +74,124 @@ def _apply_merge(syms: tuple, left: str, right: str) -> tuple:
     return tuple(out)
 
 
+def bpe_merge_loop(
+    word_counts: list[tuple[tuple, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The vocab-scale merge loop with INCREMENTAL pair-count
+    maintenance (round 6 — the classic heap trainer split HF
+    tokenizers uses): a lazy-invalidation max-heap holds (count, pair)
+    candidates, and each merge updates only the pairs ADJACENT to its
+    occurrences (per affected word: Counter(new pairs) −
+    Counter(old pairs), found via a pair→words inverted index). Cost
+    per merge is Σ|affected word| instead of the r5 form's O(total
+    vocab symbols) full rescan — 1024 merges on a 100k-entry table is
+    milliseconds, not minutes (test_bpe_train pins sub-second at
+    n_merges=1024 and bit-identical merges vs the naive loop).
+
+    Argmax identical to the rescan form: the heap orders
+    (-count, left, right), so the top is the highest count with
+    lexicographic (left asc, right asc) tie-break."""
+    import heapq
+
+    words: list[list] = [[syms, cnt] for syms, cnt in word_counts]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, cnt) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + cnt
+            pair_words.setdefault(p, set()).add(wi)
+    heap = [(-c, p[0], p[1]) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best = None
+        while heap:
+            negc, lft, rgt = heap[0]
+            cur = pair_counts.get((lft, rgt), 0)
+            if cur == -negc and cur > 0:
+                heapq.heappop(heap)
+                best = (lft, rgt, cur)
+                break
+            # stale entry: drop it, re-enqueue the corrected count
+            heapq.heappop(heap)
+            if cur > 0:
+                heapq.heappush(heap, (-cur, lft, rgt))
+        if best is None:
+            break
+        left, right, bcount = best
+        merges.append((rank, left, right, bcount))
+        changed: set[tuple[str, str]] = set()
+        for wi in sorted(pair_words.get((left, right), ())):
+            syms, cnt = words[wi]
+            new = _apply_merge(syms, left, right)
+            if new == syms:
+                continue
+            delta: dict[tuple[str, str], int] = {}
+            for p in zip(syms, syms[1:]):
+                delta[p] = delta.get(p, 0) - 1
+            npairs = set(zip(new, new[1:]))
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                delta[p] = delta.get(p, 0) + 1
+            for p, dv in delta.items():
+                if dv:
+                    nc = pair_counts.get(p, 0) + dv * cnt
+                    if nc > 0:
+                        pair_counts[p] = nc
+                    else:
+                        pair_counts.pop(p, None)
+                    changed.add(p)
+                if p in npairs:
+                    pair_words.setdefault(p, set()).add(wi)
+                elif dv:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(wi)
+            words[wi][0] = new
+        pair_counts.pop((left, right), None)
+        pair_words.pop((left, right), None)
+        # one heap entry per changed pair per MERGE (not per word):
+        # hot early merges touch thousands of words and would flood
+        # the heap with duplicates otherwise
+        changed.discard((left, right))
+        for p in changed:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+    return merges
+
+
+BPE_MAX_VOCAB = 1_000_000
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 16,
     min_count: int = 1,
+    max_vocab: int = BPE_MAX_VOCAB,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns
     [(rank, left, right, pair_count), ...] in learned order; stops
-    early if the corpus runs out of pairs."""
-    rows = bpe_word_counts(df, text_col, min_count).collect()
-    words: list[list] = [[tuple(r["word"]), int(r["cnt"])] for r in rows]
+    early if the corpus runs out of pairs.
 
-    merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, n_merges + 1):
-        counts: dict[tuple[str, str], int] = {}
-        for syms, cnt in words:
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                counts[p] = counts.get(p, 0) + cnt
-        if not counts:
-            break
-        (left, right), best = min(
-            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        merges.append((rank, left, right, best))
-        for w in words:
-            if left in w[0] and right in w[0]:
-                w[0] = _apply_merge(w[0], left, right)
-    return merges
+    The collected frequency table is capped at ``max_vocab`` entries
+    (count desc, word asc — a deterministic TakeOrdered, not a full
+    sort), the top-V discipline every production trainer applies
+    before the driver-side loop: at web scale the raw pre-token
+    vocabulary has a long hapax tail that contributes nothing to
+    early merges, and an uncapped collect would be data-sized instead
+    of vocab-bounded. Raise ``min_count`` as the complementary knob
+    when the tail should be cut corpus-side (bpe_word_counts prunes
+    BEFORE the shuffle's final aggregate lands in the collect)."""
+    wc = bpe_word_counts(df, text_col, min_count)
+    rows = (
+        wc.orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(max_vocab)
+        .collect()
+    )
+    return bpe_merge_loop([(tuple(r["word"]), int(r["cnt"])) for r in rows], n_merges)
 
 
 def bpe_merges_df(spark: SparkSession, merges: list[tuple]) -> DataFrame:

@@ -159,3 +159,78 @@ def test_chk_contract_empty_corpus(spark, tmp_path):
     spark.createDataFrame([(1, "a", "en")], "doc_id long, text string, lang string") \
         .write.parquet(f"{d2}/documents.parquet")
     assert bpe.chk_bpe_train(spark, d2).count() == 0
+
+
+class TestIncrementalTrainer:
+    """Round-6 incremental merge loop (bpe_merge_loop): bit-identical
+    to the naive full-rescan trainer, and fast enough for production
+    merge counts."""
+
+    @staticmethod
+    def _naive(word_counts, n_merges):
+        # the r5 reference loop: full pair-count rescan per merge
+        words = [[syms, cnt] for syms, cnt in word_counts]
+        merges = []
+        for rank in range(1, n_merges + 1):
+            counts = {}
+            for syms, cnt in words:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + cnt
+            if not counts:
+                break
+            (left, right), best = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank, left, right, best))
+            for w in words:
+                if left in w[0] and right in w[0]:
+                    w[0] = bpe._apply_merge(w[0], left, right)
+        return merges
+
+    def test_matches_naive_on_fixture_corpus(self, spark, sf_small):
+        d = spark.read.parquet(f"{sf_small}/documents.parquet")
+        from sync_spark.operators.bpe import bpe_word_counts
+
+        wc = [
+            (tuple(r["word"]), int(r["cnt"]))
+            for r in bpe_word_counts(d, "text").collect()
+        ]
+        assert bpe.bpe_merge_loop(wc, 48) == self._naive(wc, 48)
+
+    def test_matches_naive_overlapping_and_ties(self, spark):
+        # overlapping merges ('aaa'), exact ties (lex tie-break), and
+        # pairs that vanish and reappear through intermediate merges
+        df = spark.createDataFrame(
+            [(1, "aaa aaab abab baba bb aa ab ba aaab abab")],
+            ["doc_id", "text"],
+        )
+        from sync_spark.operators.bpe import bpe_word_counts
+
+        wc = [
+            (tuple(r["word"]), int(r["cnt"]))
+            for r in bpe_word_counts(df, "text").collect()
+        ]
+        assert bpe.bpe_merge_loop(wc, 32) == self._naive(wc, 32)
+
+    def test_1024_merges_subsecond(self):
+        """The driver loop must sustain production merge counts: a
+        synthetic 20k-word vocabulary with enough pair diversity for
+        1024 distinct merges, loop time bounded."""
+        import time
+
+        words = []
+        for i in range(20000):
+            # deterministic pseudo-words over a 40-symbol alphabet
+            w = tuple(chr(97 + (i * 7 + j * j) % 26) + chr(48 + (i + j) % 10)
+                      for j in range(4 + i % 9))
+            words.append((w, 1 + i % 17))
+        t0 = time.monotonic()
+        merges = bpe.bpe_merge_loop(words, 1024)
+        dt = time.monotonic() - t0
+        assert len(merges) == 1024, len(merges)
+        ranks = [r for r, *_ in merges]
+        assert ranks == list(range(1, 1025))
+        counts = [c for *_, c in merges]
+        assert all(a >= b for a, b in zip(counts, counts[1:]))
+        assert dt < 1.0, f"merge loop took {dt:.2f}s"
