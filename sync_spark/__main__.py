@@ -326,6 +326,80 @@ def cmd_snapshot(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """ONE scheduled maintenance pass over a task's artifacts — the
+    reference runs retention/compaction as a single monitor loop
+    (pkg/utils/monitor.go:164-222 — cited for parity, not ported);
+    here a cron calls this verb. In one invocation:
+
+    - event-log retention: checkpoint-aware ``auto_prune_event_log``
+      (deletes exactly the committed files, never replay-range ones);
+    - apply-counter compaction (``--stats``): the cut-off is DERIVED
+      from the same checkpoint WAL — fold counters for every normal
+      batch the stream has committed (max committed batch id + 1;
+      replay-range 9e9 ids excluded, mirroring the pruner);
+    - snapshot expiry: ``expire_snapshots --keep-snapshots`` per
+      mapped bucketed target that has a snapshot manifest;
+    - optional delta-export upkeep (``--export-delta`` root):
+      ``vacuum_export --vacuum-keep`` per published table.
+
+    Prints one JSON audit line; every step is idempotent, so a crashed
+    or doubled cron tick is harmless."""
+    from sync_spark.operators.monitor import compact_apply_stats
+    from sync_spark.sources import snapshots as S
+    from sync_spark.sources.cdc import auto_prune_event_log, committed_event_files
+
+    spark = _spark("sync_cli_maintain")
+    task = _task(args, spark)
+    # the task's streaming checkpoint lives under a per-task subdir of
+    # --checkpoint (engine.py); prune + cut-off must read THAT WAL
+    ckpt = os.path.join(args.checkpoint, f"task-{task.spec.task_id}")
+    out: dict = {
+        "pruned_event_files": len(auto_prune_event_log(args.event_log, ckpt))
+    }
+    if args.stats:
+        below = 0
+        for p in committed_event_files(ckpt):
+            base = os.path.basename(p)
+            if base.startswith("events-") and base.endswith(".jsonl"):
+                try:
+                    bid = int(base[len("events-"):-len(".jsonl")])
+                except ValueError:
+                    continue
+                if bid < 9_000_000_000:
+                    below = max(below, bid + 1)
+        out["stats_cutoff"] = below
+        out["stats_folded"] = (
+            compact_apply_stats(spark, args.stats, below) if below else {}
+        )
+    expired = {}
+    for t in task._targets():
+        name = os.path.basename(t.target_path.rstrip("/"))
+        try:
+            if S.snapshot_versions(t.target_path):
+                expired[name] = S.expire_snapshots(
+                    t.target_path, keep_last=args.keep_snapshots
+                )
+        except Exception as exc:  # a target without a manifest is fine
+            print(
+                json.dumps({"snapshot_expire_error": f"{name}: {exc}"[:200]}),
+                file=sys.stderr,
+            )
+    out["snapshots_expired"] = expired
+    if args.export_delta:
+        from sync_spark.sources import delta_export as D
+
+        vac = {}
+        for t in task._targets():
+            name = os.path.basename(t.target_path.rstrip("/"))
+            dl = os.path.join(args.export_delta, name)
+            if os.path.isdir(os.path.join(dl, D.LOG_DIR)):
+                vac[name] = D.vacuum_export(dl, keep_versions=args.vacuum_keep)
+        out["delta_vacuum"] = vac
+    print(json.dumps(out, default=str))
+    return 0
+
+
 def cmd_export_delta(args) -> int:
     from sync_spark.sources import delta_export as D
 
@@ -464,6 +538,19 @@ def main(argv=None) -> int:
         "checkpoint (readers start from the checkpoint)",
     )
     p.set_defaults(fn=cmd_export_delta)
+
+    p = sub.add_parser(
+        "maintain",
+        help="one retention/compaction pass: event log + apply stats "
+        "+ snapshot expiry (+ optional delta-export vacuum)",
+    )
+    _add_task_args(p)
+    p.add_argument("--stats", default=None, help="apply-counter root (CdcPipeline stats_path)")
+    p.add_argument("--keep-snapshots", type=int, default=5, metavar="N")
+    p.add_argument("--export-delta", default=None, metavar="ROOT",
+                   help="delta-export root to vacuum per published table")
+    p.add_argument("--vacuum-keep", type=int, default=2, metavar="N")
+    p.set_defaults(fn=cmd_maintain)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -225,3 +225,80 @@ def test_cli_query_verb(spark, sf_small, capsys):
     assert out["query"] == "w_topk_per_group" and 1 <= len(out["rows"]) <= 5
     # unknown name: exit 2, error on stderr
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_cli_maintain_verb(spark, tmp_path, capsys):
+    """`maintain` = one scheduled retention pass: committed event
+    files pruned, apply counters folded below the checkpoint-derived
+    cut-off (totals preserved), snapshots expired to the keep window,
+    and the delta export vacuumed — all in one idempotent invocation."""
+    import os
+
+    from sync_spark.sources.cdc import write_event_batch
+
+    dirs, spec_path = _setup(spark, tmp_path)
+    for b in (1, 2):
+        write_event_batch(
+            str(dirs["ev"]),
+            [{
+                "op": "insert", "seq": b, "ts": "2024-01-01T00:00:00Z",
+                "source_table": "users", "key_json": json.dumps({"id": 10 + b}),
+                "after_json": json.dumps({"id": 10 + b, "name": f"x{b}"}),
+            }],
+            b,
+        )
+    dl_root = tmp_path / "delta"
+    assert main([
+        "run", *_task_args(dirs, spec_path), "--export-delta", str(dl_root),
+    ]) == 0
+    capsys.readouterr()
+
+    # per-batch apply counters, as CdcPipeline's stats_path lays them out
+    stats = tmp_path / "stats"
+    for b in (1, 2):
+        spark.createDataFrame([("upsert", 1)], "op string, n long").write.parquet(
+            str(stats / "table=users" / f"batch_id={b}")
+        )
+
+    # three snapshots; maintain keeps only the newest
+    tgt = str(dirs["tgt"] / "users_t")
+    for _ in range(3):
+        assert main(["snapshot", "create", "--target", tgt]) == 0
+    capsys.readouterr()
+
+    assert main([
+        "maintain", *_task_args(dirs, spec_path),
+        "--stats", str(stats),
+        "--keep-snapshots", "1",
+        "--export-delta", str(dl_root),
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # both committed event files pruned
+    assert out["pruned_event_files"] == 2
+    assert not [f for f in os.listdir(dirs["ev"]) if f.startswith("events-0")]
+    # stats folded below max committed batch id + 1, totals preserved
+    assert out["stats_cutoff"] == 3
+    assert out["stats_folded"] == {"users": 2}
+    from sync_spark.operators.monitor import apply_stats_totals
+
+    totals = {
+        (r["table"], r["op"]): (r["total"], r["n_batches"])
+        for r in apply_stats_totals(spark, str(stats)).collect()
+    }
+    assert totals[("users", "upsert")] == (2, 2)
+    # snapshots expired down to 1
+    assert out["snapshots_expired"]["users_t"] == [1, 2]
+    # delta vacuum ran per published table (nothing to drop at 1 version)
+    assert out["delta_vacuum"]["users_t"]["deleted_files"] == 0
+
+    # idempotent second pass: nothing left to prune/fold/expire
+    assert main([
+        "maintain", *_task_args(dirs, spec_path),
+        "--stats", str(stats),
+        "--keep-snapshots", "1",
+        "--export-delta", str(dl_root),
+    ]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["pruned_event_files"] == 0
+    assert out2["snapshots_expired"].get("users_t", []) == []
