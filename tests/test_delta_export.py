@@ -491,3 +491,66 @@ class TestCheckpoint:
         assert n_adds == len(replay_log(out)["files"])
         lc = json.load(open(os.path.join(out, "_delta_log", "_last_checkpoint")))
         assert lc == {"version": info["version"], "size": len(rows)}
+
+
+def _delta_reader():
+    """An INDEPENDENT Delta reader if this container has one: DuckDB's
+    delta extension or delta-rs (deltalake). Neither ships in the
+    offline container today — the test skips cleanly and starts
+    passing the day either lib appears (r5 verdict item 5)."""
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("INSTALL delta")
+        con.execute("LOAD delta")
+        return ("duckdb", con)
+    except Exception:
+        pass
+    try:
+        import deltalake
+
+        return ("deltalake", deltalake)
+    except ImportError:
+        return None
+
+
+def test_independent_delta_readback(spark, tmp_path):
+    """Protocol conformance against a NON-sync_spark Delta
+    implementation: export, checkpoint, export again, then read the
+    table back with DuckDB-delta or delta-rs and diff against the
+    live store. Skipped (cleanly, with reason) when the container has
+    no independent reader — the in-container verification path remains
+    read_export's own log replay (tested above)."""
+    import pytest
+
+    reader = _delta_reader()
+    if reader is None:
+        pytest.skip("no independent Delta reader in container "
+                    "(duckdb delta extension and deltalake both unavailable)")
+
+    from sync_spark.sources.delta_export import write_checkpoint
+
+    tgt, dl = str(tmp_path / "t"), str(tmp_path / "delta")
+    write_bucketed(_rows(spark, [(i, f"v{i}") for i in range(20)]), tgt, ["id"], N_BUCKETS)
+    export_delta(spark, tgt, dl)
+    _merge(spark, tgt, [(3, "CHANGED", "upsert"), (7, None, "delete")])
+    export_delta(spark, tgt, dl)
+    write_checkpoint(dl)
+    _merge(spark, tgt, [(99, "NEW", "upsert")])
+    export_delta(spark, tgt, dl)
+
+    want = _state(spark, tgt)
+    kind, impl = reader
+    if kind == "duckdb":
+        got = {
+            (r[0], r[1])
+            for r in impl.execute(
+                f"SELECT id, v FROM delta_scan('{dl}')"
+            ).fetchall()
+        }
+    else:
+        dt = impl.DeltaTable(dl)
+        pdf = dt.to_pyarrow_table().to_pandas()
+        got = {(int(r.id), r.v) for r in pdf.itertuples(index=False)}
+    assert got == want
