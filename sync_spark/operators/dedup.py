@@ -450,17 +450,27 @@ def kernel_spread_hint(spark, sf_dir: str, table: str = "documents") -> str:
     least as wide as the kernel wants — at 100 TB the scan has
     thousands of splits and the hint (a full-corpus shuffle) must not
     fire."""
+    width = kernel_spread_width_from_files(spark, sf_dir, table)
+    return f"/*+ REPARTITION({width}) */" if width else ""
+
+
+def kernel_spread_width_from_files(spark, sf_dir: str, table: str = "documents") -> int:
+    """File-bytes form of the kernel-spread width calculation shared
+    by kernel_spread_hint (SQL kernels) and DataFrame kernels over
+    testdata-layout tables. Returns 0 when the scan is expected to be
+    at least as wide as the kernel wants (no repartition — at 100 TB
+    the scan has thousands of splits and this is always 0)."""
     from sync_spark.sources.readers import table_size_bytes
 
     sc = spark.sparkContext
     cap = sc.defaultParallelism
     size = table_size_bytes(sf_dir, table)
     if size is None:
-        return f"/*+ REPARTITION({cap}) */"  # unknown layout: assume narrow
+        return cap  # unknown layout: assume narrow
     width = max(2, min(cap, size // _KERNEL_CHUNK_BYTES + 1))
     max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
     est_splits = max(1, (size + max_split - 1) // max_split)
-    return f"/*+ REPARTITION({width}) */" if est_splits < width else ""
+    return width if est_splits < width else 0
 
 
 def winnow_sql_kernel(

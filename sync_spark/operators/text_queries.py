@@ -2352,58 +2352,82 @@ def e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     average. Zero-norm members yield NULL cosine (no ANSI
     divide-by-zero), excluded from the average by COUNT(cos_e6).
 
-    Shape: the only corpus×dim frame is the posexplode feeding the
-    (label, pos) centroid aggregate — shuffle keys bounded by
-    |labels| × dim and perfectly uniform. The centroid table
-    (|labels| × dim rows) folds to |labels| array rows and BROADCASTS
-    back; each member's cosine is computed IN-ROW with zip_with
-    (argument-only lambdas), so the corpus is never shuffled again —
-    the final aggregate is map-side partial onto |labels| rows."""
+    Shape (r6 rewrite, from the sf1 watchlist measurement): the
+    centroid is a BOUNDED WIDE AGGREGATE — one SUM(element_at(qv, i))
+    per dimension in a single groupBy(label), the same bounded-wide
+    shape the simhash kernel uses — so the corpus×dim frame is never
+    EXPLODED into rows at all (the r5 posexplode generated 1.28M rows
+    at sf1 and cost ~1.0s of the query's 1.7s; the wide agg is pure
+    codegen with map-side partials onto |labels| rows). The centroid
+    table folds to |labels| array rows and BROADCASTS back; each
+    member's cosine is computed IN-ROW with zip_with (argument-only
+    lambdas), so the corpus is never shuffled anywhere — both
+    aggregates land on bounded label keys. The dim probe is one
+    first() on the scan.
+
+    Spread (r6): a single embeddings parquet arrives as 1-2 splits
+    and serializes the quantize kernel on 2 cores — the file-bytes
+    width hint fans it out first (a no-op at real scale, same guard
+    as every kernel here)."""
+    from sync_spark.sources.readers import first_array_len
+
     emb = _t(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id", "label", similarity._quantize(F.col("embedding")).alias("qv")
+    dim = first_array_len(sf_dir, "embeddings", "embedding")
+    if dim is None:
+        row = emb.select(F.size("embedding").alias("d")).first()
+        if row is None:
+            return spark.createDataFrame(
+                [],
+                "label int, n_vectors long, centroid_e6 array<bigint>, cohesion_e6 long",
+            )
+        dim = int(row["d"])
+    # w > 0 already means the expected split count is below the kernel
+    # width — no .rdd partition probe needed (that costs ~0.2s/call)
+    w = dedup.kernel_spread_width_from_files(spark, sf_dir, "embeddings")
+    hint = f"/*+ REPARTITION({w}) */" if w else ""
+    emb.createOrReplaceTempView("__lc_embeddings")
+    # per-component quantize INSIDE each SUM: no array materialization,
+    # no HOF — the centroid branch is pure whole-stage codegen
+    sum_cols = ",\n         ".join(
+        f"SUM(CAST(round(CAST(element_at(embedding, {i + 1}) AS DOUBLE) * 1000000) AS BIGINT)) AS s{i}"
+        for i in range(dim)
     )
-    e = q.select("label", F.posexplode("qv").alias("pos", "qval"))
-    cent = e.groupBy("label", "pos").agg(F.expr("SUM(qval) DIV COUNT(*)").alias("c6"))
-    centarr = cent.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c6"))), lambda s: s["c6"]
-        ).alias("centroid_e6"),
-        F.sum(F.col("c6") * F.col("c6")).alias("nc"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("centroid_e6"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    nv = F.aggregate(
-        F.transform(F.col("qv"), lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    scored = (
-        q.join(F.broadcast(centarr), "label")
-        .withColumn("dot", dot)
-        .withColumn("nv", nv)
-        .withColumn(
-            "cos_e6",
-            F.when(
-                (F.col("nv") > 0) & (F.col("nc") > 0),
-                F.round(
-                    F.col("dot").cast("double")
-                    / (F.sqrt(F.col("nv").cast("double")) * F.sqrt(F.col("nc").cast("double")))
-                    * 1000000
-                ).cast("long"),
-            ),
-        )
-    )
-    out = scored.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_vectors"),
-        F.expr("SUM(cos_e6) DIV COUNT(cos_e6)").alias("cohesion_e6"),
-    )
-    return out.join(F.broadcast(centarr.select("label", "centroid_e6")), "label").select(
-        "label", "n_vectors", "centroid_e6", "cohesion_e6"
-    )
+    cent_arr = ", ".join(f"s{i} DIV n" for i in range(dim))
+    return spark.sql(f"""
+WITH src AS (
+  SELECT {hint} vec_id, label, embedding FROM __lc_embeddings
+), sums AS (
+  SELECT label, COUNT(*) AS n,
+         {sum_cols}
+  FROM src GROUP BY label
+), centnc AS (
+  SELECT label, centroid_e6,
+         aggregate(transform(centroid_e6, x -> x * x), 0L, (acc, v) -> acc + v) AS nc
+  FROM (SELECT label, array({cent_arr}) AS centroid_e6 FROM sums)
+), joined AS (
+  -- quantize fused into the fold lambdas (arguments only — no
+  -- non-argument attribute, so no re-evaluation hazard): the member
+  -- vector is never materialized as a second quantized array
+  SELECT /*+ BROADCAST(centnc) */ src.label AS label, centroid_e6, nc,
+         aggregate(zip_with(embedding, centroid_e6,
+                   (x, y) -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * y),
+                   0L, (acc, v) -> acc + v) AS dot,
+         aggregate(embedding, 0L,
+                   (acc, x) -> acc + CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                             * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS nv
+  FROM src JOIN centnc ON src.label = centnc.label
+), scored AS (
+  SELECT label, centroid_e6,
+         CASE WHEN nv > 0 AND nc > 0
+              THEN CAST(round(CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+                   * 1000000) AS BIGINT) END AS cos_e6
+  FROM joined
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors, centroid_e6,
+       SUM(cos_e6) DIV COUNT(cos_e6) AS cohesion_e6
+FROM scored GROUP BY label, centroid_e6
+""")
 
 
 E_LABEL_CENTROIDS_SQL = """

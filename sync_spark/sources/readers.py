@@ -142,6 +142,34 @@ def table_rowcount(sf_dir: str, name: str) -> int | None:
     return None
 
 
+def first_array_len(sf_dir: str, name: str, col: str) -> int | None:
+    """Length of ``col``'s array in the FIRST row of a local parquet
+    table, read via pyarrow (one row, one column — no Spark job). The
+    cheap dimensionality probe for fixed-dim embedding tables; None
+    when the layout is remote/odd or the table is empty (callers fall
+    back to a Spark first())."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+            if not parts:
+                return None
+            path = os.path.join(path, parts[0])
+        if not os.path.isfile(path):
+            return None
+        pf = pq.ParquetFile(path)
+        for batch in pf.iter_batches(batch_size=1, columns=[col]):
+            if batch.num_rows:
+                v = batch.column(0)[0].as_py()
+                return len(v) if v is not None else None
+            break
+        return None
+    except Exception:
+        return None
+
+
 def table_size_bytes(sf_dir: str, name: str) -> int | None:
     """On-disk byte size of a local parquet table (single file or a
     directory of parts) from os.stat alone — no Spark call, no footer
