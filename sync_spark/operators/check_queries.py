@@ -243,6 +243,77 @@ FROM embeddings WHERE embedding IS NOT NULL
 """
 
 
+def chk_semdedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-SWEEP gate for d_semantic_dedup (r5 verdict stretch
+    item), pinning the operator against parameter-plumbing
+    regressions (a flipped ≥/>, a threshold not reaching the kernel,
+    a survivor rule drift) via properties that are THEOREMS of the
+    greedy min-id rule — deliberately NOT the naive "raising the
+    threshold never shrinks the survivor set": that is false for
+    greedy-vs-KEPT dedup (at a higher threshold an early doc can
+    survive and then dominate docs that its own dominator used to
+    absorb — a 5-vertex cosine configuration realizes it), so
+    asserting it would encode a non-theorem and flake on legitimate
+    data. What IS invariant:
+
+    - threshold > 1 (no cosine reaches it): EVERY doc survives;
+    - threshold < -1 (every pair reaches it): exactly ONE survivor
+      per occupied cell, and it is the cell's MIN id (the greedy
+      anchor);
+    - any middle threshold: per-cell min ids always survive, and the
+      survivor count is bracketed by the two extremes.
+    """
+    emb = tq._t(spark, sf_dir, "embeddings")
+    lo = similarity.semantic_dedup(emb, threshold=-1.1, n_cells=16)
+    mid = similarity.semantic_dedup(emb, threshold=0.35, n_cells=16)
+    hi = similarity.semantic_dedup(emb, threshold=1.1, n_cells=16)
+
+    n_docs = emb.filter(F.col("embedding").isNotNull()).count()
+    hi_kept = hi.filter(F.col("keep")).count()
+    lo_k = lo.filter(F.col("keep"))
+    lo_kept = lo_k.count()
+    n_cells_occupied = lo.select("cell").distinct().count()
+    # the low-threshold survivor must be its cell's min id
+    min_ids = lo.groupBy("cell").agg(F.min("id").alias("mid"))
+    lo_min_ok = (
+        lo_k.join(min_ids, "cell").filter(F.col("id") == F.col("mid")).count()
+        == lo_kept
+    )
+    mid_kept = mid.filter(F.col("keep")).count()
+    mid_minid_ok = (
+        mid.filter(F.col("keep"))
+        .join(mid.groupBy("cell").agg(F.min("id").alias("mid")), "cell")
+        .filter(F.col("id") == F.col("mid"))
+        .count()
+        == n_cells_occupied
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                bool(hi_kept == n_docs),
+                bool(lo_kept == n_cells_occupied),
+                bool(lo_min_ok),
+                bool(lo_kept <= mid_kept <= hi_kept),
+                bool(mid_minid_ok),
+            )
+        ],
+        "n_docs long, all_kept_above_one boolean, one_per_cell_below_minus_one boolean, "
+        "low_survivor_is_min_id boolean, sweep_bracketed boolean, mid_keeps_cell_min_ids boolean",
+    )
+
+
+CHK_SEMDEDUP_SWEEP_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       TRUE AS all_kept_above_one,
+       TRUE AS one_per_cell_below_minus_one,
+       TRUE AS low_survivor_is_min_id,
+       TRUE AS sweep_bracketed,
+       TRUE AS mid_keeps_cell_min_ids
+FROM embeddings WHERE embedding IS NOT NULL
+"""
+
+
 def chk_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ contract: approx within max(3, 15%) of the exact distinct
     count (published HLL error at Spark's default rsd=0.05 is ~5%;

@@ -152,6 +152,7 @@ def _populate() -> None:
     register("chk_ann_ivf", ck.chk_ann_ivf, ck.CHK_ANN_IVF_SQL)
     register("chk_ann_pq", ck.chk_ann_pq, ck.CHK_ANN_PQ_SQL)
     register("chk_semantic_dedup", ck.chk_semantic_dedup, ck.CHK_SEMANTIC_SQL)
+    register("chk_semdedup_sweep", ck.chk_semdedup_sweep, ck.CHK_SEMDEDUP_SWEEP_SQL)
     register("chk_approx_distinct", ck.chk_approx_distinct, ck.CHK_APPROX_DISTINCT_SQL)
     register("chk_quantile_sketch", ck.chk_quantile_sketch, ck.CHK_QUANTILE_SQL)
     register("chk_embed_neardup", ck.chk_embed_neardup, ck.CHK_EMBED_NEARDUP_SQL)
