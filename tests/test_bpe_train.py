@@ -225,12 +225,16 @@ class TestIncrementalTrainer:
             w = tuple(chr(97 + (i * 7 + j * j) % 26) + chr(48 + (i + j) % 10)
                       for j in range(4 + i % 9))
             words.append((w, 1 + i % 17))
-        t0 = time.monotonic()
+        # CPU time, not wall: the full suite runs Spark executors on
+        # every core and a wall bound flakes under that contention.
+        # The incremental loop costs ~0.6s CPU here; the r5 full-rescan
+        # form costs well over a minute, so 2s still pins the rewrite.
+        t0 = time.process_time()
         merges = bpe.bpe_merge_loop(words, 1024)
-        dt = time.monotonic() - t0
+        dt = time.process_time() - t0
         assert len(merges) == 1024, len(merges)
         ranks = [r for r, *_ in merges]
         assert ranks == list(range(1, 1025))
         counts = [c for *_, c in merges]
         assert all(a >= b for a, b in zip(counts, counts[1:]))
-        assert dt < 1.0, f"merge loop took {dt:.2f}s"
+        assert dt < 2.0, f"merge loop took {dt:.2f}s CPU"
