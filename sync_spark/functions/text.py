@@ -55,8 +55,19 @@ def stopword_hits(text: Column, lang: str) -> Column:
     """Count of tokens in the language's stopword set (bag count, not
     distinct). Case-insensitive — 'The' at sentence start is still a
     stopword."""
+    return stopword_hits_toks(tokens(text), lang)
+
+
+def stopword_hits_toks(toks: Column, lang: str) -> Column:
+    """stopword_hits over an already-materialized token array — the
+    expression-sharing form (r6): langid embeds one stopword filter
+    per language, and inlining the tokenizer into each multiplies the
+    expression tree ~20× — a measured ~0.4s of ANALYSIS per query
+    construction, before a row is touched. Callers stage tokens()
+    once and pass the attribute; the HOF lambda reads only its own
+    argument, so the staged column is CollapseProject-safe."""
     sw = STOPWORDS[lang]
-    return F.size(F.filter(tokens(text), lambda t: F.lower(t).isin(*sw)))
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*sw)))
 
 
 def punct_ratio(text: Column) -> Column:
@@ -86,9 +97,14 @@ def langid(text: Column) -> Column:
     Implemented as a right-to-left fold over the sorted language list
     so the tie rule is by construction (a later-seen = alphabetically
     earlier language replaces on >=)."""
+    return langid_toks(tokens(text))
+
+
+def langid_toks(toks: Column) -> Column:
+    """langid over a staged token array (see stopword_hits_toks)."""
     best_lang, best_score = F.lit("und"), F.lit(0)
     for lang in sorted(STOPWORDS, reverse=True):
-        score = stopword_hits(text, lang)
+        score = stopword_hits_toks(toks, lang)
         cond = (score > F.lit(0)) & (score >= best_score)
         best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(cond, score).otherwise(best_score)
@@ -112,11 +128,17 @@ def fingerprint(text: Column) -> Column:
 def quality_score(text: Column) -> Column:
     """Composite quality heuristic in [0,1]: length band + low punct +
     stopword presence (en). Deterministic, SQL-expressible."""
-    n_tok = token_count(text).cast("double")
+    return quality_score_toks(tokens(text), text)
+
+
+def quality_score_toks(toks: Column, text: Column) -> Column:
+    """quality_score over a staged token array (see
+    stopword_hits_toks); identical math, ~10× smaller expression."""
+    n_tok = F.size(toks).cast("double")
     len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
     punct = punct_ratio(text)
     sw_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
-        stopword_hits(text, "en").cast("double") / n_tok
+        stopword_hits_toks(toks, "en").cast("double") / n_tok
     )
     return F.round(
         F.lit(0.4) * len_score + F.lit(0.3) * (F.lit(1.0) - F.least(punct * 5, F.lit(1.0))) + F.lit(0.3) * F.least(sw_ratio * 5, F.lit(1.0)),

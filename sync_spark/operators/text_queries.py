@@ -19,12 +19,15 @@ from sync_spark.operators.relational import _t
 
 def t_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    # tokens staged once: every signal reads the array attribute
+    # (expression-sharing form — analysis AND eval tokenize once)
+    staged = d.select("doc_id", "text", T.tokens(F.col("text")).alias("__toks"))
+    return staged.select(
         "doc_id",
-        T.token_count(F.col("text")).alias("n_tokens"),
+        F.size("__toks").alias("n_tokens"),
         T.avg_token_len(F.col("text")).alias("avg_token_len"),
         T.punct_ratio(F.col("text")).alias("punct_ratio"),
-        T.quality_score(F.col("text")).alias("quality"),
+        T.quality_score_toks(F.col("__toks"), F.col("text")).alias("quality"),
     )
 
 
@@ -53,10 +56,11 @@ FROM t
 
 def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    staged = d.select("doc_id", "lang", T.tokens(F.col("text")).alias("__toks"))
+    return staged.select(
         "doc_id",
         F.col("lang").alias("lang_label"),
-        T.langid(F.col("text")).alias("lang_pred"),
+        T.langid_toks(F.col("__toks")).alias("lang_pred"),
     )
 
 
@@ -820,12 +824,13 @@ def t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure reuse of the registry's signal operators — one join on
     doc_id, no new math."""
     d = _t(spark, sf_dir, "documents")
-    quality = d.select(
+    staged = d.select("doc_id", "lang", "text", T.tokens(F.col("text")).alias("__toks"))
+    quality = staged.select(
         "doc_id",
         "lang",
-        T.token_count(F.col("text")).alias("n_tokens"),
-        T.quality_score(F.col("text")).alias("quality"),
-        T.langid(F.col("text")).alias("lang_pred"),
+        F.size("__toks").alias("n_tokens"),
+        T.quality_score_toks(F.col("__toks"), F.col("text")).alias("quality"),
+        T.langid_toks(F.col("__toks")).alias("lang_pred"),
     )
     rep = repetition_signals(d).select("doc_id", "dup_token_frac", "top_token_share")
     j = quality.join(rep, "doc_id")
@@ -873,24 +878,55 @@ def t_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline as one composed plan: for every corpus document (eval
     split 'src0' held out), (1) the composite quality filter, (2)
     exact-dedup survivorship within the corpus, (3) benchmark
-    decontamination — and the final ``keep``. Pure composition of the
-    registry's own operators; the oracle is assembled verbatim from
-    their oracle fragments, so the pipeline cannot drift from its
-    parts."""
+    decontamination — and the final ``keep``. The signals are the
+    registry operators' own Column functions (functions/text.py and
+    repetition_signals — no re-derived math), and the ORACLE is still
+    assembled verbatim from the component queries' oracle fragments,
+    so the pipeline cannot drift from its parts. Round 6 fuses the
+    per-row signal columns AND the dedup fingerprint into ONE corpus
+    projection (the r5 form scanned the corpus separately for the
+    quality branch and the fingerprint branch and paid one more
+    doc_id join — measured ~0.4s of the query's 1.7s at sf0.1); the
+    survivor aggregate re-derives only a (doc_id, md5) pruned
+    projection."""
     d = _t(spark, sf_dir, "documents")
     corpus = d.filter(F.col("source") != "src0")
     bench = d.filter(F.col("source") == "src0")
-    qf = t_quality_filter(spark, sf_dir).select("doc_id", F.col("keep").alias("quality_keep"))
-    fp = corpus.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
-    surv = fp.groupBy("fp").agg(F.min("doc_id").alias("survivor_id"))
+    staged = corpus.select(
+        "doc_id", "lang", "text", T.tokens(F.col("text")).alias("__toks")
+    )
+    base = staged.select(
+        "doc_id",
+        "lang",
+        F.size("__toks").alias("n_tokens"),
+        T.quality_score_toks(F.col("__toks"), F.col("text")).alias("quality"),
+        T.langid_toks(F.col("__toks")).alias("lang_pred"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    )
+    rep = repetition_signals(corpus).select(
+        "doc_id", "dup_token_frac", "top_token_share"
+    )
+    flags = base.join(rep, "doc_id").select(
+        "doc_id",
+        "fp",
+        (
+            (F.col("n_tokens") >= _FILTER_MIN_TOKENS)
+            & (F.col("dup_token_frac") <= _FILTER_MAX_DUP_FRAC)
+            & (F.col("top_token_share") <= _FILTER_MAX_TOP_TOK)
+            & (F.col("quality") >= _FILTER_MIN_QUALITY)
+            & (F.col("lang_pred") == F.col("lang"))
+        ).alias("quality_keep"),
+    )
+    surv = (
+        corpus.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("survivor_id"))
+    )
     dec = dedup.decontaminate(
         corpus, bench, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W, min_shared=1
     ).select("doc_id", (~F.col("contaminated")).alias("clean"))
     out = (
-        corpus.select("doc_id")
-        .join(qf, "doc_id")
-        .join(fp, "doc_id")
-        .join(surv, "fp")
+        flags.join(surv, "fp")
         .join(dec, "doc_id")
         .select(
             "doc_id",

@@ -50,12 +50,20 @@ DEFAULT_MIN_QUALITY = 0.3
 
 def curation_signals(docs: DataFrame) -> DataFrame:
     """Attach the per-row curation signals (streaming-legal: no
-    windows, no aggregation)."""
-    return docs.select(
-        "*",
-        token_count(F.col("text")).alias("n_tokens"),
-        quality_score(F.col("text")).alias("quality"),
-        langid(F.col("text")).alias("lang_pred"),
+    windows, no aggregation; tokens staged once — narrow projections
+    only, so the expression-sharing form stays streaming-legal)."""
+    from sync_spark.functions.text import (
+        langid_toks,
+        quality_score_toks,
+        tokens,
+    )
+
+    staged = docs.select("*", tokens(F.col("text")).alias("__cs_toks"))
+    return staged.select(
+        *docs.columns,
+        F.size("__cs_toks").alias("n_tokens"),
+        quality_score_toks(F.col("__cs_toks"), F.col("text")).alias("quality"),
+        langid_toks(F.col("__cs_toks")).alias("lang_pred"),
         fingerprint(F.col("text")).alias("fp"),
     )
 
