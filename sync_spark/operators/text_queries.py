@@ -323,29 +323,46 @@ def t_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (the reason this is NOT a global quality sort): per-doc
     scoring is embarrassingly parallel; the budget cutoff is found on a
-    ≤1000-row score-bucket histogram (tiny single-partition window);
-    the final selection is a broadcast semi-join of kept buckets
-    against the scored scan. A documents-wide ORDER BY + running sum
-    would funnel 100 TB through one partition for the same answer
-    (granularity: one bucket).
+    ≤1000-row score-bucket histogram. The kept buckets are a
+    CONTIGUOUS top range by construction (the running sum over
+    descending buckets is monotone, so "cum ≤ half" keeps a prefix) —
+    r6 therefore collapses the cutoff to ONE SCALAR computed from the
+    collected histogram (bounded-collect discipline, ≤1000 rows) and
+    the selection to a pushable ``qbucket >= cutoff`` filter: the r5
+    broadcast-semi-join form paid the whole scoring kernel a second
+    time inside the join's probe-side re-derivation PLUS join
+    machinery, for an answer one integer fully determines. A
+    documents-wide ORDER BY + running sum would funnel 100 TB through
+    one partition for the same answer (granularity: one bucket).
     """
-    from pyspark.sql.window import Window
-
     d = _t(spark, sf_dir, "documents")
-    scored = d.select(
+    staged = d.select("doc_id", "text", T.tokens(F.col("text")).alias("__toks"))
+    scored = staged.select(
         "doc_id",
-        T.token_count(F.col("text")).alias("n_tokens"),
+        F.size("__toks").alias("n_tokens"),
         F.least(
-            F.floor(T.quality_score(F.col("text")) * 1000).cast("int"), F.lit(999)
+            F.floor(T.quality_score_toks(F.col("__toks"), F.col("text")) * 1000).cast("int"),
+            F.lit(999),
         ).alias("qbucket"),
     )
-    hist = scored.groupBy("qbucket").agg(F.sum("n_tokens").alias("btok"))
-    w = Window.orderBy(F.col("qbucket").desc()).rowsBetween(Window.unboundedPreceding, 0)
-    run = hist.crossJoin(hist.agg(F.sum("btok").alias("total"))).withColumn(
-        "cum", F.sum("btok").over(w)
+    hist = sorted(
+        (
+            (int(r["qbucket"]), int(r["btok"]))
+            for r in scored.groupBy("qbucket").agg(F.sum("n_tokens").alias("btok")).collect()
+        ),
+        key=lambda t: -t[0],
     )
-    keep = run.filter(F.col("cum") <= 0.5 * F.col("total")).select("qbucket")
-    return scored.join(F.broadcast(keep), "qbucket").select("doc_id", "n_tokens", "qbucket")
+    total = sum(b for _, b in hist)
+    cutoff, cum = 1000, 0
+    for qb, btok in hist:
+        cum += btok
+        if cum <= 0.5 * total:
+            cutoff = qb
+        else:
+            break
+    return scored.filter(F.col("qbucket") >= cutoff).select(
+        "doc_id", "n_tokens", "qbucket"
+    )
 
 
 T_BUDGET_SQL = rf"""
