@@ -641,6 +641,40 @@ def winnow_pairs(
     )
 
 
+def winnow_pairs_sql(
+    view: str,
+    spread_hint: str = "",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 2,
+    max_posting: int = 100,
+) -> str:
+    """SQL-text twin of ``winnow_pairs`` over a registered (doc_id,
+    text) view — identical MOSS shape (winnow_sql_kernel + posting
+    lists + in-row i<j pair expansion), emitted as one statement so a
+    hot consumer pays one analysis pass (test_dedup pins agreement
+    with the DataFrame form). Keep in lockstep with winnow_pairs."""
+    kernel = winnow_sql_kernel("doc_id", "text", "__wp_src", k=k, window=window)
+    return f"""
+WITH __wp_src AS (
+  SELECT {spread_hint} doc_id, text FROM {view}
+), {kernel}, __wp_postings AS (
+  SELECT sort_array(collect_list(doc_id)) AS ids FROM __wfp GROUP BY fp
+), __wp_bounded AS (
+  SELECT ids FROM __wp_postings WHERE size(ids) BETWEEN 2 AND {max_posting}
+), __wp_pairs AS (
+  SELECT p.id_a AS id_a, p.id_b AS id_b
+  FROM __wp_bounded LATERAL VIEW OUTER explode(
+    flatten(transform(ids, (x, i) ->
+      transform(slice(ids, i + 2, {max_posting}),
+                y -> struct(x AS id_a, y AS id_b))))) __e AS p
+  WHERE p IS NOT NULL
+)
+SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS shared_fps
+FROM __wp_pairs GROUP BY id_a, id_b HAVING COUNT(*) >= {min_shared}
+"""
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -688,12 +688,19 @@ SELECT doc_id, unnest(fps) AS fp FROM ({_winnow_sql_fragment()})
 
 def d_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local (substring-level) near-dup candidate pairs: documents
-    sharing ≥ 2 winnowing fingerprints — see dedup.winnow_pairs."""
+    sharing ≥ 2 winnowing fingerprints — dedup.winnow_pairs' MOSS
+    shape (inverted index, in-row posting-list pair expansion, never
+    an fp self-join) expressed as ONE spark.sql pass: the DataFrame
+    chain spent ~0.3s/query in plan construction plus the
+    optimizer-stats spread probe (r6; a test pins agreement with the
+    operator form)."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.winnow_pairs(
-        d, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W,
+    hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__wp_documents")
+    return spark.sql(dedup.winnow_pairs_sql(
+        "__wp_documents", hint, k=_WINNOW_K, window=_WINNOW_W,
         min_shared=2, max_posting=_WINNOW_MAX_POSTING,
-    )
+    ))
 
 
 D_WINNOW_PAIRS_SQL = f"""

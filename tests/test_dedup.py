@@ -28,3 +28,21 @@ class TestWinnowSqlKernel:
         assert {(r.doc_id, r.fp) for r in got.collect()} == {
             (r.doc_id, r.fp) for r in want.collect()
         }
+
+    def test_winnow_pairs_sql_agrees_with_operator(self, spark):
+        from sync_spark.operators.dedup import winnow_pairs, winnow_pairs_sql
+
+        rows = [
+            (i, "the quick brown fox jumps over the lazy dog near the river bank " + tail)
+            for i, tail in [
+                (1, "alpha beta"), (2, "alpha beta"), (3, "gamma delta"),
+                (4, "totally different words entirely here now indeed"),
+            ]
+        ] + [(5, "short"), (6, "")]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        df.createOrReplaceTempView("__wp_test_docs")
+        got = spark.sql(winnow_pairs_sql("__wp_test_docs", k=5, window=4,
+                                         min_shared=2, max_posting=100))
+        want = winnow_pairs(df, "text", "doc_id", k=5, window=4,
+                            min_shared=2, max_posting=100)
+        assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
