@@ -34,6 +34,13 @@ def ensure_session_conf(spark: SparkSession) -> None:
     # would otherwise surface them as TIMESTAMP_NTZ, which functions
     # like unix_micros() reject
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Arrow-backed toPandas: without it a foreign session materializes
+    # ARRAY columns as Python lists whose str() differs from the
+    # ndarray rendering the oracle side produces — a driver harness
+    # that stringifies rows then false-mismatches array outputs
+    # (caught by the r6 adversarial-session sim on e_label_centroids;
+    # values were identical)
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
 
 def read_parquet(spark: SparkSession, path: str, nanos_cols: set[str] | None = None) -> DataFrame:
