@@ -2434,7 +2434,11 @@ def e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     dim = first_array_len(sf_dir, "embeddings", "embedding")
     if dim is None:
-        row = emb.select(F.size("embedding").alias("d")).first()
+        row = (
+            emb.filter(F.col("embedding").isNotNull())
+            .select(F.size("embedding").alias("d"))
+            .first()
+        )
         if row is None:
             return spark.createDataFrame(
                 [],
@@ -2457,9 +2461,14 @@ def e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH src AS (
   SELECT {hint} vec_id, label, embedding FROM __lc_embeddings
 ), sums AS (
-  SELECT label, COUNT(*) AS n,
+  -- COUNT(embedding), not COUNT(*): the centroid denominator must
+  -- exclude null-embedding rows (the oracle's unnest produces no
+  -- rows for them), and a label whose embeddings are ALL null must
+  -- vanish (the oracle's inner join drops it)
+  SELECT label, COUNT(embedding) AS n,
          {sum_cols}
   FROM src GROUP BY label
+  HAVING COUNT(embedding) > 0
 ), centnc AS (
   SELECT label, centroid_e6,
          aggregate(transform(centroid_e6, x -> x * x), 0L, (acc, v) -> acc + v) AS nc

@@ -122,3 +122,40 @@ FROM __ppl_prop_d d JOIN cutoffs c USING (lang)
         for _, row in grp.iterrows():
             better = int((grp["sc"] > row["sc"]).sum())
             assert row["b"] == names[(3 * better) // n], (lang, row["sc"], better, n)
+
+
+def test_label_centroids_null_embedding_semantics(spark, tmp_path):
+    """The r6 wide-agg centroid must keep the oracle's null semantics:
+    null-embedding rows count toward n_vectors but NOT the centroid
+    denominator, and a label whose embeddings are all null disappears
+    (the oracle's unnest→inner-join path). Runs the REAL oracle
+    compare on a purpose-built table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sync_spark.registry import all_queries
+    from sync_spark.testing import run_compare
+
+    sf = tmp_path / "sf_null"
+    sf.mkdir()
+    rows = {
+        "vec_id": [1, 2, 3, 4, 5],
+        "embedding": [
+            [1.0, 0.0, 0.5], [0.5, 0.5, 0.0], None,   # label 0: one null
+            None, None,                                 # label 1: ALL null
+        ],
+        "label": [0, 0, 0, 1, 1],
+    }
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(rows["vec_id"], pa.int64()),
+            "embedding": pa.array(rows["embedding"], pa.list_(pa.float32())),
+            "label": pa.array(rows["label"], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(sf / "embeddings.parquet"))
+    spec = all_queries()["e_label_centroids"]
+    assert run_compare(spark, spec, str(sf)) is None
+    out = {r.label: r for r in spec.spark_fn(spark, str(sf)).collect()}
+    assert set(out) == {0}          # all-null label vanished
+    assert out[0].n_vectors == 3    # null row still counted
