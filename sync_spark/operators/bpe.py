@@ -206,29 +206,36 @@ def bpe_encode_words(
 ) -> DataFrame:
     """Apply a learned merge list to a word column, fully in-row (the
     ENCODE side is corpus-scale, so it stays distributed): split to
-    characters, then one staged fold per merge in rank order — each
-    fold is the greedy left-to-right pass expressed as aggregate()
-    whose lambda reads only its own arguments plus per-merge literals.
-    Adds a ``syms: array<string>`` column. N merges = N narrow
-    projections; no shuffle, no UDF — a tokenizer that runs at scan
-    speed on 100 TB."""
-    out = words.withColumn(
-        "syms", F.expr(f"filter(split({word_col}, ''), x -> x <> '')")
-    )
-    for _, left, right, _ in merges:
-        l_lit = left.replace("\\", "\\\\").replace("'", "\\'")
-        r_lit = right.replace("\\", "\\\\").replace("'", "\\'")
-        out = out.withColumn(
-            "syms",
-            F.expr(
-                "aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, s) -> "
-                f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{l_lit}' "
-                f"AND s = '{r_lit}' "
-                f"THEN concat(slice(acc, 1, size(acc) - 1), array('{l_lit}{r_lit}')) "
-                "ELSE concat(acc, array(s)) END)"
-            ),
+    characters, then fold the MERGE TABLE ITSELF over the symbol
+    array — one outer aggregate over a constant-folded
+    array<struct<l,r>> literal in rank order, whose lambda body is
+    the greedy left-to-right pass as an inner aggregate. Nested
+    lambdas read only their own and the enclosing lambda's ARGUMENTS
+    (never a projected attribute), so the CollapseProject
+    re-evaluation hazard cannot apply. Adds a ``syms: array<string>``
+    column. ONE narrow projection regardless of merge count — the r5
+    form emitted one chained projection per merge, which is fine at
+    n_merges=16 and a plan explosion at a production 32k (the encode
+    twin of the r6 trainer hardening); no shuffle, no UDF — a
+    tokenizer that runs at scan speed on 100 TB."""
+
+    def q(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    if merges:
+        pairs = ", ".join(
+            f"named_struct('l', {q(l)}, 'r', {q(r)})" for _, l, r, _ in merges
         )
-    return out
+        fold = f"""aggregate(
+  array({pairs}),
+  filter(split({word_col}, ''), x -> x <> ''),
+  (cur, m) -> aggregate(cur, CAST(array() AS ARRAY<STRING>),
+    (acc, s) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = m.l AND s = m.r
+                     THEN concat(slice(acc, 1, size(acc) - 1), array(concat(m.l, m.r)))
+                     ELSE concat(acc, array(s)) END))"""
+    else:
+        fold = f"filter(split({word_col}, ''), x -> x <> '')"
+    return words.withColumn("syms", F.expr(fold))
 
 
 BPE_N_MERGES = 16

@@ -238,3 +238,47 @@ class TestIncrementalTrainer:
         counts = [c for *_, c in merges]
         assert all(a >= b for a, b in zip(counts, counts[1:]))
         assert dt < 2.0, f"merge loop took {dt:.2f}s CPU"
+
+
+class TestEncodeScaling:
+    def test_encode_plan_constant_in_merge_count(self, spark):
+        """One projection regardless of merge count: a 512-merge table
+        must build and run without 512 chained projections (the r5
+        form's analysis alone took minutes there)."""
+        import time
+
+        words = spark.createDataFrame(
+            [("lowering",), ("newest",), ("aaa",), ("",)], ["word"]
+        )
+        # synthetic but well-formed merge list
+        merges = [(i + 1, f"x{i}", f"y{i}", 1) for i in range(510)]
+        merges = [(1, "l", "o", 9), (2, "lo", "w", 8)] + merges
+        t0 = time.monotonic()
+        out = bpe.bpe_encode_words(words, merges)
+        rows = {r["word"]: r["syms"] for r in out.collect()}
+        dt = time.monotonic() - t0
+        assert rows["lowering"][:2] == ["low", "e"]
+        assert rows["aaa"] == ["a", "a", "a"]
+        assert rows[""] == []
+        assert dt < 30, f"512-merge encode took {dt:.1f}s"
+
+    def test_encode_fold_equals_iterative(self, spark):
+        """The single-fold encode must equal rank-ordered iterative
+        greedy application (the training loop's own _apply_merge)."""
+        corpus = spark.createDataFrame(
+            [(1, "aaab aaab aab banana bandana low lower lowest")],
+            ["doc_id", "text"],
+        )
+        ms = bpe.bpe_train(corpus, "text", n_merges=10)
+        words = ["aaab", "banana", "low", "lowest", "zzz", ""]
+        got = {
+            r["word"]: tuple(r["syms"])
+            for r in bpe.bpe_encode_words(
+                spark.createDataFrame([(w,) for w in words], ["word"]), ms
+            ).collect()
+        }
+        for w in words:
+            syms = tuple(c for c in w)
+            for _, l, rgt, _ in ms:
+                syms = bpe._apply_merge(syms, l, rgt)
+            assert got[w] == syms, (w, got[w], syms)
