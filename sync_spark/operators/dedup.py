@@ -45,7 +45,9 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 _KERNEL_CHUNK_BYTES = 32 * 1024
 
 
-def spread_for_kernel(df: DataFrame, min_partitions: int = 0) -> DataFrame:
+def spread_for_kernel(
+    df: DataFrame, min_partitions: int = 0, width: int | None = None
+) -> DataFrame:
     """Fan a narrow input out before a CPU-bound per-row kernel
     (winnowing, LM scoring, shingling). A small parquet file arrives
     as ONE input split (under files.maxPartitionBytes), which
@@ -59,6 +61,12 @@ def spread_for_kernel(df: DataFrame, min_partitions: int = 0) -> DataFrame:
     full CPU width costs more in task-launch waves than the kernel
     itself (measured 0.71s at 32-way vs 0.51s at 8-way for the sf0.1
     winnow kernel), while at real scale the cap takes over."""
+    if width is not None:
+        # caller already sized the spread from file bytes
+        # (kernel_spread_width_from_files): 0 = scan is wide enough,
+        # skip BOTH the optimizer-stats probe and the .rdd partition
+        # probe (~0.2s of query construction each call)
+        return df.repartition(width) if width > 0 else df
     target = kernel_spread_width(df, min_partitions)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -871,6 +879,7 @@ def bloom_bitmap(
     fp_col: str = "fp",
     m_bits: int = BLOOM_M_BITS,
     k_hash: int = BLOOM_K_HASH,
+    spread_width: int | None = None,
 ) -> DataFrame:
     """Fold a fingerprint column into a ONE-ROW Bloom bitmap
     (``bloom: map<long,long>`` of word-index → 64-bit word, words with
@@ -913,6 +922,7 @@ def bloom_decontaminate(
     min_shared: int = 1,
     m_bits: int = BLOOM_M_BITS,
     k_hash: int = BLOOM_K_HASH,
+    spread_width: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination through a broadcast Bloom filter —
     the 100 TB form of ``decontaminate``: instead of JOINING corpus
@@ -954,7 +964,8 @@ def bloom_decontaminate(
     bitmap = bloom_bitmap(bfp, "fp", m_bits=m_bits, k_hash=k_hash)
 
     src = spread_for_kernel(
-        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__btext"))
+        corpus.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__btext")),
+        width=spread_width,
     )
     staged = winnow_fps_columns(src, "__btext", k=k, window=window, out="__fps")
     probed = staged.crossJoin(F.broadcast(bitmap))

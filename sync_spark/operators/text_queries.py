@@ -2098,7 +2098,8 @@ def d_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("source") == "src0")
     corpus = d.filter(F.col("source") != "src0")
     return dedup.bloom_decontaminate(
-        corpus, bench, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W, min_shared=1
+        corpus, bench, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W, min_shared=1,
+        spread_width=dedup.kernel_spread_width_from_files(spark, sf_dir, "documents"),
     )
 
 
