@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""BENCH_sf1.json producer: the scheduler-floor watchlist measured at
+10× scale (r5 verdict item 2). Generates /tmp/sf1 as a key-shifted
+10× replication of sf0.1 (uniform entity scaling — 10× users/docs/
+vectors with per-entity structure preserved), then runs the four
+watchlist queries through BOTH engines (3-run medians, same box/
+session) and prints ONE JSON line.
+
+Usage:
+    python bench_sf1.py [--out BENCH_sf1.json] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+WATCH = ["a_session_window_agg", "x_sessionize", "t_unimax_alloc", "e_label_centroids"]
+SHIFT = 10_000_000
+
+
+def generate(src: str, out_dir: str, factor: int) -> None:
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    specs = {
+        "events": (
+            "CAST(event_id + k.k * {s} AS BIGINT) AS event_id, ts, "
+            "CAST(user_id + k.k * {s} AS BIGINT) AS user_id, event_type, value, props"
+        ),
+        "documents": (
+            "CAST(doc_id + k.k * {s} AS BIGINT) AS doc_id, text, lang, source, n_chars"
+        ),
+        "embeddings": (
+            "CAST(vec_id + k.k * {s} AS BIGINT) AS vec_id, embedding, label"
+        ),
+    }
+    for table, cols in specs.items():
+        con.execute(
+            f"COPY (SELECT {cols.format(s=SHIFT)} "
+            f"FROM read_parquet('{src}/{table}.parquet'), "
+            f"(SELECT unnest(range({factor})) AS k) k) "
+            f"TO '{out_dir}/{table}.parquet' (FORMAT PARQUET)"
+        )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dir", default="/tmp/sf1")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import duckdb
+
+    from sync_spark.registry import all_queries
+    from sync_spark.session import get_spark
+
+    if not os.path.exists(os.path.join(args.dir, "events.parquet")):
+        print(f"# generating {args.dir} ({args.factor}x of {args.src})", file=sys.stderr)
+        generate(args.src, args.dir, args.factor)
+
+    spark = get_spark("sync_spark_bench_sf1")
+    qs = all_queries()
+    spark.range(32).repartition(32).count()  # warm
+    con = duckdb.connect()
+    for t in ["events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.dir}/{t}.parquet')"
+        )
+
+    out = {
+        "metric": "sync_spark_watchlist_sf1",
+        "sf": 0.1 * args.factor,
+        "note": f"{args.factor}x key-shifted replication of sf0.1 (uniform entity "
+        "scaling); 3-run medians, same box/session for both engines",
+        "queries": {},
+    }
+    for name in WATCH:
+        spec = qs[name]
+        spec.spark_fn(spark, args.dir).count()  # warm codegen
+        sruns, druns, rows = [], [], None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = spec.spark_fn(spark, args.dir).count()
+            sruns.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).fetchall()
+            druns.append(round(time.perf_counter() - t0, 3))
+        s, d = sorted(sruns)[1], sorted(druns)[1]
+        out["queries"][name] = {
+            "spark_sec": s, "duckdb_sec": d, "ratio": round(s / d, 2),
+            "rows": rows, "spark_runs": sruns, "duckdb_runs": druns,
+        }
+        print(f"# {name}: spark {s}s duckdb {d}s ratio {round(s/d, 2)}", file=sys.stderr)
+    out["value"] = round(sum(v["spark_sec"] for v in out["queries"].values()), 3)
+    out["unit"] = "sec"
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
