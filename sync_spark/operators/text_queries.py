@@ -1567,12 +1567,15 @@ WITH spread AS (
   -- the shuffle vocab-grain tiny. A shared REPARTITION(tok) barrier
   -- instead was measured slower: it shuffles the full posting frame,
   -- and column pruning makes the two copies non-identical so
-  -- ReuseExchange never fires anyway.
+  -- ReuseExchange never fires anyway. NO spread hint here (r6): this
+  -- branch is light and runs CONCURRENTLY with the kernel stage, so
+  -- its own repartition shuffle only cost wall time (0.82s→0.69s
+  -- measured); at real scale the hint is empty everywhere anyway.
   SELECT tok, COUNT(*) AS df FROM (
     SELECT explode(array_distinct(filter(
       CASE WHEN length(trim(text)) = 0 THEN array() ELSE split(trim(text), '\\\\s+') END,
       x -> length(x) >= 3))) AS tok
-    FROM (SELECT {spread_hint} doc_id, text FROM __kw_documents) z)
+    FROM __kw_documents z)
   GROUP BY tok
 ), scored AS (
   -- no BROADCAST hint: vocab is heavy-tailed and unbounded at 100 TB
