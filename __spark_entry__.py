@@ -25,7 +25,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Contract note (ADVICE r6): most callables return a fully LAZY
+    DataFrame, but a few (t_token_budget_sample, t_dsir_select,
+    d_source_overlap) run a bounded collect at CONSTRUCTION time and
+    embed the result (a cutoff scalar, a ratio-array literal, a
+    source-bitmask CASE) as constants in the returned plan — a
+    construction-time snapshot. Re-executing such a DataFrame after
+    the underlying table changed silently reuses the stale constants;
+    call the registry function again to re-derive them. Each of the
+    three operators documents this on its own docstring."""
     return {name: spec.spark_fn for name, spec in all_queries().items()}
 
 

@@ -474,11 +474,40 @@ def kernel_spread_width_from_files(spark, sf_dir: str, table: str = "documents")
     cap = sc.defaultParallelism
     size = table_size_bytes(sf_dir, table)
     if size is None:
-        return cap  # unknown layout: assume narrow
+        # Unknown layout (remote storage, non-.parquet names): NO hint.
+        # Assuming "narrow" here would emit an unconditional
+        # REPARTITION(cap) that at scale forces a full-corpus shuffle
+        # and can even SHRINK a thousands-split scan down to
+        # defaultParallelism — the exact hazard the conditional exists
+        # to prevent. A missed spread on a genuinely-narrow toy input
+        # costs one slow kernel; a forced shuffle at 100 TB costs the
+        # job.
+        return 0
     width = max(2, min(cap, size // _KERNEL_CHUNK_BYTES + 1))
-    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+    max_split = _parse_byte_size(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
     est_splits = max(1, (size + max_split - 1) // max_split)
     return width if est_splits < width else 0
+
+
+def _parse_byte_size(value: str, default: int = 134217728) -> int:
+    """Spark byte-size conf parser: bare number = bytes, with the
+    standard case-insensitive k/m/g/t (optionally + 'b') suffixes
+    ('128m', '128MB', '134217728b'). Falls back to ``default`` on
+    anything unparseable rather than raising at query-construction
+    time."""
+    try:
+        s = str(value).strip().lower()
+        if s.endswith("b"):
+            s = s[:-1]
+        mult = 1
+        if s and s[-1] in "kmgt":
+            mult = 1024 ** ("kmgt".index(s[-1]) + 1)
+            s = s[:-1]
+        return int(s) * mult
+    except (ValueError, AttributeError):
+        return default
 
 
 def winnow_sql_kernel(
@@ -879,7 +908,6 @@ def bloom_bitmap(
     fp_col: str = "fp",
     m_bits: int = BLOOM_M_BITS,
     k_hash: int = BLOOM_K_HASH,
-    spread_width: int | None = None,
 ) -> DataFrame:
     """Fold a fingerprint column into a ONE-ROW Bloom bitmap
     (``bloom: map<long,long>`` of word-index → 64-bit word, words with
@@ -974,7 +1002,8 @@ def bloom_decontaminate(
     # distinct fp to its k-position array, keep those with every bit
     # set. Lambda bodies read only their own args plus the broadcast
     # `bloom` attribute — nothing re-evaluates per element, and md5
-    # runs exactly once per (fp, j).
+    # runs exactly ONCE PER FINGERPRINT (the inner forall only slices
+    # the already-computed digest `h` — see _bloom_hash_sql).
     n_maybe = (
         f"CAST(size(filter("
         f"transform(array_distinct(__fps), fp -> md5(CAST(fp AS STRING))), "

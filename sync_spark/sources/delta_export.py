@@ -315,9 +315,15 @@ def vacuum_export(delta_dir: str, keep_versions: int = 2) -> dict:
     actives are therefore built via ``replay_with_checkpoint``, and
     when the truncation cutoff moves ABOVE an existing checkpoint the
     now-stale ``_last_checkpoint`` pointer and checkpoint parquet are
-    deleted BEFORE any JSON is dropped (a reader mid-crash then falls
-    back to the full, still-valid JSON chain rather than seeding from
-    a checkpoint that no longer sees the dropped remove actions)."""
+    deleted BEFORE any older JSON is dropped (a reader mid-crash then
+    falls back to the full, still-valid JSON chain rather than seeding
+    from a checkpoint that no longer sees the dropped remove actions).
+    The cutoff REWRITE itself lands before the pointer unlink, so the
+    base commit carries explicit remove actions for every
+    checkpoint-state path absent at cutoff (ADVICE r6): a
+    checkpoint-seeded replay in that crash window reconciles to
+    exactly the cutoff state instead of resurrecting adds whose data
+    files vacuum already unlinked."""
     json_versions = log_versions(delta_dir)
     lc = read_last_checkpoint(delta_dir)
     cp_version = lc["version"] if lc else None
@@ -373,6 +379,29 @@ def vacuum_export(delta_dir: str, keep_versions: int = 2) -> dict:
             base_actions.append({"protocol": proto})
         if meta:
             base_actions.append({"metaData": meta})
+        if cp_stale:
+            # Self-correcting base commit for the crash window between
+            # the os.replace below and the _last_checkpoint unlink: a
+            # checkpoint-seeded reader replays checkpoint state (at
+            # cp_version) + this commit. Adds alone would RESURRECT
+            # files removed between cp_version and cutoff — whose data
+            # files were already physically deleted above — so emit an
+            # explicit remove for every checkpoint-state path absent at
+            # cutoff. For a pure-JSON replay the removes are idempotent
+            # no-ops (those paths were already removed at <= cutoff, or
+            # never added once the older JSON is gone).
+            cp_files = replay_with_checkpoint(delta_dir, cp_version)["files"]
+            now_ms = int(time.time() * 1000)
+            for p in sorted(set(cp_files) - set(per_version[cutoff])):
+                base_actions.append(
+                    {
+                        "remove": {
+                            "path": p,
+                            "deletionTimestamp": now_ms,
+                            "dataChange": True,
+                        }
+                    }
+                )
         for p in sorted(per_version[cutoff]):
             base_actions.append({"add": per_version[cutoff][p]})
         tmp = os.path.join(

@@ -475,6 +475,61 @@ class TestCheckpoint:
         assert {(r.id, r.v) for r in read_export(spark, out, version=2).collect()} == state_v2
         assert {(r.id, r.v) for r in read_export(spark, out).collect()} == _state(spark, store)
 
+    def test_vacuum_base_commit_self_corrects_checkpoint_replay(self, spark, tmp_path):
+        """ADVICE r6 (medium): the cutoff base commit is rewritten
+        BEFORE the stale _last_checkpoint pointer is unlinked, and data
+        files are already physically gone — so a crash (or concurrent
+        reader) in that window replays checkpoint state + the base
+        commit. The base commit must therefore carry explicit remove
+        actions for every checkpoint-state path absent at cutoff;
+        otherwise files removed between cp_version and cutoff are
+        resurrected as dangling adds."""
+        import shutil
+
+        from sync_spark.sources.delta_export import (
+            LAST_CHECKPOINT,
+            read_last_checkpoint,
+            replay_with_checkpoint,
+            vacuum_export,
+            write_checkpoint,
+        )
+
+        store, out = self._build(spark, tmp_path)           # v0..v2
+        write_checkpoint(out, clean_log=True)               # cp@2, JSON gone
+        cp_files = set(replay_with_checkpoint(out, 2)["files"])
+        # delete a row between cp and the future cutoff: its bucket is
+        # rewritten at v3, so some cp-state parquet is removed there
+        _merge(spark, store, [(2, None, "d")])
+        export_delta(spark, store, out)                     # v3 (cutoff)
+        _merge(spark, store, [(5, "E", "u")])
+        export_delta(spark, store, out)                     # v4
+        v3_files = set(replay_with_checkpoint(out, 3)["files"])
+        assert cp_files - v3_files, "fixture must remove a file between cp and cutoff"
+        expect_v4 = {(r.id, r.v) for r in read_export(spark, out, version=4).collect()}
+
+        # snapshot the pointer + checkpoint parquet = the crash window
+        log_dir = os.path.join(out, "_delta_log")
+        cp_parquet = f"{2:020d}.checkpoint.parquet"
+        shutil.copy(os.path.join(log_dir, LAST_CHECKPOINT), tmp_path / "lc_bak")
+        shutil.copy(os.path.join(log_dir, cp_parquet), tmp_path / "cp_bak")
+
+        vacuum_export(out, keep_versions=2)                 # cutoff=3 > cp=2
+        assert read_last_checkpoint(out) is None
+
+        # the rewritten v3 base must remove exactly the vanished paths
+        with open(os.path.join(log_dir, f"{3:020d}.json")) as fh:
+            actions = [json.loads(l) for l in fh if l.strip()]
+        removes = {a["remove"]["path"] for a in actions if "remove" in a}
+        assert removes == cp_files - v3_files
+
+        # simulate the crash: pointer + checkpoint parquet still there
+        shutil.copy(tmp_path / "lc_bak", os.path.join(log_dir, LAST_CHECKPOINT))
+        shutil.copy(tmp_path / "cp_bak", os.path.join(log_dir, cp_parquet))
+        seeded = replay_with_checkpoint(out)                # cp@2 + v3 + v4
+        for p in seeded["files"]:
+            assert os.path.exists(os.path.join(out, p)), f"dangling add: {p}"
+        assert {(r.id, r.v) for r in read_export(spark, out).collect()} == expect_v4
+
     def test_checkpoint_is_single_protocol_file(self, spark, tmp_path):
         import pyarrow.parquet as pq
         from sync_spark.sources.delta_export import write_checkpoint
