@@ -735,15 +735,7 @@ def decontaminate(
     the benchmark is small (the usual case — eval sets are MBs against
     a 100 TB corpus), falling back to a shuffle join on fp otherwise —
     Spark picks via size estimate, no operator change needed."""
-    cfp = winnow_fingerprint_rows(corpus, text_col, id_col, k=k, window=window)
-    bfp = winnow_fingerprint_rows(benchmark, text_col, id_col, k=k, window=window).select(
-        F.col("fp"), F.col("doc_id").alias("bench_id")
-    )
-    hits = (
-        cfp.join(bfp, "fp")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
+    hits = decontaminate_hits(corpus, benchmark, text_col, id_col, k=k, window=window)
     return (
         corpus.select(F.col(id_col).alias("doc_id"))
         .join(hits, "doc_id", "left")
@@ -752,6 +744,31 @@ def decontaminate(
             F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
             (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_shared).alias("contaminated"),
         )
+    )
+
+
+def decontaminate_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """The collision aggregate behind ``decontaminate``: (doc_id,
+    n_hits) for corpus docs with ≥1 (fingerprint, benchmark-doc)
+    collision ONLY — no join back to the full corpus doc list. A
+    composite that already carries every corpus doc (t_curate_corpus's
+    flags frame) left-joins THIS instead of decontaminate's full
+    output, saving one corpus scan."""
+    cfp = winnow_fingerprint_rows(corpus, text_col, id_col, k=k, window=window)
+    bfp = winnow_fingerprint_rows(benchmark, text_col, id_col, k=k, window=window).select(
+        F.col("fp"), F.col("doc_id").alias("bench_id")
+    )
+    return (
+        cfp.join(bfp, "fp")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
 
 

