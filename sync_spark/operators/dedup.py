@@ -511,7 +511,8 @@ def _parse_byte_size(value: str, default: int = 134217728) -> int:
 
 
 def winnow_sql_kernel(
-    id_col: str, text_col: str, src: str, k: int = 5, window: int = 4
+    id_col: str, text_col: str, src: str, k: int = 5, window: int = 4,
+    prefix: str = "__w",
 ) -> str:
     """Spark-SQL text form of ``winnow_fps_columns`` + the
     explode_outer row expansion — the IDENTICAL staged projections
@@ -524,10 +525,14 @@ def winnow_sql_kernel(
     on d_source_overlap r6) — pure constant-factor, but it is half
     the gap to the DuckDB oracle on sub-second queries.
 
-    Returns CTEs ``__wk1..__wk4, __wfp``; the caller composes
-    ``WITH <its own src CTE>, {this}, ...`` and reads
-    (``id_col``, fp) rows from ``__wfp``. Keep in lockstep with
-    winnow_fps_columns (test_plan_quality pins agreement)."""
+    Returns CTEs ``{prefix}k1..{prefix}k4, {prefix}fp`` (default
+    ``__wk1..__wfp``); the caller composes ``WITH <its own src CTE>,
+    {this}, ...`` and reads (``id_col``, fp) rows from
+    ``{prefix}fp``, or per-doc fps ARRAYS from ``{prefix}k4``. Pass a
+    distinct ``prefix`` to instantiate the kernel twice in one
+    statement (corpus + benchmark sides of a decontamination). Keep in
+    lockstep with winnow_fps_columns (test_plan_quality pins
+    agreement)."""
     grams = ", ".join(f"element_at(wtoks, i + {j})" for j in range(k))
     zips = "hs"
     for lvl in range(1, window):
@@ -535,27 +540,27 @@ def winnow_sql_kernel(
             f"zip_with({zips}, slice(hs, {lvl + 1}, "
             f"greatest(size(hs) - {lvl}, 1)), (x, y) -> least(x, y))"
         )
-    return f"""__wk1 AS (
+    return f"""{prefix}k1 AS (
   SELECT {id_col},
          CASE WHEN length(trim({text_col})) = 0 THEN CAST(array() AS ARRAY<STRING>)
               ELSE split(trim({text_col}), '\\\\s+') END AS wtoks
   FROM {src}
-), __wk2 AS (
-  SELECT {id_col}, wtoks, size(wtoks) - {k - 1} AS ng FROM __wk1
-), __wk3 AS (
+), {prefix}k2 AS (
+  SELECT {id_col}, wtoks, size(wtoks) - {k - 1} AS ng FROM {prefix}k1
+), {prefix}k3 AS (
   SELECT {id_col},
          CASE WHEN ng < 1 THEN CAST(array() AS ARRAY<BIGINT>)
               ELSE transform(sequence(1, greatest(ng, 1)),
                    i -> CAST(conv(substring(md5(CAST(concat_ws(' ', {grams}) AS BINARY)), 1, 14), 16, 10) AS BIGINT)) END AS hs
-  FROM __wk2
-), __wk4 AS (
+  FROM {prefix}k2
+), {prefix}k4 AS (
   SELECT {id_col},
          CASE WHEN size(hs) < 1 THEN CAST(array() AS ARRAY<BIGINT>)
               ELSE array_distinct(slice({zips}, 1, greatest(size(hs) - {window - 1}, 1))) END AS fps
-  FROM __wk3
-), __wfp AS (
+  FROM {prefix}k3
+), {prefix}fp AS (
   SELECT {id_col}, fp
-  FROM __wk4 LATERAL VIEW OUTER explode(fps) __wx AS fp
+  FROM {prefix}k4 LATERAL VIEW OUTER explode(fps) {prefix}x AS fp
   WHERE fp IS NOT NULL
 )"""
 
@@ -957,6 +962,42 @@ def bloom_bitmap(
     )
 
 
+def bloom_bitmap_sql(
+    fp_src: str, fp_col: str = "fp", k_hash: int = BLOOM_K_HASH, prefix: str = "__bm"
+) -> str:
+    """SQL-text twin of ``bloom_bitmap`` for one-analysis-pass
+    pipelines: CTEs ``{prefix}pos, {prefix}words, {prefix}bitmap``
+    folding (``fp_col``) rows from ``fp_src`` into the same one-row
+    sparse-map bitmap (word → 64-bit mask). Keep in lockstep with
+    bloom_bitmap (agreement-tested)."""
+    return f"""{prefix}pos AS (
+  SELECT explode(transform(sequence(0, {k_hash - 1}), j -> {_bloom_hash_sql('h', 'j')})) AS pos
+  FROM (SELECT md5(CAST({fp_col} AS STRING)) AS h FROM {fp_src})
+), {prefix}words AS (
+  SELECT pos DIV 64 AS word, bit_or(shiftleft(1L, CAST(pos % 64 AS INT))) AS mask
+  FROM {prefix}pos GROUP BY pos DIV 64
+), {prefix}bitmap AS (
+  SELECT map_from_entries(collect_list(struct(word, mask))) AS bloom FROM {prefix}words
+)"""
+
+
+def bloom_probe_nmaybe_sql(fps_col: str, k_hash: int = BLOOM_K_HASH) -> str:
+    """SQL text counting how many DISTINCT fingerprints in the
+    ``fps_col`` array have every Bloom bit set in the in-scope
+    ``bloom`` map attribute — the probe expression shared by
+    bloom_decontaminate (DataFrame form) and the SQL pipeline twin.
+    One F.expr = one analysis pass (see _bloom_hash_sql); md5 runs
+    exactly ONCE PER FINGERPRINT (the inner forall only slices the
+    already-computed digest `h`)."""
+    return (
+        f"CAST(size(filter("
+        f"transform(array_distinct({fps_col}), fp -> md5(CAST(fp AS STRING))), "
+        f"h -> forall(transform(sequence(0, {k_hash - 1}), j -> {_bloom_hash_sql('h', 'j')}), "
+        f"p -> (coalesce(element_at(bloom, p DIV 64), 0L) & shiftleft(1L, CAST(p % 64 AS INT))) != 0"
+        f"))) AS BIGINT)"
+    )
+
+
 def bloom_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -1015,19 +1056,10 @@ def bloom_decontaminate(
     staged = winnow_fps_columns(src, "__btext", k=k, window=window, out="__fps")
     probed = staged.crossJoin(F.broadcast(bitmap))
 
-    # one F.expr = one analysis pass (see _bloom_hash_sql): map each
-    # distinct fp to its k-position array, keep those with every bit
-    # set. Lambda bodies read only their own args plus the broadcast
-    # `bloom` attribute — nothing re-evaluates per element, and md5
-    # runs exactly ONCE PER FINGERPRINT (the inner forall only slices
-    # the already-computed digest `h` — see _bloom_hash_sql).
-    n_maybe = (
-        f"CAST(size(filter("
-        f"transform(array_distinct(__fps), fp -> md5(CAST(fp AS STRING))), "
-        f"h -> forall(transform(sequence(0, {k_hash - 1}), j -> {_bloom_hash_sql('h', 'j')}), "
-        f"p -> (coalesce(element_at(bloom, p DIV 64), 0L) & shiftleft(1L, CAST(p % 64 AS INT))) != 0"
-        f"))) AS BIGINT)"
-    )
+    # shared probe text (bloom_probe_nmaybe_sql): map each distinct fp
+    # to its k-position array, keep those with every bit set. Lambda
+    # bodies read only their own args plus the broadcast `bloom`
+    # attribute — nothing re-evaluates per element.
     return probed.select(
-        "doc_id", F.expr(n_maybe).alias("n_maybe")
+        "doc_id", F.expr(bloom_probe_nmaybe_sql("__fps", k_hash)).alias("n_maybe")
     ).withColumn("flagged", F.col("n_maybe") >= min_shared)

@@ -2140,15 +2140,38 @@ def d_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free 100 TB form of d_decontaminate (same src0-as-eval-set
     split, same winnowing fingerprints). Deterministic md5 positions
     make even the Bloom false positives bit-reproducible, so this is
-    a full hash-match query, not an approximation gate. See
-    dedup.bloom_decontaminate."""
+    a full hash-match query, not an approximation gate.
+
+    Shape (r7): the whole pipeline — both winnow kernels, the bitmap
+    fold, and the broadcast probe — is ONE ``spark.sql`` analysis pass
+    (the DataFrame composition in dedup.bloom_decontaminate measured
+    0.50s of construction against 0.35s of execution at sf0.1 — the
+    same analysis-cost trap winnow_sql_kernel exists for). Agreement
+    with the DataFrame form is pytest-pinned."""
     d = _t(spark, sf_dir, "documents")
-    bench = d.filter(F.col("source") == "src0")
-    corpus = d.filter(F.col("source") != "src0")
-    return dedup.bloom_decontaminate(
-        corpus, bench, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W, min_shared=1,
-        spread_width=dedup.kernel_spread_width_from_files(spark, sf_dir, "documents"),
+    d.createOrReplaceTempView("__bd_documents")
+    hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
+    ck = dedup.winnow_sql_kernel(
+        "doc_id", "text", "__bd_corpus", k=_WINNOW_K, window=_WINNOW_W, prefix="__bc"
     )
+    bk = dedup.winnow_sql_kernel(
+        "doc_id", "text", "__bd_bench", k=_WINNOW_K, window=_WINNOW_W, prefix="__bb"
+    )
+    bm = dedup.bloom_bitmap_sql("__bbfp", "fp")
+    return spark.sql(f"""
+WITH __bd_corpus AS (
+  SELECT {hint} doc_id, text FROM __bd_documents WHERE source <> 'src0'
+), __bd_bench AS (
+  -- no spread on the eval side: benchmark sets are small by
+  -- definition, and bit_or absorbs duplicate fingerprints for free
+  SELECT doc_id, text FROM __bd_documents WHERE source = 'src0'
+), {ck}, {bk}, {bm}
+SELECT doc_id, n_maybe, n_maybe >= 1 AS flagged
+FROM (
+  SELECT /*+ BROADCAST(__bmbitmap) */ doc_id,
+         {dedup.bloom_probe_nmaybe_sql("fps")} AS n_maybe
+  FROM __bck4 CROSS JOIN __bmbitmap
+)""")
 
 
 def _bloom_pos_sql(fp_expr: str, j_expr: str) -> str:

@@ -29,6 +29,46 @@ class TestWinnowSqlKernel:
             (r.doc_id, r.fp) for r in want.collect()
         }
 
+    def test_prefixed_kernels_compose_in_one_statement(self, spark):
+        """Two winnow_sql_kernel instantiations (distinct prefixes)
+        must coexist in one WITH clause — the shape the r7 bloom
+        pipeline uses for its corpus + benchmark sides."""
+        from sync_spark.operators.dedup import winnow_sql_kernel
+
+        rows = [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"), (3, "")]
+        spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+            "__pk_docs"
+        )
+        ka = winnow_sql_kernel("doc_id", "text", "__pk_a", k=5, window=4, prefix="__pa")
+        kb = winnow_sql_kernel("doc_id", "text", "__pk_b", k=5, window=4, prefix="__pb")
+        got = spark.sql(
+            "WITH __pk_a AS (SELECT * FROM __pk_docs WHERE doc_id = 1), "
+            "__pk_b AS (SELECT * FROM __pk_docs WHERE doc_id = 2), "
+            + ka + ", " + kb
+            + " SELECT a.fp FROM __pafp a JOIN __pbfp b ON a.fp = b.fp"
+        )
+        assert got.count() > 0  # identical docs share every fingerprint
+
+    def test_bloom_sql_pipeline_agrees_with_dataframe_form(self, spark, sf_small):
+        """The one-analysis-pass d_bloom_decontaminate SQL pipeline
+        (winnow kernels + bloom_bitmap_sql + bloom_probe_nmaybe_sql)
+        must produce exactly the DataFrame form's rows — same bitmap,
+        same false positives."""
+        from pyspark.sql import functions as F
+
+        from sync_spark.operators.dedup import bloom_decontaminate
+        from sync_spark.operators.relational import _t
+        from sync_spark.operators.text_queries import d_bloom_decontaminate
+
+        d = _t(spark, sf_small, "documents")
+        want = bloom_decontaminate(
+            d.filter(F.col("source") != "src0"),
+            d.filter(F.col("source") == "src0"),
+            "text", "doc_id", k=5, window=4, min_shared=1,
+        )
+        got = d_bloom_decontaminate(spark, sf_small)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
     def test_winnow_pairs_sql_agrees_with_operator(self, spark):
         from sync_spark.operators.dedup import winnow_pairs, winnow_pairs_sql
 
