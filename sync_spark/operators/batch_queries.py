@@ -223,6 +223,83 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 
+def a_counter_daily_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 parity, the upsert-with-daily-reset fold ITSELF (the
+    reference's changestream_statistics maintenance,
+    monitor.go:839-933): every event upserts its stream's running
+    counters, and the first update of a new JST day resets them to
+    zero before applying — so the counter value right after any
+    update equals the within-JST-day running totals at that event.
+    This query materializes that counter TRACE per event (the row a
+    changestream_statistics reader would see after the upsert) and
+    returns each day's END-OF-DAY readout: the trace at the day's
+    last update, per stream (event_type plays the reference's
+    (task_id, collection) key; received/executed/pending mirror the
+    reset column set, with executed = value-above-threshold events, a non-degenerate split of the fixture).
+
+    Scale: both windows share ONE (stream, jst_day) shuffle —
+    bounded keys, partial-free but day-bounded partitions; the trace
+    never leaves its reducer and the readout filter is a
+    row_number() == 1 pick."""
+    ev = _t(spark, sf_dir, "events")
+    jst_day = F.date_format(F.from_utc_timestamp(F.col("ts"), "Asia/Tokyo"), "yyyy-MM-dd")
+    base = ev.select(
+        F.col("event_type").alias("stream"),
+        jst_day.alias("jst_day"),
+        "ts",
+        "event_id",
+        F.when(F.col("value") >= 50, 1).otherwise(0).alias("ok"),
+    )
+    w = Window.partitionBy("stream", "jst_day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("stream", "jst_day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    trace = base.select(
+        "stream",
+        "jst_day",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("received"),
+        F.sum("ok").over(w).cast("long").alias("executed"),
+        F.row_number().over(wd).alias("rn"),
+    )
+    return (
+        trace.filter(F.col("rn") == 1)
+        .select(
+            "stream",
+            "jst_day",
+            "received",
+            "executed",
+            (F.col("received") - F.col("executed")).alias("pending"),
+            F.col("event_id").alias("last_event_id"),
+        )
+        .orderBy("stream", "jst_day")
+    )
+
+
+A_COUNTER_RESET_SQL = """
+WITH trace AS (
+  SELECT event_type AS stream,
+         strftime(ts + INTERVAL 9 HOUR, '%Y-%m-%d') AS jst_day,
+         event_id,
+         COUNT(*) OVER w AS received,
+         SUM(CASE WHEN value >= 50 THEN 1 ELSE 0 END) OVER w AS executed,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, strftime(ts + INTERVAL 9 HOUR, '%Y-%m-%d')
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+  WINDOW w AS (
+    PARTITION BY event_type, strftime(ts + INTERVAL 9 HOUR, '%Y-%m-%d')
+    ORDER BY ts, event_id)
+)
+SELECT stream, jst_day,
+       CAST(received AS BIGINT) AS received,
+       CAST(executed AS BIGINT) AS executed,
+       CAST(received - executed AS BIGINT) AS pending,
+       event_id AS last_event_id
+FROM trace WHERE rn = 1 ORDER BY stream, jst_day
+"""
+
+
 # ---------------------------------------------------------------------------
 # Windows (W1-W3) — one shuffle on the partition key each
 # ---------------------------------------------------------------------------

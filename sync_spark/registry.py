@@ -54,6 +54,7 @@ def _populate() -> None:
     register("a_group_delta", bq.a_group_delta, bq.A_GROUP_DELTA_SQL)
     register("a_grand_total", bq.a_grand_total, bq.A_GRAND_TOTAL_SQL)
     register("a_daily_window_jst", bq.a_daily_window_jst, bq.A_DAILY_WINDOW_SQL)
+    register("a_counter_daily_reset", bq.a_counter_daily_reset, bq.A_COUNTER_RESET_SQL)
     # hopping/session builtins live in extended_queries (registered
     # below with the other xq entries)
     register("w_latest_per_key", bq.w_latest_per_key, bq.W_LATEST_SQL)
