@@ -1128,14 +1128,6 @@ def run_merge_sql(
         if s_col != t_col:
             source = source.withColumnRenamed(s_col, t_col)
         keys.append(t_col)
-    dup = (
-        source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
-    )
-    if dup:
-        raise ValueError(
-            f"MERGE source has duplicate keys (e.g. "
-            f"{[dup[0][k] for k in keys]}): non-deterministic per SQL:2003"
-        )
     needs_rows = spec.has_update or spec.has_insert
     if needs_rows:
         missing = [c for c in target.columns if c not in source.columns]
@@ -1195,12 +1187,29 @@ def run_merge_sql(
     if changes is None:  # grammar guarantees at least one arm, defensive
         raise ValueError("MERGE produced no action arms")
     changes = changes.withColumn(mg.SEQ_COL, F.lit(0).cast("long"))
-    # ONE aggregation job for the affected counts (not one count()
-    # action per arm); arms present in the statement report 0 rows
-    got = {
-        r[0]: r[1]
-        for r in changes.groupBy(mg.OP_COL).agg(F.count(F.lit(1))).collect()
-    }
+    # ONE aggregation job for the affected counts AND the SQL:2003
+    # duplicate-key guard (r7: the guard was its own collect job —
+    # each eager job here is a ~0.35s scheduler wave at bench scale).
+    # changes carries every source row exactly once (each row lands in
+    # exactly one arm), so a per-key count > 1 in EITHER level means
+    # duplicate source keys; the sample lookup for the error message
+    # runs only on the failure path.
+    stats = (
+        changes.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"), F.first(mg.OP_COL).alias("__op"))
+        .groupBy("__op")
+        .agg(F.sum("__n").alias("n"), F.max("__n").alias("mx"))
+        .collect()
+    )
+    if any(r["mx"] > 1 for r in stats):
+        dup = (
+            source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
+        )
+        raise ValueError(
+            f"MERGE source has duplicate keys (e.g. "
+            f"{[dup[0][k] for k in keys]}): non-deterministic per SQL:2003"
+        )
+    got = {r["__op"]: r["n"] for r in stats}
     counts = [
         ("delete" if op == "delete" else "upsert", got.get(
             "delete" if op == "delete" else "insert", 0
