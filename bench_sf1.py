@@ -22,6 +22,22 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 WATCH = ["a_session_window_agg", "x_sessionize", "t_unimax_alloc", "e_label_centroids"]
+# the dedup/ANN family at 10× (r6 verdict item 6): the sf0.1 story for
+# these is "DuckDB's naive oracle caps out" — the sf1 rows show the
+# indexed/banded plans' scaling curve, with the oracle capped at
+# DUCKDB_CAP_S (interrupted; recorded as null + capped=true).
+# Approximate-by-design queries (simhash/minhash/ann) have no oracle
+# and record spark-only rows.
+FAMILY = [
+    "d_dedup_clusters",
+    "d_ngram_jaccard",
+    "d_simhash_pairs",
+    "d_minhash_lsh",
+    "e_ann_lsh",
+    "e_ann_ivf",
+    "e_ann_pq",
+]
+DUCKDB_CAP_S = 120.0
 SHIFT = 10_000_000
 
 
@@ -84,7 +100,24 @@ def main() -> None:
         "scaling); 3-run medians, same box/session for both engines",
         "queries": {},
     }
-    for name in WATCH:
+    def duckdb_capped(sql: str) -> float | None:
+        """One capped oracle run: interrupt DuckDB after DUCKDB_CAP_S
+        (the naive dedup oracles blow up quadratically at sf1 — that
+        blowup IS the datapoint)."""
+        import threading
+
+        timer = threading.Timer(DUCKDB_CAP_S, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+            return round(time.perf_counter() - t0, 3)
+        except Exception:
+            return None
+        finally:
+            timer.cancel()
+
+    for name in WATCH + FAMILY:
         spec = qs[name]
         spec.spark_fn(spark, args.dir).count()  # warm codegen
         sruns, druns, rows = [], [], None
@@ -93,16 +126,30 @@ def main() -> None:
             rows = spec.spark_fn(spark, args.dir).count()
             sruns.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
-        for _ in range(3):
-            t0 = time.perf_counter()
-            con.execute(spec.oracle).fetchall()
-            druns.append(round(time.perf_counter() - t0, 3))
-        s, d = sorted(sruns)[1], sorted(druns)[1]
-        out["queries"][name] = {
-            "spark_sec": s, "duckdb_sec": d, "ratio": round(s / d, 2),
-            "rows": rows, "spark_runs": sruns, "duckdb_runs": druns,
-        }
-        print(f"# {name}: spark {s}s duckdb {d}s ratio {round(s/d, 2)}", file=sys.stderr)
+        s = sorted(sruns)[1]
+        entry: dict = {"spark_sec": s, "rows": rows, "spark_runs": sruns}
+        if spec.oracle is not None:
+            first = duckdb_capped(spec.oracle)
+            if first is None:
+                entry.update({"duckdb_sec": None, "capped": True,
+                              "duckdb_cap_s": DUCKDB_CAP_S})
+                print(f"# {name}: spark {s}s duckdb >cap({DUCKDB_CAP_S}s)",
+                      file=sys.stderr)
+            else:
+                druns = [first]
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    con.execute(spec.oracle).fetchall()
+                    druns.append(round(time.perf_counter() - t0, 3))
+                d = sorted(druns)[1]
+                entry.update({"duckdb_sec": d, "ratio": round(s / d, 2),
+                              "duckdb_runs": druns})
+                print(f"# {name}: spark {s}s duckdb {d}s ratio {round(s/d, 2)}",
+                      file=sys.stderr)
+        else:
+            entry["duckdb_sec"] = None  # approximate-by-design: no oracle
+            print(f"# {name}: spark {s}s (no oracle)", file=sys.stderr)
+        out["queries"][name] = entry
     out["value"] = round(sum(v["spark_sec"] for v in out["queries"].values()), 3)
     out["unit"] = "sec"
     line = json.dumps(out)

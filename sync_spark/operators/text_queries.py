@@ -220,9 +220,12 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs, hamming ≤ 3 (rows-only)."""
-    d = _t(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(d, "text", "doc_id", max_hamming=3)
+    """SimHash near-dup pairs, hamming ≤ 3 (rows-only). One spark.sql
+    analysis pass (r7: the DataFrame chain's 64-term signature
+    expression cost 1.5s of construction; dedup.simhash_pairs_sql is
+    the agreement-tested twin)."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__sh_documents")
+    return spark.sql(dedup.simhash_pairs_sql("__sh_documents"))
 
 
 # ---------------------------------------------------------------------------

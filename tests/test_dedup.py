@@ -69,6 +69,23 @@ class TestWinnowSqlKernel:
         got = d_bloom_decontaminate(spark, sf_small)
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
+    def test_simhash_pairs_sql_agrees_with_operator(self, spark, sf_small):
+        """simhash_pairs_sql (one-analysis-pass twin) must produce
+        exactly simhash_near_pairs' rows — same lane-packed votes,
+        same signature bits, same pigeonhole candidates."""
+        from sync_spark.operators.dedup import simhash_near_pairs, simhash_pairs_sql
+        from sync_spark.operators.relational import _t
+
+        d = _t(spark, sf_small, "documents")
+        want = sorted(
+            map(tuple, simhash_near_pairs(d, "text", "doc_id", max_hamming=3).collect())
+        )
+        d.createOrReplaceTempView("__sh_agree_docs")
+        got = sorted(
+            map(tuple, spark.sql(simhash_pairs_sql("__sh_agree_docs")).collect())
+        )
+        assert got == want and len(got) > 0
+
     def test_winnow_pairs_sql_agrees_with_operator(self, spark):
         from sync_spark.operators.dedup import winnow_pairs, winnow_pairs_sql
 
