@@ -1304,23 +1304,30 @@ def d_survivor_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: pair graph from winnow_pairs (Σ posting² bounded), CC as
     in dedup_clusters, then ONE window argmax per cluster keyed by
     cluster_id. Oracle: recursive-CTE transitive closure over the
-    identical pair set + the same window rule."""
+    identical pair set + the same window rule. r7: the pair lineage
+    uses the one-analysis-pass SQL twin (winnow_pairs_sql, the same
+    constants the oracle bakes in) — the DataFrame chain's ~0.3s of
+    construction sat in front of connected_components' EAGER pair
+    materialization on every call."""
     from pyspark.sql.window import Window
 
     from sync_spark.operators.cluster import connected_components
 
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.winnow_pairs(
-        d,
-        "text",
-        "doc_id",
-        k=_WINNOW_K,
-        window=_WINNOW_W,
-        min_shared=2,
-        # explicit: the oracle embeds D_WINNOW_PAIRS_SQL which bakes
-        # this constant in — relying on the function default would let
-        # the two pair graphs silently diverge on a constant change
-        max_posting=_WINNOW_MAX_POSTING,
+    hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__sq_documents")
+    pairs = spark.sql(
+        dedup.winnow_pairs_sql(
+            "__sq_documents",
+            hint,
+            k=_WINNOW_K,
+            window=_WINNOW_W,
+            # explicit: the oracle embeds D_WINNOW_PAIRS_SQL which
+            # bakes these constants in — relying on defaults would let
+            # the two pair graphs silently diverge on a constant change
+            min_shared=2,
+            max_posting=_WINNOW_MAX_POSTING,
+        )
     ).select("id_a", "id_b")
     cc = connected_components(d.select("doc_id"), pairs, id_col="doc_id")
     quality = d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
