@@ -312,6 +312,10 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+    # NO hashed pre-filter here, deliberately (unlike
+    # ngram_jaccard_pairs): banding already filters to a near-precise
+    # candidate set (256 candidates at sf0.1 where the prefix index
+    # passes 80k), so the extra tier would be pure overhead
     da = docs_cached.select(
         F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
     )
