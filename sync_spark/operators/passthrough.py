@@ -1171,22 +1171,26 @@ def run_merge_sql(
         ups = ins if ups is None else ups.unionByName(ins)
     if ups is not None:
         parts.append(("upsert", ups))
+    # ONE select per arm (r7): the per-column withColumn null-padding
+    # loop cost one analysis pass per missing column per arm — build
+    # the full projection (padded columns + op + seq) in a single
+    # select instead
+    types = {f.name: f.dataType for f in target.schema.fields}
     changes = None
     for op, frame in parts:
-        full = frame
-        for c in target.columns:
-            if c not in full.columns:
-                full = full.withColumn(c, F.lit(None).cast(dict(
-                    (f.name, f.dataType) for f in target.schema.fields
-                )[c]))
-        full = full.select(*target.columns).withColumn(
-            mg.OP_COL, F.lit("delete" if op == "delete" else "insert")
+        cols = [
+            (F.col(c) if c in frame.columns else F.lit(None).cast(types[c])).alias(c)
+            for c in target.columns
+        ]
+        full = frame.select(
+            *cols,
+            F.lit("delete" if op == "delete" else "insert").alias(mg.OP_COL),
+            F.lit(0).cast("long").alias(mg.SEQ_COL),
         )
         changes = full if changes is None else changes.unionByName(full)
     spark = target.sparkSession
     if changes is None:  # grammar guarantees at least one arm, defensive
         raise ValueError("MERGE produced no action arms")
-    changes = changes.withColumn(mg.SEQ_COL, F.lit(0).cast("long"))
     # ONE aggregation job for the affected counts AND the SQL:2003
     # duplicate-key guard (r7: the guard was its own collect job —
     # each eager job here is a ~0.35s scheduler wave at bench scale).
