@@ -94,6 +94,86 @@ def cosine_topk(
     return _scored_topk(c, q, k)
 
 
+def margin_mine(
+    queries: DataFrame,
+    side_b: DataFrame,
+    side_a: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based retrieval mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings" — the CCMatrix/LASER bitext-mining criterion; public
+    algorithm): for each query vector x from side A, score its
+    forward k-NN candidates y in side B by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgNN_B(x) + avgNN_A(y)) / 2)
+
+    where avgNN_B(x) is the mean cosine of x to its k nearest B-side
+    vectors and avgNN_A(y) the mean cosine of y to its k nearest
+    A-side vectors — the normalization that suppresses hub vectors
+    (globally-close-to-everything points that plain cosine mining
+    pairs with everyone). Emits each query's best candidate by margin
+    with the standard margin ≥ 1.0 acceptance flag.
+
+    Cross-engine exactness: pair cosines ride the shared
+    ``cosine_topk`` discipline (quantized-int dot, one double
+    sqrt/divide, round to 6dp), then re-quantize to e6 BIGINTs; both
+    k-NN means are integer floor divisions and the margin is
+    ``(cos_e6 · 2·10⁶) DIV (avgF + avgB)`` — every cross-row step is
+    integer, so DuckDB reproduces it bit-for-bit. Denominator ≤ 0
+    (possible on near-orthogonal synthetic data) yields NULL margin,
+    ordered last and never accepted.
+
+    Scale shape: two corpus scans — forward (broadcast queries × B
+    scan) and backward (broadcast candidate set, ≤ |queries|·k rows,
+    × A scan) — plus KB-grain joins; nothing corpus-sized ever
+    shuffles. This is the exact-path baseline; at 10⁹ vectors swap the
+    two ``cosine_topk`` calls for ``ann_ivf_topk``/``ann_lsh_topk``
+    (same emitted-cosine contract) and the margin math is unchanged."""
+    fwd = cosine_topk(queries, side_b, k=k, id_col=id_col, vec_col=vec_col)
+    e6 = F.round(F.col("cosine") * 1000000).cast("long")
+    fwd_e = fwd.select("query_id", "neighbor_id", e6.alias("cos_e6"))
+    avgf = fwd_e.groupBy("query_id").agg(
+        F.expr("SUM(cos_e6) DIV COUNT(1)").alias("avg_fwd_e6")
+    )
+    cand = fwd_e.select(F.col("neighbor_id").alias(id_col)).distinct()
+    bq = side_b.join(cand, id_col, "left_semi")
+    bwd = cosine_topk(bq, side_a, k=k, id_col=id_col, vec_col=vec_col)
+    avgb = (
+        bwd.select("query_id", e6.alias("ce6"))
+        .groupBy("query_id")
+        .agg(F.expr("SUM(ce6) DIV COUNT(1)").alias("avg_bwd_e6"))
+        .withColumnRenamed("query_id", "neighbor_id")
+    )
+    scored = (
+        fwd_e.join(F.broadcast(avgf), "query_id")
+        .join(F.broadcast(avgb), "neighbor_id")
+        .withColumn(
+            "margin_e6",
+            F.when(
+                F.col("avg_fwd_e6") + F.col("avg_bwd_e6") > 0,
+                F.expr("(cos_e6 * 2000000) DIV (avg_fwd_e6 + avg_bwd_e6)"),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("margin_e6").desc_nulls_last(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("query_id").alias("src_id"),
+            F.col("neighbor_id").alias("tgt_id"),
+            "cos_e6",
+            "margin_e6",
+            F.coalesce(F.col("margin_e6") >= 1000000, F.lit(False)).alias("accepted"),
+        )
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random Gaussian hyperplanes (driver-side,
     embedded as literals — no state on executors)."""

@@ -264,6 +264,69 @@ SELECT query_id, rank, neighbor_id, round(cosine, 6) AS cosine FROM (
 """
 
 
+def e_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based retrieval mining over the embedding corpus — the
+    CCMatrix/LASER bitext-mining criterion (similarity.margin_mine):
+    the fixture's even/odd vec_id split stands in for the two
+    language collections, queries are the even side below 80, k = 4.
+    Hub-vector normalization makes this THE published way to mine
+    aligned pairs from two embedding spaces at pretraining scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    side_a = emb.filter(F.col("vec_id") % 2 == 0)
+    side_b = emb.filter(F.col("vec_id") % 2 == 1)
+    return similarity.margin_mine(
+        side_a.filter(F.col("vec_id") < 80), side_b, side_a, k=4
+    )
+
+
+_MARGIN_COS = """CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.qv[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(q.qv, x -> x * x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(c.qv, x -> x * x)) AS DOUBLE)))"""
+
+E_MARGIN_SQL = f"""
+WITH sa AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id % 2 = 0
+), sb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id % 2 = 1
+), fs AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         {_MARGIN_COS} AS cosine
+  FROM (SELECT * FROM sa WHERE vec_id < 80) q, sb c
+), fwdk AS (
+  SELECT qid, nid, CAST(round(round(cosine, 6) * 1000000) AS BIGINT) AS cos_e6
+  FROM (SELECT qid, nid, cosine,
+               row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rk
+        FROM fs)
+  WHERE rk <= 4
+), avgf AS (
+  SELECT qid, CAST(SUM(cos_e6) // COUNT(*) AS BIGINT) AS avg_fwd_e6 FROM fwdk GROUP BY qid
+), bs AS (
+  SELECT q.vec_id AS yid, c.vec_id AS wid,
+         {_MARGIN_COS} AS cosine
+  FROM (SELECT sb.* FROM sb JOIN (SELECT DISTINCT nid FROM fwdk) cd ON sb.vec_id = cd.nid) q,
+       sa c
+), avgb AS (
+  SELECT yid, CAST(SUM(ce6) // COUNT(*) AS BIGINT) AS avg_bwd_e6
+  FROM (SELECT yid, CAST(round(round(cosine, 6) * 1000000) AS BIGINT) AS ce6,
+               row_number() OVER (PARTITION BY yid ORDER BY cosine DESC, wid ASC) AS rk
+        FROM bs)
+  WHERE rk <= 4 GROUP BY yid
+), m AS (
+  SELECT f.qid, f.nid, f.cos_e6,
+         CASE WHEN af.avg_fwd_e6 + ab.avg_bwd_e6 > 0
+              THEN CAST((f.cos_e6 * 2000000) // (af.avg_fwd_e6 + ab.avg_bwd_e6) AS BIGINT)
+         END AS margin_e6
+  FROM fwdk f JOIN avgf af ON f.qid = af.qid JOIN avgb ab ON f.nid = ab.yid
+)
+SELECT qid AS src_id, nid AS tgt_id, cos_e6, margin_e6,
+       coalesce(margin_e6 >= 1000000, FALSE) AS accepted
+FROM (SELECT m.*, row_number() OVER (PARTITION BY qid ORDER BY margin_e6 DESC NULLS LAST, nid ASC) AS rk2 FROM m)
+WHERE rk2 = 1
+"""
+
+
 def e_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate NN (rows-only: recall < 1 by design)."""
     emb = _t(spark, sf_dir, "embeddings")

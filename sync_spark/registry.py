@@ -97,6 +97,7 @@ def _populate() -> None:
     register("d_dedup_clusters_lsh", tq.d_dedup_clusters_lsh, None)
     register("d_simhash_pairs", tq.d_simhash_pairs, None)
     register("e_cosine_topk", tq.e_cosine_topk, tq.E_COSINE_SQL)
+    register("e_margin_mine", tq.e_margin_mine, tq.E_MARGIN_SQL)
     register("e_ann_lsh", tq.e_ann_lsh, None)
     register("e_ann_ivf", tq.e_ann_ivf, None)
     register("e_ann_pq", tq.e_ann_pq, None)

@@ -415,3 +415,64 @@ def test_span_dedup_plan_stays_jvm_side(spark, sf_small):
 
     plan = d_span_dedup(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_margin_mine_matches_numpy(spark, sf_small):
+    """Independent numpy re-derivation of the margin criterion: for
+    each query, the emitted pair must be the forward-kNN candidate
+    with the highest ratio margin, computed through the identical
+    quantize→round(6dp)→e6→integer-mean discipline."""
+    import numpy as np
+    import pandas as pd
+
+    from sync_spark.registry import all_queries
+
+    out = all_queries()["e_margin_mine"].spark_fn(spark, sf_small).toPandas()
+    emb = pd.read_parquet(f"{sf_small}/embeddings.parquet")
+    vecs = {
+        int(r.vec_id): np.round(np.asarray(r.embedding, dtype=np.float64) * 1e6)
+        for r in emb.itertuples()
+    }
+    A = sorted(v for v in vecs if v % 2 == 0)
+    B = sorted(v for v in vecs if v % 2 == 1)
+
+    def cos_e6(a, b):
+        va, vb = vecs[a], vecs[b]
+        c = float(int((va * vb).sum())) / (np.sqrt((va * va).sum()) * np.sqrt((vb * vb).sum()))
+        return int(np.round(np.round(c, 6) * 1e6))
+
+    def topk(x, side, k=4):
+        scored = sorted(((cos_e6(x, y), -y) for y in side), reverse=True)
+        return [(-ny, c) for c, ny in scored[:k]]
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    for _, row in out.iterrows():
+        x = int(row.src_id)
+        fwd = topk(x, B)
+        avgf = tdiv(sum(c for _, c in fwd), len(fwd))
+        best = None
+        for y, cxy in fwd:
+            bwd = topk(y, A)
+            avgb = tdiv(sum(c for _, c in bwd), len(bwd))
+            m = tdiv(cxy * 2_000_000, avgf + avgb) if avgf + avgb > 0 else None
+            key = (m if m is not None else -(1 << 62), -y)
+            if best is None or key > best[0]:
+                best = (key, y, cxy, m)
+        assert int(row.tgt_id) == best[1], (x, row.tgt_id, best)
+        assert int(row.cos_e6) == best[2]
+        assert (row.margin_e6 is None and best[3] is None) or int(row.margin_e6) == best[3]
+        assert bool(row.accepted) == (best[3] is not None and best[3] >= 1_000_000)
+
+
+def test_margin_mine_plan_broadcasts_queries(spark, sf_small):
+    """Scale shape: both cosine passes broadcast the bounded query
+    side; the corpus is never shuffled for a join, and everything
+    stays JVM-side."""
+    from sync_spark.operators.text_queries import e_margin_mine
+
+    plan = e_margin_mine(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
