@@ -36,6 +36,7 @@ FAMILY = [
     "e_ann_lsh",
     "e_ann_ivf",
     "e_ann_pq",
+    "e_margin_mine",
 ]
 DUCKDB_CAP_S = 120.0
 SHIFT = 10_000_000

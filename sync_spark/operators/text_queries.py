@@ -268,14 +268,14 @@ def e_margin_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based retrieval mining over the embedding corpus — the
     CCMatrix/LASER bitext-mining criterion (similarity.margin_mine):
     the fixture's even/odd vec_id split stands in for the two
-    language collections, queries are the even side below 80, k = 4.
+    language collections, queries are the even side below 400, k = 4.
     Hub-vector normalization makes this THE published way to mine
     aligned pairs from two embedding spaces at pretraining scale."""
     emb = _t(spark, sf_dir, "embeddings")
     side_a = emb.filter(F.col("vec_id") % 2 == 0)
     side_b = emb.filter(F.col("vec_id") % 2 == 1)
     return similarity.margin_mine(
-        side_a.filter(F.col("vec_id") < 80), side_b, side_a, k=4
+        side_a.filter(F.col("vec_id") < 400), side_b, side_a, k=4
     )
 
 
@@ -293,7 +293,7 @@ WITH sa AS (
 ), fs AS (
   SELECT q.vec_id AS qid, c.vec_id AS nid,
          {_MARGIN_COS} AS cosine
-  FROM (SELECT * FROM sa WHERE vec_id < 80) q, sb c
+  FROM (SELECT * FROM sa WHERE vec_id < 400) q, sb c
 ), fwdk AS (
   SELECT qid, nid, CAST(round(round(cosine, 6) * 1000000) AS BIGINT) AS cos_e6
   FROM (SELECT qid, nid, cosine,

@@ -449,6 +449,9 @@ def test_margin_mine_matches_numpy(spark, sf_small):
         q = abs(a) // b
         return q if a >= 0 else -q
 
+    # bounded re-derivation: the python loop is O(queries·|side|·dim);
+    # 25 queries pin the discipline without a 2-minute test
+    out = out.sort_values("src_id").head(25)
     for _, row in out.iterrows():
         x = int(row.src_id)
         fwd = topk(x, B)
