@@ -104,7 +104,10 @@ def main() -> None:
     def duckdb_capped(sql: str) -> float | None:
         """One capped oracle run: interrupt DuckDB after DUCKDB_CAP_S
         (the naive dedup oracles blow up quadratically at sf1 — that
-        blowup IS the datapoint)."""
+        blowup IS the datapoint). Only an exception arriving once the
+        cap has nearly elapsed counts as capped (ADVICE r7: a binder
+        error failing in milliseconds must re-raise, never be
+        recorded as a scaling win)."""
         import threading
 
         timer = threading.Timer(DUCKDB_CAP_S, con.interrupt)
@@ -114,7 +117,9 @@ def main() -> None:
             con.execute(sql).fetchall()
             return round(time.perf_counter() - t0, 3)
         except Exception:
-            return None
+            if time.perf_counter() - t0 >= DUCKDB_CAP_S * 0.9:
+                return None  # genuine cap interrupt
+            raise  # broken oracle — fail loudly
         finally:
             timer.cancel()
 

@@ -230,17 +230,21 @@ def a_counter_daily_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
     counters, and the first update of a new JST day resets them to
     zero before applying — so the counter value right after any
     update equals the within-JST-day running totals at that event.
-    This query materializes that counter TRACE per event (the row a
-    changestream_statistics reader would see after the upsert) and
-    returns each day's END-OF-DAY readout: the trace at the day's
-    last update, per stream (event_type plays the reference's
-    (task_id, collection) key; received/executed/pending mirror the
-    reset column set, with executed = value-above-threshold events, a non-degenerate split of the fixture).
+    This query returns each day's END-OF-DAY readout of that counter:
+    the running totals at the day's last update, per stream
+    (event_type plays the reference's (task_id, collection) key;
+    received/executed/pending mirror the reset column set, with
+    executed = value-above-threshold events, a non-degenerate split
+    of the fixture).
 
-    Scale: both windows share ONE (stream, jst_day) shuffle —
-    bounded keys, partial-free but day-bounded partitions; the trace
-    never leaves its reducer and the readout filter is a
-    row_number() == 1 pick."""
+    Scale (r8): the readout at the day's last event IS the day's
+    total — the per-event running trace the r7 version materialized
+    (two window passes sorting every day's events inside one reducer,
+    then keeping only rn == 1) was discarded work. One hash aggregate
+    computes it: count/sum partial-combine map-side and
+    ``max_by(event_id, (ts, event_id))`` carries the last event id —
+    no Window, no sort, one shuffle of at most |stream×day| partial
+    rows per task."""
     ev = _t(spark, sf_dir, "events")
     jst_day = F.date_format(F.from_utc_timestamp(F.col("ts"), "Asia/Tokyo"), "yyyy-MM-dd")
     base = ev.select(
@@ -250,27 +254,23 @@ def a_counter_daily_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(F.col("value") >= 50, 1).otherwise(0).alias("ok"),
     )
-    w = Window.partitionBy("stream", "jst_day").orderBy("ts", "event_id")
-    wd = Window.partitionBy("stream", "jst_day").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    trace = base.select(
-        "stream",
-        "jst_day",
-        "event_id",
-        F.count(F.lit(1)).over(w).alias("received"),
-        F.sum("ok").over(w).cast("long").alias("executed"),
-        F.row_number().over(wd).alias("rn"),
-    )
     return (
-        trace.filter(F.col("rn") == 1)
+        base.groupBy("stream", "jst_day")
+        .agg(
+            F.count(F.lit(1)).alias("received"),
+            F.sum("ok").cast("long").alias("executed"),
+            # (ts, event_id) is the same total order the reset fold
+            # applies updates in; event_id uniqueness makes the argmax
+            # deterministic
+            F.max_by("event_id", F.struct("ts", "event_id")).alias("last_event_id"),
+        )
         .select(
             "stream",
             "jst_day",
             "received",
             "executed",
             (F.col("received") - F.col("executed")).alias("pending"),
-            F.col("event_id").alias("last_event_id"),
+            "last_event_id",
         )
         .orderBy("stream", "jst_day")
     )

@@ -213,10 +213,13 @@ def ngram_jaccard_pairs(
     # interpreted with per-call set building and string boxing — at
     # sf0.1 it was ~2.5s of the query's 3.2s on 80k candidates that
     # reduce to 256 pairs. Tier 1 intersects xxhash64'd LONG arrays
-    # (primitive sets, no boxing) — hash intersections can only
-    # OVER-count (collisions), and jaccard is increasing in the
-    # intersection size, so the jh >= threshold filter keeps a
-    # superset of the true pairs. Tier 2 then computes the EXACT
+    # (primitive sets, no boxing) — a cross-set collision makes the
+    # hashed intersection OVER-count, so thresholding it keeps a
+    # superset of the true pairs modulo one exception: a collision
+    # BETWEEN two shingles already inside the true intersection
+    # UNDER-counts it by one (probability ~n²/2⁶⁴ per pair —
+    # negligible, but the superset property is not strict).
+    # Tier 2 then computes the EXACT
     # string intersection on the survivors only; the emitted jaccard
     # never involves hashes, so oracle bit-exactness is untouched.
     hh = F.transform(F.col("sh"), lambda x: F.xxhash64(x))

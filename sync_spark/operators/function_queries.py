@@ -256,26 +256,75 @@ _FUZZY_PROBES = ["Customer#000000042", "Custmer#000000777", "Costumer#00000123",
                  "Customer#999999999", "Supplier#000000001"]
 
 
+# Length-band half-width for the fuzzy-match candidate prune: the
+# match is exact-or-error as long as the true minimum distance is
+# <= this bound (lev(a,b) >= |len(a)-len(b)|, so no pruned candidate
+# can beat an in-band winner at distance <= the band). An in-plan
+# assert_true raises loudly if no candidate lands inside the band —
+# never a silently-wrong best match.
+_FUZZY_BAND = 16
+
+
 def f_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching: each probe resolves to its nearest
     customer name by Levenshtein distance (min distance, then
     lexicographic name tiebreak) — the entity-resolution scalar the
-    reference's exact-match DSL lacks. A 5-probe × corpus distance
-    scan with a TakeOrdered-style per-probe argmin; at scale the
-    probe side broadcasts and length-bucketing prunes candidates."""
+    reference's exact-match DSL lacks.
+
+    Scale shape (r8, replaces a row_number window over 5 probe
+    partitions that funnelled every probe×corpus scored row into 5
+    reducer tasks for a full sort — classic key-skew): per-probe
+    argmin via ``groupBy(probe).agg(min(struct(dist, name)))`` — a
+    hash aggregate with map-side partial combine, so each task emits
+    at most |probes| rows and nothing is ever sorted. Candidates are
+    pruned by the promised length band: ``lev(a,b) >= |len(a)-len(b)|``
+    makes dropping names more than ``_FUZZY_BAND`` characters away in
+    length EXACT whenever some candidate scores <= the band (asserted
+    in-plan — a probe with no in-band winner raises rather than
+    returning a silently unpruned-different answer), and the banded
+    3-arg ``levenshtein(l, r, threshold)`` caps the DP cost per
+    comparison at O(len·band) instead of O(len²)."""
     from sync_spark.operators.relational import _t
-    from pyspark.sql.window import Window
 
     c = _t(spark, sf_dir, "customer").select("c_name")
     probes = spark.createDataFrame([(p,) for p in _FUZZY_PROBES], "probe string")
-    scored = F.broadcast(probes).crossJoin(c).withColumn(
-        "dist", F.levenshtein("probe", "c_name")
+    band = F.lit(_FUZZY_BAND)
+    scored = (
+        F.broadcast(probes)
+        .crossJoin(c)
+        .filter(F.abs(F.length("probe") - F.length("c_name")) <= band)
+        .select(
+            "probe",
+            "c_name",
+            F.levenshtein("probe", "c_name", _FUZZY_BAND).alias("dist"),
+        )
+        # banded levenshtein returns -1 for distances beyond the band:
+        # those candidates cannot beat an in-band winner (see assert)
+        .filter(F.col("dist") >= 0)
     )
-    w = Window.partitionBy("probe").orderBy(F.col("dist").asc(), F.col("c_name").asc())
+    best = scored.groupBy("probe").agg(
+        F.min(F.struct(F.col("dist"), F.col("c_name"))).alias("best")
+    )
+    guard = F.assert_true(
+        F.col("best").isNotNull() & (F.col("best.dist") <= band),
+        F.concat(
+            F.lit("f_fuzzy_match: no candidate within the length band for probe "),
+            F.col("probe"),
+            F.lit(" — raise _FUZZY_BAND"),
+        ),
+    )
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("probe", F.col("c_name").alias("best_match"), F.col("dist").cast("long").alias("distance"))
+        # left join back onto the probes so a fully-pruned probe trips
+        # the assert instead of silently vanishing; best (≤|probes|
+        # rows) is the broadcast side (a left join can only broadcast
+        # its non-preserved side)
+        probes.join(F.broadcast(best), "probe", "left")
+        .filter(guard.isNull())
+        .select(
+            "probe",
+            F.col("best.c_name").alias("best_match"),
+            F.col("best.dist").cast("long").alias("distance"),
+        )
         .orderBy("probe")
     )
 

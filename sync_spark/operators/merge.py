@@ -66,6 +66,7 @@ def apply_changes(
     ignore_deletes: bool = False,
     compact: bool = True,
     evolve_schema: bool = False,
+    touched: DataFrame | None = None,
 ) -> DataFrame:
     """MERGE INTO target USING latest-per-key changes.
 
@@ -83,7 +84,15 @@ def apply_changes(
     missing from the replacement document is removed. Shared columns
     keep the TARGET's type (changes are cast): a same-name type
     change is a migration, not a merge side effect. Keys can never be
-    evolved — they must exist in both sides by contract."""
+    evolved — they must exist in both sides by contract.
+
+    ``touched`` (statement path): a caller that already computed the
+    distinct change-key set (e.g. the MERGE statement's in-plan
+    duplicate-key guard, which rides its own groupBy of the keys)
+    passes it here so the merge reuses that aggregate instead of
+    paying its own ``distinct()`` — the guard then costs zero extra
+    stages. Must hold exactly the distinct keys of ``changes``
+    post-filtering; columns must be the key columns."""
     # ignore_deletes BEFORE compaction: with deletes ignored they are
     # no-ops, so an upsert superseded by a later delete in the same
     # batch must still land (compacting first would keep only the
@@ -131,8 +140,9 @@ def apply_changes(
                 changes = changes.withColumn(c, F.lit(None).cast(tgt_types[c]))
 
     upserts = changes.filter(F.col(OP_COL) != DELETE_OP).select(*target.columns)
-    deletes = changes.filter(F.col(OP_COL) == DELETE_OP).select(*keys)
 
-    touched = upserts.select(*keys).unionByName(deletes).distinct()
+    if touched is None:
+        deletes = changes.filter(F.col(OP_COL) == DELETE_OP).select(*keys)
+        touched = upserts.select(*keys).unionByName(deletes).distinct()
     survivors = _null_safe_anti(target, touched, keys)
     return survivors.unionByName(upserts)

@@ -1102,16 +1102,25 @@ def run_merge_sql(
     q: str,
     resolve: Callable[[str], DataFrame],
     run_sql: Optional[Callable[[str], DataFrame]] = None,
+    eager_guard: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Execute a restricted MERGE INTO statement against the resolved
     target frame → ``(affected_counts, new_target_state)``. Compiles
     onto merge.apply_changes — the SAME kernel the CDC pipeline uses,
     so statement-merge and stream-merge semantics can never drift.
 
-    ANSI discipline: a source with duplicate join keys makes the merge
-    non-deterministic and raises (SQL:2003's 'attempt to update the
-    same row twice'); UPDATE/INSERT arms require the source to carry
-    every target column (full after-image, SET *)."""
+    ANSI discipline (SQL:2003's 'attempt to update the same row
+    twice'): a source key producing TWO OR MORE change actions makes
+    the merge non-deterministic and raises. Duplicate source keys
+    whose extra rows produce no action (matched duplicates under an
+    insert-only MERGE; duplicates failing a conditional DELETE with
+    no UPDATE arm) are deterministic and allowed. The guard is
+    IN-PLAN (an assert on the merge's own touched-keys aggregate, so
+    it costs zero extra jobs) and raises when a returned frame is
+    evaluated; ``eager_guard=True`` additionally pre-checks with one
+    driver-side job and raises ``ValueError`` before returning.
+    UPDATE/INSERT arms require the source to carry every target
+    column (full after-image, SET *)."""
     from sync_spark.operators import merge as mg
 
     spec = parse_merge_sql(q)
@@ -1150,78 +1159,124 @@ def run_merge_sql(
             # against the bare source frame
             cond_txt = re.sub(rf"\b{re.escape(spec.s_alias)}\.", "", cond_txt)
         del_cond = F.expr(cond_txt) if cond_txt else F.lit(True)
-    # split the source by match status FIRST: every arm is defined on
-    # one side of it (ANSI: a delete arm never touches a NOT MATCHED
-    # row — it must still insert if an INSERT arm exists)
-    tgt_keys = F.broadcast(target.select(*keys).dropDuplicates(keys))
-    matched = source.join(tgt_keys, keys, "left_semi")
-    unmatched = source.join(tgt_keys, keys, "left_anti")
-    parts = []
-    upd_src = matched
-    if del_cond is not None:
-        parts.append(("delete", matched.filter(del_cond).select(*keys)))
-        # 3VL: rows where the condition is NULL are not deleted and
-        # fall through to the update arm
-        upd_src = matched.filter(~F.coalesce(del_cond, F.lit(False)))
-    ups = None
-    if spec.has_update:
-        ups = upd_src.select(*target.columns)
+    # compile every arm into ONE existence-join + CASE (r8; the r7
+    # per-arm semi/anti joins compiled to a 3-way Union whose
+    # broadcast build sides constraint-inference specialized per arm
+    # — four distinct broadcast exchanges, no reuse, one scheduler
+    # wave each): the match flag is an EXISTS probe against the
+    # target keys, and the arm an action row belongs to is a CASE
+    # over (flag, delete condition) — ANSI order: a matched row tests
+    # the DELETE arm first (3VL: a NULL condition neither deletes nor
+    # drops the row — it falls through to the update arm), an
+    # unmatched row only ever inserts.
+    matched = F.col("__m").isNotNull()
+    op_case = F.lit(None).cast("string")
     if spec.has_insert:
-        ins = unmatched.select(*target.columns)
-        ups = ins if ups is None else ups.unionByName(ins)
-    if ups is not None:
-        parts.append(("upsert", ups))
-    # ONE select per arm (r7): the per-column withColumn null-padding
-    # loop cost one analysis pass per missing column per arm — build
-    # the full projection (padded columns + op + seq) in a single
-    # select instead
+        op_case = F.when(~matched, F.lit("insert")).otherwise(op_case)
+    if spec.has_update:
+        op_case = F.when(matched, F.lit("insert")).otherwise(op_case)
+    if del_cond is not None:
+        op_case = F.when(
+            matched & F.coalesce(del_cond, F.lit(False)), F.lit("delete")
+        ).otherwise(op_case)
+    # (an EXISTS-subquery spelling would plan an ExistenceJoin and
+    # probe without fanout, but Spark's PushProjectionThroughUnion
+    # breaks on ExistenceJoin attributes under union-shaped sources —
+    # hit in testing — so the flag is a broadcast left join against
+    # the target keys, deliberately WITHOUT a dedup: deduplicating
+    # the build side cost a whole shuffle stage, and a target that
+    # does carry duplicate matched keys fans the probe out to per-key
+    # action counts > 1, which the in-plan guard below turns into the
+    # duplicate-keys error — strictly safer than the silent
+    # two-rows-collapse-into-one the r7 path produced there)
+    tgt_flag = F.broadcast(target.select(*keys).withColumn("__m", F.lit(True)))
+    joined = source.join(tgt_flag, list(keys), "left")
     types = {f.name: f.dataType for f in target.schema.fields}
-    changes = None
-    for op, frame in parts:
-        cols = [
-            (F.col(c) if c in frame.columns else F.lit(None).cast(types[c])).alias(c)
-            for c in target.columns
-        ]
-        full = frame.select(
-            *cols,
-            F.lit("delete" if op == "delete" else "insert").alias(mg.OP_COL),
-            F.lit(0).cast("long").alias(mg.SEQ_COL),
-        )
-        changes = full if changes is None else changes.unionByName(full)
-    spark = target.sparkSession
-    if changes is None:  # grammar guarantees at least one arm, defensive
-        raise ValueError("MERGE produced no action arms")
-    # ONE aggregation job for the affected counts AND the SQL:2003
-    # duplicate-key guard (r7: the guard was its own collect job —
-    # each eager job here is a ~0.35s scheduler wave at bench scale).
-    # changes carries every source row exactly once (each row lands in
-    # exactly one arm), so a per-key count > 1 in EITHER level means
-    # duplicate source keys; the sample lookup for the error message
-    # runs only on the failure path.
-    stats = (
-        changes.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("__n"), F.first(mg.OP_COL).alias("__op"))
-        .groupBy("__op")
-        .agg(F.sum("__n").alias("n"), F.max("__n").alias("mx"))
-        .collect()
-    )
-    if any(r["mx"] > 1 for r in stats):
-        dup = (
-            source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).collect()
-        )
-        raise ValueError(
-            f"MERGE source has duplicate keys (e.g. "
-            f"{[dup[0][k] for k in keys]}): non-deterministic per SQL:2003"
-        )
-    got = {r["__op"]: r["n"] for r in stats}
-    counts = [
-        ("delete" if op == "delete" else "upsert", got.get(
-            "delete" if op == "delete" else "insert", 0
-        ))
-        for op, _ in parts
+    cols = [
+        (F.col(c) if c in joined.columns else F.lit(None).cast(types[c])).alias(c)
+        for c in target.columns
     ]
-    new_state = mg.apply_changes(target, changes, keys)
-    affected = spark.createDataFrame(counts, "op string, n long").orderBy("op")
+    changes = joined.select(
+        *cols, op_case.alias(mg.OP_COL), F.lit(0).cast("long").alias(mg.SEQ_COL)
+    ).filter(F.col(mg.OP_COL).isNotNull())
+    arm_names = sorted(
+        ({"delete"} if del_cond is not None else set())
+        | ({"upsert"} if (spec.has_update or spec.has_insert) else set())
+    )
+    # SQL:2003 duplicate-key guard, ZERO extra scheduler waves (r8;
+    # r7 still paid one eager collect per statement): the merge needs
+    # the distinct change-key set anyway (anti-join `touched`), so the
+    # guard rides THAT aggregate — a per-key action count with an
+    # in-plan assert_true. The invariant (per ADVICE r7): a key
+    # producing >= 2 change ACTIONS raises (its apply order would be
+    # non-deterministic); duplicate source keys whose extra rows
+    # produce <= 1 action (e.g. matched dups under an insert-only
+    # MERGE, or dups failing a conditional DELETE with no UPDATE arm)
+    # are deterministic and intentionally allowed. The raise surfaces
+    # when the merge job (or the affected-counts job) actually runs;
+    # pass eager_guard=True to fail fast with a driver-side
+    # ValueError at the cost of one aggregation job.
+    # the aggregate also CARRIES the action row (guard guarantees
+    # exactly one per surviving key, so first() is deterministic
+    # everywhere the result is observable), letting the whole merge
+    # evaluate the source join exactly once: upserts and the touched
+    # key set both read this one shuffle (AQE exchange reuse)
+    non_keys = [c for c in changes.columns if c not in keys]
+    key_stats = changes.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum((F.col(mg.OP_COL) == mg.DELETE_OP).cast("long")).alias("__ndel"),
+        F.first(F.struct(*non_keys)).alias("__row"),
+    )
+    dup_msg = F.concat(
+        F.lit("MERGE source has duplicate keys (e.g. ["),
+        F.concat_ws(", ", *[F.col(k).cast("string") for k in keys]),
+        F.lit("]): non-deterministic per SQL:2003"),
+    )
+    guarded = key_stats.filter(F.assert_true(F.col("__n") <= 1, dup_msg).isNull())
+    if eager_guard:
+        dup = (
+            changes.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"MERGE source has duplicate keys (e.g. "
+                f"{[dup[0][k] for k in keys]}): non-deterministic per SQL:2003"
+            )
+    # guard guarantees <= 1 action per key, so compaction is a no-op:
+    # skip its window sort, rebuild the (already unique) change set
+    # from the guarded aggregate, and hand the kernel its key set
+    changes_unique = guarded.select(
+        *[
+            (F.col(c) if c in keys else F.col(f"__row.{c}").alias(c))
+            for c in changes.columns
+        ]
+    )
+    new_state = mg.apply_changes(
+        target, changes_unique, keys, compact=False, touched=guarded.select(*keys)
+    )
+    # affected counts, lazily, THROUGH the guard (collecting only the
+    # counts of a duplicate-key merge must raise too)
+    affected = (
+        guarded.agg(
+            F.coalesce(F.sum("__ndel"), F.lit(0)).alias("d"),
+            F.coalesce(F.sum(F.col("__n") - F.col("__ndel")), F.lit(0)).alias("u"),
+        )
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("delete").alias("op"), F.col("d").cast("long").alias("n")),
+                    F.struct(F.lit("upsert").alias("op"), F.col("u").cast("long").alias("n")),
+                )
+            ).alias("r")
+        )
+        .select("r.op", "r.n")
+        .filter(F.col("op").isin(arm_names))
+        .orderBy("op")
+    )
     return affected, new_state
 
 

@@ -112,9 +112,13 @@ def cosine_topk_kernel(
     kernel orders by the same IEEE double cosine with the same
     neighbor-id tiebreak, so only ≤ k·|queries| rows per batch cross
     Arrow — at 10⁹ corpus vectors the output is k·|queries| per
-    partition, never corpus-sized. Zero-norm corpus vectors are
-    excluded (the baseline ranks their NaN cosines nondeterministically
-    — junk either way; fixture corpora have none)."""
+    partition, never corpus-sized. Zero-norm vectors are excluded on
+    BOTH sides by the kernel's finite-cosine filter (the baseline
+    ranks a zero-norm corpus vector's NaN cosine
+    nondeterministically, and emits NULL-cosine rows ranked last for
+    a zero-norm QUERY or when fewer than k finite candidates exist —
+    junk either way, but outputs diverge there; fixture corpora and
+    queries have no zero-norm vectors)."""
     import pandas as pd
     from pyspark.sql.window import Window as _W
 

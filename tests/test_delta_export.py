@@ -570,19 +570,59 @@ def _delta_reader():
         return None
 
 
+def _fold_log_jarfree(dl: str) -> list[str]:
+    """An INDEPENDENT (test-local) implementation of the public Delta
+    log fold — deliberately NOT sync_spark.sources.delta_export
+    .replay_log, so conformance isn't the exporter checking itself:
+    seed the active-file set from the `_last_checkpoint` parquet's
+    add rows if one exists (checkpoint remove rows are expired-file
+    tombstones, not state), then apply each JSON commit above it in
+    version order, add = activate path / remove = deactivate path,
+    last action per path wins. Uses only json/os/pyarrow."""
+    import pyarrow.parquet as _pq
+
+    log = os.path.join(dl, "_delta_log")
+    active: dict[str, bool] = {}
+    start = 0
+    lc = os.path.join(log, "_last_checkpoint")
+    if os.path.exists(lc):
+        info = json.load(open(lc))
+        cp = os.path.join(log, f"{info['version']:020d}.checkpoint.parquet")
+        for r in _pq.read_table(cp).to_pylist():
+            if r.get("add"):
+                active[r["add"]["path"]] = True
+        start = info["version"] + 1
+    v = start
+    while True:
+        cf = os.path.join(log, f"{v:020d}.json")
+        if not os.path.exists(cf):
+            break
+        with open(cf) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "add" in a:
+                    active[a["add"]["path"]] = True
+                elif "remove" in a:
+                    active.pop(a["remove"]["path"], None)
+        v += 1
+    assert v > start or active, "no commits found above the checkpoint"
+    return sorted(active)
+
+
 def test_independent_delta_readback(spark, tmp_path):
-    """Protocol conformance against a NON-sync_spark Delta
-    implementation: export, checkpoint, export again, then read the
-    table back with DuckDB-delta or delta-rs and diff against the
-    live store. Skipped (cleanly, with reason) when the container has
-    no independent reader — the in-container verification path remains
-    read_export's own log replay (tested above)."""
-    import pytest
+    """Protocol conformance WITHOUT the exporter's own reader in the
+    loop: export, checkpoint, export again, then resolve the active
+    file list independently and scan it with plain DuckDB
+    read_parquet, diffing against the live store. When the container
+    has a real third-party Delta reader (DuckDB delta extension /
+    delta-rs) that is the preferred probe; offline, the test-local
+    `_fold_log_jarfree` replay (checkpoint-parquet seed + JSON commit
+    fold) stands in — an independent implementation of the protocol,
+    so this asserts green either way (r7 verdict item 5; previously a
+    skip)."""
+    import duckdb
 
     reader = _delta_reader()
-    if reader is None:
-        pytest.skip("no independent Delta reader in container "
-                    "(duckdb delta extension and deltalake both unavailable)")
 
     from sync_spark.sources.delta_export import write_checkpoint
 
@@ -596,16 +636,37 @@ def test_independent_delta_readback(spark, tmp_path):
     export_delta(spark, tgt, dl)
 
     want = _state(spark, tgt)
-    kind, impl = reader
-    if kind == "duckdb":
-        got = {
+    if reader is not None:
+        kind, impl = reader
+        if kind == "duckdb":
+            got = {
+                (r[0], r[1])
+                for r in impl.execute(
+                    f"SELECT id, v FROM delta_scan('{dl}')"
+                ).fetchall()
+            }
+        else:
+            dt = impl.DeltaTable(dl)
+            pdf = dt.to_pyarrow_table().to_pandas()
+            got = {(int(r.id), r.v) for r in pdf.itertuples(index=False)}
+        assert got == want
+
+    # jar-free path: independent fold of the exported log, plain
+    # parquet scan of the resolved active files
+    files = _fold_log_jarfree(dl)
+    assert files, "log fold resolved no active files"
+    abs_files = [os.path.join(dl, p) for p in files]
+    assert all(os.path.isfile(p) for p in abs_files)
+    con = duckdb.connect()
+    try:
+        got2 = {
             (r[0], r[1])
-            for r in impl.execute(
-                f"SELECT id, v FROM delta_scan('{dl}')"
+            for r in con.execute(
+                "SELECT id, v FROM read_parquet(?)", [abs_files]
             ).fetchall()
         }
-    else:
-        dt = impl.DeltaTable(dl)
-        pdf = dt.to_pyarrow_table().to_pandas()
-        got = {(int(r.id), r.v) for r in pdf.itertuples(index=False)}
-    assert got == want
+    finally:
+        con.close()
+    assert got2 == want
+    # and the fold agrees with the exporter's own replay on the file set
+    assert set(files) == set(replay_log(dl)["files"])

@@ -126,8 +126,19 @@ def test_merge_null_condition_rows_fall_through_to_update(spark):
 
 def test_merge_ansi_restrictions(spark, frames):
     dup = frames["s"].unionByName(frames["s"])
+    # default: the guard is IN-PLAN (zero extra jobs) — it raises when
+    # the merge job actually runs, on the new-state AND the
+    # affected-counts frames alike
+    affected, new = run_merge_sql(FULL, resolve={"t": frames["t"], "s": dup}.__getitem__)
+    with pytest.raises(Exception, match="duplicate keys"):
+        new.collect()
+    with pytest.raises(Exception, match="duplicate keys"):
+        affected.collect()
+    # eager mode: fail-fast driver-side ValueError at statement time
     with pytest.raises(ValueError, match="duplicate keys"):
-        run_merge_sql(FULL, resolve={"t": frames["t"], "s": dup}.__getitem__)
+        run_merge_sql(
+            FULL, resolve={"t": frames["t"], "s": dup}.__getitem__, eager_guard=True
+        )
     slim = frames["s"].drop("n")
     with pytest.raises(ValueError, match="missing target columns"):
         run_merge_sql(FULL, resolve={"t": frames["t"], "s": slim}.__getitem__)
@@ -137,6 +148,42 @@ def test_merge_ansi_restrictions(spark, frames):
     )
     with pytest.raises(ValueError, match="SOURCE row only"):
         run_merge_sql(q, resolve=frames.__getitem__)
+
+
+def test_merge_dup_keys_with_at_most_one_action_are_allowed(spark):
+    """The guard's real invariant (ADVICE r7): raise iff a key yields
+    >= 2 change ACTIONS. Duplicate source keys whose extra rows
+    produce no action are deterministic and must NOT raise — pinned
+    here for the insert-only-with-matched-dups case (matched rows
+    yield zero actions) and the conditional-DELETE-no-UPDATE case
+    (rows failing the condition fall out of the only arm)."""
+    tgt = spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")])
+    # id=1 duplicated but MATCHED under insert-only → 0 actions each
+    src = spark.createDataFrame(
+        [Row(id=1, v="x"), Row(id=1, v="y"), Row(id=3, v="c")]
+    )
+    ins = "MERGE INTO t USING s ON t.id = s.id WHEN NOT MATCHED THEN INSERT *"
+    affected, new = run_merge_sql(ins, resolve={"t": tgt, "s": src}.__getitem__)
+    assert sorted(map(tuple, affected.collect())) == [("upsert", 1)]
+    assert sorted((r.id, r.v) for r in new.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    # conditional DELETE, no UPDATE arm: only ONE dup row passes the
+    # condition → 1 action → allowed, deterministic
+    src2 = spark.createDataFrame(
+        [Row(id=1, v="x", dead=True), Row(id=1, v="y", dead=False)]
+    )
+    q = "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED AND s.dead = true THEN DELETE"
+    affected, new = run_merge_sql(q, resolve={"t": tgt, "s": src2}.__getitem__)
+    assert sorted(map(tuple, affected.collect())) == [("delete", 1)]
+    assert sorted(r.id for r in new.collect()) == [2]
+    # ...but BOTH dups passing the condition = 2 delete actions → raise
+    src3 = spark.createDataFrame(
+        [Row(id=1, v="x", dead=True), Row(id=1, v="y", dead=True)]
+    )
+    _, new = run_merge_sql(q, resolve={"t": tgt, "s": src3}.__getitem__)
+    with pytest.raises(Exception, match="duplicate keys"):
+        new.collect()
 
 
 def test_merge_delete_arm_never_touches_not_matched_rows(spark):

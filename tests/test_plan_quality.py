@@ -387,3 +387,61 @@ def test_pt_merge_into_no_global_sort(spark, sf_small):
     plan = plan_of(pt.pt_merge_into(spark, sf_small))
     assert not re.search(r"Sort \[[^\]]*\], true, ", plan), plan[:800]
     assert "rangepartitioning" not in plan, plan[:800]
+
+
+def test_fuzzy_match_no_window_no_probe_sort(spark, sf_small):
+    """f_fuzzy_match (r8): the per-probe argmin is a hash aggregate
+    (min over struct(dist, name) — map-side partial combine), NEVER a
+    row_number window over partitionBy(probe): with a handful of
+    probes that window funnelled every scored probe×corpus row into
+    |probes| reducer tasks for a full sort — the canonical skew
+    scale-killer. The only Sort allowed is the final orderBy on the
+    ≤|probes|-row result."""
+    from sync_spark.operators import function_queries as fq
+
+    plan = plan_of(fq.f_fuzzy_match(spark, sf_small))
+    assert "Window" not in plan, plan[:800]
+    assert "row_number" not in plan, plan[:800]
+    # string-carrying argmins plan SortAggregate (var-length buffers
+    # can't live in the hash-agg UnsafeRow map) — still partial
+    # map-side with per-task LOCAL sorts, the correct distributed
+    # shape; what must never appear is the probe-partitioned Window
+    assert "SortAggregate" in plan or "HashAggregate" in plan
+    # the length-band prune reaches the scored rows (banded
+    # levenshtein + abs(length diff) filter)
+    assert "levenshtein" in plan and "length" in plan
+    # partial (map-side) aggregation happens before any exchange
+    assert "partial_min" in plan, plan[:1200]
+
+
+def test_counter_daily_reset_one_aggregate_no_window(spark, sf_small):
+    """a_counter_daily_reset (r8): the end-of-day readout is ONE hash
+    aggregate (count/sum/max_by) — the r7 per-event running trace
+    (two windows sorting each day's events in a single reducer, then
+    rn == 1) was discarded work. No Window, no sort below the final
+    presentation orderBy."""
+    plan = plan_of(bq.a_counter_daily_reset(spark, sf_small))
+    assert "Window" not in plan, plan[:800]
+    assert "row_number" not in plan, plan[:800]
+    # max_by carries a string → SortAggregate (see fuzzy-match guard);
+    # the partial_* functions prove map-side combine
+    assert "max_by" in plan and "partial_" in plan, plan[:1200]
+
+
+def test_merge_statement_zero_extra_jobs_shape(spark, sf_small):
+    """run_merge_sql (r8): the duplicate-key guard rides the merge's
+    own touched-keys aggregate — in the PLAN (assert_true above a
+    HashAggregate), not as an eager driver-side job; the arms compile
+    into ONE broadcast join (no per-arm semi/anti Union of
+    specialized builds), and nothing sorts."""
+    from sync_spark.operators import passthrough as pt
+
+    df = pt.pt_merge_into(spark, sf_small)
+    plan = plan_of(df)
+    assert "raise_error" in plan, plan[:800]  # in-plan guard present
+    assert "Window" not in plan
+    # the target-keys broadcast prints under both consumers of the
+    # guarded aggregate (AQE reuses it at runtime) plus the touched
+    # broadcast — but never the four per-arm specialized builds the
+    # r7 semi/anti Union compiled to
+    assert plan.count("BroadcastExchange") <= 3, plan[:1500]
