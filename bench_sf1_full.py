@@ -1,0 +1,232 @@
+#!/usr/bin/env python
+"""BENCH_sf1_full.json producer: the ENTIRE registry measured at 10×
+scale (r7 verdict item 1 — the sf0.1 >2× ratios needed separating
+into scheduler-floor artifacts vs real plan costs; the 12-query
+watchlist answered it for the dedup/ANN family, this answers it for
+everything else: q16/q18, j_merge_upsert, t_mixture_sample, ...).
+
+Data: /tmp/sf1 as a key-shifted 10× replication of sf0.1 — ALL ten
+tables (bench_sf1.py's generator covered only events/documents/
+embeddings); foreign keys shift together (o_custkey with c_custkey,
+l_partkey with p_partkey, ...) so join selectivity per replica is
+preserved, and the fixed-size dimension tables (nation, region) copy
+verbatim exactly as TPC-H itself scales them.
+
+Method mirrors bench.py: per query a 3-run Spark median (count()),
+cache cleared between runs, q1 canary probes bracketing the suite
+with a degraded flag; DuckDB runs the same oracle SQL on the same
+parquet with a 120s interrupt cap (a capped oracle IS the datapoint —
+the naive quadratic forms blowing up at scale while the banded/
+bucketed Spark plans stay flat). chk_* gates are skipped as in
+bench.py (each re-runs an operator benchmarked under its own name).
+Spark queries whose first run exceeds SPARK_SINGLE_RUN_S record that
+single run instead of a 3-run median (bounds the suite's wall-clock;
+marked in the row).
+
+Usage:
+    python bench_sf1_full.py [--out BENCH_sf1_full.json] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+DUCKDB_CAP_S = 120.0
+SPARK_SINGLE_RUN_S = 60.0
+SHIFT = 10_000_000
+
+# key columns that shift by replica * SHIFT; tables absent here copy
+# verbatim (fixed-size dimensions, like TPC-H's nation/region)
+SHIFT_KEYS = {
+    "customer": {"c_custkey"},
+    "orders": {"o_orderkey", "o_custkey"},
+    "lineitem": {"l_orderkey", "l_partkey", "l_suppkey"},
+    "part": {"p_partkey"},
+    "supplier": {"s_suppkey"},
+    "events": {"event_id", "user_id"},
+    "documents": {"doc_id"},
+    "embeddings": {"vec_id"},
+}
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def generate(src: str, out_dir: str, factor: int) -> None:
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    for table in TABLES:
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        if os.path.exists(dst):
+            continue
+        src_pq = f"read_parquet('{src}/{table}.parquet')"
+        keys = SHIFT_KEYS.get(table)
+        if not keys:
+            con.execute(f"COPY (SELECT * FROM {src_pq}) TO '{dst}' (FORMAT PARQUET)")
+            continue
+        cols = [
+            r[0]
+            for r in con.execute(f"DESCRIBE SELECT * FROM {src_pq}").fetchall()
+        ]
+        sel = ", ".join(
+            f"CAST({c} + k.k * {SHIFT} AS BIGINT) AS {c}" if c in keys else c
+            for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {sel} FROM {src_pq}, "
+            f"(SELECT unnest(range({factor})) AS k) k) "
+            f"TO '{dst}' (FORMAT PARQUET)"
+        )
+        print(f"# generated {dst}", file=sys.stderr)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dir", default="/tmp/sf1")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--only", default=None, help="comma-separated query subset")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from sync_spark.registry import all_queries
+    from sync_spark.session import get_spark
+
+    generate(args.src, args.dir, args.factor)
+
+    spark = get_spark("sync_spark_bench_sf1_full")
+    specs = {
+        n: s for n, s in sorted(all_queries().items()) if not n.startswith("chk_")
+    }
+    if args.only:
+        wanted = set(args.only.split(","))
+        specs = {n: s for n, s in specs.items() if n in wanted}
+
+    # session warm-up: JVM, parquet footers, Python worker pool
+    specs["q1_pricing_summary"].spark_fn(spark, args.dir).count()
+    spark.range(32).repartition(32).mapInArrow(lambda it: it, "id long").count()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.dir}/{t}.parquet')"
+        )
+
+    def duckdb_capped(sql: str) -> float | None:
+        """One capped oracle run (interrupt near DUCKDB_CAP_S); only a
+        near-cap exception records as capped — a fast failure is a
+        broken oracle and re-raises (ADVICE r7)."""
+        import threading
+
+        timer = threading.Timer(DUCKDB_CAP_S, con.interrupt)
+        timer.start()
+        t0 = time.perf_counter()
+        try:
+            con.execute(sql).fetchall()
+            return round(time.perf_counter() - t0, 3)
+        except Exception:
+            if time.perf_counter() - t0 >= DUCKDB_CAP_S * 0.9:
+                return None
+            raise
+        finally:
+            timer.cancel()
+
+    def canary() -> float:
+        spec = specs["q1_pricing_summary"]
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spec.spark_fn(spark, args.dir).count()
+            runs.append(time.perf_counter() - t0)
+        return sorted(runs)[1]
+
+    canary_before = canary() if "q1_pricing_summary" in specs else None
+
+    out: dict = {
+        "metric": "sync_spark_full_registry_sf1",
+        "sf": 0.1 * args.factor,
+        "note": f"{args.factor}x key-shifted replication of sf0.1 (all 10 tables, "
+        "FKs shifted together); Spark 3-run count() medians, DuckDB oracle "
+        f"medians with a {DUCKDB_CAP_S:.0f}s interrupt cap",
+        "queries": {},
+    }
+    for name, spec in specs.items():
+        # warm codegen once, then timed runs
+        spec.spark_fn(spark, args.dir).count()
+        spark.catalog.clearCache()
+        sruns, rows = [], None
+        for attempt in range(3):
+            t0 = time.perf_counter()
+            rows = spec.spark_fn(spark, args.dir).count()
+            sruns.append(round(time.perf_counter() - t0, 3))
+            spark.catalog.clearCache()
+            if attempt == 0 and sruns[0] > SPARK_SINGLE_RUN_S:
+                break
+        s = sorted(sruns)[len(sruns) // 2]
+        entry: dict = {"spark_sec": s, "rows": rows, "spark_runs": sruns}
+        if len(sruns) == 1:
+            entry["single_run"] = True
+        if spec.oracle is not None:
+            first = duckdb_capped(spec.oracle)
+            if first is None:
+                entry.update(
+                    {"duckdb_sec": None, "capped": True, "duckdb_cap_s": DUCKDB_CAP_S}
+                )
+                print(f"# {name}: spark {s}s duckdb >cap({DUCKDB_CAP_S:.0f}s)",
+                      file=sys.stderr)
+            else:
+                druns = [first]
+                if first <= SPARK_SINGLE_RUN_S:
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        con.execute(spec.oracle).fetchall()
+                        druns.append(round(time.perf_counter() - t0, 3))
+                d = sorted(druns)[len(druns) // 2]
+                entry.update({"duckdb_sec": d, "ratio": round(s / d, 2),
+                              "duckdb_runs": druns})
+                print(f"# {name}: spark {s}s duckdb {d}s ratio {round(s / d, 2)}",
+                      file=sys.stderr)
+        else:
+            entry["duckdb_sec"] = None
+            print(f"# {name}: spark {s}s (no oracle)", file=sys.stderr)
+        out["queries"][name] = entry
+
+    canary_after = canary() if canary_before is not None else None
+    degraded = bool(
+        canary_before is not None and canary_after > 1.25 * canary_before
+    )
+    out["canary"] = {
+        "query": "q1_pricing_summary",
+        "before": round(canary_before, 4) if canary_before is not None else None,
+        "after": round(canary_after, 4) if canary_after is not None else None,
+    }
+    out["degraded"] = degraded
+    out["value"] = round(sum(v["spark_sec"] for v in out["queries"].values()), 3)
+    out["unit"] = "sec"
+    if degraded:
+        print(
+            f"# CANARY: degraded box draw (before={canary_before:.3f}s "
+            f"after={canary_after:.3f}s) — re-run before committing",
+            file=sys.stderr,
+        )
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

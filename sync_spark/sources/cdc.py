@@ -108,15 +108,112 @@ def read_event_log(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_event_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    format: str = "files",
+    kafka_options: dict[str, str] | None = None,
 ) -> DataFrame:
-    """Streaming view (T1/T2: trigger sizing via maxFilesPerTrigger —
-    the analog of the reference's 100-events-or-2s / ≤256MB smart
-    batches)."""
+    """Streaming view of the change envelope.
+
+    ``format="files"`` (default): JSONL directory source; trigger
+    sizing via maxFilesPerTrigger (T1/T2 — the analog of the
+    reference's 100-events-or-2s / ≤256MB smart batches).
+
+    ``format="kafka"``: ``path`` is the TOPIC; the raw Kafka frame is
+    mapped onto the same envelope by :func:`kafka_envelope` (seq =
+    offset). This is the Debezium/connector wire path — the reference
+    tails live change feeds over the network
+    (mongodb.go:527-610 change-stream watcher; cited for parity, not
+    ported) where this engine subscribes to the topic those
+    connectors publish. Requires the spark-sql-kafka package on the
+    session's classpath; ``kafka_options`` must carry at least
+    ``kafka.bootstrap.servers``. Downstream (projection, compaction,
+    merge) is IDENTICAL — the contract test pins that both transports
+    produce the same envelope schema and the same compaction result.
+    """
+    if format == "kafka":
+        opts = dict(kafka_options or {})
+        if "kafka.bootstrap.servers" not in opts:
+            raise ValueError(
+                "format='kafka' needs kafka_options={'kafka.bootstrap.servers': ...}"
+            )
+        reader = spark.readStream.format("kafka").option("subscribe", path)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return kafka_envelope(reader.load())
+    if format != "files":
+        raise ValueError(f"unknown event-stream format {format!r}")
     reader = spark.readStream.schema(ENVELOPE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.json(path)
+
+
+# The Spark Kafka source's fixed output schema (public contract of
+# spark-sql-kafka): what kafka_envelope consumes. Kept as a constant
+# so the offline contract test can synthesize raw frames without a
+# broker or the connector jar.
+KAFKA_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.BinaryType(), True),
+        T.StructField("value", T.BinaryType(), True),
+        T.StructField("topic", T.StringType(), True),
+        T.StructField("partition", T.IntegerType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("timestamp", T.TimestampType(), True),
+        T.StructField("timestampType", T.IntegerType(), True),
+    ]
+)
+
+# envelope payload carried in the Kafka message VALUE: the file
+# envelope minus seq (the broker's offset supplies ordering)
+_KAFKA_VALUE_SCHEMA = T.StructType(
+    [f for f in ENVELOPE_SCHEMA.fields if f.name != "seq"]
+)
+
+
+def kafka_envelope(raw: DataFrame) -> DataFrame:
+    """Map a Kafka-source frame (KAFKA_RAW_SCHEMA) onto the canonical
+    change envelope — the wire-transport twin of the JSONL file
+    source, so every downstream stage (changes_for_table, compaction,
+    apply_changes, the full pipeline) is transport-agnostic.
+
+    Contract (what a Debezium-style producer must do, and why the
+    mapping is exact):
+
+    - ``seq = offset``: Kafka guarantees offsets are monotonic PER
+      PARTITION, and a CDC producer keys messages by document/row key
+      (Debezium does), so every key's events share a partition and
+      ``seq`` is monotonic per key — precisely the property
+      ``compact_latest_per_key`` needs (last-wins by seq). Global
+      cross-key ordering is neither provided nor required (the file
+      source's global seq is stronger than the merge contract).
+    - ``value`` is the JSON envelope payload (op/ts/source_table/
+      key_json/after_json/before_key_json/secured); ``key_json``
+      falls back to the MESSAGE KEY when the payload omits it (the
+      Debezium layout: key struct rides the message key).
+    - ``ts`` falls back to the broker timestamp when the payload
+      carries none.
+
+    Works identically on a batch frame of the same shape — which is
+    how the offline contract test drives it without a broker."""
+    payload = F.from_json(F.col("value").cast("string"), _KAFKA_VALUE_SCHEMA)
+    cols = []
+    for f_ in ENVELOPE_SCHEMA.fields:
+        if f_.name == "seq":
+            cols.append(F.col("offset").cast("long").alias("seq"))
+        elif f_.name == "key_json":
+            cols.append(
+                F.coalesce(
+                    payload["key_json"], F.col("key").cast("string")
+                ).alias("key_json")
+            )
+        elif f_.name == "ts":
+            cols.append(F.coalesce(payload["ts"], F.col("timestamp")).alias("ts"))
+        else:
+            cols.append(payload[f_.name].alias(f_.name))
+    return raw.select(*cols)
 
 
 def pk_changed_pred(
