@@ -162,16 +162,31 @@ def main() -> None:
         f"medians with a {DUCKDB_CAP_S:.0f}s interrupt cap",
         "queries": {},
     }
+    def drop_leftover_blocks() -> None:
+        """Unpersist any persistent RDDs left by the previous query
+        (connected-components localCheckpoints etc.): accumulated
+        block-manager state measured d_dedup_clusters at 66s inside a
+        15-query-old session vs 19s fresh — queries must be timed
+        isolated, like bench.py's clearCache but for RDD blocks."""
+        import gc
+
+        gc.collect()  # drop py4j refs so the JVM side is releasable
+        jsc = spark.sparkContext._jsc
+        for rdd in jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     for name, spec in specs.items():
         # warm codegen once, then timed runs
         spec.spark_fn(spark, args.dir).count()
         spark.catalog.clearCache()
+        drop_leftover_blocks()
         sruns, rows = [], None
         for attempt in range(3):
             t0 = time.perf_counter()
             rows = spec.spark_fn(spark, args.dir).count()
             sruns.append(round(time.perf_counter() - t0, 3))
             spark.catalog.clearCache()
+            drop_leftover_blocks()
             if attempt == 0 and sruns[0] > SPARK_SINGLE_RUN_S:
                 break
         s = sorted(sruns)[len(sruns) // 2]

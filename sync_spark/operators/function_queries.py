@@ -284,29 +284,44 @@ def f_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     returning a silently unpruned-different answer), and the banded
     3-arg ``levenshtein(l, r, threshold)`` caps the DP cost per
     comparison at O(len·band) instead of O(len²)."""
+    from sync_spark.operators import dedup
     from sync_spark.operators.relational import _t
 
     c = _t(spark, sf_dir, "customer").select("c_name")
-    probes = spark.createDataFrame([(p,) for p in _FUZZY_PROBES], "probe string")
+    # kernel spread (same guard as every compute kernel here): a
+    # single-file corpus arrives as 1-2 splits — 5·|corpus|
+    # levenshteins would run on one core (measured 2.8s single-task
+    # vs 0.3s spread at sf1)
+    w = dedup.kernel_spread_width_from_files(spark, sf_dir, "customer")
+    if w:
+        c = c.repartition(w)
     band = F.lit(_FUZZY_BAND)
-    scored = (
-        F.broadcast(probes)
-        .crossJoin(c)
-        .filter(F.abs(F.length("probe") - F.length("c_name")) <= band)
-        .select(
-            "probe",
-            "c_name",
-            F.levenshtein("probe", "c_name", _FUZZY_BAND).alias("dist"),
-        )
-        # banded levenshtein returns -1 for distances beyond the band:
-        # those candidates cannot beat an in-band winner (see assert)
-        .filter(F.col("dist") >= 0)
+    # probes ride as a LITERAL array exploded per corpus row — no
+    # probes frame, no broadcast, no BroadcastNestedLoopJoin (its
+    # per-pair interpreted condition and the vanished-probe join-back
+    # both measured as pure overhead). Out-of-band candidates (the
+    # banded levenshtein returns -1, short-circuiting before any DP
+    # work when |len(a)-len(b)| > band) become a can't-win SENTINEL,
+    # not a filtered row — a `dist >= 0` filter collapses into a join
+    # condition and re-computes the levenshtein (measured 2× kernel
+    # cost; same re-evaluation family as dedup.py:398-410) — so every
+    # probe reaches the aggregate unconditionally and can never
+    # silently vanish; codegen CSE keeps the CASE's two references to
+    # one evaluation.
+    lev = F.levenshtein("probe", "c_name", _FUZZY_BAND)
+    scored = c.select(
+        F.explode(F.array(*[F.lit(p) for p in _FUZZY_PROBES])).alias("probe"),
+        "c_name",
+    ).select(
+        "probe",
+        F.when(lev >= 0, lev).otherwise(F.lit(2147483647)).alias("dist"),
+        "c_name",
     )
     best = scored.groupBy("probe").agg(
         F.min(F.struct(F.col("dist"), F.col("c_name"))).alias("best")
     )
     guard = F.assert_true(
-        F.col("best").isNotNull() & (F.col("best.dist") <= band),
+        F.col("best.dist") <= band,
         F.concat(
             F.lit("f_fuzzy_match: no candidate within the length band for probe "),
             F.col("probe"),
@@ -314,12 +329,7 @@ def f_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        # left join back onto the probes so a fully-pruned probe trips
-        # the assert instead of silently vanishing; best (≤|probes|
-        # rows) is the broadcast side (a left join can only broadcast
-        # its non-preserved side)
-        probes.join(F.broadcast(best), "probe", "left")
-        .filter(guard.isNull())
+        best.filter(guard.isNull())
         .select(
             "probe",
             F.col("best.c_name").alias("best_match"),

@@ -12,8 +12,10 @@ Reference semantics (cited for parity, not ported):
 - null-safe all-column matching for keyless deletes
   (postgresql.go:933-965) maps to ``eqNullSafe``.
 
-Spark-first design: compaction is a window row_number (one shuffle on
-the key), then the merge is two hash anti-joins + a union — all
+Spark-first design: compaction is a per-key argmax aggregate (one
+shuffle on the key, partial map-side combine — see
+compact_latest_per_key), then the merge is two hash anti-joins + a
+union — all
 Catalyst-planned, broadcast-able when the change set is small (AQE
 decides), and idempotent: re-applying the same compacted batch yields
 the same target, which is what makes foreachBatch restart-safe.
@@ -25,7 +27,6 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 OP_COL = "op"
 SEQ_COL = "seq"
@@ -34,19 +35,40 @@ DELETE_OP = "delete"
 
 def compact_latest_per_key(changes: DataFrame, keys: Sequence[str], seq_col: str = SEQ_COL) -> DataFrame:
     """Keep only the last change per key (W2). Deterministic given a
-    monotonic seq; ties broken by op so a delete at the same seq wins
-    (mirrors log order where delete follows the write).
+    monotonic seq; ties broken by op ASCENDING so a delete at the same
+    seq wins (mirrors log order where delete follows the write).
+
+    Shape (r8): a per-key ``min_by(struct(<non-key cols>),
+    struct(-seq, op))`` aggregate — identical semantics to the former
+    ``row_number() OVER (ORDER BY seq DESC, op ASC) = 1`` window
+    (min of -seq = max seq; ties fall to lexicographic-min op, exact
+    for ARBITRARY op strings), but partial-aggregatable: each map
+    task emits one row per key it saw instead of shuffling every
+    change row into a per-key sort — the difference between O(batch)
+    map-side combine and a full window sort on the hot path every
+    CDC batch pays. (String-carrying argmins plan SortAggregate —
+    per-task LOCAL sorts — because var-length aggregate buffers can't
+    live in the hash-agg UnsafeRow map; still partial, still no
+    global sort.)
 
     CONTRACT: the envelope producer must assign DISTINCT seq values to
     the delete+insert pair a REPLACE expands into (ours does — seq is
     per-event, not per-binlog-position). If a producer reused one seq
     for such a pair, this tie-break would keep the delete and drop the
     re-inserted row."""
-    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc(), F.col(OP_COL).asc())
+    non_keys = [c for c in changes.columns if c not in keys]
+    if not non_keys:
+        return changes.dropDuplicates(list(keys))
+    order = F.struct((-F.col(seq_col)).alias("s"), F.col(OP_COL).alias("o"))
     return (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        changes.groupBy(*keys)
+        .agg(F.min_by(F.struct(*non_keys), order).alias("__r"))
+        .select(
+            *[
+                (F.col(c) if c in keys else F.col("__r").getField(c).alias(c))
+                for c in changes.columns
+            ]
+        )
     )
 
 

@@ -378,8 +378,8 @@ def test_pt_merge_into_no_global_sort(spark, sf_small):
     """pt_merge_into returns the post-merge state UNSORTED (the
     harness canonical-sorts before hashing): no GLOBAL sort — at
     100 TB a global range sort on the merged state is pure waste.
-    (Partition-local sorts under the merge kernel's ROW_NUMBER window
-    are inherent to last-writer-wins and stay.)"""
+    (Partition-LOCAL sorts under the compaction/guard SortAggregate
+    are inherent to string-carrying argmins and stay.)"""
     import re
 
     from sync_spark.operators import passthrough as pt
@@ -407,9 +407,11 @@ def test_fuzzy_match_no_window_no_probe_sort(spark, sf_small):
     # map-side with per-task LOCAL sorts, the correct distributed
     # shape; what must never appear is the probe-partitioned Window
     assert "SortAggregate" in plan or "HashAggregate" in plan
-    # the length-band prune reaches the scored rows (banded
-    # levenshtein + abs(length diff) filter)
-    assert "levenshtein" in plan and "length" in plan
+    # the banded levenshtein (its threshold IS the length prune —
+    # short-circuits on |len diff| > band) runs exactly once per pair:
+    # in the projection, never duplicated into a join condition
+    assert "Join" not in plan, plan[:1200]
+    assert "levenshtein" in plan
     # partial (map-side) aggregation happens before any exchange
     assert "partial_min" in plan, plan[:1200]
 
