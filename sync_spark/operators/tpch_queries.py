@@ -58,9 +58,17 @@ LIMIT 10
 
 
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q10: top-20 customers by revenue lost to returns."""
+    """Q10: top-20 customers by revenue lost to returns.
+
+    The lineitem⋈orders leg is hinted sort-merge (r8): orders is a
+    FACT, not a dim — unfiltered here, it rides just under the
+    broadcast threshold at bench scale, and AQE's broadcast pick
+    serializes a millions-of-rows hash-relation build on one thread
+    (interleaved A/B at sf1: 2.10s broadcast vs 1.77s SMJ). At 100 TB
+    orders can never broadcast, so the hint pins the plan the cluster
+    would run anyway. customer/nation stay broadcast dims."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").hint("merge")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
     revenue = F.sum(
@@ -266,21 +274,32 @@ def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q4 analog (no commitdate/receiptdate in the fixture — 'late'
     means a lineitem shipping > 30 days after the order date): per
     priority, count of Q3-1997 orders with at least one late
-    lineitem. EXISTS compiles to a LEFT SEMI join — one pass, no
-    duplicate-order inflation."""
+    lineitem.
+
+    Shape (r8): EXISTS as inner-join + per-order dedup, NOT a left
+    semi join. Spark's BroadcastHashJoin can only build the RIGHT
+    side of a LEFT SEMI, which here is the 6M-row fact — a
+    single-threaded 100+ MB hash-relation build per run (3.0s at
+    sf1). Flipping to `fact ⋈ broadcast(filtered orders)` probes the
+    tiny quarter of orders instead, and the per-order distinct is a
+    partial-aggregatable hash agg (0.40s at sf1, 7.5×). At 100 TB a
+    too-big quarter falls back to SMJ via AQE — still never a
+    fact-side build."""
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    late = o.join(
-        li,
+    late = li.join(
+        F.broadcast(o),
         (o.o_orderkey == li.l_orderkey)
         & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
-        "left_semi",
+        "inner",
     )
     return (
-        late.groupBy("o_orderpriority")
+        late.select("o_orderkey", "o_orderpriority")
+        .distinct()
+        .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
         .orderBy("o_orderpriority")
     )
@@ -779,38 +798,53 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONLY returned-flag lineitems came from this supplier): suppliers
     of one nation counted over multi-supplier F-status orders where
     they shipped a returned item (EXISTS another supplier in the
-    order) and no OTHER supplier did (NOT EXISTS). The classic
-    double-correlated EXISTS/NOT-EXISTS → semi + anti join pair."""
+    order) and no OTHER supplier did (NOT EXISTS).
+
+    Shape (r8): the double-correlated EXISTS/NOT-EXISTS decorrelates
+    into ONE per-order aggregate instead of a semi + anti join pair —
+    those joins' build sides were lineitem-scale (a single-threaded
+    6M-row broadcast hash build each at sf1; 3.1s), where the
+    aggregate is partial map-side (1.7s). The correlations become
+    min/max algebra, deliberately NOT countDistinct (two distinct
+    aggs in one pass plan an Expand that doubles the scanned rows —
+    measured 4.7s, slower than the joins they replaced):
+    ≥2 distinct suppliers ⟺ min(suppkey) ≠ max(suppkey); exactly one
+    distinct returning supplier ⟺ min(R-suppkey) = max(R-suppkey)
+    non-null, and that value IS the blamed supplier; numwait counts
+    that supplier's returned lineitems per order (sum over orders),
+    exactly the rows the l1-grain form counted."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey"
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
-    l1 = (
-        li.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .join(o, F.col("l_orderkey") == o.o_orderkey, "left_semi")
+    r_supp = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("mn"),
+            F.max("l_suppkey").alias("mx"),
+            F.min(r_supp).alias("mnr"),
+            F.max(r_supp).alias("mxr"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+                "nitems"
+            ),
+        )
+        .filter(
+            F.col("mnr").isNotNull()
+            & (F.col("mnr") == F.col("mxr"))
+            & (F.col("mn") != F.col("mx"))
+        )
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    )
-    l3 = li.filter(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
-    )
-    cand = l1.join(
-        l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
-        "left_semi",
-    )
-    blamed = cand.join(
-        l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
-        "left_anti",
+    blamed = per_order.join(
+        F.broadcast(o), per_order.l_orderkey == o.o_orderkey, "left_semi"
     )
     return (
-        blamed.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        blamed.join(F.broadcast(s), F.col("mnr") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey, "left_semi")
         .groupBy("s_suppkey", "s_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .agg(F.sum("nitems").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(20)
     )
