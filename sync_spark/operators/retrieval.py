@@ -1,0 +1,283 @@
+"""Lexical retrieval + RAG chunking over the documents corpus — the
+two training-data-pipeline surfaces the engine lacked (round 8):
+
+- ``t_bm25_topk``: BM25 top-k document retrieval for a bounded literal
+  query set (the sparse/lexical complement to the dense ``e_cosine_*``
+  / ANN family — a curation pipeline mines "docs about X" with BM25
+  long before an embedding model exists for the domain).
+- ``t_chunk_docs``: fixed-size overlapping token-window chunking with
+  stable offsets and a per-chunk fingerprint — the doc→passage
+  explosion every RAG / long-context training pipeline runs first.
+
+Reference scope note: the reference engine (retail-ai-inc/sync) has no
+retrieval surface; these extend the LLM-pipeline family the brief
+mandates beyond reference parity, sharing the corpus-kernel discipline
+of text_queries.py (staged CTE projections, spread hints, integer
+scoring for bit-exact oracles).
+
+Scoring is the Robertson/Sparck-Jones BM25 (k1 = 1.2, b = 0.75)
+re-expressed in exact BIGINT arithmetic so Spark and DuckDB produce
+bit-identical scores (the repo-wide log-free discipline — ln() is at
+the mercy of each engine's libm, floor division is not):
+
+    idf_e4  = ((2N - 2df + 1) * 10^4) DIV (2df + 1)
+        -- the +0.5-smoothed IDF ratio (N - df + .5)/(df + .5) with
+        -- numerator and denominator doubled to stay integral, scaled
+        -- 1e4 and floored; monotone in the true IDF.
+    tfc_e4  = (44·L·tf · 10^4) DIV (20·L·tf + 6·L + 18·dl·N)
+        -- tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)) with
+        -- avgdl = L/N multiplied through by 20·L: k1 = 6/5 and
+        -- b = 3/4 make every coefficient integral (44 = 20·11/5).
+    score_e4 = Σ_t (idf_e4 · tfc_e4) DIV 10^4   over query terms
+
+Overflow bounds (documented, not incidental): with corpus token count
+L and tf ≤ dl, the largest intermediate is 44·L·tf·10^4 — at L = 2.7e9
+tokens (sf1000 of this fixture) and tf = 500 that is ~5.9e17 < 2^63;
+the idf·tfc product is bounded by (2N+1)·10^4 · 2.2·10^4 ≈ 2.2e16 at
+N = 5e7. Both engines overflow at the same inputs if ever exceeded
+(DuckDB raises; Spark would need ANSI mode to match — the bound says
+neither happens below ~10^3 × this fixture).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sync_spark.operators import dedup
+from sync_spark.operators.relational import _t
+
+# bounded literal query set (terms drawn from the fixture vocabulary);
+# BOUNDED is load-bearing: terms ride the plan as literals, so tf is
+# an in-row array filter and df is a handful of conditional sums — no
+# vocabulary-grain state anywhere.
+BM25_QUERIES: list[tuple[int, list[str]]] = [
+    (0, ["spark", "join", "window"]),
+    (1, ["hash", "merge", "filter"]),
+    (2, ["customer", "order", "value"]),
+]
+BM25_K = 10
+
+_SPARK_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN array() "
+    "ELSE split(trim(text), '\\\\s+') END"
+)
+_DUCK_TOKS = (
+    "CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END"
+)
+
+
+def _contrib(i: int, j: int, div: str) -> str:
+    """One term's integer BM25 contribution (shared Spark/DuckDB text;
+    ``div`` is the engine's integer-division operator). tf/df arrive
+    as staged attributes — each is evaluated exactly once per row."""
+    tf, df = f"tf_{i}_{j}", f"df_{i}_{j}"
+    idf = f"(((2 * n - 2 * {df} + 1) * 10000) {div} (2 * {df} + 1))"
+    tfc = (
+        f"((44 * l * {tf} * 10000) {div} "
+        f"(20 * l * {tf} + 6 * l + 18 * dl * n))"
+    )
+    return (
+        f"CASE WHEN {tf} > 0 THEN (({idf} * {tfc}) {div} 10000) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+
+
+def _bm25_sql(dialect: str, spread_hint: str = "", table: str = "documents") -> str:
+    """One BM25 query text, rendered for ``spark`` or ``duckdb``.
+
+    Shape (identical in both engines, so the oracle IS the plan):
+    tokenize once (staged CTE — the repo-wide guard against inlined
+    re-evaluation), per-doc tf for each literal term as an in-row
+    array filter (NO posting-list shuffle: the terms are bounded
+    literals, unlike t_keyword_topk's open vocabulary), corpus stats
+    (N, L, per-term df) as ONE 1-row conditional-sum aggregate that
+    cross-joins back (Spark: a 1-row BroadcastNestedLoopJoin), scores
+    unrolled as columns then stacked to (query_id, score) rows, and
+    per-query top-k as a rank-bounded window — rk <= k triggers
+    WindowGroupLimit pushdown, so each map task emits at most
+    k·|queries| rows into the |queries| reducers (the f_fuzzy_match
+    skew lesson: a tiny-cardinality partition key is safe ONLY under
+    a pushed-down group limit)."""
+    spark = dialect == "spark"
+    toks = _SPARK_TOKS if spark else _DUCK_TOKS
+    div = "DIV" if spark else "//"
+    size = "size" if spark else "len"
+    flt = "filter" if spark else "list_filter"
+    bigint = "BIGINT"
+
+    tf_cols, df_cols = [], []
+    for qid, terms in BM25_QUERIES:
+        for j, term in enumerate(terms):
+            tf_cols.append(
+                f"CAST({size}({flt}(toks, x -> x = '{term}')) AS {bigint}) AS tf_{qid}_{j}"
+            )
+            if spark:
+                df_cols.append(
+                    f"SUM(CASE WHEN array_contains(toks, '{term}') THEN 1 ELSE 0 END) AS df_{qid}_{j}"
+                )
+            else:
+                df_cols.append(
+                    f"CAST(SUM(CASE WHEN list_contains(toks, '{term}') THEN 1 ELSE 0 END) AS {bigint}) AS df_{qid}_{j}"
+                )
+    score_cols = [
+        " + ".join(_contrib(qid, j, div) for j in range(len(terms)))
+        + f" AS score_q{qid}"
+        for qid, terms in BM25_QUERIES
+    ]
+    if spark:
+        stack_args = ", ".join(
+            f"{qid}, score_q{qid}" for qid, _ in BM25_QUERIES
+        )
+        stacked = (
+            f"SELECT doc_id, stack({len(BM25_QUERIES)}, {stack_args}) "
+            "AS (query_id, score_e4) FROM scored"
+        )
+    else:
+        stacked = " UNION ALL ".join(
+            f"SELECT doc_id, {qid} AS query_id, score_q{qid} AS score_e4 FROM scored"
+            for qid, _ in BM25_QUERIES
+        )
+    nl = ",\n         "
+    return f"""
+WITH tok1 AS (
+  SELECT {spread_hint} doc_id, {toks} AS toks
+  FROM {table}
+), docs AS (
+  SELECT doc_id, toks, CAST({size}(toks) AS {bigint}) AS dl
+  FROM tok1 WHERE {size}(toks) > 0
+), tf AS (
+  SELECT doc_id, dl,
+         {nl.join(tf_cols)}
+  FROM docs
+), stats AS (
+  SELECT CAST(COUNT(*) AS {bigint}) AS n, CAST(SUM(dl) AS {bigint}) AS l,
+         {nl.join(df_cols)}
+  FROM docs
+), scored AS (
+  SELECT doc_id,
+         {nl.join(score_cols)}
+  FROM tf CROSS JOIN stats
+), stacked AS (
+  {stacked}
+), ranked AS (
+  SELECT query_id, doc_id, score_e4,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score_e4 DESC, doc_id ASC) AS rk
+  FROM stacked WHERE score_e4 > 0
+)
+SELECT CAST(query_id AS INT) AS query_id, CAST(rk AS {bigint}) AS rk,
+       doc_id, score_e4
+FROM ranked WHERE rk <= {BM25_K}
+"""
+
+
+def t_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{k} docs per literal query (see module docstring for
+    the exact-integer scoring and _bm25_sql for the plan shape).
+
+    100 TB posture: two corpus scans (stats + scoring), both pure
+    map-side Column work ending in a 1-row aggregate and a
+    WindowGroupLimit-bounded window — the only data crossing a
+    shuffle is k·|queries| rows per map task. The query set is a
+    bounded literal by contract; an open query WORKLOAD (thousands of
+    queries) would flip to the inverted-index form t_keyword_topk
+    already implements (posting-grain aggregate, vocab-grain df
+    join)."""
+    hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__bm25_documents")
+    return spark.sql(_bm25_sql("spark", hint, "__bm25_documents"))
+
+
+T_BM25_SQL = _bm25_sql("duckdb", "", "documents")
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking: overlapping token windows with offsets + fingerprints
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def _chunk_counts_expr(div: str) -> str:
+    # chunks fully cover the doc: 1 + ceil((dl - SIZE)/STRIDE) for
+    # dl > SIZE, else 1; ceil via floor((dl - SIZE + STRIDE - 1)/STRIDE)
+    # = (dl - 17) DIV 48 + 1 at SIZE=64, STRIDE=48 — integer in both
+    # engines.
+    return (
+        f"CASE WHEN dl <= {CHUNK_TOKENS} THEN 1 "
+        f"ELSE ((dl - {CHUNK_TOKENS} + {CHUNK_STRIDE} - 1) {div} {CHUNK_STRIDE}) + 1 END"
+    )
+
+
+def t_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking ({size} tokens, stride
+    {stride}): every doc explodes into chunks with a stable
+    (doc_id, chunk_idx) identity, token offsets, and an md5
+    fingerprint (the passage key downstream chunk-grain dedup /
+    embedding jobs join on). Zero-token docs emit no chunks.
+
+    100 TB posture: embarrassingly parallel — tokenize, a per-doc
+    sequence of chunk indexes (bounded by dl/stride), explode, slice.
+    NO shuffle anywhere in the plan (plan-guarded: zero Exchange
+    nodes); chunk boundaries depend only on the row, so the operator
+    scales with scan width exactly. The explode follows the staged-
+    projection discipline (LATERAL VIEW OUTER over an attribute, null
+    filter instead of a pushed size()>0 predicate) so the token array
+    is materialized once per row, never re-evaluated per generated
+    chunk.""".format(size=CHUNK_TOKENS, stride=CHUNK_STRIDE)
+    hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__chunk_documents")
+    return spark.sql(f"""
+WITH tok1 AS (
+  SELECT {hint} doc_id, {_SPARK_TOKS} AS toks
+  FROM __chunk_documents
+), docs AS (
+  SELECT doc_id, toks, size(toks) AS dl
+  FROM tok1 WHERE size(toks) > 0
+), idx AS (
+  SELECT doc_id, toks, sequence(0, {_chunk_counts_expr("DIV")} - 1) AS idxs
+  FROM docs
+), ch AS (
+  SELECT doc_id, i AS chunk_idx,
+         slice(toks, i * {CHUNK_STRIDE} + 1, {CHUNK_TOKENS}) AS ctoks
+  FROM idx LATERAL VIEW OUTER explode(idxs) AS i
+  WHERE i IS NOT NULL
+), txt AS (
+  SELECT doc_id, chunk_idx, ctoks, array_join(ctoks, ' ') AS chunk_text
+  FROM ch
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(size(ctoks) AS BIGINT) AS chunk_len,
+       chunk_text, md5(chunk_text) AS chunk_hash
+FROM txt
+""")
+
+
+T_CHUNK_SQL = f"""
+WITH tok1 AS (
+  SELECT doc_id, {_DUCK_TOKS} AS toks
+  FROM documents
+), docs AS (
+  SELECT doc_id, toks, len(toks) AS dl
+  FROM tok1 WHERE len(toks) > 0
+), idx AS (
+  SELECT doc_id, toks,
+         unnest(range({_chunk_counts_expr("//")})) AS chunk_idx
+  FROM docs
+), ch AS (
+  SELECT doc_id, chunk_idx,
+         list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                    chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}) AS ctoks
+  FROM idx
+), txt AS (
+  SELECT doc_id, chunk_idx, ctoks, array_to_string(ctoks, ' ') AS chunk_text
+  FROM ch
+)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(len(ctoks) AS BIGINT) AS chunk_len,
+       chunk_text, md5(chunk_text) AS chunk_hash
+FROM txt
+"""

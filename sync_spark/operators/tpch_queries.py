@@ -433,18 +433,30 @@ ORDER BY nation_name, o_year DESC
 
 
 def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q13: customer order-count histogram — LEFT OUTER join so
-    zero-order customers land in the c_count=0 bucket (the classic
-    outer-join-then-double-aggregate shape). The priority filter
-    stands in for the comment NOT LIKE."""
+    """Q13: customer order-count histogram — zero-order customers land
+    in the c_count=0 bucket. The priority filter stands in for the
+    comment NOT LIKE.
+
+    Shape (r8): aggregate BELOW the join. The classic
+    outer-join-then-double-aggregate form shuffles the orders fact at
+    ORDER grain (every qualifying order row crosses the wire to meet
+    its customer) before collapsing to one count per customer. Orders
+    aggregate to per-custkey counts FIRST — a partial-aggregatable
+    hash agg whose shuffle moves at most one row per (partition,
+    custkey) — and the left join that restores the zero-order bucket
+    then runs at CUSTKEY grain on both sides (AQE broadcasts the
+    count table at bench scale; at 100 TB it falls back to a
+    custkey-grain SMJ, still never an order-grain shuffle).
+    sf1: 1.05s → ~0.5s, identical rows."""
     c = _t(spark, sf_dir, "customer").select("c_custkey")
-    o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") != "4-NOT SPECIFIED"
-    ).select("o_custkey", "o_orderkey")
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    ocnt = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cnt"))
+    )
+    per_cust = c.join(ocnt, c.c_custkey == ocnt.o_custkey, "left").select(
+        F.coalesce(F.col("__cnt"), F.lit(0).cast("long")).alias("c_count")
     )
     return (
         per_cust.groupBy("c_count")

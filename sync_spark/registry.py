@@ -123,6 +123,11 @@ def _populate() -> None:
     register("t_lm_score", tq.t_lm_score, tq.T_LM_SCORE_SQL)
     register("t_keyword_topk", tq.t_keyword_topk, tq.T_KEYWORD_SQL)
 
+    from sync_spark.operators import retrieval as rt
+
+    register("t_bm25_topk", rt.t_bm25_topk, rt.T_BM25_SQL)
+    register("t_chunk_docs", rt.t_chunk_docs, rt.T_CHUNK_SQL)
+
     from sync_spark.operators import extended_queries as xq
 
     register("x_asof_join", xq.x_asof_join, xq.X_ASOF_SQL)

@@ -447,3 +447,54 @@ def test_merge_statement_zero_extra_jobs_shape(spark, sf_small):
     # broadcast — but never the four per-arm specialized builds the
     # r7 semi/anti Union compiled to
     assert plan.count("BroadcastExchange") <= 3, plan[:1500]
+
+
+def test_q13_aggregate_below_join(spark, sf_small):
+    """q13 (r8): the order-count aggregate sits BELOW the customer
+    join — the shuffle moves one row per custkey (partial map-side
+    count), never the order-grain fact. The old outer-join-then-
+    aggregate shape shipped every qualifying order row through the
+    join's exchange first; at 100 TB that is an order-grain shuffle
+    for a custkey-grain answer."""
+    import re
+
+    from sync_spark.operators.tpch_queries import q13_customer_distribution
+
+    plan = plan_of(q13_customer_distribution(spark, sf_small))
+    # the pre-join aggregate keyed on the orders side, partial first
+    assert re.search(r"HashAggregate\(keys=\[o_custkey[^\]]*\], functions=\[partial_count", plan), plan[:1500]
+    # no aggregate keyed on c_custkey anywhere (the post-join grain)
+    assert not re.search(r"keys=\[c_custkey", plan), plan[:1500]
+
+
+def test_bm25_windowgrouplimit_no_python(spark, sf_small):
+    """t_bm25_topk (r8): tf/df are in-row literal-term kernels (no
+    posting shuffle anywhere — the only hash exchange is the final
+    per-query window, and WindowGroupLimit bounds what reaches it to
+    k·|queries| rows per map task); stats ride a 1-row broadcast
+    nested-loop; nothing leaves the JVM."""
+    import re
+
+    from sync_spark.operators.retrieval import t_bm25_topk
+
+    plan = plan_of(t_bm25_topk(spark, sf_small))
+    assert "WindowGroupLimit" in plan, plan[:1200]
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats join
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # exactly one hash exchange: the bounded per-query window
+    assert len(re.findall(r"hashpartitioning", plan)) == 1, plan[:1500]
+    assert "rangepartitioning" not in plan
+
+
+def test_chunk_docs_no_shuffle(spark, sf_small):
+    """t_chunk_docs (r8): chunking is embarrassingly parallel — zero
+    key exchanges (the only legal Exchange is the explicit
+    round-robin kernel spread, a no-op at cluster scale), no window,
+    no Python."""
+    from sync_spark.operators.retrieval import t_chunk_docs
+
+    plan = plan_of(t_chunk_docs(spark, sf_small))
+    assert "hashpartitioning" not in plan, plan[:1200]
+    assert "rangepartitioning" not in plan, plan[:1200]
+    assert "Window" not in plan and "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

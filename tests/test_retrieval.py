@@ -1,0 +1,156 @@
+"""Retrieval-family tests (round 8): BM25 top-k and RAG chunking —
+edge cases on handcrafted corpora plus DuckDB-oracle agreement on a
+corpus small enough to reason about by hand."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sync_spark.operators import retrieval as rt
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def write_docs(spark, tmp_path, rows, name="sf_rt"):
+    d = str(tmp_path / name)
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t) if t is not None else 0) for i, t in rows],
+        DOC_SCHEMA,
+    ).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def duck_on(d):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+class TestChunkDocs:
+    def test_boundaries_and_overlap(self, spark, tmp_path):
+        """64 tokens → 1 chunk; 65 → 2; 112 → 2; 113 → 3; stride-48
+        windows mean consecutive chunks share exactly 16 tokens."""
+        mk = lambda n: " ".join(f"w{i}" for i in range(n))
+        d = write_docs(
+            spark,
+            tmp_path,
+            [(1, mk(64)), (2, mk(65)), (3, mk(112)), (4, mk(113)), (5, mk(1))],
+        )
+        out = rt.t_chunk_docs(spark, d).collect()
+        per_doc = {}
+        for r in out:
+            per_doc.setdefault(r.doc_id, []).append(r)
+        assert {k: len(v) for k, v in per_doc.items()} == {1: 1, 2: 2, 3: 2, 4: 3, 5: 1}
+        # full coverage: last chunk reaches the last token
+        for doc_id, n in [(1, 64), (2, 65), (3, 112), (4, 113), (5, 1)]:
+            chunks = sorted(per_doc[doc_id], key=lambda r: r.chunk_idx)
+            last = chunks[-1]
+            assert last.start_tok + last.chunk_len == n
+            # offsets are stride-spaced, full chunks are CHUNK_TOKENS wide
+            for c in chunks:
+                assert c.start_tok == c.chunk_idx * rt.CHUNK_STRIDE
+                assert c.chunk_len == min(rt.CHUNK_TOKENS, n - c.start_tok)
+            # overlap: chunk i+1 repeats the last SIZE-STRIDE tokens
+            for a, b in zip(chunks, chunks[1:]):
+                assert (
+                    a.chunk_text.split()[rt.CHUNK_STRIDE :]
+                    == b.chunk_text.split()[: rt.CHUNK_TOKENS - rt.CHUNK_STRIDE]
+                )
+
+    def test_empty_and_null_docs_emit_nothing(self, spark, tmp_path):
+        d = write_docs(
+            spark, tmp_path, [(1, ""), (2, "   "), (3, None), (4, "one two")]
+        )
+        out = rt.t_chunk_docs(spark, d).collect()
+        assert [r.doc_id for r in out] == [4]
+        assert out[0].chunk_text == "one two" and out[0].chunk_len == 2
+
+    def test_oracle_agreement_micro(self, spark, tmp_path):
+        mk = lambda n, p: " ".join(f"{p}{i}" for i in range(n))
+        d = write_docs(
+            spark,
+            tmp_path,
+            [(1, mk(200, "a")), (2, ""), (3, mk(64, "b")), (4, mk(65, "c"))],
+        )
+        got = sorted(tuple(r) for r in rt.t_chunk_docs(spark, d).collect())
+        want = sorted(tuple(r) for r in duck_on(d).execute(rt.T_CHUNK_SQL).fetchall())
+        assert got == want
+
+
+class TestBM25:
+    def test_ranking_and_exclusion(self, spark, tmp_path):
+        """A doc stuffed with a query term outranks a doc mentioning it
+        once at equal length; docs with zero query-term hits never
+        appear under that query."""
+        d = write_docs(
+            spark,
+            tmp_path,
+            [
+                (1, "spark " * 5 + "pad " * 5),
+                (2, "spark " + "pad " * 9),
+                (3, "pad " * 10),
+                (4, "hash merge filter " * 3),
+            ],
+        )
+        rows = rt.t_bm25_topk(spark, d).collect()
+        q0 = {r.doc_id: r for r in rows if r.query_id == 0}
+        assert set(q0) == {1, 2}  # doc 3/4 have no q0 terms
+        assert q0[1].score_e4 > q0[2].score_e4
+        assert q0[1].rk == 1 and q0[2].rk == 2
+        q1 = {r.doc_id for r in rows if r.query_id == 1}
+        assert q1 == {4}
+
+    def test_shorter_doc_wins_at_equal_tf(self, spark, tmp_path):
+        """BM25 length normalization: same tf, shorter doc scores
+        higher (b = 0.75 > 0)."""
+        d = write_docs(
+            spark,
+            tmp_path,
+            [(1, "spark " + "pad " * 4), (2, "spark " + "pad " * 20)],
+        )
+        rows = {r.doc_id: r for r in rt.t_bm25_topk(spark, d).collect() if r.query_id == 0}
+        assert rows[1].score_e4 > rows[2].score_e4
+
+    def test_k_bound_and_tiebreak(self, spark, tmp_path):
+        """More than K matching docs → exactly K rows, lowest doc_id
+        wins ties (identical docs score identically)."""
+        d = write_docs(
+            spark, tmp_path, [(i, "spark pad") for i in range(rt.BM25_K + 5)]
+        )
+        rows = sorted(
+            (r for r in rt.t_bm25_topk(spark, d).collect() if r.query_id == 0),
+            key=lambda r: r.rk,
+        )
+        assert len(rows) == rt.BM25_K
+        assert [r.doc_id for r in rows] == list(range(rt.BM25_K))
+        assert len({r.score_e4 for r in rows}) == 1
+
+    def test_oracle_agreement_micro(self, spark, tmp_path):
+        d = write_docs(
+            spark,
+            tmp_path,
+            [
+                (1, "spark join window spark"),
+                (2, "hash merge filter hash merge"),
+                (3, "customer order value pad pad pad"),
+                (4, ""),
+                (5, "spark " * 30),
+                (6, "join window join window pad"),
+            ],
+        )
+        got = sorted(tuple(r) for r in rt.t_bm25_topk(spark, d).collect())
+        want = sorted(tuple(r) for r in duck_on(d).execute(rt.T_BM25_SQL).fetchall())
+        assert got == want
+
+    def test_int64_bounds_documented(self):
+        """The module's overflow bound: largest intermediate at
+        L = 2.7e9, tf = 500, N = 5e7 stays under 2^63."""
+        L, tf, N = 2_700_000_000, 500, 50_000_000
+        assert 44 * L * tf * 10_000 < 2**63
+        idf_max = ((2 * N + 1) * 10_000) // 1
+        tfc_max = 22_000  # tf·(k1+1)/tf ≤ 2.2, scaled 1e4
+        assert idf_max * tfc_max < 2**63
