@@ -114,8 +114,11 @@ def main() -> None:
         wanted = set(args.only.split(","))
         specs = {n: s for n, s in specs.items() if n in wanted}
 
-    # session warm-up: JVM, parquet footers, Python worker pool
-    specs["q1_pricing_summary"].spark_fn(spark, args.dir).count()
+    # session warm-up: JVM, parquet footers, Python worker pool.
+    # Pull q1 from the UNFILTERED registry: --only subsets must still
+    # warm up (and canary) with the standard probe.
+    q1_spec = all_queries()["q1_pricing_summary"]
+    q1_spec.spark_fn(spark, args.dir).count()
     spark.range(32).repartition(32).mapInArrow(lambda it: it, "id long").count()
 
     con = duckdb.connect()
@@ -144,7 +147,7 @@ def main() -> None:
             timer.cancel()
 
     def canary() -> float:
-        spec = specs["q1_pricing_summary"]
+        spec = q1_spec
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -152,7 +155,7 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return sorted(runs)[1]
 
-    canary_before = canary() if "q1_pricing_summary" in specs else None
+    canary_before = canary()
 
     out: dict = {
         "metric": "sync_spark_full_registry_sf1",

@@ -281,3 +281,136 @@ SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
        chunk_text, md5(chunk_text) AS chunk_hash
 FROM txt
 """
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 inverted index: build once, query many (the 100 TB
+# retrieval shape — a query workload must not re-scan the corpus)
+# ---------------------------------------------------------------------------
+
+_POSTING_SCHEMA = "tok string, doc_id bigint, tf bigint, dl bigint"
+
+
+def build_bm25_index(df: DataFrame, path: str, text_col: str = "text",
+                     id_col: str = "doc_id", n_buckets: int = 32) -> dict:
+    """Tokenize the corpus ONCE and persist term postings
+    (tok, doc_id, tf, dl) into the engine's own bucketed store keyed
+    on tok (sources/bucketed.py: hash-bucket dirs, key-sorted files,
+    stage-then-swap crash discipline) plus a 1-row stats table
+    (N docs, L total tokens) beside it. Mirrors incremental.py's
+    fingerprint index: maintenance and storage live in the same store
+    the CDC path uses.
+
+    tf is computed IN-ROW (sort → group starts → zip, the
+    t_keyword_topk kernel) so the ONLY shuffle is the bucketed
+    write's partitionBy — no posting-grain groupBy precedes it. The
+    staged selects keep every HOF lambda reading attributes only (the
+    repo-wide guard against per-element re-evaluation of inlined
+    subexpressions).
+
+    Returns the stats dict {"n_docs", "total_tokens"}."""
+    from pyspark.sql import functions as F
+
+    from sync_spark.sources.bucketed import write_bucketed
+
+    t1 = df.selectExpr(
+        f"{id_col} AS doc_id",
+        f"CASE WHEN length(trim({text_col})) = 0 THEN array() "
+        f"ELSE split(trim({text_col}), '\\\\s+') END AS toks",
+    )
+    docs = t1.where("size(toks) > 0").selectExpr(
+        "doc_id", "toks", "CAST(size(toks) AS BIGINT) AS dl"
+    )
+    kern = docs.selectExpr("doc_id", "dl", "array_sort(toks) AS s")
+    st = kern.selectExpr(
+        "doc_id", "dl", "s",
+        "filter(sequence(0, size(s) - 1), i -> NOT (get(s, i) <=> get(s, i - 1))) AS starts",
+    )
+    pairs = st.selectExpr(
+        "doc_id", "dl",
+        "zip_with(starts,"
+        " concat(slice(starts, 2, greatest(size(starts) - 1, 0)), array(size(s))),"
+        " (a, b) -> struct(get(s, a) AS tok, CAST(b - a AS BIGINT) AS tf)) AS ps",
+    )
+    postings = (
+        pairs.select("doc_id", "dl", F.explode_outer("ps").alias("p"))
+        .where("p IS NOT NULL")
+        .selectExpr("p.tok AS tok", "doc_id", "p.tf AS tf", "dl")
+    )
+    write_bucketed(postings, path, ["tok"], n_buckets)
+    spark = df.sparkSession
+    n, l = docs.agg(F.count(F.lit(1)), F.sum("dl")).first()
+    spark.createDataFrame([(int(n), int(l))], "n bigint, l bigint").coalesce(
+        1
+    ).write.mode("overwrite").parquet(_stats_path(path))
+    return {"n_docs": int(n), "total_tokens": int(l)}
+
+
+def _stats_path(path: str) -> str:
+    return path.rstrip("/") + "_stats"
+
+
+def bm25_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[str]]] | None = None,
+    k: int = BM25_K,
+) -> DataFrame:
+    """BM25 top-k against the PERSISTED index — semantics contract
+    (pytest-pinned, test_retrieval.py): bit-identical to the scan-form
+    ``t_bm25_topk`` on the same corpus; the index is an optimization,
+    never a semantics change.
+
+    Cost shape: the postings read is ``lookup_keys`` — bucket ids come
+    from the literal query terms driver-side, the scan partition-prunes
+    to ≤ |terms| buckets and the term equality predicates reach the
+    key-sorted parquet (rowgroup skipping), so a query workload
+    touches posting lists, never the corpus. df per term is an
+    aggregate OF the pruned postings; stats are a 1-row broadcast;
+    scores partial-aggregate per (query_id, doc_id); top-k is the
+    same WindowGroupLimit-bounded window as the scan form."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sync_spark.sources.bucketed import lookup_keys
+
+    if queries is None:
+        queries = BM25_QUERIES
+    terms = sorted({t for _, ts in queries for t in ts})
+    postings = lookup_keys(
+        spark, path, [(t,) for t in terms],
+        schema=T._parse_datatype_string(_POSTING_SCHEMA),
+    )
+    stats = spark.read.parquet(_stats_path(path))
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts], "query_id int, tok string"
+    )
+    df_tbl = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = F.expr(
+        "((((2 * n - 2 * df + 1) * 10000) DIV (2 * df + 1))"
+        " * ((44 * l * tf * 10000) DIV (20 * l * tf + 6 * l + 18 * dl * n)))"
+        " DIV 10000"
+    )
+    scores = (
+        postings.join(F.broadcast(qmap), "tok")
+        .join(F.broadcast(df_tbl), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_e4"))
+        .where(F.col("score_e4") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e4").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+            "score_e4",
+        )
+    )

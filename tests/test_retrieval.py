@@ -154,3 +154,51 @@ class TestBM25:
         idf_max = ((2 * N + 1) * 10_000) // 1
         tfc_max = 22_000  # tf·(k1+1)/tf ≤ 2.2, scaled 1e4
         assert idf_max * tfc_max < 2**63
+
+
+class TestBM25Index:
+    """Persisted inverted-index path: bit-identical to the scan form
+    (the index is an optimization, never a semantics change — the
+    incremental.py contract)."""
+
+    def test_index_agrees_with_scan_form(self, spark, tmp_path, sf_small):
+        d = f"{sf_small}"
+        idx = str(tmp_path / "bm25_idx")
+        stats = rt.build_bm25_index(
+            spark.read.parquet(f"{d}/documents.parquet"), idx
+        )
+        assert stats["n_docs"] > 0 and stats["total_tokens"] > stats["n_docs"]
+        got = sorted(tuple(r) for r in rt.bm25_index_topk(spark, idx).collect())
+        want = sorted(tuple(r) for r in rt.t_bm25_topk(spark, d).collect())
+        assert got == want
+
+    def test_index_micro_and_missing_terms(self, spark, tmp_path):
+        d = write_docs(
+            spark,
+            tmp_path,
+            [
+                (1, "spark join window spark pad"),
+                (2, "hash merge filter"),
+                (3, "pad pad pad"),
+                (4, ""),
+            ],
+        )
+        idx = str(tmp_path / "idx2")
+        rt.build_bm25_index(spark.read.parquet(f"{d}/documents.parquet"), idx)
+        got = sorted(tuple(r) for r in rt.bm25_index_topk(spark, idx).collect())
+        want = sorted(tuple(r) for r in rt.t_bm25_topk(spark, d).collect())
+        assert got == want
+        # a query set whose terms are all absent returns zero rows
+        none = rt.bm25_index_topk(spark, idx, queries=[(9, ["zzz", "qqq"])])
+        assert none.count() == 0
+
+    def test_postings_are_bucket_pruned(self, spark, tmp_path):
+        """The query-time read must not scan the whole postings store:
+        the FileScan's partition filter pins __bucket membership."""
+        d = write_docs(spark, tmp_path, [(i, f"tok{i} spark") for i in range(20)])
+        idx = str(tmp_path / "idx3")
+        rt.build_bm25_index(spark.read.parquet(f"{d}/documents.parquet"), idx)
+        df = rt.bm25_index_topk(spark, idx, queries=[(0, ["spark"])])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "__bucket" in plan  # partition-pruned postings read
+        assert plan.count("BatchEvalPython") == 0
