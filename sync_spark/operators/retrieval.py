@@ -308,42 +308,17 @@ def build_bm25_index(df: DataFrame, path: str, text_col: str = "text",
     repo-wide guard against per-element re-evaluation of inlined
     subexpressions).
 
-    Returns the stats dict {"n_docs", "total_tokens"}."""
-    from pyspark.sql import functions as F
+    A (doc_id, dl) sidecar store (``path + "_docs"``, bucketed by
+    doc_id) carries the doc grain so extend_bm25_index can re-derive
+    exact stats after incremental merges.
 
+    Returns the stats dict {"n_docs", "total_tokens"}."""
     from sync_spark.sources.bucketed import write_bucketed
 
-    t1 = df.selectExpr(
-        f"{id_col} AS doc_id",
-        f"CASE WHEN length(trim({text_col})) = 0 THEN array() "
-        f"ELSE split(trim({text_col}), '\\\\s+') END AS toks",
-    )
-    docs = t1.where("size(toks) > 0").selectExpr(
-        "doc_id", "toks", "CAST(size(toks) AS BIGINT) AS dl"
-    )
-    kern = docs.selectExpr("doc_id", "dl", "array_sort(toks) AS s")
-    st = kern.selectExpr(
-        "doc_id", "dl", "s",
-        "filter(sequence(0, size(s) - 1), i -> NOT (get(s, i) <=> get(s, i - 1))) AS starts",
-    )
-    pairs = st.selectExpr(
-        "doc_id", "dl",
-        "zip_with(starts,"
-        " concat(slice(starts, 2, greatest(size(starts) - 1, 0)), array(size(s))),"
-        " (a, b) -> struct(get(s, a) AS tok, CAST(b - a AS BIGINT) AS tf)) AS ps",
-    )
-    postings = (
-        pairs.select("doc_id", "dl", F.explode_outer("ps").alias("p"))
-        .where("p IS NOT NULL")
-        .selectExpr("p.tok AS tok", "doc_id", "p.tf AS tf", "dl")
-    )
+    postings, docs = _posting_frames(df, text_col, id_col)
     write_bucketed(postings, path, ["tok"], n_buckets)
-    spark = df.sparkSession
-    n, l = docs.agg(F.count(F.lit(1)), F.sum("dl")).first()
-    spark.createDataFrame([(int(n), int(l))], "n bigint, l bigint").coalesce(
-        1
-    ).write.mode("overwrite").parquet(_stats_path(path))
-    return {"n_docs": int(n), "total_tokens": int(l)}
+    write_bucketed(docs, _docs_path(path), ["doc_id"], n_buckets)
+    return _write_stats(df.sparkSession, path)
 
 
 def _stats_path(path: str) -> str:
@@ -414,3 +389,337 @@ def bm25_index_topk(
             "score_e4",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion: BM25 ∪ TF-IDF hybrid ranking
+# ---------------------------------------------------------------------------
+
+RRF_K = 60          # the standard RRF damping constant (Cormack 2009)
+RRF_LIST = 100      # per-ranker candidate-list depth
+RRF_TOPK = 10
+
+
+def _tfidf_contrib(i: int, j: int, div: str) -> str:
+    """One term's integer TF-IDF weight — the t_keyword_topk scoring
+    ((tf · 10⁶ · N) DIV (df · dl), log-free IDF ratio), summed over
+    query terms as the second ranker."""
+    tf, df = f"tf_{i}_{j}", f"df_{i}_{j}"
+    return (
+        f"CASE WHEN {tf} > 0 THEN (({tf} * 1000000 * n) {div} ({df} * dl)) "
+        f"ELSE CAST(0 AS BIGINT) END"
+    )
+
+
+def _rrf_sql(
+    dialect: str,
+    spread_hint: str = "",
+    table: str = "documents",
+    stacked_only: bool = False,
+) -> str:
+    """Reciprocal-rank fusion of two rankers over the same corpus pass
+    structure as _bm25_sql: per query, fuse the BM25 top-{list} and
+    TF-IDF top-{list} candidate lists as
+    Σ_r 10⁶ DIV ({k} + rank_r(doc)) and keep the fused top-{topk}.
+    Integer reciprocals make the fusion bit-exact across engines.
+
+    Scale note: each ranker is its own rank-bounded window
+    (rk <= {list} → WindowGroupLimit pushdown). That deliberately
+    costs a second kernel pass — one shared window pass would reuse
+    the scan but lose the per-ranker group limit, turning the
+    query-partitioned window into an unbounded per-query sort (the
+    f_fuzzy_match skew lesson). The fused join runs on two
+    ≤ {list}·|queries|-row lists — driver-scale, any join strategy
+    wins.""".format(
+        list=RRF_LIST, k=RRF_K, topk=RRF_TOPK
+    )
+    spark = dialect == "spark"
+    toks = _SPARK_TOKS if spark else _DUCK_TOKS
+    div = "DIV" if spark else "//"
+    size = "size" if spark else "len"
+    flt = "filter" if spark else "list_filter"
+
+    tf_cols, df_cols = [], []
+    for qid, terms in BM25_QUERIES:
+        for j, term in enumerate(terms):
+            tf_cols.append(
+                f"CAST({size}({flt}(toks, x -> x = '{term}')) AS BIGINT) AS tf_{qid}_{j}"
+            )
+            contains = "array_contains" if spark else "list_contains"
+            df_cols.append(
+                f"CAST(SUM(CASE WHEN {contains}(toks, '{term}') THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS df_{qid}_{j}"
+            )
+    score_cols = []
+    for qid, terms in BM25_QUERIES:
+        score_cols.append(
+            " + ".join(_contrib(qid, j, div) for j in range(len(terms)))
+            + f" AS b_q{qid}"
+        )
+        score_cols.append(
+            " + ".join(_tfidf_contrib(qid, j, div) for j in range(len(terms)))
+            + f" AS t_q{qid}"
+        )
+    if spark:
+        stack_args = ", ".join(f"{q}, b_q{q}, t_q{q}" for q, _ in BM25_QUERIES)
+        stacked = (
+            f"SELECT doc_id, stack({len(BM25_QUERIES)}, {stack_args}) "
+            "AS (query_id, b_score, t_score) FROM scored"
+        )
+    else:
+        stacked = " UNION ALL ".join(
+            f"SELECT doc_id, {q} AS query_id, b_q{q} AS b_score, t_q{q} AS t_score"
+            " FROM scored"
+            for q, _ in BM25_QUERIES
+        )
+    nl = ",\n         "
+    return f"""
+WITH tok1 AS (
+  SELECT {spread_hint} doc_id, {toks} AS toks
+  FROM {table}
+), docs AS (
+  SELECT doc_id, toks, CAST({size}(toks) AS BIGINT) AS dl
+  FROM tok1 WHERE {size}(toks) > 0
+), tf AS (
+  SELECT doc_id, dl,
+         {nl.join(tf_cols)}
+  FROM docs
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS l,
+         {nl.join(df_cols)}
+  FROM docs
+), scored AS (
+  SELECT doc_id,
+         {nl.join(score_cols)}
+  FROM tf CROSS JOIN stats
+), stacked AS (
+  {stacked}
+){'' if not stacked_only else ''}{_RRF_TAIL.format(div=div, k=RRF_K, list=RRF_LIST, topk=RRF_TOPK) if not stacked_only else '''
+SELECT query_id, doc_id, b_score, t_score FROM stacked'''}
+"""
+
+
+_RRF_TAIL = """, blist AS (
+  SELECT query_id, doc_id, rk FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY b_score DESC, doc_id ASC) AS rk
+    FROM stacked WHERE b_score > 0
+  ) WHERE rk <= {list}
+), tlist AS (
+  SELECT query_id, doc_id, rk FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY t_score DESC, doc_id ASC) AS rk
+    FROM stacked WHERE t_score > 0
+  ) WHERE rk <= {list}
+), fused AS (
+  SELECT COALESCE(b.query_id, t.query_id) AS query_id,
+         COALESCE(b.doc_id, t.doc_id) AS doc_id,
+         COALESCE(1000000 {div} ({k} + b.rk), 0)
+           + COALESCE(1000000 {div} ({k} + t.rk), 0) AS rrf_e6
+  FROM blist b FULL OUTER JOIN tlist t
+    ON b.query_id = t.query_id AND b.doc_id = t.doc_id
+)
+SELECT CAST(query_id AS INT) AS query_id, CAST(rk AS BIGINT) AS rk,
+       doc_id, CAST(rrf_e6 AS BIGINT) AS rrf_e6
+FROM (
+  SELECT query_id, doc_id, rrf_e6,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id ASC) AS rk
+  FROM fused
+) WHERE rk <= {topk}"""
+
+
+def t_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (see _rrf_sql):
+    BM25 and TF-IDF rank the same literal queries independently, the
+    fused score is Σ 10⁶ DIV (60 + rank) over both top-100 lists —
+    the standard way production search blends rankers without score
+    calibration (and, swapped onto a dense ranker, the RAG hybrid
+    default). Both candidate lists are WindowGroupLimit-bounded; the
+    fusion join touches ≤ 100·|queries| rows per side.
+
+    Plan shape (r8 fix): the (doc_id, query_id, b_score, t_score)
+    score table materializes ONCE through a persist() barrier and
+    both rank branches read the cache. The all-SQL form inlined the
+    whole corpus kernel into EACH ranker branch (two scans per
+    branch: tf + stats) and projection collapse multiplied the
+    tokenizer into the generate — measured 10-53s at sf1 vs ~2s for
+    the scan-form BM25. The cached frame is |matching docs|·|queries|
+    integer rows (columnar, KBs per million docs); at 100 TB a
+    deployment would materialize the same table to parquet between
+    ranker jobs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__rrf_documents")
+    stacked = spark.sql(
+        _rrf_sql("spark", hint, "__rrf_documents", stacked_only=True)
+    ).persist()
+
+    def toplist(score_col: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(score_col).desc(), F.col("doc_id").asc()
+        )
+        return (
+            stacked.where(F.col(score_col) > 0)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= RRF_LIST)
+            .select(
+                "query_id",
+                "doc_id",
+                F.expr(f"CAST(1000000 AS BIGINT) DIV ({RRF_K} + rk)").alias("recip"),
+            )
+        )
+
+    b, t = toplist("b_score").alias("b"), toplist("t_score").alias("t")
+    fused = b.join(
+        t,
+        (F.col("b.query_id") == F.col("t.query_id"))
+        & (F.col("b.doc_id") == F.col("t.doc_id")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("b.query_id"), F.col("t.query_id")).alias("query_id"),
+        F.coalesce(F.col("b.doc_id"), F.col("t.doc_id")).alias("doc_id"),
+        (
+            F.coalesce(F.col("b.recip"), F.lit(0))
+            + F.coalesce(F.col("t.recip"), F.lit(0))
+        ).alias("rrf_e6"),
+    )
+    fw = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_e6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(fw))
+        .where(F.col("rk") <= RRF_TOPK)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+            F.col("rrf_e6").cast("bigint").alias("rrf_e6"),
+        )
+    )
+
+
+T_RRF_SQL = _rrf_sql("duckdb", "", "documents")
+
+
+def _posting_frames(df: DataFrame, text_col: str, id_col: str):
+    """(postings, docs) frames for the index paths — postings via the
+    in-row tf kernel (sort → group starts → zip; staged selects keep
+    every HOF lambda reading attributes only), docs as the
+    (doc_id, dl) grain the stats derive from."""
+    from pyspark.sql import functions as F
+
+    t1 = df.selectExpr(
+        f"{id_col} AS doc_id",
+        f"CASE WHEN length(trim({text_col})) = 0 THEN array() "
+        f"ELSE split(trim({text_col}), '\\\\s+') END AS toks",
+    )
+    docs = t1.where("size(toks) > 0").selectExpr(
+        "doc_id", "toks", "CAST(size(toks) AS BIGINT) AS dl"
+    )
+    kern = docs.selectExpr("doc_id", "dl", "array_sort(toks) AS s")
+    st = kern.selectExpr(
+        "doc_id", "dl", "s",
+        "filter(sequence(0, size(s) - 1), i -> NOT (get(s, i) <=> get(s, i - 1))) AS starts",
+    )
+    pairs = st.selectExpr(
+        "doc_id", "dl",
+        "zip_with(starts,"
+        " concat(slice(starts, 2, greatest(size(starts) - 1, 0)), array(size(s))),"
+        " (a, b) -> struct(get(s, a) AS tok, CAST(b - a AS BIGINT) AS tf)) AS ps",
+    )
+    postings = (
+        pairs.select("doc_id", "dl", F.explode_outer("ps").alias("p"))
+        .where("p IS NOT NULL")
+        .selectExpr("p.tok AS tok", "doc_id", "p.tf AS tf", "dl")
+    )
+    return postings, docs.select("doc_id", "dl")
+
+
+def _docs_path(path: str) -> str:
+    return path.rstrip("/") + "_docs"
+
+
+def _write_stats(spark: SparkSession, path: str) -> dict:
+    """(Re)derive the 1-row stats table from the doc sidecar — exact
+    after any sequence of build/extend, column-pruned doc-grain scan."""
+    from pyspark.sql import functions as F
+
+    from sync_spark.sources.bucketed import read_target
+
+    n, l = (
+        read_target(spark, _docs_path(path))
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .first()
+    )
+    spark.createDataFrame(
+        [(int(n), int(l or 0))], "n bigint, l bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(_stats_path(path))
+    return {"n_docs": int(n), "total_tokens": int(l or 0)}
+
+
+def extend_bm25_index(
+    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> int:
+    """Merge a new document slice into the persisted BM25 index,
+    rewriting ONLY the tok-hash buckets its terms land in plus the
+    doc-sidecar buckets its ids land in (the CDC store's
+    touched-bucket discipline — maintenance is O(slice), not
+    O(corpus)); the 1-row stats table re-derives from the sidecar.
+    Idempotent: postings and sidecar rows distinct-merge, stats
+    re-aggregate, so re-extending the same slice is a no-op. Contract
+    (shared with extend_fp_index): slice ids must be NEW or byte-
+    identical re-sends — re-indexing a MUTATED doc id needs a delete
+    first. Same staleness hazard as extend_fp_index: materialize
+    pre-extend query results before swapping. Returns touched posting
+    buckets."""
+    from sync_spark.sources.bucketed import (
+        bucket_expr,
+        read_buckets,
+        read_meta,
+        overwrite_buckets,
+    )
+
+    meta = read_meta(path)
+    if meta is None:
+        raise ValueError(f"no BM25 index at {path!r}; build_bm25_index first")
+    n_buckets = meta["n_buckets"]
+    spark = df.sparkSession
+    postings, docs = _posting_frames(df, text_col, id_col)
+    postings = postings.persist()
+    try:
+        touched = [
+            int(r[0])
+            for r in postings.select(bucket_expr(["tok"], n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return 0
+        existing = read_buckets(spark, path, touched).select(
+            "tok", "doc_id", "tf", "dl"
+        )
+        merged = existing.unionByName(postings).distinct()
+        overwrite_buckets(merged, path, ["tok"], n_buckets, touched)
+        dp = _docs_path(path)
+        dmeta = read_meta(dp)
+        dtouched = [
+            int(r[0])
+            for r in docs.select(
+                bucket_expr(["doc_id"], dmeta["n_buckets"]).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        dmerged = (
+            read_buckets(spark, dp, dtouched)
+            .select("doc_id", "dl")
+            .unionByName(docs)
+            .distinct()
+        )
+        overwrite_buckets(dmerged, dp, ["doc_id"], dmeta["n_buckets"], dtouched)
+        _write_stats(spark, path)
+    finally:
+        postings.unpersist()
+    return len(touched)

@@ -498,3 +498,17 @@ def test_chunk_docs_no_shuffle(spark, sf_small):
     assert "rangepartitioning" not in plan, plan[:1200]
     assert "Window" not in plan and "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rrf_single_kernel_pass_cached(spark, sf_small):
+    """t_rrf_fuse (r8): the score table materializes ONCE behind an
+    InMemoryRelation and both ranker branches read the cache — the
+    all-SQL form inlined the corpus kernel into each branch (4 scans,
+    multiplied tokenize; 10-53s at sf1). Both rank windows carry a
+    group limit; nothing Python."""
+    from sync_spark.operators.retrieval import t_rrf_fuse
+
+    plan = plan_of(t_rrf_fuse(spark, sf_small))
+    assert "InMemoryTableScan" in plan, plan[:1500]
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -202,3 +202,92 @@ class TestBM25Index:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "__bucket" in plan  # partition-pruned postings read
         assert plan.count("BatchEvalPython") == 0
+
+
+class TestRRF:
+    def test_fusion_semantics_micro(self, spark, tmp_path):
+        """A doc ranked #1 by both rankers fuses to 2·(10⁶//61); a doc
+        present in only one list gets exactly its one reciprocal."""
+        d = write_docs(
+            spark,
+            tmp_path,
+            [
+                (1, "spark spark spark join window"),  # dominant for q0
+                (2, "spark pad pad pad pad pad pad pad pad"),
+                (3, "pad pad"),
+            ],
+        )
+        rows = {r.doc_id: r for r in rt.t_rrf_fuse(spark, d).collect() if r.query_id == 0}
+        assert set(rows) == {1, 2}
+        assert rows[1].rk == 1 and rows[2].rk == 2
+        # doc 1 tops both lists, doc 2 is #2 in both
+        assert rows[1].rrf_e6 == 2 * (1_000_000 // (rt.RRF_K + 1))
+        assert rows[2].rrf_e6 == 2 * (1_000_000 // (rt.RRF_K + 2))
+
+    def test_oracle_agreement_micro(self, spark, tmp_path):
+        d = write_docs(
+            spark,
+            tmp_path,
+            [
+                (1, "spark join window spark"),
+                (2, "hash merge filter hash merge"),
+                (3, "customer order value pad pad pad"),
+                (4, ""),
+                (5, "spark " * 30),
+                (6, "join window join window pad"),
+                (7, "spark pad " * 10),
+            ],
+        )
+        got = sorted(tuple(r) for r in rt.t_rrf_fuse(spark, d).collect())
+        want = sorted(tuple(r) for r in duck_on(d).execute(rt.T_RRF_SQL).fetchall())
+        assert got == want
+
+    def test_rankers_disagree_fusion_blends(self, spark, tmp_path):
+        """BM25's length normalization and TF-IDF's raw dl division
+        order docs differently on a crafted corpus; the fused ranking
+        still contains every doc either ranker surfaced."""
+        docs = [(i, "spark " * i + "pad " * (30 - i)) for i in range(1, 11)]
+        d = write_docs(spark, tmp_path, docs)
+        out = [r for r in rt.t_rrf_fuse(spark, d).collect() if r.query_id == 0]
+        assert len(out) == 10  # all ten docs contain 'spark'
+        # fused scores are strictly positive multiples of one or two
+        # reciprocals, monotone in rk
+        ordered = sorted(out, key=lambda r: r.rk)
+        scores = [r.rrf_e6 for r in ordered]
+        assert scores == sorted(scores, reverse=True)
+
+
+class TestBM25IndexExtend:
+    def test_extend_equals_rebuild(self, spark, tmp_path):
+        a = [(1, "spark join window spark pad"), (2, "hash merge filter")]
+        b = [(3, "spark " * 8 + "pad"), (4, "customer order value")]
+        da = write_docs(spark, tmp_path, a, "corpA")
+        dab = write_docs(spark, tmp_path, a + b, "corpAB")
+        idx = str(tmp_path / "idx_ext")
+        rt.build_bm25_index(spark.read.parquet(f"{da}/documents.parquet"), idx)
+        slice_b = spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in b], DOC_SCHEMA
+        )
+        touched = rt.extend_bm25_index(slice_b, idx)
+        assert touched > 0
+        got = sorted(tuple(r) for r in rt.bm25_index_topk(spark, idx).collect())
+        want = sorted(tuple(r) for r in rt.t_bm25_topk(spark, dab).collect())
+        assert got == want
+
+    def test_extend_idempotent(self, spark, tmp_path):
+        a = [(1, "spark join"), (2, "hash merge")]
+        b = [(3, "spark window pad")]
+        da = write_docs(spark, tmp_path, a, "corpA2")
+        idx = str(tmp_path / "idx_ext2")
+        rt.build_bm25_index(spark.read.parquet(f"{da}/documents.parquet"), idx)
+        slice_b = spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in b], DOC_SCHEMA
+        )
+        rt.extend_bm25_index(slice_b, idx)
+        first = sorted(tuple(r) for r in rt.bm25_index_topk(spark, idx).collect())
+        stats1 = spark.read.parquet(rt._stats_path(idx)).first()
+        rt.extend_bm25_index(slice_b, idx)  # re-send the same slice
+        second = sorted(tuple(r) for r in rt.bm25_index_topk(spark, idx).collect())
+        stats2 = spark.read.parquet(rt._stats_path(idx)).first()
+        assert first == second
+        assert (stats1.n, stats1.l) == (stats2.n, stats2.l) == (3, 7)
