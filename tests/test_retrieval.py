@@ -291,3 +291,60 @@ class TestBM25IndexExtend:
         stats2 = spark.read.parquet(rt._stats_path(idx)).first()
         assert first == second
         assert (stats1.n, stats1.l) == (stats2.n, stats2.l) == (3, 7)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# random corpora over the query vocabulary + noise words, so query
+# terms hit with every tf/df mix including 0 and all-docs
+_VOCAB = ["spark", "join", "window", "hash", "merge", "filter",
+          "customer", "order", "value", "pad", "x", "yy"]
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+class TestRetrievalProperties:
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpus=corpus_strategy, split=st.integers(0, 7))
+    def test_bm25_scan_oracle_index_agree(self, spark, tmp_path_factory, corpus, split):
+        """On arbitrary corpora over the query vocabulary: the scan
+        form, the DuckDB oracle, and the persisted index (built from
+        a prefix and extended with the remainder) all emit identical
+        rows."""
+        tmp_path = tmp_path_factory.mktemp("rtprop")
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+        d = write_docs(spark, tmp_path, rows)
+        scan = sorted(tuple(r) for r in rt.t_bm25_topk(spark, d).collect())
+        oracle = sorted(
+            tuple(r) for r in duck_on(d).execute(rt.T_BM25_SQL).fetchall()
+        )
+        assert scan == oracle
+        split = min(split, len(rows))
+        head, tail = rows[:split], rows[split:]
+        idx = str(tmp_path / "idx")
+        rt.build_bm25_index(
+            spark.createDataFrame(
+                [(i, t, "en", "s", len(t)) for i, t in head], DOC_SCHEMA
+            ),
+            idx,
+            n_buckets=4,
+        )
+        if tail:
+            rt.extend_bm25_index(
+                spark.createDataFrame(
+                    [(i, t, "en", "s", len(t)) for i, t in tail], DOC_SCHEMA
+                ),
+                idx,
+            )
+        indexed = sorted(
+            tuple(r) for r in rt.bm25_index_topk(spark, idx).collect()
+        )
+        assert indexed == scan
