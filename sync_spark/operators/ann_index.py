@@ -1,0 +1,210 @@
+"""Persisted ANN (LSH) index — build once, query many, extend by slice.
+
+    build_ann_index   corpus hashed ONCE into the multi-table LSH row
+                      representation and persisted in the engine's own
+                      bucketed store keyed on (tbl, bucket)
+    ann_index_topk    top-k against the index: query bucket ids are
+                      computed driver-side, the scan partition-prunes
+                      to only the colliding (tbl, bucket) keys
+    extend_ann_index  a new vector slice merged in, ONLY the touched
+                      hash buckets rewritten
+
+This closes the SCALE.md promise in ann_lsh_topk's docstring ("at
+100 TB you persist this index once, bucketed by (tbl, bucket), instead
+of rebuilding per query batch"): the ×n_tables exploded representation
+is the expensive part of the scan form — quantize + norm + the plane
+matmul over the WHOLE corpus per query batch — and it is exactly what
+the index stores. A query batch then costs: one tiny plane matmul over
+the queries, a partition-pruned read of ≤ |queries|×n_tables bucket
+keys, and the shared JVM-side scoring tail. Maintenance is the CDC
+store's touched-bucket discipline (sources/bucketed.py: hash-bucket
+dirs, key-sorted files, stage-then-swap crash discipline) — O(slice),
+not O(corpus), same as incremental.py's fingerprint index and
+retrieval.py's BM25 postings index.
+
+Semantics contract (pytest-pinned, test_ann_index.py): ann_index_topk
+against an index built from corpus C is BIT-IDENTICAL to
+similarity.ann_lsh_topk(queries, C) with the same parameters — the
+index is an optimization, never a semantics change. Both paths share
+one row-prep kernel (similarity.lsh_rows) and one scoring tail
+(similarity._scored_topk), so plane seeds / quantization / tiebreaks
+cannot drift.
+
+Reference parity: the reference has no ANN surface; this is part of
+the LLM-pipeline extension family (SURVEY.md §2 addendum), using the
+same persisted-store machinery as its CDC targets.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+import pyspark.sql.types as T
+
+from sync_spark.operators.similarity import _scored_topk, lsh_rows
+from sync_spark.sources.bucketed import (
+    bucket_expr,
+    lookup_keys,
+    overwrite_buckets,
+    read_buckets,
+    read_meta,
+    write_bucketed,
+)
+
+_DEFAULT_BUCKETS = 32
+
+# the persisted row grain: one row per (vector, LSH table)
+_INDEX_SCHEMA = (
+    "tbl int, bucket int, neighbor_id long, cv array<bigint>, cn bigint"
+)
+
+_PARAMS_FILE = ".ann_params.json"
+
+
+def _params_path(path: str) -> str:
+    return os.path.join(path, _PARAMS_FILE)
+
+
+def _write_params(path: str, params: dict) -> None:
+    tmp = _params_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f)
+    os.replace(tmp, _params_path(path))
+
+
+def read_params(path: str) -> dict:
+    """The index's LSH geometry (n_planes, n_tables, dim, seed,
+    id/vec column names) — persisted beside the buckets so the query
+    and extend paths re-derive the IDENTICAL hyperplanes without the
+    caller re-supplying (and possibly mis-supplying) them."""
+    p = _params_path(path)
+    if not os.path.exists(p):
+        raise ValueError(f"no ANN index at {path!r} (missing {_PARAMS_FILE})")
+    with open(p) as f:
+        return json.load(f)
+
+
+def _index_rows(df: DataFrame, params: dict) -> DataFrame:
+    rows = lsh_rows(
+        df, "neighbor_id", "cv", "cn",
+        n_planes=params["n_planes"], n_tables=params["n_tables"],
+        id_col=params["id_col"], vec_col=params["vec_col"],
+        dim=params["dim"], seed=params["seed"],
+    )
+    return rows.select("tbl", "bucket", "neighbor_id", "cv", "cn")
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+    n_buckets: int = _DEFAULT_BUCKETS,
+) -> int:
+    """Hash the corpus ONCE (shared lsh_rows kernel: quantize + norm +
+    one Arrow-batched plane matmul, then the ×n_tables posexplode) and
+    persist the (tbl, bucket, neighbor_id, cv, cn) rows into the
+    bucketed store keyed on (tbl, bucket), plus a params sidecar. The
+    ONLY shuffle is the bucketed write's partitionBy — key-sorted
+    files make the per-key lookup rowgroup-prunable. Returns the
+    number of index rows written."""
+    params = dict(
+        n_planes=n_planes, n_tables=n_tables, id_col=id_col,
+        vec_col=vec_col, dim=dim, seed=seed,
+    )
+    rows = _index_rows(corpus, params)
+    write_bucketed(rows, path, ["tbl", "bucket"], n_buckets)
+    _write_params(path, params)
+    n = rows.sparkSession.read.parquet(path).count()
+    return int(n)
+
+
+def ann_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k against the PERSISTED index — semantics contract
+    (pytest-pinned, test_ann_index.py): bit-identical to the scan-form
+    ``ann_lsh_topk`` on the same corpus and parameters.
+
+    Cost shape: the query batch (the SMALL side by assumption — it is
+    broadcast in the scoring tail anyway) is hashed with the shared
+    kernel, its distinct (tbl, bucket) keys are collected driver-side
+    (≤ |queries| × n_tables tuples), and the index read is
+    ``lookup_keys`` — bucket ids come from those literal keys, the
+    scan partition-prunes to only the colliding hash buckets, and the
+    (tbl, bucket) equality predicates reach the key-sorted parquet
+    (rowgroup skipping). A query workload touches colliding buckets,
+    never the corpus: ~n_tables/2^n_planes of the index per query, and
+    none of the quantize/matmul prep the scan form repays per batch."""
+    params = read_params(path)
+    # hash the query batch ONCE and land it driver-side: it is the
+    # small side by assumption (the scoring tail broadcasts it
+    # regardless), and the literal rows both (a) give lookup_keys its
+    # driver-side key tuples and (b) become a local relation in the
+    # join — no second matmul job, no cache-lifetime management
+    q_rows = lsh_rows(
+        queries, "query_id", "qv", "qn",
+        n_planes=params["n_planes"], n_tables=params["n_tables"],
+        id_col=params["id_col"], vec_col=params["vec_col"],
+        dim=params["dim"], seed=params["seed"],
+    ).collect()
+    keys = sorted({(int(r["tbl"]), int(r["bucket"])) for r in q_rows})
+    q = spark.createDataFrame(
+        q_rows, "query_id long, qv array<bigint>, qn bigint, tbl int, bucket int"
+    )
+    cand = lookup_keys(
+        spark, path, keys,
+        schema=T._parse_datatype_string(_INDEX_SCHEMA),
+    ).select("neighbor_id", "cv", "cn", "tbl", "bucket")
+    return _scored_topk(cand, q, k, on=["tbl", "bucket"], dedup=True)
+
+
+def extend_ann_index(df: DataFrame, path: str) -> int:
+    """Merge a new vector slice into the persisted index, rewriting
+    ONLY the (tbl, bucket)-hash buckets its rows land in (the CDC
+    store's touched-bucket discipline — maintenance is O(slice), not
+    O(corpus)). Idempotent: index rows distinct-merge, so re-extending
+    the same slice is a no-op. Contract (shared with extend_fp_index /
+    extend_bm25_index): slice ids must be NEW or byte-identical
+    re-sends — re-indexing a MUTATED vector id needs a delete first.
+    Same staleness hazard: materialize pre-extend query results before
+    swapping. Returns the number of touched store buckets."""
+    meta = read_meta(path)
+    if meta is None:
+        raise ValueError(f"no ANN index at {path!r}; build_ann_index first")
+    n_buckets = meta["n_buckets"]
+    params = read_params(path)
+    spark = df.sparkSession
+    rows = _index_rows(df, params).persist()
+    try:
+        touched = [
+            int(r[0])
+            for r in rows.select(
+                bucket_expr(["tbl", "bucket"], n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return 0
+        existing = read_buckets(
+            spark, path, touched,
+            schema=T._parse_datatype_string(_INDEX_SCHEMA),
+        ).select("tbl", "bucket", "neighbor_id", "cv", "cn")
+        merged = existing.unionByName(
+            rows.select("tbl", "bucket", "neighbor_id", "cv", "cn")
+        ).distinct()
+        overwrite_buckets(merged, path, ["tbl", "bucket"], n_buckets, touched)
+    finally:
+        rows.unpersist()
+    return len(touched)

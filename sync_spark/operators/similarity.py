@@ -748,32 +748,13 @@ def embed_neardup_lsh(
     work instead of n², the same banded shape as MinHash-LSH. This is
     the 100 TB default; embed_neardup_exact is the oracle-parity
     baseline and the small-n fallback."""
-    from pyspark.sql.functions import pandas_udf
-
-    plane_sets = [hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)]
-    planes_np = np.asarray([p for table in plane_sets for p in table], dtype=np.float64)
-    weights = 1 << np.arange(n_planes)
-
-    @pandas_udf("array<int>")
-    def bucket_ids_udf(embs: pd.Series) -> pd.Series:
-        x = np.asarray(list(embs), dtype=np.float64)
-        bits = (x @ planes_np.T) > 0
-        ids = bits.reshape(len(x), n_tables, n_planes) @ weights
-        return pd.Series(list(ids.astype(np.int32)))
-
-    bucket_ids_udf = bucket_ids_udf.asNondeterministic()  # optimizer barrier (see ann_lsh_topk)
-
-    v = (
-        corpus.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("vid"), F.col(vec_col).alias("raw"))
-        .withColumn("qv", _quantize(F.col("raw")))
-        .withColumn("nrm", _norm2(F.col("qv")))
+    v = lsh_rows(
+        corpus, "vid", "qv", "nrm",
+        n_planes=n_planes, n_tables=n_tables, id_col=id_col,
+        vec_col=vec_col, dim=dim, seed=seed,
         # same zero-norm guard as embed_neardup_exact (the loose bound
         # degenerates to 0 for them — junk candidates, never matches)
-        .filter(F.col("nrm") > 0)
-        .withColumn("bids", bucket_ids_udf(F.col("raw")))
-        .select("vid", "qv", "nrm", F.posexplode("bids").alias("tbl", "bucket"))
-    )
+    ).filter(F.col("nrm") > 0)
     # verify INSIDE each (tbl, bucket) group with the SHARED dense
     # int64 kernel (_neardup_kernel_pairs — one definition with the
     # exact path): candidate pairs are scored where they collide and
@@ -799,10 +780,11 @@ def embed_neardup_lsh(
     return _emit_cosine(emitted, threshold).dropDuplicates(["id1", "id2"])
 
 
-def ann_lsh_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    k: int = 5,
+def lsh_rows(
+    df: DataFrame,
+    out_id: str,
+    vec: str,
+    norm: str,
     n_planes: int = 4,
     n_tables: int = 8,
     id_col: str = "vec_id",
@@ -810,26 +792,18 @@ def ann_lsh_topk(
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate NN: multi-table random-hyperplane LSH. Each of the
-    ``n_tables`` independent tables hashes a vector to a
-    ``n_planes``-bit sign bucket; candidates are the UNION of same-
-    bucket collisions across tables (classic LSH amplification: a
-    near pair with per-plane collision prob p is found with
-    1-(1-p^n_planes)^n_tables), then scored with the exact quantized
-    cosine and deduped before ranking.
+    """The shared LSH row representation: one row per (vector, table)
+    with columns (out_id, vec, norm, tbl, bucket) — quantized int64
+    vector, integer norm², and the table's ``n_planes``-bit sign
+    bucket. ONE definition feeds both the scan-form ``ann_lsh_topk``
+    and the persisted index (ann_index.py) so the plane seeds /
+    quantization / bucket math can't drift between them.
 
     All n_tables × n_planes plane dot products per vector are ONE
     Arrow-batched numpy matmul (same justified-pandas_udf case as the
     IVF cell kernel: a dense vectors × planes matrix; the Column-HOF
     version measured ~10× slower). Quantized vectors and norms are
-    computed once per vector BEFORE the ×n_tables explode; scoring
-    stays JVM-side.
-
-    Scale: the corpus is exploded ×n_tables — the standard L-index-
-    copies LSH trade (at 100 TB you persist this index once, bucketed
-    by (tbl, bucket), instead of rebuilding per query batch); each
-    query then scans ~n_tables/2^n_planes of the corpus instead of
-    all of it. Recall < 1 by design → rows-only + chk_ floor."""
+    computed once per vector BEFORE the ×n_tables explode."""
     from pyspark.sql.functions import pandas_udf
 
     plane_sets = [hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)]
@@ -850,23 +824,54 @@ def ann_lsh_topk(
     # the posexplode projection and evaluates the matmul twice per row
     bucket_ids_udf = bucket_ids_udf.asNondeterministic()
 
-    def _prep(df: DataFrame, out_id: str, vec: str, norm: str) -> DataFrame:
-        return (
-            df.filter(F.col(vec_col).isNotNull())
-            .select(F.col(id_col).alias(out_id), F.col(vec_col).alias("raw"))
-            .withColumn(vec, _quantize(F.col("raw")))
-            .withColumn(norm, _norm2(F.col(vec)))
-            .withColumn("bids", bucket_ids_udf(F.col("raw")))
-            .select(
-                out_id,
-                vec,
-                norm,
-                F.posexplode("bids").alias("tbl", "bucket"),
-            )
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias(out_id), F.col(vec_col).alias("raw"))
+        .withColumn(vec, _quantize(F.col("raw")))
+        .withColumn(norm, _norm2(F.col(vec)))
+        .withColumn("bids", bucket_ids_udf(F.col("raw")))
+        .select(
+            out_id,
+            vec,
+            norm,
+            F.posexplode("bids").alias("tbl", "bucket"),
         )
+    )
 
-    q = _prep(queries, "query_id", "qv", "qn")
-    c = _prep(corpus, "neighbor_id", "cv", "cn")
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate NN: multi-table random-hyperplane LSH. Each of the
+    ``n_tables`` independent tables hashes a vector to a
+    ``n_planes``-bit sign bucket; candidates are the UNION of same-
+    bucket collisions across tables (classic LSH amplification: a
+    near pair with per-plane collision prob p is found with
+    1-(1-p^n_planes)^n_tables), then scored with the exact quantized
+    cosine (JVM-side) and deduped before ranking. Row prep is the
+    shared ``lsh_rows`` kernel.
+
+    Scale: the corpus is exploded ×n_tables — the standard L-index-
+    copies LSH trade; at 100 TB you persist this representation once,
+    bucketed by (tbl, bucket) (ann_index.build_ann_index — contract:
+    same results as this scan form), instead of rebuilding per query
+    batch; each query then scans ~n_tables/2^n_planes of the corpus
+    instead of all of it. Recall < 1 by design → rows-only +
+    chk_ floor."""
+    opts = dict(
+        n_planes=n_planes, n_tables=n_tables, id_col=id_col,
+        vec_col=vec_col, dim=dim, seed=seed,
+    )
+    q = lsh_rows(queries, "query_id", "qv", "qn", **opts)
+    c = lsh_rows(corpus, "neighbor_id", "cv", "cn", **opts)
     return _scored_topk(c, q, k, on=["tbl", "bucket"], dedup=True)
 
 
