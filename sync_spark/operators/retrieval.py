@@ -83,7 +83,9 @@ def _contrib(i: int, j: int, div: str) -> str:
     )
 
 
-def _bm25_sql(dialect: str, spread_hint: str = "", table: str = "documents") -> str:
+def _bm25_sql(
+    dialect: str, spread_hint: str = "", table: str = "documents", k: int = BM25_K
+) -> str:
     """One BM25 query text, rendered for ``spark`` or ``duckdb``.
 
     Shape (identical in both engines, so the oracle IS the plan):
@@ -167,7 +169,7 @@ WITH tok1 AS (
 )
 SELECT CAST(query_id AS INT) AS query_id, CAST(rk AS {bigint}) AS rk,
        doc_id, score_e4
-FROM ranked WHERE rk <= {BM25_K}
+FROM ranked WHERE rk <= {k}
 """
 
 
@@ -723,3 +725,136 @@ def extend_bm25_index(
     finally:
         postings.unpersist()
     return len(touched)
+
+
+# ---------------------------------------------------------------------------
+# Dense+sparse hybrid retrieval: BM25 ∪ exact-cosine fused with RRF
+# ---------------------------------------------------------------------------
+
+HYBRID_QIDS = [qid for qid, _ in BM25_QUERIES]
+
+
+def _hybrid_sql() -> str:
+    """DuckDB oracle for t_hybrid_fuse: the dense leg is the
+    e_cosine_topk quantization discipline (int64 components, one
+    double divide) ranked to depth RRF_LIST; the sparse leg is the
+    full BM25 statement embedded as a FROM-subquery; the fusion tail
+    is the shared integer-reciprocal RRF."""
+    qids = ", ".join(str(q) for q in HYBRID_QIDS)
+    quant = (
+        "list_transform(embedding, x -> "
+        "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    return f"""
+WITH dq AS (
+  SELECT vec_id AS query_id, {quant} AS qv
+  FROM embeddings WHERE vec_id IN ({qids})
+), dc AS (
+  SELECT vec_id AS doc_id, {quant} AS cv
+  FROM embeddings
+), dscore AS (
+  SELECT dq.query_id, dc.doc_id,
+         CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE))) AS cosine
+  FROM dq, dc WHERE dq.query_id <> dc.doc_id
+), dlist AS (
+  SELECT query_id, doc_id, rk FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS rk
+    FROM dscore
+  ) WHERE rk <= {RRF_LIST}
+), slist AS (
+  SELECT query_id, doc_id, rk
+  FROM ({_bm25_sql("duckdb", "", "documents", k=RRF_LIST)}) bm
+), fused AS (
+  SELECT COALESCE(d.query_id, s.query_id) AS query_id,
+         COALESCE(d.doc_id, s.doc_id) AS doc_id,
+         COALESCE(1000000 // ({RRF_K} + d.rk), 0)
+           + COALESCE(1000000 // ({RRF_K} + s.rk), 0) AS rrf_e6
+  FROM dlist d FULL OUTER JOIN slist s
+    ON d.query_id = s.query_id AND d.doc_id = s.doc_id
+)
+SELECT CAST(query_id AS INT) AS query_id, CAST(rk AS BIGINT) AS rk,
+       doc_id, CAST(rrf_e6 AS BIGINT) AS rrf_e6
+FROM (
+  SELECT query_id, doc_id, rrf_e6,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id ASC) AS rk
+  FROM fused
+) WHERE rk <= {RRF_TOPK}
+"""
+
+
+def t_hybrid_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense+sparse hybrid retrieval — the modern RAG default: BM25
+    over the documents table and exact quantized cosine over the
+    embeddings table rank the SAME query ids independently (doc_id ≡
+    vec_id in the fixture), then reciprocal-rank fusion blends the two
+    top-{RRF_LIST} lists as Σ 10⁶ DIV ({RRF_K} + rank) and keeps the
+    fused top-{RRF_TOPK}. No score calibration is needed — RRF sees
+    ranks only, which is exactly why it is the production way to mix a
+    lexical and a vector ranker.
+
+    The dense leg drops the trivial self-hit (the fixture reuses
+    corpus vectors as queries; a real deployment's query embedding is
+    out-of-corpus); the sparse leg's query is a term list, so no such
+    exclusion exists there.
+
+    Plan shape: the dense leg is ONE broadcast-queries corpus scan
+    ending in a WindowGroupLimit-bounded window (the e_cosine_topk
+    shape at list depth {RRF_LIST}, kernel-spread); the sparse leg is
+    the t_bm25_topk two-scan statement at the same depth; the fusion
+    full-outer join touches two ≤ {RRF_LIST}·|queries|-row lists —
+    driver-scale. At 100 TB each leg swaps to its persisted index
+    (ann_index_topk / bm25_index_topk — both pytest-pinned
+    bit-identical to these scan forms) and the fusion tail is
+    unchanged."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sync_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    w = dedup.kernel_spread_width_from_files(spark, sf_dir, "embeddings")
+    corpus = emb.repartition(w) if w else emb
+    dense = similarity.cosine_topk(
+        emb.filter(F.col("vec_id").isin(HYBRID_QIDS)), corpus, k=RRF_LIST
+    )
+    dlist = dense.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.expr(f"CAST(1000000 AS BIGINT) DIV ({RRF_K} + rank)").alias("d_recip"),
+    )
+    hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__hybrid_documents")
+    slist = spark.sql(
+        _bm25_sql("spark", hint, "__hybrid_documents", k=RRF_LIST)
+    ).select(
+        "query_id",
+        "doc_id",
+        F.expr(f"CAST(1000000 AS BIGINT) DIV ({RRF_K} + rk)").alias("s_recip"),
+    )
+    fused = dlist.join(slist, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(F.col("d_recip"), F.lit(0))
+            + F.coalesce(F.col("s_recip"), F.lit(0))
+        ).alias("rrf_e6"),
+    )
+    fw = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_e6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(fw))
+        .where(F.col("rk") <= RRF_TOPK)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+            F.col("rrf_e6").cast("bigint").alias("rrf_e6"),
+        )
+    )
+
+
+T_HYBRID_SQL = _hybrid_sql()

@@ -348,3 +348,86 @@ class TestRetrievalProperties:
             tuple(r) for r in rt.bm25_index_topk(spark, idx).collect()
         )
         assert indexed == scan
+
+
+class TestHybridFuse:
+    """Dense+sparse RRF hybrid: BM25 over documents ∪ exact cosine
+    over embeddings, fused by integer reciprocal rank."""
+
+    def _write_pair(self, spark, tmp_path, docs, embs, name="sf_hy"):
+        d = write_docs(spark, tmp_path, docs, name=name)
+        spark.createDataFrame(
+            embs, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        return d
+
+    def _duck(self, d):
+        con = duck_on(d)
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{d}/embeddings.parquet/*.parquet')"
+        )
+        return con
+
+    def micro(self, spark, tmp_path):
+        # qid 0 terms are ["spark", "join", "window"] (BM25_QUERIES);
+        # doc 10 = strong BOTH legs (terms + embedding near query 0),
+        # doc 11 = dense-only (near embedding, no terms),
+        # doc 12 = sparse-only (terms, orthogonal embedding),
+        # doc 0  = the query's own row (no terms: unreachable — dense
+        #          drops the self-hit, sparse never scores it)
+        docs = [
+            (0, "alpha beta gamma"),
+            (1, "delta epsilon"),
+            (2, "zeta eta theta"),
+            (10, "spark join window spark join"),
+            (11, "iota kappa lambda"),
+            (12, "spark join window spark window join spark"),
+            (13, "mu nu xi"),
+        ]
+        embs = [
+            (0, [1.0, 0.0, 0.0], 0),
+            (1, [0.0, 1.0, 0.0], 0),
+            (2, [0.0, 0.0, 1.0], 0),
+            (10, [0.9, 0.1, 0.0], 0),
+            (11, [0.95, 0.05, 0.0], 0),
+            (12, [0.0, 0.5, 0.5], 0),
+            (13, [0.1, 0.2, 0.9], 0),
+        ]
+        return self._write_pair(spark, tmp_path, docs, embs)
+
+    def test_oracle_agreement_micro(self, spark, tmp_path):
+        d = self.micro(spark, tmp_path)
+        got = sorted(tuple(r) for r in rt.t_hybrid_fuse(spark, d).collect())
+        want = sorted(
+            tuple(r) for r in self._duck(d).execute(rt.T_HYBRID_SQL).fetchall()
+        )
+        assert got == want
+        assert len(got) > 0
+
+    def test_fusion_semantics(self, spark, tmp_path):
+        d = self.micro(spark, tmp_path)
+        rows = {
+            (r.query_id, r.doc_id): (r.rk, r.rrf_e6)
+            for r in rt.t_hybrid_fuse(spark, d).collect()
+        }
+        q0 = {doc: v for (q, doc), v in rows.items() if q == 0}
+        # both-legs doc 10 must outrank dense-only 11 and sparse-only 12
+        assert q0[10][0] == 1
+        assert q0[10][1] > q0[11][1] and q0[10][1] > q0[12][1]
+        # dense-only and sparse-only docs still surface
+        assert 11 in q0 and 12 in q0
+        # the query's own doc is unreachable: dense drops the
+        # self-hit and it shares no terms
+        assert 0 not in q0
+
+    def test_sf_oracle_agreement(self, spark, sf_oracle):
+        got = sorted(tuple(r) for r in rt.t_hybrid_fuse(spark, sf_oracle).collect())
+        con = duckdb.connect()
+        for t in ("documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_oracle}/{t}.parquet')"
+            )
+        want = sorted(tuple(r) for r in con.execute(rt.T_HYBRID_SQL).fetchall())
+        assert got == want
