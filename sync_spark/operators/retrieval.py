@@ -858,3 +858,154 @@ def t_hybrid_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 T_HYBRID_SQL = _hybrid_sql()
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: recall@k / MRR / nDCG of BM25 against the
+# TF-IDF ranking as ground truth (ranker-agreement diagnostic)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+# integer-scaled nDCG discounts for ranks 1..BM25_K, computed ONCE in
+# Python and embedded as literals in BOTH dialects — the repo-wide
+# log-free discipline (each engine's libm log2 differs in last bits;
+# a shared literal table cannot): disc_e6[r-1] = round(1e6/log2(r+1))
+_DISC_E6 = [round(1_000_000 / _math.log2(r + 1)) for r in range(1, BM25_K + 1)]
+# prefix sums: ideal DCG for n relevant docs is Σ_{i<=n} disc(i)
+_IDCG_E6 = [sum(_DISC_E6[: i + 1]) for i in range(BM25_K)]
+
+
+def _eval_sql(dialect: str, spread_hint: str = "", table: str = "documents") -> str:
+    """One retrieval-eval query text, rendered for ``spark`` or
+    ``duckdb``: both rankers' scores come from the SHARED stacked
+    score table (_rrf_sql stacked_only — one corpus kernel), ground
+    truth = TF-IDF top-{k}, system = BM25 top-{k}, and the metric
+    arithmetic is BIGINT with the nDCG discount table embedded as
+    shared literals. (The dense ranking is NOT the ground truth here
+    on purpose: the fixture's embeddings are synthetic and
+    uncorrelated with the text, so dense-vs-lexical overlap is
+    empty — a metric fixture must have signal to exercise the math.)"""
+    spark = dialect == "spark"
+    div = "DIV" if spark else "//"
+    if spark:
+        disc = "element_at(array({}), CAST(rk AS INT))".format(
+            ", ".join(f"CAST({d} AS BIGINT)" for d in _DISC_E6)
+        )
+        idcg = "element_at(array({}), CAST(n_rel AS INT))".format(
+            ", ".join(f"CAST({d} AS BIGINT)" for d in _IDCG_E6)
+        )
+    else:
+        disc = "([{}])[CAST(rk AS INT)]".format(
+            ", ".join(f"CAST({d} AS BIGINT)" for d in _DISC_E6)
+        )
+        idcg = "([{}])[CAST(n_rel AS INT)]".format(
+            ", ".join(f"CAST({d} AS BIGINT)" for d in _IDCG_E6)
+        )
+    return f"""
+WITH both_scores AS (
+  {_rrf_sql(dialect, spread_hint, table, stacked_only=True)}
+), gt AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY t_score DESC, doc_id ASC) AS grk
+    FROM both_scores WHERE t_score > 0
+  ) WHERE grk <= {BM25_K}
+), sys AS (
+  SELECT query_id, doc_id, rk FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY b_score DESC, doc_id ASC) AS rk
+    FROM both_scores WHERE b_score > 0
+  ) WHERE rk <= {BM25_K}
+), joined AS (
+  SELECT gt.query_id, gt.doc_id, sys.rk
+  FROM gt LEFT JOIN sys
+    ON gt.query_id = sys.query_id AND gt.doc_id = sys.doc_id
+), agg AS (
+  SELECT CAST(query_id AS INT) AS query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rel,
+         CAST(COUNT(rk) AS BIGINT) AS hits,
+         CAST(COALESCE(CAST(1000000 AS BIGINT) {div} MIN(rk), 0) AS BIGINT) AS mrr_e6,
+         CAST(COALESCE(SUM(CASE WHEN rk IS NOT NULL THEN {disc} END), 0) AS BIGINT) AS dcg_e6
+  FROM joined GROUP BY query_id
+)
+SELECT query_id, n_rel, hits,
+       CAST((hits * 1000000) {div} n_rel AS BIGINT) AS recall_e6,
+       mrr_e6,
+       CAST((dcg_e6 * 1000000) {div} {idcg} AS BIGINT) AS ndcg_e6
+FROM agg
+"""
+
+
+def t_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation — recall@{k}, MRR, nDCG@{k} of the BM25
+    ranking against the TF-IDF top-{k} as ground truth, per query:
+    the standard ranker-agreement diagnostic a curation pipeline runs
+    before trusting a new ranker (swap either leg for a labeled
+    relevance table and the metric tail is unchanged).
+
+    Everything is integer-exact: both rankings are the pinned
+    bit-exact integer scorers; metric arithmetic is BIGINT with the
+    nDCG discount table embedded as shared Python-computed literals
+    in both dialects (log2 never touches an engine's libm — the
+    repo-wide log-free discipline).
+
+    Plan shape: mirrors t_rrf_fuse — the (doc, query, b_score,
+    t_score) score table materializes ONCE through a persist()
+    barrier (one corpus kernel pass), each ranking is a
+    WindowGroupLimit-bounded window over the cache, and the metric
+    join + aggregate run on two {k}·|queries|-row lists —
+    driver-scale. Queries with no TF-IDF match have no ground-truth
+    set and are absent by definition."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__eval_documents")
+    stacked = spark.sql(
+        _rrf_sql("spark", hint, "__eval_documents", stacked_only=True)
+    ).persist()
+
+    def ranked(score_col: str, rk_name: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(score_col).desc(), F.col("doc_id").asc()
+        )
+        return (
+            stacked.where(F.col(score_col) > 0)
+            .withColumn(rk_name, F.row_number().over(w))
+            .where(F.col(rk_name) <= BM25_K)
+            .select("query_id", "doc_id", rk_name)
+        )
+
+    gt = ranked("t_score", "grk").drop("grk")
+    sys_ = ranked("b_score", "rk")
+    disc = "element_at(array({}), CAST(rk AS INT))".format(
+        ", ".join(f"CAST({d} AS BIGINT)" for d in _DISC_E6)
+    )
+    idcg = "element_at(array({}), CAST(n_rel AS INT))".format(
+        ", ".join(f"CAST({d} AS BIGINT)" for d in _IDCG_E6)
+    )
+    agg = (
+        gt.join(sys_, ["query_id", "doc_id"], "left")
+        .groupBy(F.col("query_id").cast("int").alias("query_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rel"),
+            F.count("rk").cast("long").alias("hits"),
+            F.coalesce(
+                F.expr("CAST(1000000 AS BIGINT) DIV MIN(rk)"), F.lit(0)
+            ).cast("long").alias("mrr_e6"),
+            F.coalesce(
+                F.expr(f"SUM(CASE WHEN rk IS NOT NULL THEN {disc} END)"),
+                F.lit(0),
+            ).cast("long").alias("dcg_e6"),
+        )
+    )
+    return agg.select(
+        "query_id", "n_rel", "hits",
+        F.expr("(hits * 1000000) DIV n_rel").cast("long").alias("recall_e6"),
+        "mrr_e6",
+        F.expr(f"(dcg_e6 * 1000000) DIV {idcg}").cast("long").alias("ndcg_e6"),
+    )
+
+
+T_RETRIEVAL_EVAL_SQL = _eval_sql("duckdb", "", "documents")

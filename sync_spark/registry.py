@@ -129,6 +129,7 @@ def _populate() -> None:
     register("t_chunk_docs", rt.t_chunk_docs, rt.T_CHUNK_SQL)
     register("t_rrf_fuse", rt.t_rrf_fuse, rt.T_RRF_SQL)
     register("t_hybrid_fuse", rt.t_hybrid_fuse, rt.T_HYBRID_SQL)
+    register("t_retrieval_eval", rt.t_retrieval_eval, rt.T_RETRIEVAL_EVAL_SQL)
 
     from sync_spark.operators import extended_queries as xq
 

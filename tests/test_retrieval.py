@@ -431,3 +431,95 @@ class TestHybridFuse:
             )
         want = sorted(tuple(r) for r in con.execute(rt.T_HYBRID_SQL).fetchall())
         assert got == want
+
+
+class TestRetrievalEval:
+    """recall@k / MRR / nDCG of BM25 vs the TF-IDF ground truth —
+    integer-exact metric math over the shared stacked score table."""
+
+    def test_perfect_agreement_single_match(self, spark, tmp_path):
+        """Exactly one doc matches each query's terms: both rankers
+        agree trivially → every metric is exactly 10^6."""
+        d = write_docs(
+            spark, tmp_path,
+            [
+                (1, "spark join window"),
+                (2, "hash merge filter"),
+                (3, "customer order value"),
+                (4, "nothing relevant here"),
+            ],
+            name="sf_ev1",
+        )
+        rows = {r.query_id: r for r in rt.t_retrieval_eval(spark, d).collect()}
+        assert set(rows) == {0, 1, 2}
+        for r in rows.values():
+            assert (r.n_rel, r.hits) == (1, 1)
+            assert r.recall_e6 == 1_000_000
+            assert r.mrr_e6 == 1_000_000
+            assert r.ndcg_e6 == 1_000_000
+
+    def test_same_set_same_order_is_perfect(self, spark, tmp_path):
+        """≤10 matching docs → both top-10 lists hold the same SET;
+        with equal dl the orders also coincide → nDCG = 10^6."""
+        d = write_docs(
+            spark, tmp_path,
+            [
+                (1, "spark join window pad"),
+                (2, "spark spark join window"),  # higher tf, same dl
+                (3, "spark join pad pad"),
+            ],
+            name="sf_ev2",
+        )
+        r = {x.query_id: x for x in rt.t_retrieval_eval(spark, d).collect()}[0]
+        assert r.n_rel == r.hits == 3
+        assert r.recall_e6 == 1_000_000 and r.ndcg_e6 == 1_000_000
+
+    def test_oracle_agreement_divergent_corpus(self, spark, tmp_path):
+        """>10 matching docs with varied tf/dl so the BM25 (saturating
+        tf) and TF-IDF (linear tf/dl) top-10 SETS diverge — the
+        non-trivial metric regime — and both engines agree bit-exactly."""
+        rows = []
+        for i in range(16):
+            # vary tf of 'spark' and padding length independently
+            text = " ".join(["spark"] * (1 + i % 5) + ["join"] * (i % 3) + ["pad"] * (i * 7 % 23))
+            rows.append((i, text))
+        rows.append((100, "unrelated text entirely"))
+        d = write_docs(spark, tmp_path, rows, name="sf_ev3")
+        got = sorted(tuple(r) for r in rt.t_retrieval_eval(spark, d).collect())
+        want = sorted(
+            tuple(r)
+            for r in duck_on(d).execute(rt.T_RETRIEVAL_EVAL_SQL).fetchall()
+        )
+        assert got == want
+        by_q = {t[0]: t for t in got}
+        # qid 0 has 16 candidates for 10 slots: divergence is possible,
+        # perfection is not guaranteed — but bounds always hold
+        for q, (qid, n_rel, hits, rec, mrr, ndcg) in by_q.items():
+            assert 1 <= n_rel <= 10 and 0 <= hits <= n_rel
+            assert 0 <= rec <= 1_000_000 and 0 <= mrr <= 1_000_000
+            assert 0 <= ndcg <= 1_000_000
+
+    def test_sf_oracle_agreement(self, spark, sf_oracle):
+        got = sorted(
+            tuple(r) for r in rt.t_retrieval_eval(spark, sf_oracle).collect()
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_oracle}/documents.parquet')"
+        )
+        want = sorted(
+            tuple(r) for r in con.execute(rt.T_RETRIEVAL_EVAL_SQL).fetchall()
+        )
+        assert got == want
+        # the fixture has lexical signal: at least one nonzero recall
+        assert any(t[3] > 0 for t in got)
+
+    def test_discount_table_is_shared_literals(self):
+        """The discount table must be Python-computed literals (no
+        engine libm): spot-check the first entries and monotonicity."""
+        assert rt._DISC_E6[0] == 1_000_000           # 1/log2(2)
+        assert rt._DISC_E6[1] == round(1_000_000 / 1.584962500721156)
+        assert all(a > b for a, b in zip(rt._DISC_E6, rt._DISC_E6[1:]))
+        assert rt._IDCG_E6[0] == rt._DISC_E6[0]
+        assert rt._IDCG_E6[-1] == sum(rt._DISC_E6)
