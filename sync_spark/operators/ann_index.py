@@ -208,3 +208,46 @@ def extend_ann_index(df: DataFrame, path: str) -> int:
     finally:
         rows.unpersist()
     return len(touched)
+
+def remove_from_ann_index(df: DataFrame, path: str) -> int:
+    """Delete vectors from the persisted ANN index, rewriting ONLY the
+    (tbl, bucket)-hash buckets their LSH rows land in. With
+    extend_ann_index this closes the mutation cycle:
+    update = remove(old) + extend(new).
+
+    Contract (the inverse of extend's): the caller presents the
+    ORIGINAL vectors — the index is keyed by content-derived LSH
+    buckets, so the byte-identical embedding is what locates the
+    touched buckets in O(slice); within them, every row of the given
+    ids is dropped. Idempotent. Returns touched store buckets."""
+    meta = read_meta(path)
+    if meta is None:
+        raise ValueError(f"no ANN index at {path!r}; build_ann_index first")
+    n_buckets = meta["n_buckets"]
+    params = read_params(path)
+    spark = df.sparkSession
+    rows = _index_rows(df, params).persist()
+    try:
+        touched = [
+            int(r[0])
+            for r in rows.select(
+                bucket_expr(["tbl", "bucket"], n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return 0
+        del_ids = rows.select("neighbor_id").distinct()
+        survivors = (
+            read_buckets(
+                spark, path, touched,
+                schema=T._parse_datatype_string(_INDEX_SCHEMA),
+            )
+            .select("tbl", "bucket", "neighbor_id", "cv", "cn")
+            .join(del_ids, "neighbor_id", "left_anti")
+        )
+        overwrite_buckets(survivors, path, ["tbl", "bucket"], n_buckets, touched)
+    finally:
+        rows.unpersist()
+    return len(touched)

@@ -213,3 +213,50 @@ def extend_fp_index(
     finally:
         new_fps.unpersist()
     return len(touched)
+
+def remove_from_fp_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> int:
+    """Delete documents from the persisted fingerprint index,
+    rewriting ONLY the fp-hash buckets their fingerprints land in.
+    With extend_fp_index this closes the mutation cycle:
+    update = remove(old) + extend(new).
+
+    Contract (the inverse of extend's): the caller presents the
+    ORIGINAL document text — the index is keyed by content-derived
+    winnowing fingerprints, so byte-identical text is what locates
+    the touched buckets in O(slice); within them, every (fp, doc_id)
+    row of the given doc ids is dropped. Idempotent. Returns touched
+    buckets."""
+    meta = read_meta(path)
+    if meta is None:
+        raise ValueError(f"no fp index at {path!r}; build_fp_index first")
+    n_buckets = meta["n_buckets"]
+    spark = df.sparkSession
+    fps = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window).select(
+        "fp", "doc_id"
+    ).persist()
+    try:
+        touched = [
+            int(r[0])
+            for r in fps.select(bucket_expr(["fp"], n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return 0
+        del_ids = fps.select("doc_id").distinct()
+        survivors = (
+            read_buckets(spark, path, touched)
+            .select("fp", "doc_id")
+            .join(del_ids, "doc_id", "left_anti")
+        )
+        overwrite_buckets(survivors, path, ["fp"], n_buckets, touched)
+    finally:
+        fps.unpersist()
+    return len(touched)

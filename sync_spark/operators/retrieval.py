@@ -1009,3 +1009,70 @@ def t_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 T_RETRIEVAL_EVAL_SQL = _eval_sql("duckdb", "", "documents")
+
+def remove_from_bm25_index(
+    df: DataFrame, path: str, text_col: str = "text", id_col: str = "doc_id"
+) -> int:
+    """Delete documents from the persisted BM25 index, rewriting ONLY
+    the tok-hash buckets their terms land in plus their doc-sidecar
+    buckets; stats re-derive from the sidecar. With extend_bm25_index
+    this closes the mutation cycle: update = remove(old) + extend(new).
+
+    Contract (the inverse of extend's): the caller presents the
+    ORIGINAL document content — the index is keyed by content-derived
+    terms, so the byte-identical text is what locates the touched
+    buckets in O(slice); within them, every posting of the given doc
+    ids is dropped. Idempotent: removing an absent doc rewrites the
+    touched buckets unchanged. Returns touched posting buckets."""
+    from pyspark.sql import functions as F
+
+    from sync_spark.sources.bucketed import (
+        bucket_expr,
+        overwrite_buckets,
+        read_buckets,
+        read_meta,
+    )
+
+    meta = read_meta(path)
+    if meta is None:
+        raise ValueError(f"no BM25 index at {path!r}; build_bm25_index first")
+    n_buckets = meta["n_buckets"]
+    spark = df.sparkSession
+    postings, docs = _posting_frames(df, text_col, id_col)
+    postings = postings.persist()
+    try:
+        touched = [
+            int(r[0])
+            for r in postings.select(bucket_expr(["tok"], n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return 0
+        del_ids = docs.select("doc_id").distinct()
+        survivors = (
+            read_buckets(spark, path, touched)
+            .select("tok", "doc_id", "tf", "dl")
+            .join(del_ids, "doc_id", "left_anti")
+        )
+        overwrite_buckets(survivors, path, ["tok"], n_buckets, touched)
+        dp = _docs_path(path)
+        dmeta = read_meta(dp)
+        dtouched = [
+            int(r[0])
+            for r in docs.select(
+                bucket_expr(["doc_id"], dmeta["n_buckets"]).alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        dsurvivors = (
+            read_buckets(spark, dp, dtouched)
+            .select("doc_id", "dl")
+            .join(del_ids, "doc_id", "left_anti")
+        )
+        overwrite_buckets(dsurvivors, dp, ["doc_id"], dmeta["n_buckets"], dtouched)
+        _write_stats(spark, path)
+    finally:
+        postings.unpersist()
+    return len(touched)

@@ -159,3 +159,49 @@ class TestPruning:
         assert filters, plan[:500]
         for grp in filters:
             assert sorted(int(x) for x in grp.split(",")) == expected
+
+
+class TestRemove:
+    def test_remove_equals_rebuild_without(self, spark, tmp_path):
+        a = make_emb(spark, 40)
+        gone = a.filter(F.col("vec_id") < 8)
+        kept = a.filter(F.col("vec_id") >= 8)
+        queries = make_emb(spark, 3, start=100)
+        idx = str(tmp_path / "ann_rm")
+        ai.build_ann_index(a, idx, n_buckets=8, **PARAMS)
+        assert ai.remove_from_ann_index(gone, idx) > 0
+        got = rows_of(ai.ann_index_topk(spark, idx, queries, k=5))
+        ref = str(tmp_path / "ann_rm_ref")
+        ai.build_ann_index(kept, ref, n_buckets=8, **PARAMS)
+        want = rows_of(ai.ann_index_topk(spark, ref, queries, k=5))
+        assert got == want
+
+    def test_update_cycle(self, spark, tmp_path):
+        """update = remove(old) + extend(new): mutate vec 0's embedding
+        and check the index equals a fresh build of the mutated corpus."""
+        a = make_emb(spark, 30)
+        old0 = a.filter(F.col("vec_id") == 0)
+        new0 = spark.createDataFrame(
+            [(0, [9.0] * PARAMS["dim"])], "vec_id long, embedding array<float>"
+        )
+        queries = make_emb(spark, 3, start=100)
+        idx = str(tmp_path / "ann_upd")
+        ai.build_ann_index(a, idx, n_buckets=8, **PARAMS)
+        ai.remove_from_ann_index(old0, idx)
+        ai.extend_ann_index(new0, idx)
+        got = rows_of(ai.ann_index_topk(spark, idx, queries, k=5))
+        mutated = a.filter(F.col("vec_id") != 0).unionByName(new0)
+        ref = str(tmp_path / "ann_upd_ref")
+        ai.build_ann_index(mutated, ref, n_buckets=8, **PARAMS)
+        want = rows_of(ai.ann_index_topk(spark, ref, queries, k=5))
+        assert got == want
+
+    def test_remove_absent_and_empty(self, spark, tmp_path):
+        a = make_emb(spark, 20)
+        idx = str(tmp_path / "ann_rm_n")
+        ai.build_ann_index(a, idx, n_buckets=8, **PARAMS)
+        before = spark.read.parquet(idx).count()
+        ai.remove_from_ann_index(make_emb(spark, 3, start=500), idx)
+        assert spark.read.parquet(idx).count() == before
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        assert ai.remove_from_ann_index(empty, idx) == 0

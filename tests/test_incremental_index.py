@@ -154,3 +154,35 @@ def test_probe_opens_only_touched_buckets(spark, tmp_path):
             grp,
             expected_buckets,
         )
+
+
+def test_remove_from_fp_index_update_cycle(spark, tmp_path):
+    """remove(old) + extend(new) == fresh build of the mutated corpus;
+    removing an absent doc is a no-op."""
+    from sync_spark.operators.incremental import (
+        build_fp_index,
+        extend_fp_index,
+        probe_fp_index,
+        remove_from_fp_index,
+    )
+
+    rows = [
+        (i, " ".join(f"tok{(i * 13 + j) % 7}" for j in range(20)))
+        for i in range(10)
+    ]
+    mk = lambda rs: spark.createDataFrame(rs, "doc_id long, text string")
+    corpus = mk(rows)
+    idx = str(tmp_path / "fp_rm")
+    build_fp_index(corpus, idx)
+    old0, new0 = mk(rows[:1]), mk([(0, "completely different words here now")])
+    assert remove_from_fp_index(old0, idx) > 0
+    extend_fp_index(new0, idx)
+    ref = str(tmp_path / "fp_rm_ref")
+    build_fp_index(mk([(0, "completely different words here now")] + rows[1:]), ref)
+    probe = mk([(99, rows[1][1]), (98, "completely different words here now")])
+    got = sorted(tuple(r) for r in probe_fp_index(spark, probe, idx).collect())
+    want = sorted(tuple(r) for r in probe_fp_index(spark, probe, ref).collect())
+    assert got == want
+    before = spark.read.parquet(idx).count()
+    remove_from_fp_index(mk([(500, "never indexed text")]), idx)
+    assert spark.read.parquet(idx).count() == before

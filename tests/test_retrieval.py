@@ -523,3 +523,54 @@ class TestRetrievalEval:
         assert all(a > b for a, b in zip(rt._DISC_E6, rt._DISC_E6[1:]))
         assert rt._IDCG_E6[0] == rt._DISC_E6[0]
         assert rt._IDCG_E6[-1] == sum(rt._DISC_E6)
+
+
+class TestBM25IndexRemove:
+    def test_remove_equals_rebuild_without(self, spark, tmp_path):
+        rows = [(i, f"spark join doc{i} filler") for i in range(8)]
+        d = write_docs(spark, tmp_path, rows, name="sf_rm")
+        idx = str(tmp_path / "bm_rm")
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        rt.build_bm25_index(docs, idx)
+        import pyspark.sql.functions as F
+
+        assert rt.remove_from_bm25_index(docs.filter(F.col("doc_id") < 3), idx) > 0
+        got = sorted(tuple(r) for r in rt.bm25_index_topk(spark, idx).collect())
+        ref = str(tmp_path / "bm_rm_ref")
+        rt.build_bm25_index(docs.filter(F.col("doc_id") >= 3), ref)
+        want = sorted(tuple(r) for r in rt.bm25_index_topk(spark, ref).collect())
+        assert got == want
+        # stats re-derived exactly
+        s_got = spark.read.parquet(rt._stats_path(idx)).first()
+        s_want = spark.read.parquet(rt._stats_path(ref)).first()
+        assert tuple(s_got) == tuple(s_want)
+
+    def test_update_cycle_matches_scan_form(self, spark, tmp_path):
+        """remove(old doc 0) + extend(mutated doc 0) == scan-form BM25
+        over the mutated corpus — the full CDC-style update path."""
+        rows = [(i, f"spark join window doc{i}") for i in range(6)]
+        d = write_docs(spark, tmp_path, rows, name="sf_upd")
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        idx = str(tmp_path / "bm_upd")
+        rt.build_bm25_index(docs, idx)
+        import pyspark.sql.functions as F
+
+        old0 = docs.filter(F.col("doc_id") == 0)
+        new0 = spark.createDataFrame(
+            [(0, "hash merge filter rewritten", "en", "src0", 27)], DOC_SCHEMA
+        )
+        rt.remove_from_bm25_index(old0, idx)
+        rt.extend_bm25_index(new0, idx)
+        got = sorted(tuple(r) for r in rt.bm25_index_topk(spark, idx).collect())
+        d2 = write_docs(
+            spark, tmp_path,
+            [(0, "hash merge filter rewritten")] + rows[1:],
+            name="sf_upd_ref",
+        )
+        want = sorted(
+            tuple(r)
+            for r in rt.t_bm25_topk(spark, d2)
+            .select("query_id", "rk", "doc_id", "score_e4")
+            .collect()
+        )
+        assert got == want
