@@ -810,31 +810,42 @@ def t_hybrid_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to these scan forms) and the fusion tail is
     unchanged."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from sync_spark.operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
     w = dedup.kernel_spread_width_from_files(spark, sf_dir, "embeddings")
     corpus = emb.repartition(w) if w else emb
-    dense = similarity.cosine_topk(
+    dlist = similarity.cosine_topk(
         emb.filter(F.col("vec_id").isin(HYBRID_QIDS)), corpus, k=RRF_LIST
-    )
-    dlist = dense.select(
+    ).select(
         F.col("query_id").cast("int").alias("query_id"),
         F.col("neighbor_id").alias("doc_id"),
-        F.expr(f"CAST(1000000 AS BIGINT) DIV ({RRF_K} + rank)").alias("d_recip"),
+        F.col("rank").alias("rk"),
     )
     hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
     _t(spark, sf_dir, "documents").createOrReplaceTempView("__hybrid_documents")
     slist = spark.sql(
         _bm25_sql("spark", hint, "__hybrid_documents", k=RRF_LIST)
-    ).select(
-        "query_id",
-        "doc_id",
-        F.expr(f"CAST(1000000 AS BIGINT) DIV ({RRF_K} + rk)").alias("s_recip"),
-    )
-    fused = dlist.join(slist, ["query_id", "doc_id"], "full_outer").select(
+    ).select("query_id", "doc_id", "rk")
+    return rrf_fuse_ranked(dlist, slist, RRF_TOPK)
+
+
+def rrf_fuse_ranked(
+    dlist: DataFrame, slist: DataFrame, topk: int = RRF_TOPK
+) -> DataFrame:
+    """THE integer-RRF fusion tail — one definition shared by the
+    scan-form t_hybrid_fuse and the persisted-index hybrid_index_topk
+    so the fusion math / tiebreaks can't drift. Inputs are two
+    (query_id, doc_id, rk) rank lists; output is the fused top-k as
+    (query_id, rk, doc_id, rrf_e6)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    recip = f"CAST(1000000 AS BIGINT) DIV ({RRF_K} + rk)"
+    d = dlist.select("query_id", "doc_id", F.expr(recip).alias("d_recip"))
+    s = slist.select("query_id", "doc_id", F.expr(recip).alias("s_recip"))
+    fused = d.join(s, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",
         (
@@ -847,7 +858,7 @@ def t_hybrid_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fused.withColumn("rk", F.row_number().over(fw))
-        .where(F.col("rk") <= RRF_TOPK)
+        .where(F.col("rk") <= topk)
         .select(
             F.col("query_id").cast("int").alias("query_id"),
             F.col("rk").cast("bigint").alias("rk"),
@@ -855,6 +866,47 @@ def t_hybrid_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rrf_e6").cast("bigint").alias("rrf_e6"),
         )
     )
+
+
+def hybrid_index_topk(
+    spark: SparkSession,
+    bm25_path: str,
+    ann_path: str,
+    query_vectors: DataFrame,
+    queries: list[tuple[int, list[str]]] | None = None,
+    k: int = RRF_TOPK,
+    list_depth: int = RRF_LIST,
+) -> DataFrame:
+    """The RAG serving path: hybrid retrieval entirely from the two
+    PERSISTED indexes — BM25 postings (bm25_index_topk: bucket-pruned
+    term lookups, never the corpus) and the LSH ANN store
+    (ann_index_topk: bucket-pruned collision lookups, never the
+    corpus) — fused with the shared integer-RRF tail.
+
+    Semantics contract (pytest-pinned): identical to fusing the two
+    SCAN forms at the same parameters — rrf_fuse_ranked(
+    ann_lsh_topk ranks, BM25-at-depth ranks) — because each index leg
+    is itself pinned bit-identical to its scan form and the fusion
+    tail is one definition. Note the dense leg is the LSH
+    approximation (recall < 1 by design), unlike t_hybrid_fuse's
+    exact-cosine leg: at serving scale the index IS the dense ranker.
+
+    Cost shape: no corpus scan anywhere — ≤ |terms| posting buckets +
+    ≤ |queries|·n_tables ANN buckets read, two ≤ list_depth·|queries|-
+    row lists fused driver-scale."""
+    from pyspark.sql import functions as F
+
+    from sync_spark.operators import ann_index as ai
+
+    slist = bm25_index_topk(spark, bm25_path, queries=queries, k=list_depth).select(
+        "query_id", "doc_id", "rk"
+    )
+    dlist = ai.ann_index_topk(spark, ann_path, query_vectors, k=list_depth).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rk"),
+    )
+    return rrf_fuse_ranked(dlist, slist, k)
 
 
 T_HYBRID_SQL = _hybrid_sql()

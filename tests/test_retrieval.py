@@ -574,3 +574,62 @@ class TestBM25IndexRemove:
             .collect()
         )
         assert got == want
+
+
+class TestHybridIndexTopk:
+    def test_index_hybrid_equals_scan_fusion(self, spark, tmp_path):
+        """The persisted-index serving path must equal the fusion of
+        the two scan forms at the same parameters (each index leg is
+        pinned to its scan form; the fusion tail is one definition)."""
+        import pyspark.sql.functions as F
+
+        from sync_spark.operators import ann_index as ai
+        from sync_spark.operators import similarity as sim
+
+        docs = [
+            (0, "alpha beta"), (1, "spark join window"),
+            (2, "hash merge filter"), (3, "customer order value"),
+            (10, "spark join window spark"), (11, "iota kappa"),
+            (12, "hash merge hash filter"), (13, "customer value order"),
+        ]
+        embs = [
+            (i, [float((i * 31 + j * 17) % 13) - 6.0 for j in range(8)], 0)
+            for i, _ in docs
+        ]
+        d = str(tmp_path / "sf_hix")
+        spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in docs], DOC_SCHEMA
+        ).write.parquet(f"{d}/documents.parquet")
+        emb = spark.createDataFrame(
+            embs, "vec_id long, embedding array<float>, label int"
+        )
+        qvecs = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+        bm_idx, ann_idx = str(tmp_path / "hix_bm"), str(tmp_path / "hix_ann")
+        rt.build_bm25_index(spark.read.parquet(f"{d}/documents.parquet"), bm_idx)
+        ann_params = dict(n_planes=2, n_tables=4, dim=8, seed=42)
+        ai.build_ann_index(emb, ann_idx, n_buckets=8, **ann_params)
+
+        got = sorted(
+            tuple(r)
+            for r in rt.hybrid_index_topk(
+                spark, bm_idx, ann_idx, qvecs, k=5, list_depth=10
+            ).collect()
+        )
+
+        # independent reference: scan-form legs + the shared fusion
+        dlist = sim.ann_lsh_topk(qvecs, emb, k=10, **ann_params).select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("rk"),
+        )
+        spark.read.parquet(f"{d}/documents.parquet").createOrReplaceTempView(
+            "__hix_docs"
+        )
+        slist = spark.sql(rt._bm25_sql("spark", "", "__hix_docs", k=10)).select(
+            "query_id", "doc_id", "rk"
+        )
+        want = sorted(
+            tuple(r) for r in rt.rrf_fuse_ranked(dlist, slist, 5).collect()
+        )
+        assert got == want
+        assert len(got) > 0
