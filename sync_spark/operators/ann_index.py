@@ -115,15 +115,21 @@ def build_ann_index(
     ONLY shuffle is the bucketed write's partitionBy — key-sorted
     files make the per-key lookup rowgroup-prunable. Returns the
     number of index rows written."""
+    from pyspark.sql import Observation
+
     params = dict(
         n_planes=n_planes, n_tables=n_tables, id_col=id_col,
         vec_col=vec_col, dim=dim, seed=seed,
     )
-    rows = _index_rows(corpus, params)
+    # the row count rides the write job as an Observation metric —
+    # a post-write read.parquet().count() would re-list and re-scan
+    # the whole index just to return a number (O(index) at 10⁹
+    # vectors; the same wart the MERGE guard removed in r8)
+    obs = Observation("ann_build")
+    rows = _index_rows(corpus, params).observe(obs, F.count(F.lit(1)).alias("n"))
     write_bucketed(rows, path, ["tbl", "bucket"], n_buckets)
     _write_params(path, params)
-    n = rows.sparkSession.read.parquet(path).count()
-    return int(n)
+    return int(obs.get["n"])
 
 
 def ann_index_topk(
