@@ -264,11 +264,7 @@ class CurationPipeline:
         # lm_coverage_e6 is always in the sink schema (null when no
         # coverage model) so out_path stays schema-stable across
         # differently-configured runs
-        cols = [
-            "doc_id", "text", "lang", "n_tokens", "quality", "fp", "seq",
-            "lm_coverage_e6",
-        ]
-        curated = self._stream().select(*cols)
+        curated = self._stream().select(*self._SINK_COLS)
         writer = (
             curated.writeStream.format("parquet")
             .option("path", self.out_path)
@@ -283,4 +279,71 @@ class CurationPipeline:
 
     def run_available(self) -> None:
         q = self.start(trigger_once=True)
+        q.awaitTermination()
+
+    _SINK_COLS = [
+        "doc_id", "text", "lang", "n_tokens", "quality", "fp", "seq",
+        "lm_coverage_e6",
+    ]
+
+    def start_with_index(
+        self,
+        fp_index_path: Optional[str] = None,
+        bm25_index_path: Optional[str] = None,
+        trigger_once: bool = True,
+    ):
+        """foreachBatch sink variant: the crawl stream KEEPS THE
+        PERSISTED INDEXES FRESH — per micro-batch, (a) the curated
+        rows land in a batch-id-keyed corpus directory and (b) the
+        fingerprint / BM25 indexes extend with exactly the accepted
+        docs (O(batch) touched-bucket rewrites).
+
+        Crash-replay safety end to end, with no transaction log: a
+        batch that replays after a crash (i) OVERWRITES its own
+        ``batch=<id>`` directory — the standard exactly-once
+        foreachBatch idiom — and (ii) re-extends the indexes, which is
+        a no-op because extend_fp_index / extend_bm25_index are
+        idempotent distinct-merges by contract. Read the corpus with
+        ``spark.read.parquet(out_path)`` (the batch column is layout,
+        not data).
+
+        The target indexes must exist (build_*_index first — an empty
+        build writes a readable schema-bearing layout, so 'start
+        empty, fill from the stream' is the natural bootstrap)."""
+        from sync_spark.operators.incremental import extend_fp_index
+        from sync_spark.operators.retrieval import extend_bm25_index
+
+        out_path = self.out_path
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df = batch_df.select(*self._SINK_COLS).persist()
+            try:
+                batch_df.write.mode("overwrite").parquet(
+                    f"{out_path}/batch={batch_id}"
+                )
+                if fp_index_path is not None:
+                    extend_fp_index(batch_df, fp_index_path)
+                if bm25_index_path is not None:
+                    extend_bm25_index(batch_df, bm25_index_path)
+            finally:
+                batch_df.unpersist()
+
+        writer = (
+            self._stream()
+            .select(*self._SINK_COLS)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="2 seconds")
+        return writer.start()
+
+    def run_available_with_index(
+        self,
+        fp_index_path: Optional[str] = None,
+        bm25_index_path: Optional[str] = None,
+    ) -> None:
+        q = self.start_with_index(fp_index_path, bm25_index_path)
         q.awaitTermination()

@@ -1,0 +1,123 @@
+"""Streaming index maintenance: the curation stream keeps the
+persisted fingerprint and BM25 indexes fresh via idempotent
+touched-bucket extends in a foreachBatch sink (crash-replay = no-op)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from sync_spark.operators.incremental import build_fp_index, probe_fp_index
+from sync_spark.operators.retrieval import (
+    build_bm25_index,
+    bm25_index_topk,
+)
+from sync_spark.sources.cdc import write_event_batch
+from sync_spark.streaming.curation import CurationPipeline
+
+GOOD_A = "the quick brown fox jumps over the lazy dog and runs away to the hills"
+GOOD_B = "a model is trained on the data and the loss goes down as it learns"
+GOOD_C = "the spark join window query runs on the cluster and it is fast and good"
+
+
+def _event(seq, doc_id, text, ts="2024-01-01T10:00:00Z"):
+    return {
+        "op": "insert",
+        "seq": seq,
+        "ts": ts,
+        "source_table": "documents",
+        "key_json": json.dumps({"doc_id": doc_id}),
+        "after_json": json.dumps({"doc_id": doc_id, "text": text, "lang": "en"}),
+    }
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id long, text string")
+
+
+def test_stream_extends_indexes_and_replay_is_noop(spark, tmp_path):
+    events_dir = str(tmp_path / "events")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    fp_idx = str(tmp_path / "fp_idx")
+    bm_idx = str(tmp_path / "bm_idx")
+    # bootstrap: empty indexes (build writes a readable schema-bearing
+    # layout), then fill them entirely from the stream
+    build_fp_index(_empty_docs(spark), fp_idx)
+    build_bm25_index(_empty_docs(spark), bm_idx)
+
+    write_event_batch(events_dir, [_event(1, 1, GOOD_A), _event(2, 2, GOOD_B)], 1)
+    p = CurationPipeline(
+        spark, event_log_dir=events_dir, out_path=out,
+        checkpoint_dir=ckpt, watermark="1 hour",
+    )
+    p.run_available_with_index(fp_index_path=fp_idx, bm25_index_path=bm_idx)
+
+    # corpus landed batch-keyed but reads as one table
+    corpus = spark.read.parquet(out)
+    assert {r.doc_id for r in corpus.select("doc_id").collect()} == {1, 2}
+
+    # fp index sees the streamed docs: a near-dup of GOOD_A is flagged
+    probe = spark.createDataFrame([(99, GOOD_A + " extra")], "doc_id long, text string")
+    hit = probe_fp_index(spark, probe, fp_idx, min_shared=1).first()
+    assert hit.is_dup and hit.n_shared_fps > 0
+
+    # BM25 index serves the streamed docs
+    got = bm25_index_topk(spark, bm_idx, queries=[(0, ["model", "trained"])]).collect()
+    assert [r.doc_id for r in got] == [2]
+
+    # second stream batch arrives: index advances incrementally
+    write_event_batch(events_dir, [_event(3, 3, GOOD_C)], 2)
+    p.run_available_with_index(fp_index_path=fp_idx, bm25_index_path=bm_idx)
+    got = bm25_index_topk(spark, bm_idx, queries=[(0, ["spark", "join"])]).collect()
+    assert [r.doc_id for r in got] == [3]
+    assert {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()} == {1, 2, 3}
+
+    # crash-replay: re-apply batch 0's rows under the same batch id —
+    # the corpus dir overwrites in place and the extends are no-ops
+    fp_before = spark.read.parquet(fp_idx).count()
+    bm_before = spark.read.parquet(bm_idx).count()
+    corpus_before = spark.read.parquet(out).count()
+    b0 = spark.read.parquet(f"{out}/batch=0")
+    # materialize before overwriting the same dir (a real replay
+    # re-derives the batch from the checkpointed SOURCE; this test
+    # replays the identical rows by value)
+    batch0 = spark.createDataFrame(b0.collect(), b0.schema)
+    from sync_spark.operators.incremental import extend_fp_index
+    from sync_spark.operators.retrieval import extend_bm25_index
+
+    batch0.write.mode("overwrite").parquet(f"{out}/batch=0")
+    extend_fp_index(batch0, fp_idx)
+    extend_bm25_index(batch0, bm_idx)
+    assert spark.read.parquet(fp_idx).count() == fp_before
+    assert spark.read.parquet(bm_idx).count() == bm_before
+    assert spark.read.parquet(out).count() == corpus_before
+
+
+def test_rejected_docs_never_reach_indexes(spark, tmp_path):
+    events_dir = str(tmp_path / "events")
+    fp_idx = str(tmp_path / "fp_idx2")
+    build_fp_index(_empty_docs(spark), fp_idx)
+    write_event_batch(
+        events_dir,
+        [
+            _event(1, 1, GOOD_A),
+            _event(2, 2, "!!! ??? *** ### $$$ %%% ^^^ &&& @@@ ;;;"),
+            _event(3, 3, "the tiny one"),
+        ],
+        1,
+    )
+    p = CurationPipeline(
+        spark, event_log_dir=events_dir, out_path=str(tmp_path / "curated2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"), watermark="1 hour",
+    )
+    p.run_available_with_index(fp_index_path=fp_idx)
+    # only doc 1's fingerprints are indexed: probing the junk text
+    # finds nothing, probing GOOD_A hits
+    junk = spark.createDataFrame(
+        [(99, "!!! ??? *** ### $$$ %%% ^^^ &&& @@@ ;;;")], "doc_id long, text string"
+    )
+    assert not probe_fp_index(spark, junk, fp_idx, min_shared=1).first().is_dup
+    good = spark.createDataFrame([(98, GOOD_A)], "doc_id long, text string")
+    assert probe_fp_index(spark, good, fp_idx, min_shared=1).first().is_dup
