@@ -205,3 +205,54 @@ class TestRemove:
         assert spark.read.parquet(idx).count() == before
         empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
         assert ai.remove_from_ann_index(empty, idx) == 0
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# random small-dim vectors with repeated values so LSH buckets collide
+# in every mix (including identical vectors and near-zero norms)
+vec_strategy = st.lists(
+    st.lists(
+        st.sampled_from([-2.0, -1.0, -0.5, 0.5, 1.0, 2.0, 3.0]),
+        min_size=4, max_size=4,
+    ),
+    min_size=2,
+    max_size=10,
+)
+
+
+class TestAnnIndexProperties:
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(vecs=vec_strategy, split=st.integers(0, 9), gone=st.integers(0, 3))
+    def test_index_lifecycle_equals_scan(
+        self, spark, tmp_path_factory, vecs, split, gone
+    ):
+        """On arbitrary corpora: build(prefix) + extend(rest) +
+        remove(random slice) queried through the index == the scan
+        form over exactly the surviving vectors."""
+        tmp_path = tmp_path_factory.mktemp("annprop")
+        params = dict(n_planes=2, n_tables=4, dim=4, seed=7)
+        rows = [(i, v) for i, v in enumerate(vecs)]
+        mk = lambda rs: spark.createDataFrame(
+            rs, "vec_id long, embedding array<float>"
+        )
+        split = min(split, len(rows))
+        gone = min(gone, len(rows))
+        idx = str(tmp_path_factory.mktemp("s") / "idx")
+        ai.build_ann_index(mk(rows[:split]), idx, n_buckets=4, **params)
+        if rows[split:]:
+            ai.extend_ann_index(mk(rows[split:]), idx)
+        if rows[:gone]:
+            ai.remove_from_ann_index(mk(rows[:gone]), idx)
+        survivors = rows[gone:]
+        queries = mk([(100, [1.0, 1.0, -1.0, 0.5])])
+        got = rows_of(ai.ann_index_topk(spark, idx, queries, k=3))
+        want = rows_of(
+            sim.ann_lsh_topk(queries, mk(survivors), k=3, **params)
+        ) if survivors else []
+        assert got == want
