@@ -46,11 +46,9 @@ import pyspark.sql.types as T
 
 from sync_spark.operators.similarity import _scored_topk, lsh_rows
 from sync_spark.sources.bucketed import (
-    bucket_expr,
     lookup_keys,
-    overwrite_buckets,
-    read_buckets,
     read_meta,
+    update_touched_buckets,
     write_bucketed,
 )
 
@@ -66,13 +64,6 @@ _PARAMS_FILE = ".ann_params.json"
 
 def _params_path(path: str) -> str:
     return os.path.join(path, _PARAMS_FILE)
-
-
-def _write_params(path: str, params: dict) -> None:
-    tmp = _params_path(path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(params, f)
-    os.replace(tmp, _params_path(path))
 
 
 def read_params(path: str) -> dict:
@@ -127,8 +118,13 @@ def build_ann_index(
     # vectors; the same wart the MERGE guard removed in r8)
     obs = Observation("ann_build")
     rows = _index_rows(corpus, params).observe(obs, F.count(F.lit(1)).alias("n"))
-    write_bucketed(rows, path, ["tbl", "bucket"], n_buckets)
-    _write_params(path, params)
+    # params ride the staged swap with the data — a post-swap sidecar
+    # write would leave a data-bearing but unreadable index if the
+    # process died in the window (r8 review finding)
+    write_bucketed(
+        rows, path, ["tbl", "bucket"], n_buckets,
+        extra_files={_PARAMS_FILE: json.dumps(params)},
+    )
     return int(obs.get["n"])
 
 
@@ -185,35 +181,13 @@ def extend_ann_index(df: DataFrame, path: str) -> int:
     re-sends — re-indexing a MUTATED vector id needs a delete first.
     Same staleness hazard: materialize pre-extend query results before
     swapping. Returns the number of touched store buckets."""
-    meta = read_meta(path)
-    if meta is None:
+    if read_meta(path) is None:
         raise ValueError(f"no ANN index at {path!r}; build_ann_index first")
-    n_buckets = meta["n_buckets"]
-    params = read_params(path)
-    spark = df.sparkSession
-    rows = _index_rows(df, params).persist()
-    try:
-        touched = [
-            int(r[0])
-            for r in rows.select(
-                bucket_expr(["tbl", "bucket"], n_buckets).alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
-        if not touched:
-            return 0
-        existing = read_buckets(
-            spark, path, touched,
-            schema=T._parse_datatype_string(_INDEX_SCHEMA),
-        ).select("tbl", "bucket", "neighbor_id", "cv", "cn")
-        merged = existing.unionByName(
-            rows.select("tbl", "bucket", "neighbor_id", "cv", "cn")
-        ).distinct()
-        overwrite_buckets(merged, path, ["tbl", "bucket"], n_buckets, touched)
-    finally:
-        rows.unpersist()
-    return len(touched)
+    rows = _index_rows(df, read_params(path))
+    return update_touched_buckets(
+        rows, path, mode="extend",
+        schema=T._parse_datatype_string(_INDEX_SCHEMA),
+    )
 
 def remove_from_ann_index(df: DataFrame, path: str) -> int:
     """Delete vectors from the persisted ANN index, rewriting ONLY the
@@ -226,34 +200,10 @@ def remove_from_ann_index(df: DataFrame, path: str) -> int:
     buckets, so the byte-identical embedding is what locates the
     touched buckets in O(slice); within them, every row of the given
     ids is dropped. Idempotent. Returns touched store buckets."""
-    meta = read_meta(path)
-    if meta is None:
+    if read_meta(path) is None:
         raise ValueError(f"no ANN index at {path!r}; build_ann_index first")
-    n_buckets = meta["n_buckets"]
-    params = read_params(path)
-    spark = df.sparkSession
-    rows = _index_rows(df, params).persist()
-    try:
-        touched = [
-            int(r[0])
-            for r in rows.select(
-                bucket_expr(["tbl", "bucket"], n_buckets).alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
-        if not touched:
-            return 0
-        del_ids = rows.select("neighbor_id").distinct()
-        survivors = (
-            read_buckets(
-                spark, path, touched,
-                schema=T._parse_datatype_string(_INDEX_SCHEMA),
-            )
-            .select("tbl", "bucket", "neighbor_id", "cv", "cn")
-            .join(del_ids, "neighbor_id", "left_anti")
-        )
-        overwrite_buckets(survivors, path, ["tbl", "bucket"], n_buckets, touched)
-    finally:
-        rows.unpersist()
-    return len(touched)
+    rows = _index_rows(df, read_params(path))
+    return update_touched_buckets(
+        rows, path, mode="remove", anti_on="neighbor_id",
+        schema=T._parse_datatype_string(_INDEX_SCHEMA),
+    )

@@ -41,10 +41,32 @@ from sync_spark.sources.bucketed import (
     read_buckets,
     read_meta,
     read_target,
+    update_touched_buckets,
     write_bucketed,
 )
 
 _DEFAULT_BUCKETS = 32
+
+# winnowing geometry sidecar: (k, window) persisted with the layout so
+# probe/extend/remove re-derive the IDENTICAL fingerprints regardless
+# of what the caller passes (r8 review: a k mismatch between build and
+# remove silently leaves stale fp rows behind — the same failure class
+# the ANN index's params sidecar kills)
+_FP_PARAMS_FILE = ".fp_params.json"
+
+
+def _fp_params(path: str, k: int, window: int) -> tuple[int, int]:
+    """The index's persisted winnowing geometry, falling back to the
+    caller's (k, window) for pre-sidecar layouts."""
+    import json
+    import os
+
+    p = os.path.join(path, _FP_PARAMS_FILE)
+    if os.path.exists(p):
+        with open(p) as fh:
+            d = json.load(fh)
+        return int(d["k"]), int(d["window"])
+    return k, window
 
 
 def build_fp_index(
@@ -60,10 +82,15 @@ def build_fp_index(
     by fp-hash. One shuffle (the bucketed write's partitionBy); the
     per-row winnowing kernel is the shuffle-free staged form. Returns
     the number of distinct fingerprints indexed."""
+    import json
+
     fps = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window).select(
         "fp", "doc_id"
     )
-    write_bucketed(fps, path, ["fp"], n_buckets)
+    write_bucketed(
+        fps, path, ["fp"], n_buckets,
+        extra_files={_FP_PARAMS_FILE: json.dumps({"k": k, "window": window})},
+    )
     spark = df.sparkSession
     return read_target(spark, path).select("fp").distinct().count()
 
@@ -141,6 +168,7 @@ def probe_fp_index(
     if meta is None:
         raise ValueError(f"no fingerprint index at {path!r}; build_fp_index first")
     n_buckets = meta["n_buckets"]
+    k, window = _fp_params(path, k, window)
     fps = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window).persist()
     touched = [
         int(r[0])
@@ -181,37 +209,13 @@ def extend_fp_index(
     extend — materialize probe results you intend to keep BEFORE
     extending (the pipeline's own merge path does exactly this: the
     staged write completes before the swap)."""
-    meta = read_meta(path)
-    if meta is None:
+    if read_meta(path) is None:
         raise ValueError(f"no fingerprint index at {path!r}; build_fp_index first")
-    n_buckets = meta["n_buckets"]
-    spark = df.sparkSession
-    # persist: the touched-bucket collect below and the staged
-    # overwrite write both consume these rows — without the cache the
-    # CPU-bound winnowing kernel would run twice over the slice
-    new_fps = (
-        winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window)
-        .select("fp", "doc_id")
-        .persist()
-    )
-    try:
-        touched = [
-            int(r[0])
-            for r in new_fps.select(
-                bucket_expr(["fp"], n_buckets).alias("b")
-            ).distinct().collect()
-        ]
-        if not touched:
-            return 0
-        # both sides hash into `touched` by construction: existing was
-        # read from exactly those buckets, and touched was derived
-        # from new_fps itself — overwrite_buckets' contract holds
-        # with no re-filter
-        existing = read_buckets(spark, path, touched)
-        merged = existing.select("fp", "doc_id").unionByName(new_fps).distinct()
-        overwrite_buckets(merged, path, ["fp"], n_buckets, touched)
-    finally:
-        new_fps.unpersist()
+    k, window = _fp_params(path, k, window)
+    new_fps = winnow_fingerprint_rows(
+        df, text_col, id_col, k=k, window=window
+    ).select("fp", "doc_id")
+    return update_touched_buckets(new_fps, path, mode="extend")
     return len(touched)
 
 def remove_from_fp_index(
@@ -233,30 +237,10 @@ def remove_from_fp_index(
     the touched buckets in O(slice); within them, every (fp, doc_id)
     row of the given doc ids is dropped. Idempotent. Returns touched
     buckets."""
-    meta = read_meta(path)
-    if meta is None:
+    if read_meta(path) is None:
         raise ValueError(f"no fp index at {path!r}; build_fp_index first")
-    n_buckets = meta["n_buckets"]
-    spark = df.sparkSession
+    k, window = _fp_params(path, k, window)
     fps = winnow_fingerprint_rows(df, text_col, id_col, k=k, window=window).select(
         "fp", "doc_id"
-    ).persist()
-    try:
-        touched = [
-            int(r[0])
-            for r in fps.select(bucket_expr(["fp"], n_buckets).alias("b"))
-            .distinct()
-            .collect()
-        ]
-        if not touched:
-            return 0
-        del_ids = fps.select("doc_id").distinct()
-        survivors = (
-            read_buckets(spark, path, touched)
-            .select("fp", "doc_id")
-            .join(del_ids, "doc_id", "left_anti")
-        )
-        overwrite_buckets(survivors, path, ["fp"], n_buckets, touched)
-    finally:
-        fps.unpersist()
-    return len(touched)
+    )
+    return update_touched_buckets(fps, path, mode="remove", anti_on="doc_id")

@@ -554,6 +554,10 @@ def t_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
     _t(spark, sf_dir, "documents").createOrReplaceTempView("__rrf_documents")
+    # persist (not unpersisted here): the function returns a LAZY frame,
+    # so an eager unpersist would evict the cache before the caller's
+    # action; the block is |matching docs|·|queries| integer rows and the
+    # bench/driver harnesses clear persistent blocks between queries
     stacked = spark.sql(
         _rrf_sql("spark", hint, "__rrf_documents", stacked_only=True)
     ).persist()
@@ -676,55 +680,18 @@ def extend_bm25_index(
     first. Same staleness hazard as extend_fp_index: materialize
     pre-extend query results before swapping. Returns touched posting
     buckets."""
-    from sync_spark.sources.bucketed import (
-        bucket_expr,
-        read_buckets,
-        read_meta,
-        overwrite_buckets,
-    )
+    from sync_spark.sources.bucketed import read_meta, update_touched_buckets
 
-    meta = read_meta(path)
-    if meta is None:
+    if read_meta(path) is None:
         raise ValueError(f"no BM25 index at {path!r}; build_bm25_index first")
-    n_buckets = meta["n_buckets"]
     spark = df.sparkSession
     postings, docs = _posting_frames(df, text_col, id_col)
-    postings = postings.persist()
-    try:
-        touched = [
-            int(r[0])
-            for r in postings.select(bucket_expr(["tok"], n_buckets).alias("b"))
-            .distinct()
-            .collect()
-        ]
-        if not touched:
-            return 0
-        existing = read_buckets(spark, path, touched).select(
-            "tok", "doc_id", "tf", "dl"
-        )
-        merged = existing.unionByName(postings).distinct()
-        overwrite_buckets(merged, path, ["tok"], n_buckets, touched)
-        dp = _docs_path(path)
-        dmeta = read_meta(dp)
-        dtouched = [
-            int(r[0])
-            for r in docs.select(
-                bucket_expr(["doc_id"], dmeta["n_buckets"]).alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
-        dmerged = (
-            read_buckets(spark, dp, dtouched)
-            .select("doc_id", "dl")
-            .unionByName(docs)
-            .distinct()
-        )
-        overwrite_buckets(dmerged, dp, ["doc_id"], dmeta["n_buckets"], dtouched)
-        _write_stats(spark, path)
-    finally:
-        postings.unpersist()
-    return len(touched)
+    touched = update_touched_buckets(postings, path, mode="extend")
+    if not touched:
+        return 0
+    update_touched_buckets(docs, _docs_path(path), mode="extend")
+    _write_stats(spark, path)
+    return touched
 
 
 # ---------------------------------------------------------------------------
@@ -928,32 +895,40 @@ _DISC_E6 = [round(1_000_000 / _math.log2(r + 1)) for r in range(1, BM25_K + 1)]
 _IDCG_E6 = [sum(_DISC_E6[: i + 1]) for i in range(BM25_K)]
 
 
+def _disc_literals(dialect: str) -> tuple[str, str]:
+    """The (disc, idcg) lookup expressions over the shared literal
+    tables, rendered per dialect — ONE definition so the Spark metric
+    tail and the DuckDB oracle can never desynchronize."""
+    discs = ", ".join(f"CAST({d} AS BIGINT)" for d in _DISC_E6)
+    idcgs = ", ".join(f"CAST({d} AS BIGINT)" for d in _IDCG_E6)
+    if dialect == "spark":
+        return (
+            f"element_at(array({discs}), CAST(rk AS INT))",
+            f"element_at(array({idcgs}), CAST(n_rel AS INT))",
+        )
+    return (
+        f"([{discs}])[CAST(rk AS INT)]",
+        f"([{idcgs}])[CAST(n_rel AS INT)]",
+    )
+
+
 def _eval_sql(dialect: str, spread_hint: str = "", table: str = "documents") -> str:
-    """One retrieval-eval query text, rendered for ``spark`` or
-    ``duckdb``: both rankers' scores come from the SHARED stacked
-    score table (_rrf_sql stacked_only — one corpus kernel), ground
-    truth = TF-IDF top-{k}, system = BM25 top-{k}, and the metric
-    arithmetic is BIGINT with the nDCG discount table embedded as
-    shared literals. (The dense ranking is NOT the ground truth here
-    on purpose: the fixture's embeddings are synthetic and
+    """One retrieval-eval query text — in practice only the ``duckdb``
+    rendering is executed (the Spark side is DataFrame-built in
+    t_retrieval_eval so the stacked score table can sit behind a
+    persist() barrier, which a single SQL text cannot express without
+    re-inlining the corpus kernel per ranker branch — the measured
+    t_rrf_fuse anti-pattern): both rankers' scores come from the
+    SHARED stacked score table (_rrf_sql stacked_only — one corpus
+    kernel), ground truth = TF-IDF top-{k}, system = BM25 top-{k},
+    and the metric arithmetic is BIGINT with the nDCG discount table
+    embedded via _disc_literals. (The dense ranking is NOT the ground
+    truth here on purpose: the fixture's embeddings are synthetic and
     uncorrelated with the text, so dense-vs-lexical overlap is
     empty — a metric fixture must have signal to exercise the math.)"""
     spark = dialect == "spark"
     div = "DIV" if spark else "//"
-    if spark:
-        disc = "element_at(array({}), CAST(rk AS INT))".format(
-            ", ".join(f"CAST({d} AS BIGINT)" for d in _DISC_E6)
-        )
-        idcg = "element_at(array({}), CAST(n_rel AS INT))".format(
-            ", ".join(f"CAST({d} AS BIGINT)" for d in _IDCG_E6)
-        )
-    else:
-        disc = "([{}])[CAST(rk AS INT)]".format(
-            ", ".join(f"CAST({d} AS BIGINT)" for d in _DISC_E6)
-        )
-        idcg = "([{}])[CAST(n_rel AS INT)]".format(
-            ", ".join(f"CAST({d} AS BIGINT)" for d in _IDCG_E6)
-        )
+    disc, idcg = _disc_literals(dialect)
     return f"""
 WITH both_scores AS (
   {_rrf_sql(dialect, spread_hint, table, stacked_only=True)}
@@ -1014,6 +989,7 @@ def t_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
     _t(spark, sf_dir, "documents").createOrReplaceTempView("__eval_documents")
+    # persist lifetime: same contract as t_rrf_fuse above
     stacked = spark.sql(
         _rrf_sql("spark", hint, "__eval_documents", stacked_only=True)
     ).persist()
@@ -1031,12 +1007,7 @@ def t_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gt = ranked("t_score", "grk").drop("grk")
     sys_ = ranked("b_score", "rk")
-    disc = "element_at(array({}), CAST(rk AS INT))".format(
-        ", ".join(f"CAST({d} AS BIGINT)" for d in _DISC_E6)
-    )
-    idcg = "element_at(array({}), CAST(n_rel AS INT))".format(
-        ", ".join(f"CAST({d} AS BIGINT)" for d in _IDCG_E6)
-    )
+    disc, idcg = _disc_literals("spark")
     agg = (
         gt.join(sys_, ["query_id", "doc_id"], "left")
         .groupBy(F.col("query_id").cast("int").alias("query_id"))
@@ -1076,55 +1047,17 @@ def remove_from_bm25_index(
     buckets in O(slice); within them, every posting of the given doc
     ids is dropped. Idempotent: removing an absent doc rewrites the
     touched buckets unchanged. Returns touched posting buckets."""
-    from pyspark.sql import functions as F
+    from sync_spark.sources.bucketed import read_meta, update_touched_buckets
 
-    from sync_spark.sources.bucketed import (
-        bucket_expr,
-        overwrite_buckets,
-        read_buckets,
-        read_meta,
-    )
-
-    meta = read_meta(path)
-    if meta is None:
+    if read_meta(path) is None:
         raise ValueError(f"no BM25 index at {path!r}; build_bm25_index first")
-    n_buckets = meta["n_buckets"]
     spark = df.sparkSession
     postings, docs = _posting_frames(df, text_col, id_col)
-    postings = postings.persist()
-    try:
-        touched = [
-            int(r[0])
-            for r in postings.select(bucket_expr(["tok"], n_buckets).alias("b"))
-            .distinct()
-            .collect()
-        ]
-        if not touched:
-            return 0
-        del_ids = docs.select("doc_id").distinct()
-        survivors = (
-            read_buckets(spark, path, touched)
-            .select("tok", "doc_id", "tf", "dl")
-            .join(del_ids, "doc_id", "left_anti")
-        )
-        overwrite_buckets(survivors, path, ["tok"], n_buckets, touched)
-        dp = _docs_path(path)
-        dmeta = read_meta(dp)
-        dtouched = [
-            int(r[0])
-            for r in docs.select(
-                bucket_expr(["doc_id"], dmeta["n_buckets"]).alias("b")
-            )
-            .distinct()
-            .collect()
-        ]
-        dsurvivors = (
-            read_buckets(spark, dp, dtouched)
-            .select("doc_id", "dl")
-            .join(del_ids, "doc_id", "left_anti")
-        )
-        overwrite_buckets(dsurvivors, dp, ["doc_id"], dmeta["n_buckets"], dtouched)
-        _write_stats(spark, path)
-    finally:
-        postings.unpersist()
-    return len(touched)
+    touched = update_touched_buckets(
+        postings, path, mode="remove", anti_on="doc_id"
+    )
+    if not touched:
+        return 0
+    update_touched_buckets(docs, _docs_path(path), mode="remove", anti_on="doc_id")
+    _write_stats(spark, path)
+    return touched

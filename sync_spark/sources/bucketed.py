@@ -182,13 +182,24 @@ def check_meta(path: str, keys: Sequence[str], n_buckets: int) -> bool:
 
 
 def write_bucketed(
-    df: DataFrame, path: str, keys: Sequence[str], n_buckets: int
+    df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    n_buckets: int,
+    extra_files: dict[str, str] | None = None,
 ) -> None:
     """Full (re)write of a bucketed target — the snapshot path. Stages
     the whole layout then swaps the root directory. An empty source
     still yields a readable, schema-bearing layout (one empty
     ``__bucket=0`` dir) so ``is_bucketed``/``read_target``/first-merge
-    work the same as on the legacy flat path."""
+    work the same as on the legacy flat path.
+
+    ``extra_files``: {filename: content} sidecars (dot-prefixed names
+    so Spark ignores them) written INTO THE STAGE before the swap —
+    they land atomically with the data, so a layout can never exist
+    without its sidecars (the ANN index's params file is the canonical
+    user; a post-swap sidecar write would leave a data-bearing but
+    unreadable index if the process died in the window)."""
     stage = f"{path}__stage_{uuid.uuid4().hex[:8]}"
     (
         df.withColumn(BUCKET_COL, bucket_expr(keys, n_buckets))
@@ -207,6 +218,9 @@ def write_bucketed(
             os.path.join(stage, f"{BUCKET_COL}=0")
         )
     write_meta(stage, keys, n_buckets)
+    for name, content in (extra_files or {}).items():
+        with open(os.path.join(stage, name), "w") as fh:
+            fh.write(content)
     _swap_dir(stage, path)
 
 
@@ -397,3 +411,64 @@ def lookup_keys(
     return df.filter(pred)
 
 
+
+
+def update_touched_buckets(
+    rows: DataFrame,
+    path: str,
+    mode: str,
+    anti_on: str | None = None,
+    schema: T.StructType | None = None,
+) -> int:
+    """THE touched-bucket maintenance skeleton, shared by every
+    persisted index (fingerprint, BM25 postings + doc sidecar, ANN) —
+    one definition of persist → touched-bucket collect → pruned read →
+    merge → overwrite so the six maintenance paths cannot drift.
+
+    ``rows``: the slice in the layout's row schema (content-derived —
+    locating the touched buckets from content is what makes
+    maintenance O(slice), not O(corpus)).
+    ``mode='extend'``: distinct-union the slice in (idempotent —
+    re-sending a slice is a no-op).
+    ``mode='remove'``: anti-join out every stored row whose
+    ``anti_on`` id appears in the slice (idempotent — removing an
+    absent id rewrites the touched buckets unchanged).
+
+    Both sides hash into the touched set by construction: existing
+    rows are read from exactly those buckets, and the touched set is
+    derived from ``rows`` itself — overwrite_buckets' contract holds
+    with no re-filter. Returns the number of touched buckets."""
+    meta = read_meta(path)
+    if meta is None:
+        raise ValueError(f"no bucketed layout at {path!r} (missing {META_FILE})")
+    keys, n_buckets = meta["key_cols"], meta["n_buckets"]
+    spark = rows.sparkSession
+    cols = rows.columns
+    # persist: the touched-bucket collect and the staged overwrite both
+    # consume the slice — without the cache the (often CPU-bound)
+    # row-prep kernel would run twice
+    rows = rows.persist()
+    try:
+        touched = [
+            int(r[0])
+            for r in rows.select(bucket_expr(keys, n_buckets).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        if not touched:
+            return 0
+        existing = read_buckets(spark, path, touched, schema=schema).select(*cols)
+        if mode == "extend":
+            merged = existing.unionByName(rows).distinct()
+        elif mode == "remove":
+            if anti_on is None:
+                raise ValueError("mode='remove' requires anti_on")
+            merged = existing.join(
+                rows.select(anti_on).distinct(), anti_on, "left_anti"
+            )
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+        overwrite_buckets(merged, path, keys, n_buckets, touched)
+    finally:
+        rows.unpersist()
+    return len(touched)

@@ -27,6 +27,7 @@ first-arrival-per-fingerprint (min seq), computed with batch ops.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -235,15 +236,18 @@ class CurationPipeline:
                 benchmark, "text", "doc_id"
             )
 
-    def _stream(self) -> DataFrame:
+    def _stream(self, insert_only: bool = False) -> DataFrame:
         env = read_event_stream(self.spark, self.event_log_dir, self.max_files_per_trigger)
         # inline projection (not changes_for_table, which drops ts —
         # and re-attaching it via a second branch of the same stream
         # would be an illegal stream-stream self-join in append mode):
         # one map-side select keeps the event time for the watermark
         after = F.from_json("after_json", self.doc_schema)
+        op_filter = (
+            (F.col("op") == "insert") if insert_only else (F.col("op") != "delete")
+        )
         docs = env.filter(
-            (F.col("source_table") == self.source_table) & (F.col("op") != "delete")
+            (F.col("source_table") == self.source_table) & op_filter
         ).select(
             *[after[f.name].alias(f.name) for f in self.doc_schema.fields],
             F.col("seq"),
@@ -307,13 +311,35 @@ class CurationPipeline:
         ``spark.read.parquet(out_path)`` (the batch column is layout,
         not data).
 
+        INSERT-ONLY by design: the extend contract requires slice ids
+        to be new or byte-identical re-sends, so this sink consumes
+        only ``op == 'insert'`` events — the append-only crawl feed
+        shape the LLM pipeline actually produces. A mutating CDC feed
+        (updates/deletes) must run the batch update cycle instead
+        (remove_from_*_index(old) + extend(new)); wiring deletes here
+        is impossible anyway — a delete event carries no content, and
+        the content is what locates the touched buckets.
+
         The target indexes must exist (build_*_index first — an empty
         build writes a readable schema-bearing layout, so 'start
-        empty, fill from the stream' is the natural bootstrap)."""
+        empty, fill from the stream' is the natural bootstrap). The
+        ``out_path`` must be fresh or batch-keyed: a corpus previously
+        written by ``start()`` (flat part files) cannot gain batch
+        dirs — Spark rejects the mixed layout at read time — so this
+        guards against reusing a flat corpus dir."""
         from sync_spark.operators.incremental import extend_fp_index
         from sync_spark.operators.retrieval import extend_bm25_index
 
         out_path = self.out_path
+        if os.path.isdir(out_path) and any(
+            not (e.startswith("batch=") or e.startswith(".") or e.startswith("_"))
+            for e in os.listdir(out_path)
+        ):
+            raise ValueError(
+                f"out_path {out_path!r} holds a flat (non batch-keyed) corpus "
+                "— start_with_index writes batch=<id> directories and Spark "
+                "cannot read the mixed layout; use a fresh out_path"
+            )
 
         def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
             batch_df = batch_df.select(*self._SINK_COLS).persist()
@@ -329,7 +355,7 @@ class CurationPipeline:
                 batch_df.unpersist()
 
         writer = (
-            self._stream()
+            self._stream(insert_only=True)
             .select(*self._SINK_COLS)
             .writeStream.foreachBatch(apply_batch)
             .option("checkpointLocation", self.checkpoint_dir)

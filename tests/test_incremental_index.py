@@ -186,3 +186,32 @@ def test_remove_from_fp_index_update_cycle(spark, tmp_path):
     before = spark.read.parquet(idx).count()
     remove_from_fp_index(mk([(500, "never indexed text")]), idx)
     assert spark.read.parquet(idx).count() == before
+
+
+def test_params_sidecar_overrides_caller_geometry(spark, tmp_path):
+    """Build with non-default winnowing geometry; probe/extend/remove
+    called with DEFAULT args must still use the persisted (k, window)
+    — a geometry mismatch would silently leave stale rows behind."""
+    from sync_spark.operators.incremental import (
+        build_fp_index,
+        probe_fp_index,
+        remove_from_fp_index,
+    )
+
+    rows = [
+        (i, " ".join(f"d{i}w{j}" for j in range(25)))  # disjoint vocab
+        for i in range(6)
+    ]
+    mk = lambda rs: spark.createDataFrame(rs, "doc_id long, text string")
+    idx = str(tmp_path / "fp_geo")
+    build_fp_index(mk(rows), idx, k=7, window=6)
+    # probe with defaults: sidecar geometry applies, self-text matches
+    probe = mk([(99, rows[0][1])])
+    assert probe_fp_index(spark, probe, idx).first().is_dup
+    # remove with defaults: sidecar geometry locates ALL the doc's
+    # buckets — nothing stale survives
+    remove_from_fp_index(mk(rows[:1]), idx)
+    assert not probe_fp_index(spark, probe, idx).first().is_dup
+    assert (
+        spark.read.parquet(idx).where("doc_id = 0").count() == 0
+    )

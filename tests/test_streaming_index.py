@@ -121,3 +121,47 @@ def test_rejected_docs_never_reach_indexes(spark, tmp_path):
     assert not probe_fp_index(spark, junk, fp_idx, min_shared=1).first().is_dup
     good = spark.createDataFrame([(98, GOOD_A)], "doc_id long, text string")
     assert probe_fp_index(spark, good, fp_idx, min_shared=1).first().is_dup
+
+
+def test_index_sink_is_insert_only_and_guards_flat_corpus(spark, tmp_path):
+    """Update/delete events never reach the indexes (the extend
+    contract forbids mutated ids; deletes carry no content to locate
+    buckets) — and reusing a flat start() corpus dir raises instead of
+    corrupting the layout."""
+    import pytest
+
+    events_dir = str(tmp_path / "events")
+    fp_idx = str(tmp_path / "fp_idx3")
+    build_fp_index(_empty_docs(spark), fp_idx)
+    upd = dict(_event(2, 1, GOOD_B))
+    upd["op"] = "update"
+    dele = dict(_event(3, 1, ""))
+    dele["op"] = "delete"
+    write_event_batch(events_dir, [_event(1, 1, GOOD_A), upd, dele], 1)
+    out = str(tmp_path / "curated3")
+    p = CurationPipeline(
+        spark, event_log_dir=events_dir, out_path=out,
+        checkpoint_dir=str(tmp_path / "ckpt3"), watermark="1 hour",
+    )
+    p.run_available_with_index(fp_index_path=fp_idx)
+    # only the INSERT's content is indexed: GOOD_A hits, the update's
+    # text (GOOD_B) does not
+    a = spark.createDataFrame([(98, GOOD_A)], "doc_id long, text string")
+    b = spark.createDataFrame([(97, GOOD_B)], "doc_id long, text string")
+    assert probe_fp_index(spark, a, fp_idx, min_shared=1).first().is_dup
+    assert not probe_fp_index(spark, b, fp_idx, min_shared=1).first().is_dup
+
+    # flat-corpus reuse guard: a start()-written dir (flat part files)
+    # cannot be extended with batch= dirs
+    flat_out = str(tmp_path / "flat_corpus")
+    p2 = CurationPipeline(
+        spark, event_log_dir=events_dir, out_path=flat_out,
+        checkpoint_dir=str(tmp_path / "ckpt4"), watermark="1 hour",
+    )
+    p2.run_available()  # flat layout
+    p3 = CurationPipeline(
+        spark, event_log_dir=events_dir, out_path=flat_out,
+        checkpoint_dir=str(tmp_path / "ckpt5"), watermark="1 hour",
+    )
+    with pytest.raises(ValueError, match="flat"):
+        p3.start_with_index(fp_index_path=fp_idx)
