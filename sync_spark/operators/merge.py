@@ -55,11 +55,24 @@ def compact_latest_per_key(changes: DataFrame, keys: Sequence[str], seq_col: str
     the delete+insert pair a REPLACE expands into (ours does — seq is
     per-event, not per-binlog-position). If a producer reused one seq
     for such a pair, this tie-break would keep the delete and drop the
-    re-inserted row."""
+    re-inserted row.
+
+    NULL seq (a malformed event line that read as NULL under Spark's
+    non-enforcing JSON schema) must LOSE to any sequenced change —
+    the window form's ``seq DESC`` was NULLS LAST; a bare
+    ``struct(-seq, op)`` min would invert that (a NULL struct field
+    sorts FIRST under min), so the order key carries an explicit
+    nulls-last flag. seq must be numeric (the envelope pins it to
+    long); the negation trick is what buys the mixed-direction
+    (seq DESC, op ASC) tie-break inside one min_by."""
     non_keys = [c for c in changes.columns if c not in keys]
     if not non_keys:
         return changes.dropDuplicates(list(keys))
-    order = F.struct((-F.col(seq_col)).alias("s"), F.col(OP_COL).alias("o"))
+    order = F.struct(
+        F.when(F.col(seq_col).isNull(), F.lit(1)).otherwise(F.lit(0)).alias("n"),
+        (-F.col(seq_col)).alias("s"),
+        F.col(OP_COL).alias("o"),
+    )
     return (
         changes.groupBy(*keys)
         .agg(F.min_by(F.struct(*non_keys), order).alias("__r"))

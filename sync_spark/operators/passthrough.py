@@ -1249,9 +1249,12 @@ def run_merge_sql(
     # guard guarantees <= 1 action per key, so compaction is a no-op:
     # skip its window sort, rebuild the (already unique) change set
     # from the guarded aggregate, and hand the kernel its key set
+    # getField, not the string path f"__row.{c}": a column name
+    # containing a dot would misresolve as a nested path (r8 review;
+    # merge.compact_latest_per_key uses the same dot-safe form)
     changes_unique = guarded.select(
         *[
-            (F.col(c) if c in keys else F.col(f"__row.{c}").alias(c))
+            (F.col(c) if c in keys else F.col("__row").getField(c).alias(c))
             for c in changes.columns
         ]
     )

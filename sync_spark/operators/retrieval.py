@@ -213,8 +213,8 @@ def _chunk_counts_expr(div: str) -> str:
 
 
 def t_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping token-window chunking ({size} tokens, stride
-    {stride}): every doc explodes into chunks with a stable
+    """Overlapping token-window chunking (CHUNK_TOKENS=64 tokens,
+    stride CHUNK_STRIDE=48): every doc explodes into chunks with a stable
     (doc_id, chunk_idx) identity, token offsets, and an md5
     fingerprint (the passage key downstream chunk-grain dedup /
     embedding jobs join on). Zero-token docs emit no chunks.
@@ -227,7 +227,7 @@ def t_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection discipline (LATERAL VIEW OUTER over an attribute, null
     filter instead of a pushed size()>0 predicate) so the token array
     is materialized once per row, never re-evaluated per generated
-    chunk.""".format(size=CHUNK_TOKENS, stride=CHUNK_STRIDE)
+    chunk."""
     hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
     _t(spark, sf_dir, "documents").createOrReplaceTempView("__chunk_documents")
     return spark.sql(f"""
@@ -420,21 +420,19 @@ def _rrf_sql(
     stacked_only: bool = False,
 ) -> str:
     """Reciprocal-rank fusion of two rankers over the same corpus pass
-    structure as _bm25_sql: per query, fuse the BM25 top-{list} and
-    TF-IDF top-{list} candidate lists as
-    Σ_r 10⁶ DIV ({k} + rank_r(doc)) and keep the fused top-{topk}.
+    structure as _bm25_sql: per query, fuse the BM25 top-RRF_LIST and
+    TF-IDF top-RRF_LIST candidate lists as
+    Σ_r 10⁶ DIV (RRF_K + rank_r(doc)) and keep the fused top-RRF_TOPK.
     Integer reciprocals make the fusion bit-exact across engines.
 
     Scale note: each ranker is its own rank-bounded window
-    (rk <= {list} → WindowGroupLimit pushdown). That deliberately
+    (rk <= RRF_LIST → WindowGroupLimit pushdown). That deliberately
     costs a second kernel pass — one shared window pass would reuse
     the scan but lose the per-ranker group limit, turning the
     query-partitioned window into an unbounded per-query sort (the
     f_fuzzy_match skew lesson). The fused join runs on two
-    ≤ {list}·|queries|-row lists — driver-scale, any join strategy
-    wins.""".format(
-        list=RRF_LIST, k=RRF_K, topk=RRF_TOPK
-    )
+    ≤ RRF_LIST·|queries|-row lists — driver-scale, any join strategy
+    wins."""
     spark = dialect == "spark"
     toks = _SPARK_TOKS if spark else _DUCK_TOKS
     div = "DIV" if spark else "//"
@@ -496,7 +494,7 @@ WITH tok1 AS (
   FROM tf CROSS JOIN stats
 ), stacked AS (
   {stacked}
-){'' if not stacked_only else ''}{_RRF_TAIL.format(div=div, k=RRF_K, list=RRF_LIST, topk=RRF_TOPK) if not stacked_only else '''
+){_RRF_TAIL.format(div=div, k=RRF_K, list=RRF_LIST, topk=RRF_TOPK) if not stacked_only else '''
 SELECT query_id, doc_id, b_score, t_score FROM stacked'''}
 """
 
@@ -556,11 +554,15 @@ def t_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "documents").createOrReplaceTempView("__rrf_documents")
     # persist (not unpersisted here): the function returns a LAZY frame,
     # so an eager unpersist would evict the cache before the caller's
-    # action; the block is |matching docs|·|queries| integer rows and the
-    # bench/driver harnesses clear persistent blocks between queries
-    stacked = spark.sql(
-        _rrf_sql("spark", hint, "__rrf_documents", stacked_only=True)
-    ).persist()
+    # action; the bench/driver harnesses clear persistent blocks between
+    # queries. Zero-score rows are dropped BEFORE the persist — both
+    # rank branches filter them anyway, and without this the cache is
+    # corpus-grain (|docs|·|queries|), not match-sized (r8 review)
+    stacked = (
+        spark.sql(_rrf_sql("spark", hint, "__rrf_documents", stacked_only=True))
+        .where("b_score > 0 OR t_score > 0")
+        .persist()
+    )
 
     def toplist(score_col: str) -> DataFrame:
         w = Window.partitionBy("query_id").orderBy(
@@ -649,19 +651,29 @@ def _docs_path(path: str) -> str:
 
 def _write_stats(spark: SparkSession, path: str) -> dict:
     """(Re)derive the 1-row stats table from the doc sidecar — exact
-    after any sequence of build/extend, column-pruned doc-grain scan."""
+    after any sequence of build/extend/remove, column-pruned doc-grain
+    scan. Staged + swapped (the store's own primitive): a plain
+    overwrite deletes-then-writes, so a crash mid-write would leave
+    the index unreadable (r8 review). Crash BETWEEN the postings/docs
+    swaps and this derive leaves stats stale-but-readable; re-running
+    the interrupted extend/remove (both idempotent) heals it."""
+    import uuid as _uuid
+
     from pyspark.sql import functions as F
 
-    from sync_spark.sources.bucketed import read_target
+    from sync_spark.sources.bucketed import _swap_dir, read_target
 
     n, l = (
         read_target(spark, _docs_path(path))
         .agg(F.count(F.lit(1)), F.sum("dl"))
         .first()
     )
+    sp = _stats_path(path)
+    stage = f"{sp}__stage_{_uuid.uuid4().hex[:8]}"
     spark.createDataFrame(
         [(int(n), int(l or 0))], "n bigint, l bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(_stats_path(path))
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    _swap_dir(stage, sp)
     return {"n_docs": int(n), "total_tokens": int(l or 0)}
 
 
@@ -989,10 +1001,12 @@ def t_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
     _t(spark, sf_dir, "documents").createOrReplaceTempView("__eval_documents")
-    # persist lifetime: same contract as t_rrf_fuse above
-    stacked = spark.sql(
-        _rrf_sql("spark", hint, "__eval_documents", stacked_only=True)
-    ).persist()
+    # persist lifetime + match-sized filter: same contract as t_rrf_fuse
+    stacked = (
+        spark.sql(_rrf_sql("spark", hint, "__eval_documents", stacked_only=True))
+        .where("b_score > 0 OR t_score > 0")
+        .persist()
+    )
 
     def ranked(score_col: str, rk_name: str) -> DataFrame:
         w = Window.partitionBy("query_id").orderBy(

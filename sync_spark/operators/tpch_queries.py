@@ -280,18 +280,21 @@ def q4_priority_late_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi join. Spark's BroadcastHashJoin can only build the RIGHT
     side of a LEFT SEMI, which here is the 6M-row fact — a
     single-threaded 100+ MB hash-relation build per run (3.0s at
-    sf1). Flipping to `fact ⋈ broadcast(filtered orders)` probes the
-    tiny quarter of orders instead, and the per-order distinct is a
-    partial-aggregatable hash agg (0.40s at sf1, 7.5×). At 100 TB a
-    too-big quarter falls back to SMJ via AQE — still never a
-    fact-side build."""
+    sf1). Flipping to `fact ⋈ filtered orders` probes the tiny
+    quarter of orders instead, and the per-order distinct is a
+    partial-aggregatable hash agg (0.40s at sf1, 7.5×). The quarter
+    is deliberately NOT hint-broadcast: an explicit broadcast hint is
+    never demoted by AQE, so at 100 TB it would force a fact-slice
+    hash build — unhinted, AQE picks broadcast exactly when the
+    runtime size allows and SMJ otherwise (it picks broadcast at
+    every tested sf here)."""
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     late = li.join(
-        F.broadcast(o),
+        o,
         (o.o_orderkey == li.l_orderkey)
         & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
         "inner",
@@ -849,8 +852,13 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("mn") != F.col("mx"))
         )
     )
+    # the F-status slice is ~half the orders fact — never a broadcast
+    # candidate at scale, and an explicit hint would pin it (AQE never
+    # demotes hints); both sides are order-grain, so the planner's
+    # shuffled join is the 100 TB shape and AQE still upgrades to
+    # broadcast at small sf where the slice fits
     blamed = per_order.join(
-        F.broadcast(o), per_order.l_orderkey == o.o_orderkey, "left_semi"
+        o, per_order.l_orderkey == o.o_orderkey, "left_semi"
     )
     return (
         blamed.join(F.broadcast(s), F.col("mnr") == s.s_suppkey)

@@ -138,6 +138,12 @@ def read_event_stream(
             raise ValueError(
                 "format='kafka' needs kafka_options={'kafka.bootstrap.servers': ...}"
             )
+        # parity with the file transport, which replays every existing
+        # JSONL file on first attach: Spark's Kafka source defaults to
+        # startingOffsets='latest', which would silently skip the
+        # topic's whole CDC backlog on the first (checkpoint-less) run
+        # (r8 review). Callers can still override via kafka_options.
+        opts.setdefault("startingOffsets", "earliest")
         reader = spark.readStream.format("kafka").option("subscribe", path)
         for k, v in opts.items():
             reader = reader.option(k, v)

@@ -93,3 +93,24 @@ def test_tz_windows_are_half_open_partitions(day):
     assert ms <= tz.jst_to_utc(
         __import__("datetime").datetime(day.year, day.month, day.day)
     ) < me
+
+
+def test_compaction_null_seq_loses(spark):
+    """A malformed event whose seq read as NULL (Spark's JSON reader
+    does not enforce nullable=False) must LOSE compaction to any
+    sequenced change — the window form's `seq DESC` was NULLS LAST,
+    and the min_by(struct(-seq, ...)) rewrite needs an explicit
+    nulls-last flag to preserve that (r8 review)."""
+    from sync_spark.operators.merge import compact_latest_per_key
+
+    rows = [
+        (1, "k1", None, "upsert", "malformed"),
+        (2, "k1", 5, "upsert", "good"),
+        (3, "k2", None, "upsert", "only-null"),
+    ]
+    df = spark.createDataFrame(
+        rows, "rid long, key string, seq long, op string, payload string"
+    )
+    out = {r.key: r for r in compact_latest_per_key(df, ["key"]).collect()}
+    assert out["k1"].payload == "good"        # sequenced row wins
+    assert out["k2"].payload == "only-null"   # all-null group still emits
