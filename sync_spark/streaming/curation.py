@@ -326,7 +326,14 @@ class CurationPipeline:
         ``out_path`` must be fresh or batch-keyed: a corpus previously
         written by ``start()`` (flat part files) cannot gain batch
         dirs — Spark rejects the mixed layout at read time — so this
-        guards against reusing a flat corpus dir."""
+        guards against reusing a flat corpus dir.
+
+        ``out_path`` and ``checkpoint_dir`` are a UNIT: batch ids come
+        from the checkpoint, so pointing a FRESH checkpoint at an
+        existing batch-keyed corpus restarts ids at 0 and overwrites
+        ``batch=0`` with different rows (and the indexes keep the old
+        rows — extends are idempotent only for identical content).
+        Resume with the original checkpoint, or start both fresh."""
         from sync_spark.operators.incremental import extend_fp_index
         from sync_spark.operators.retrieval import extend_bm25_index
 
