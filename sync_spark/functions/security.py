@@ -25,6 +25,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.types import ArrayType, DataType, StringType, StructType
 
 from sync_spark.spec import FieldSecurity
@@ -194,3 +195,54 @@ def apply_security_rules(
         else:
             raise ValueError(f"unknown securityType: {rule.security_type!r}")
     return out
+
+
+def _secured_leaf_type(dtype: DataType, parts: list[str]) -> DataType:
+    """The stored type after a mask/encrypt transform at ``parts``
+    below a value of ``dtype`` — mirrors _transform_nested's shape
+    (structs via field rewrite, arrays transparently)."""
+    if isinstance(dtype, ArrayType):
+        return ArrayType(
+            _secured_leaf_type(dtype.elementType, parts), dtype.containsNull
+        )
+    if not parts:
+        # both mask_value and encrypt_value emit STRING for any input
+        return StringType()
+    if isinstance(dtype, StructType):
+        fields = []
+        for f in dtype.fields:
+            if f.name == parts[0]:
+                fields.append(
+                    T.StructField(
+                        f.name, _secured_leaf_type(f.dataType, parts[1:]), True
+                    )
+                )
+            else:
+                fields.append(f)
+        return StructType(fields)
+    return dtype  # path doesn't resolve: transform is a no-op there
+
+
+def secured_schema(schema: StructType, rules: Sequence["FieldSecurity"]) -> StructType:
+    """The EFFECTIVE stored schema after ``apply_security_rules``:
+    masked/encrypted leaves become STRING (both transforms emit
+    string for every input type), nested paths rewrite inside their
+    struct/array types, everything else is unchanged.
+
+    This is what a pipeline must pin bucket reads and snapshots to —
+    pinning the pre-security row_schema would read a masked
+    non-string column's UTF8 parquet bytes under its original type
+    and wedge every merge (r8 review finding)."""
+    if not rules:
+        return schema
+    fields = {f.name: f for f in schema.fields}
+    for rule in rules:
+        parts = rule.field.split(".")
+        top = parts[0]
+        if top not in fields:
+            continue
+        f = fields[top]
+        fields[top] = T.StructField(
+            top, _secured_leaf_type(f.dataType, parts[1:]), True
+        )
+    return StructType([fields[f.name] for f in schema.fields])

@@ -156,7 +156,10 @@ def apply_changes(
         tgt_types = {f.name: f.dataType for f in target.schema.fields}
         chg_types = {f.name: f.dataType for f in changes.schema.fields}
         for c in changes.columns:
-            if c in (OP_COL, seq_col):
+            # 'secured' is envelope bookkeeping (changes_for_table
+            # always attaches it, cdc.py) — evolving it into the
+            # target would persist a phantom per-row flag column
+            if c in (OP_COL, seq_col, "secured"):
                 continue
             if c not in tgt_types:
                 # new column: widen target with a typed NULL

@@ -127,10 +127,18 @@ def recover_interrupted_swaps(path: str) -> None:
         for entry in os.listdir(parent):
             if entry.startswith(f"{base}__stage_"):
                 shutil.rmtree(os.path.join(parent, entry), ignore_errors=True)
+    parked_root = _old_name(path)
     if not os.path.isdir(path):
-        parked_root = _old_name(path)
         if os.path.isdir(parked_root):
             os.rename(parked_root, path)
+    elif os.path.isdir(parked_root):
+        # live dir EXISTS beside its parked sibling: the root swap
+        # committed (crash hit between the second rename and the
+        # cleanup rmtree) — the parked copy is a committed-over
+        # leftover. Without this it leaks a full table copy forever
+        # AND gets wrongly RESURRECTED as live data if a later caller
+        # legitimately rmtree's the live dir (r8 review finding).
+        shutil.rmtree(parked_root)
     if not os.path.isdir(path):
         return
     for entry in os.listdir(path):

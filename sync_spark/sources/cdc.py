@@ -286,7 +286,10 @@ def changes_for_table(
     the row even under ignore-delete configs) always survives."""
     ev = envelope.filter(F.col("source_table") == source_table)
     if ignore_source_deletes:
-        ev = ev.filter(F.col("op") != "delete")
+        # keep NULL-op rows: `op != 'delete'` is NULL for them and a
+        # bare filter would drop malformed events here, BEFORE the
+        # pipeline's quarantine could see them (r8 review)
+        ev = ev.filter((F.col("op") != "delete") | F.col("op").isNull())
     key_schema = T.StructType([f for f in row_schema.fields if f.name in key_cols])
     after = F.from_json("after_json", row_schema)
     key = F.from_json("key_json", key_schema)

@@ -52,7 +52,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sync_spark.functions.security import apply_security_rules
-from sync_spark.operators.merge import DELETE_OP, apply_changes
+from sync_spark.operators.merge import DELETE_OP, OP_COL, apply_changes
 from sync_spark.sources.bucketed import (
     bucket_expr_vals,
     bucketize_in_place,
@@ -114,11 +114,18 @@ def snapshot_if_empty(
         )
     recover_interrupted_swaps(target_path)
     if os.path.exists(target_path):
+        from pyspark.errors import AnalysisException
+
         try:
             if read_target(spark, target_path).limit(1).count() > 0:
                 return False
-        except Exception:
-            pass  # unreadable/empty dir → re-snapshot
+        except AnalysisException:
+            # schema-less/empty dir → re-snapshot. ONLY the analysis
+            # failure class: a blanket except would treat a TRANSIENT
+            # read error on a populated target as empty and
+            # destructively re-snapshot it (r8 review finding) —
+            # execution errors re-raise
+            pass
     if key_cols:
         write_bucketed(source, target_path, key_cols, n_buckets)
     else:
@@ -160,6 +167,22 @@ class CdcPipeline:
         # back to the stream position for as-of debugging / rollback
         self.snapshot_after_batch = snapshot_after_batch
         self._schema_checked: set[str] = set()
+        # the EFFECTIVE stored schema per table: fieldSecurity re-types
+        # masked/encrypted leaves to STRING (both transforms emit
+        # string), so bucket reads and bootstrap writes must pin THIS
+        # schema — pinning the pre-security row_schema would read a
+        # masked non-string column's UTF8 parquet bytes under its
+        # original type and wedge every merge (r8 review finding).
+        # The envelope PARSE keeps row_schema: JSON payloads carry the
+        # source types, and rules re-type after the parse.
+        from sync_spark.functions.security import secured_schema
+
+        self._stored_schema = {
+            t.source_table: secured_schema(
+                t.row_schema, spec.field_security.get(t.source_table, [])
+            )
+            for t in tables
+        }
         # fail LOUDLY on a security rule targeting a key column: keys
         # can never be masked/encrypted (CDC events carry real keys —
         # a transformed key would never match the target and every
@@ -192,16 +215,32 @@ class CdcPipeline:
             fresh = apply_security_rules(
                 df.filter(~pre), rules, key=self.security_key
             )
-            return fresh.unionByName(df.filter(pre))
+            # align the already-secured branch to the RE-TYPED schema
+            # before the union: rules turn non-string leaves into
+            # string, and a mixed-type unionByName would coerce the
+            # fresh branch's '****' back toward the original type and
+            # die on the cast. (A replayed masked non-string value
+            # parsed under row_schema is NULL — documented corner.)
+            fresh_types = {f.name: f.dataType for f in fresh.schema.fields}
+            sec = df.filter(pre).select(
+                *[F.col(c).cast(fresh_types[c]).alias(c) for c in fresh.columns]
+            )
+            return fresh.unionByName(sec)
         return apply_security_rules(df, rules, key=self.security_key)
 
     def _null_key_pred(self, t: TableTarget) -> F.Column:
-        """Unappliable ⇔ every key column is null (T6)."""
-        pred = None
+        """Unappliable ⇔ every key column is null, OR the op itself is
+        null (a malformed line under the permissive JSON read): a
+        NULL op row would pass BOTH of apply_changes' op filters as
+        false and vanish silently while stats counted it (T6 — r8
+        review finding); quarantining keeps the no-silent-drop
+        contract."""
+        pred = F.col(OP_COL).isNull()
+        key_pred = None
         for k in t.key_cols:
             c = F.col(k).isNull()
-            pred = c if pred is None else (pred & c)
-        return pred
+            key_pred = c if key_pred is None else (key_pred & c)
+        return pred | key_pred
 
     def _batch_summary(self, batch: DataFrame) -> list:
         """THE one probe/stats job per micro-batch: per (table, op,
@@ -225,6 +264,9 @@ class CdcPipeline:
             pred = vals[0].isNull()
             for v in vals[1:]:
                 pred = pred & v.isNull()
+            # same unappliable definition as _null_key_pred: a NULL op
+            # is bad too (quarantined, never merged)
+            pred = F.col("op").isNull() | pred
             # THE layout hash (same definition object as the bucketed
             # writer — typed key values in key_cols order)
             bucket = bucket_expr_vals(vals, self.n_buckets)
@@ -343,7 +385,12 @@ class CdcPipeline:
                     quarantined = self._apply_rules_unsecured(quarantined, rules)
                     (
                         quarantined
-                        .withColumn("reason", F.lit("null_key"))
+                        .withColumn(
+                            "reason",
+                            F.when(F.col(OP_COL).isNull(), F.lit("null_op")).otherwise(
+                                F.lit("null_key")
+                            ),
+                        )
                         .withColumn(
                             "payload",
                             F.to_json(
@@ -386,6 +433,7 @@ class CdcPipeline:
                 # are passed through untouched.
                 good = self._apply_rules_unsecured(good, rules)
 
+                stored_schema = self._stored_schema[t.source_table]
                 if not os.path.exists(t.target_path):
                     # first events for a table that was never
                     # snapshotted (insert-only mapping, or a mapping
@@ -393,7 +441,7 @@ class CdcPipeline:
                     # target instead of dying on PATH_NOT_FOUND at
                     # every checkpoint replay
                     write_bucketed(
-                        self.spark.createDataFrame([], t.row_schema),
+                        self.spark.createDataFrame([], stored_schema),
                         t.target_path,
                         t.key_cols,
                         self.n_buckets,
@@ -419,7 +467,8 @@ class CdcPipeline:
                     # drop those columns from every touched bucket it
                     # rewrites. Widening is the supported evolution;
                     # narrowing requires an explicit migration.
-                    stored = set(read_target(self.spark, t.target_path).columns)
+                    stored_df_schema = read_target(self.spark, t.target_path).schema
+                    stored = set(stored_df_schema.names)
                     missing = stored - {f.name for f in t.row_schema.fields}
                     if missing:
                         raise ValueError(
@@ -429,6 +478,32 @@ class CdcPipeline:
                             "data in every touched bucket; run an explicit "
                             "migration (bucketize_in_place with the narrowed "
                             "schema) if the drop is intended"
+                        )
+                    # a fieldSecurity rule RE-TYPES its column to string
+                    # in the stored layout; a target written before the
+                    # rule existed still holds the original type, and a
+                    # pinned-string read over (say) DOUBLE parquet pages
+                    # cannot convert — fail with the migration story
+                    # instead of a reader exception mid-merge
+                    actual = {f.name: f.dataType for f in stored_df_schema.fields}
+                    conflicts = [
+                        f.name
+                        for f in stored_schema.fields
+                        if f.name in actual
+                        and f.dataType != actual[f.name]
+                        and f.dataType
+                        != dict(
+                            (g.name, g.dataType) for g in t.row_schema.fields
+                        ).get(f.name)
+                    ]
+                    if conflicts:
+                        raise ValueError(
+                            f"fieldSecurity re-types columns {sorted(conflicts)} "
+                            f"of {t.source_table!r} to string, but the stored "
+                            "target still holds their original types (the rule "
+                            "was added after the snapshot) — run an explicit "
+                            "migration (bucketize_in_place after masking the "
+                            "stored values) before streaming with this rule"
                         )
                     self._schema_checked.add(t.source_table)
                 # explicit schema: no footer-inference job, and the
@@ -441,7 +516,7 @@ class CdcPipeline:
                 # stay byte-identical and read_target's merged-footer
                 # view nulls them in
                 target = read_buckets(
-                    self.spark, t.target_path, touched, schema=t.row_schema
+                    self.spark, t.target_path, touched, schema=stored_schema
                 )
                 # ignore_deletes=False here: user deletes were already
                 # dropped at the envelope level; the delete rows that
@@ -696,13 +771,23 @@ def export_exhausted_dlq(
         return (0, len(keep_rows))
     art_dir = os.path.join(out_dir, f"table={source_table}")
     os.makedirs(out_dir, exist_ok=True)
-    recover_interrupted_swaps(out_dir)
+    # artifact grain, not out_dir grain: a crashed artifact write
+    # leaves '<art_dir>__stage_*', which only the per-artifact recover
+    # scan matches (r8 review finding)
+    recover_interrupted_swaps(art_dir)
     merged = exhausted
     if _glob.glob(os.path.join(art_dir, "*.parquet")):
         prev = spark.read.option("mergeSchema", "true").parquet(art_dir)
-        merged = exhausted.unionByName(
-            prev, allowMissingColumns=True
-        ).dropDuplicates(["seq"])
+        both = exhausted.unionByName(prev, allowMissingColumns=True)
+        # idempotent re-export dedups on seq — but NULL seqs (distinct
+        # corrupt lines) must NOT collapse into one audit row while
+        # the queue rewrite drops them all (r8 review finding): null-
+        # seq rows dedup on the full row instead
+        merged = (
+            both.filter(F.col("seq").isNotNull())
+            .dropDuplicates(["seq"])
+            .unionByName(both.filter(F.col("seq").isNull()).dropDuplicates())
+        )
     art_stage = f"{art_dir}__stage_{uuid.uuid4().hex[:8]}"
     merged.coalesce(1).write.mode("overwrite").parquet(art_stage)
     _swap_dir(art_stage, art_dir)

@@ -419,3 +419,36 @@ def test_bucket_files_are_key_sorted(spark, tmp_path):
         assert ids == sorted(ids), f
         checked += 1
     assert checked >= 4
+
+
+def test_recover_cleans_committed_over_parked_root(spark, tmp_path):
+    """A crash between _swap_dir's second rename and its cleanup
+    leaves '.old_<name>' beside a LIVE dir: recover must delete the
+    parked copy (it is committed-over), not leak it — and never
+    resurrect it after a later legitimate rmtree of the live dir
+    (r8 review finding)."""
+    import os
+    import shutil
+
+    from sync_spark.sources.bucketed import (
+        read_target,
+        recover_interrupted_swaps,
+        write_bucketed,
+    )
+
+    tgt = str(tmp_path / "t_users")
+    df_old = spark.createDataFrame([(1, "old")], "id long, name string")
+    df_new = spark.createDataFrame([(2, "new")], "id long, name string")
+    write_bucketed(df_new, tgt, ["id"], 4)
+    # simulate the crash leftover: parked OLD copy beside the live dir
+    parked = str(tmp_path / ".old_t_users")
+    shutil.copytree(tgt, parked)
+    recover_interrupted_swaps(tgt)
+    assert not os.path.exists(parked)  # committed-over leftover removed
+    assert [r.name for r in read_target(spark, tgt).collect()] == ["new"]
+    # and a later legitimate rmtree cannot resurrect stale data
+    shutil.copytree(tgt, parked)
+    recover_interrupted_swaps(tgt)  # cleans again while live exists
+    shutil.rmtree(tgt)
+    recover_interrupted_swaps(tgt)
+    assert not os.path.exists(tgt)  # nothing to resurrect

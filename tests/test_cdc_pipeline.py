@@ -633,3 +633,110 @@ def test_export_exhausted_keeps_live_queue_rows(spark, pipeline_dirs, tmp_path):
     assert (replayed, left) == (1, 0)
     _mk_pipeline(spark, pipeline_dirs).run_available()
     assert _read_target(spark, pipeline_dirs["target"])[99]["name"] == "young"
+
+
+def test_masking_non_string_column_streams_cleanly(spark, pipeline_dirs):
+    """fieldSecurity on a NON-string column (balance double) re-types
+    it to string in the stored layout; the pipeline must pin bucket
+    reads to the EFFECTIVE schema or the second batch wedges on a
+    string-vs-double parquet read (r8 review finding)."""
+    from sync_spark.functions.security import apply_security_rules
+
+    rules = [FieldSecurity(field="balance", security_type="masked")]
+    spec = SyncSpec(task_id=1, type="parquet", field_security={"users": rules})
+    src = apply_security_rules(
+        spark.createDataFrame([Row(id=1, name="a", balance=1.0)], ROW_SCHEMA), rules
+    )
+    assert snapshot_if_empty(spark, src, pipeline_dirs["target"]) is True
+    write_event_batch(
+        pipeline_dirs["events"],
+        [_event("insert", 1, "users", {"id": 2}, {"id": 2, "name": "b", "balance": 2.5})],
+        1,
+    )
+    _mk_pipeline(spark, pipeline_dirs, spec=spec).run_available()
+    # batch 2 merges INTO buckets batch 1 wrote — the read that wedged
+    write_event_batch(
+        pipeline_dirs["events"],
+        [_event("update", 2, "users", {"id": 2}, {"id": 2, "name": "b2", "balance": 9.9})],
+        2,
+    )
+    _mk_pipeline(spark, pipeline_dirs, spec=spec).run_available()
+    state = _read_target(spark, pipeline_dirs["target"])
+    assert state[2]["name"] == "b2"
+    assert state[2]["balance"] == "****"  # masked, stored as string
+    assert state[1]["balance"] == "****"  # snapshot side masked too
+
+
+def test_rule_added_after_snapshot_raises_migration_error(spark, pipeline_dirs):
+    """Adding a re-typing rule over a target snapshotted WITHOUT it
+    must fail with the migration message, not a reader exception."""
+    _snapshot(spark, pipeline_dirs, [Row(id=1, name="a", balance=1.0)])  # balance DOUBLE
+    rules = [FieldSecurity(field="balance", security_type="masked")]
+    spec = SyncSpec(task_id=1, type="parquet", field_security={"users": rules})
+    write_event_batch(
+        pipeline_dirs["events"],
+        [_event("update", 1, "users", {"id": 1}, {"id": 1, "name": "x", "balance": 3.0})],
+        1,
+    )
+    import pytest
+
+    with pytest.raises(Exception, match="re-types columns.*migration"):
+        _mk_pipeline(spark, pipeline_dirs, spec=spec).run_available()
+
+
+def test_null_op_event_quarantines_not_vanishes(spark, pipeline_dirs):
+    """A malformed line whose op parsed as NULL must reach the DLQ
+    (reason null_op), not pass both of apply_changes' op filters as
+    false and vanish silently (r8 review finding)."""
+    _snapshot(spark, pipeline_dirs, [Row(id=1, name="a", balance=1.0)])
+    ev = _event("insert", 1, "users", {"id": 7}, {"id": 7, "name": "n", "balance": 7.0})
+    ev["op"] = None
+    good = _event("update", 2, "users", {"id": 1}, {"id": 1, "name": "x", "balance": 2.0})
+    write_event_batch(pipeline_dirs["events"], [ev, good], 1)
+    _mk_pipeline(spark, pipeline_dirs).run_available()
+    state = _read_target(spark, pipeline_dirs["target"])
+    assert state[1]["name"] == "x" and 7 not in state
+    dlq = spark.read.parquet(pipeline_dirs["dlq"]).collect()
+    assert len(dlq) == 1 and dlq[0].reason == "null_op" and dlq[0].seq == 1
+
+
+def test_null_op_quarantines_even_with_ignore_deletes(spark, pipeline_dirs):
+    """ignore_deletes' `op != 'delete'` filter is NULL for a null-op
+    row — it must not silently drop the event before quarantine."""
+    _snapshot(spark, pipeline_dirs, [Row(id=1, name="a", balance=1.0)])
+    ev = _event("insert", 1, "users", {"id": 8}, {"id": 8, "name": "n", "balance": 8.0})
+    ev["op"] = None
+    write_event_batch(pipeline_dirs["events"], [ev], 1)
+    _mk_pipeline(spark, pipeline_dirs, ignore_deletes=True).run_available()
+    dlq = spark.read.parquet(pipeline_dirs["dlq"]).collect()
+    assert len(dlq) == 1 and dlq[0].reason == "null_op"
+
+
+def test_export_exhausted_preserves_distinct_null_seq_rows(spark, pipeline_dirs, tmp_path):
+    """Distinct corrupt rows that all carry NULL seq must each survive
+    into the audit artifact — dropDuplicates(['seq']) collapsed them
+    to one while the queue rewrite destroyed the rest (r8 review)."""
+    from sync_spark.streaming.pipeline import export_exhausted_dlq
+
+    dlq_table = f"{pipeline_dirs['dlq']}/table=users"
+    rows = [
+        (None, None, "retries_exhausted", '{"id": null, "name": "c1"}', 3),
+        (None, None, "retries_exhausted", '{"id": null, "name": "c2"}', 3),
+        (None, None, "retries_exhausted", '{"id": null, "name": "c3"}', 3),
+    ]
+    spark.createDataFrame(
+        rows, "op string, seq long, reason string, payload string, retry_count int"
+    ).write.mode("overwrite").parquet(f"{dlq_table}/batch_id=1")
+    out_dir = str(tmp_path / "exhausted")
+    n_ex, n_keep = export_exhausted_dlq(
+        spark, pipeline_dirs["dlq"], "users", out_dir
+    )
+    assert (n_ex, n_keep) == (3, 0)
+    art = spark.read.parquet(f"{out_dir}/table=users")
+    assert art.count() == 3
+    # idempotent re-export: same rows again, still 3 (full-row dedup)
+    spark.createDataFrame(
+        rows, "op string, seq long, reason string, payload string, retry_count int"
+    ).write.mode("overwrite").parquet(f"{dlq_table}/batch_id=1")
+    export_exhausted_dlq(spark, pipeline_dirs["dlq"], "users", out_dir)
+    assert spark.read.parquet(f"{out_dir}/table=users").count() == 3

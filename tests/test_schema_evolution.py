@@ -260,3 +260,18 @@ def test_lookup_keys_empty_honors_schema(spark, tmp_path):
     # and the non-empty path agrees, so batch unions are schema-stable
     nonempty = lookup_keys(spark, path, [(1,)], schema=V2)
     assert nonempty.columns == empty.columns
+
+
+def test_evolve_does_not_leak_secured_bookkeeping(spark):
+    """changes_for_table always attaches a 'secured' flag; evolve must
+    treat it like op/seq (bookkeeping), not as a new data column."""
+    from sync_spark.operators.merge import apply_changes
+
+    target = spark.createDataFrame([(1, "a")], "id long, name string")
+    changes = spark.createDataFrame(
+        [(1, "b", "upsert", 10, False)],
+        "id long, name string, op string, seq long, secured boolean",
+    )
+    out = apply_changes(target, changes, keys=["id"], evolve_schema=True)
+    assert "secured" not in out.columns
+    assert [r.name for r in out.collect()] == ["b"]
