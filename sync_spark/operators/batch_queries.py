@@ -474,15 +474,18 @@ ORDER BY side, nationkey
 
 
 def j_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: fact × 3 broadcast dims → grouped revenue. At 100 TB
-    the only shuffle is the final (25-group) aggregation; customer,
-    nation, region broadcast (checked via explain in tests)."""
+    """Star join: fact × 3 dims → grouped revenue. nation/region are
+    fixed-cardinality (25/5 rows) and hint-broadcast; customer scales
+    150k×SF so its pick is left to AQE (it broadcasts at every tested
+    sf and can demote at 100 TB — a hard hint can't). At 100 TB the
+    only guaranteed shuffle is the final (25-group) aggregation
+    (checked via explain in tests)."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -634,7 +637,7 @@ def w_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     to absorb last-bit division differences."""
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
     c = _t(spark, sf_dir, "customer")
-    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    j = o.join(c, o.o_custkey == c.c_custkey)
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
     )

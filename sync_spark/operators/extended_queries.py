@@ -174,7 +174,7 @@ def a_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     )
     return (

@@ -216,7 +216,6 @@ def extend_fp_index(
         df, text_col, id_col, k=k, window=window
     ).select("fp", "doc_id")
     return update_touched_buckets(new_fps, path, mode="extend")
-    return len(touched)
 
 def remove_from_fp_index(
     df: DataFrame,

@@ -158,7 +158,10 @@ def apply_changes(
         for c in changes.columns:
             # 'secured' is envelope bookkeeping (changes_for_table
             # always attaches it, cdc.py) — evolving it into the
-            # target would persist a phantom per-row flag column
+            # target would persist a phantom per-row flag column. A
+            # GENUINE source column with one of these names is
+            # rejected loudly by changes_for_table itself (reserved
+            # envelope names), so the skip here never hides user data.
             if c in (OP_COL, seq_col, "secured"):
                 continue
             if c not in tgt_types:

@@ -1182,14 +1182,18 @@ def run_merge_sql(
     # (an EXISTS-subquery spelling would plan an ExistenceJoin and
     # probe without fanout, but Spark's PushProjectionThroughUnion
     # breaks on ExistenceJoin attributes under union-shaped sources —
-    # hit in testing — so the flag is a broadcast left join against
-    # the target keys, deliberately WITHOUT a dedup: deduplicating
-    # the build side cost a whole shuffle stage, and a target that
-    # does carry duplicate matched keys fans the probe out to per-key
-    # action counts > 1, which the in-plan guard below turns into the
+    # hit in testing — so the flag is a left join against the target
+    # keys, deliberately WITHOUT a dedup: deduplicating the build
+    # side cost a whole shuffle stage, and a target that does carry
+    # duplicate matched keys fans the probe out to per-key action
+    # counts > 1, which the in-plan guard below turns into the
     # duplicate-keys error — strictly safer than the silent
-    # two-rows-collapse-into-one the r7 path produced there)
-    tgt_flag = F.broadcast(target.select(*keys).withColumn("__m", F.lit(True)))
+    # two-rows-collapse-into-one the r7 path produced there.
+    # No hard broadcast hint (r9): the target scales with the data,
+    # so the strategy belongs to AQE — it broadcasts the key set at
+    # every tested sf and falls back to a shuffled join at the scale
+    # where a pinned broadcast would force a multi-GB build.)
+    tgt_flag = target.select(*keys).withColumn("__m", F.lit(True))
     joined = source.join(tgt_flag, list(keys), "left")
     types = {f.name: f.dataType for f in target.schema.fields}
     cols = [

@@ -401,6 +401,30 @@ RRF_K = 60          # the standard RRF damping constant (Cormack 2009)
 RRF_LIST = 100      # per-ranker candidate-list depth
 RRF_TOPK = 10
 
+# Bounded cache lifetime for the fused score tables (r8 ADVICE): the
+# rankers return LAZY frames, so the operator can't know when a caller
+# is done with the persisted score table — instead each new invocation
+# evicts the previous one (at most ONE live score cache per session,
+# same discipline as dedup._doc_shingles_cached). A still-lazy older
+# result simply recomputes; long-lived library sessions never
+# accumulate cached blocks. The bench/driver harnesses additionally
+# clearCache() between queries.
+_live_score_cache: list[DataFrame] = []
+
+
+def _persist_score_table(df: DataFrame) -> DataFrame:
+    # evict BEFORE persisting the replacement: the cache manager keys
+    # on the LOGICAL PLAN, so unpersisting an equal-plan old handle
+    # after the new persist would evict the fresh cache too
+    while _live_score_cache:
+        try:
+            _live_score_cache.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+    out = df.persist()
+    _live_score_cache.append(out)
+    return out
+
 
 def _tfidf_contrib(i: int, j: int, div: str) -> str:
     """One term's integer TF-IDF weight — the t_keyword_topk scoring
@@ -552,16 +576,14 @@ def t_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
     _t(spark, sf_dir, "documents").createOrReplaceTempView("__rrf_documents")
-    # persist (not unpersisted here): the function returns a LAZY frame,
-    # so an eager unpersist would evict the cache before the caller's
-    # action; the bench/driver harnesses clear persistent blocks between
-    # queries. Zero-score rows are dropped BEFORE the persist — both
-    # rank branches filter them anyway, and without this the cache is
-    # corpus-grain (|docs|·|queries|), not match-sized (r8 review)
-    stacked = (
+    # persist via the bounded score-cache (lifetime contract on
+    # _persist_score_table). Zero-score rows are dropped BEFORE the
+    # persist — both rank branches filter them anyway, and without
+    # this the cache is corpus-grain (|docs|·|queries|), not
+    # match-sized (r8 review)
+    stacked = _persist_score_table(
         spark.sql(_rrf_sql("spark", hint, "__rrf_documents", stacked_only=True))
         .where("b_score > 0 OR t_score > 0")
-        .persist()
     )
 
     def toplist(score_col: str) -> DataFrame:
@@ -892,6 +914,189 @@ T_HYBRID_SQL = _hybrid_sql()
 
 
 # ---------------------------------------------------------------------------
+# Index-SERVING registry rows (r9, verdict #3): the registry timed
+# only the SCAN forms; these rows serve the same retrieval semantics
+# from the PERSISTED indexes, so the bench measures the path a
+# deployment actually runs per query batch (build cost amortizes over
+# the workload; the scan forms pay the corpus per batch).
+# ---------------------------------------------------------------------------
+
+
+def _index_home_root() -> str:
+    import os
+    import tempfile
+
+    return os.environ.get("SYNC_SPARK_INDEX_DIR") or os.path.join(
+        tempfile.gettempdir(), "sync_spark_indexes"
+    )
+
+
+def _src_stat(sf_dir: str, table: str) -> str:
+    import os
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(p)
+    return f"{table}:{st.st_size}:{int(st.st_mtime)}"
+
+
+def _ensure_store(home: str, build_fn) -> str:
+    """Build-once discipline for per-corpus persisted indexes:
+    ``home/idx`` is the index path (the bm25 sidecars land as
+    ``idx_docs``/``idx_stats`` INSIDE home, so the whole index moves
+    atomically). Staleness is keyed in the HOME name (source file
+    size+mtime — see callers), so a changed corpus gets a fresh home
+    and never reads a stale index. Concurrent builders race on one
+    os.rename; the loser discards its stage (both builds are
+    deterministic over the same immutable corpus)."""
+    import os
+    import shutil
+
+    from sync_spark.sources.bucketed import read_meta
+
+    idx = os.path.join(home, "idx")
+    if read_meta(idx) is not None:
+        return idx
+    stage = home + f".stage{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    build_fn(os.path.join(stage, "idx"))
+    os.makedirs(os.path.dirname(home), exist_ok=True)
+    try:
+        os.rename(stage, home)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)  # lost the race
+    return idx
+
+
+def _corpus_bm25_index(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        f"{sf_dir}|{_src_stat(sf_dir, 'documents')}".encode("utf-8")
+    ).hexdigest()[:12]
+    home = os.path.join(_index_home_root(), f"bm25_{key}")
+    return _ensure_store(
+        home, lambda p: build_bm25_index(_t(spark, sf_dir, "documents"), p)
+    )
+
+
+def _corpus_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    from sync_spark.operators import ann_index as ai
+
+    key = hashlib.md5(
+        f"{sf_dir}|{_src_stat(sf_dir, 'embeddings')}".encode("utf-8")
+    ).hexdigest()[:12]
+    home = os.path.join(_index_home_root(), f"ann_{key}")
+    return _ensure_store(
+        home,
+        lambda p: ai.build_ann_index(
+            _t(spark, sf_dir, "embeddings"), p,
+            n_planes=4, n_tables=16, dim=64, seed=42,
+        ),
+    )
+
+
+def tfidf_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[str]]] | None = None,
+    k: int = BM25_K,
+) -> DataFrame:
+    """TF-IDF top-k against the PERSISTED posting index — the second
+    ranker of t_rrf_fuse served index-side. Scoring is the integer
+    TF-IDF weight of _tfidf_contrib ((tf · 10⁶ · N) DIV (df · dl)):
+    tf/dl ride the posting rows, df is an aggregate OF the pruned
+    postings (a posting row exists exactly when tf > 0, so the scan
+    form's per-term CASE is the join itself), N is the 1-row stats
+    broadcast. Identical bucket-pruned cost shape as bm25_index_topk:
+    ≤ |terms| posting buckets, never the corpus."""
+    import pyspark.sql.types as T
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from sync_spark.sources.bucketed import lookup_keys
+
+    if queries is None:
+        queries = BM25_QUERIES
+    terms = sorted({t for _, ts in queries for t in ts})
+    postings = lookup_keys(
+        spark, path, [(t,) for t in terms],
+        schema=T._parse_datatype_string(_POSTING_SCHEMA),
+    )
+    stats = spark.read.parquet(_stats_path(path))
+    qmap = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts], "query_id int, tok string"
+    )
+    df_tbl = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    contrib = F.expr("(tf * 1000000 * n) DIV (df * dl)")
+    scores = (
+        postings.join(F.broadcast(qmap), "tok")
+        .join(F.broadcast(df_tbl), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_e6"))
+        .where(F.col("score_e6") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_e6").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("rk").cast("bigint").alias("rk"),
+            "doc_id",
+            "score_e6",
+        )
+    )
+
+
+def t_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t_rrf_fuse served ENTIRELY from the persisted inverted index —
+    bit-identical to T_RRF_SQL: the BM25 leg is bm25_index_topk
+    (pytest-pinned == the scan form), the TF-IDF leg is
+    tfidf_index_topk over the SAME pruned postings, and the fusion is
+    the shared rrf_fuse_ranked tail. Both legs' >0 score filters and
+    (score DESC, doc_id ASC) tiebreaks mirror the scan form exactly.
+
+    Cost shape: ≤ |terms| posting buckets read (bucket-pruned
+    lookup_keys, PartitionFilters in the scan), two list-depth-bounded
+    windows over posting-match rows, a driver-scale fusion join —
+    never a corpus scan. The index build (one-time per corpus,
+    _corpus_bm25_index) happens at CONSTRUCTION on first use and is
+    reused across queries and sessions via the on-disk store."""
+    path = _corpus_bm25_index(spark, sf_dir)
+    b = bm25_index_topk(spark, path, k=RRF_LIST).select("query_id", "doc_id", "rk")
+    t = tfidf_index_topk(spark, path, k=RRF_LIST).select("query_id", "doc_id", "rk")
+    return rrf_fuse_ranked(b, t, RRF_TOPK)
+
+
+def t_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG serving path as a registry row: hybrid_index_topk over
+    the persisted BM25 + ANN stores for this corpus. The dense leg is
+    the LSH approximation (recall < 1 by design — at serving scale
+    the index IS the dense ranker), so there is no SQL oracle;
+    the row is rows-only-checked and its semantics are pytest-pinned
+    == fusing the two index legs' own scan forms
+    (test_retrieval.py hybrid equivalence + per-leg index==scan pins).
+
+    Cost shape: ≤ |terms| posting buckets + ≤ |queries|·n_tables ANN
+    buckets read — no corpus scan anywhere, the property that makes
+    per-query-batch serving viable at 100 TB."""
+    from pyspark.sql import functions as F
+
+    bm = _corpus_bm25_index(spark, sf_dir)
+    ann = _corpus_ann_index(spark, sf_dir)
+    qvecs = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id").isin(HYBRID_QIDS))
+    return hybrid_index_topk(spark, bm, ann, qvecs, k=RRF_TOPK, list_depth=RRF_LIST)
+
+
+# ---------------------------------------------------------------------------
 # Retrieval evaluation: recall@k / MRR / nDCG of BM25 against the
 # TF-IDF ranking as ground truth (ranker-agreement diagnostic)
 # ---------------------------------------------------------------------------
@@ -1002,10 +1207,9 @@ def t_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
     _t(spark, sf_dir, "documents").createOrReplaceTempView("__eval_documents")
     # persist lifetime + match-sized filter: same contract as t_rrf_fuse
-    stacked = (
+    stacked = _persist_score_table(
         spark.sql(_rrf_sql("spark", hint, "__eval_documents", stacked_only=True))
         .where("b_score > 0 OR t_score > 0")
-        .persist()
     )
 
     def ranked(score_col: str, rk_name: str) -> DataFrame:

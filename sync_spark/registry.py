@@ -129,6 +129,12 @@ def _populate() -> None:
     register("t_chunk_docs", rt.t_chunk_docs, rt.T_CHUNK_SQL)
     register("t_rrf_fuse", rt.t_rrf_fuse, rt.T_RRF_SQL)
     register("t_hybrid_fuse", rt.t_hybrid_fuse, rt.T_HYBRID_SQL)
+    # index-SERVING twins (r9): same semantics from the persisted
+    # stores — t_rrf_indexed is bit-exact to the t_rrf_fuse oracle;
+    # t_hybrid_indexed's dense leg is the LSH approximation (no SQL
+    # oracle; pytest-pinned == its legs' scan forms)
+    register("t_rrf_indexed", rt.t_rrf_indexed, rt.T_RRF_SQL)
+    register("t_hybrid_indexed", rt.t_hybrid_indexed, None)
     register("t_retrieval_eval", rt.t_retrieval_eval, rt.T_RETRIEVAL_EVAL_SQL)
 
     from sync_spark.operators import extended_queries as xq

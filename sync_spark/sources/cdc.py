@@ -284,6 +284,19 @@ def changes_for_table(
     the PK-change synthesis, so a synthesized old-key delete (which is
     part of an update, not a user delete; the reference's UPDATE moves
     the row even under ignore-delete configs) always survives."""
+    # reserved envelope bookkeeping names: the projection attaches
+    # (op, seq, secured) to every change row, and downstream
+    # apply_changes/schema-evolution treats those names as envelope
+    # columns unconditionally — a source payload column with one of
+    # these names would be silently shadowed (and never evolve into
+    # the target), so refuse loudly instead (r8 ADVICE)
+    collide = {"op", "seq", "secured"} & {f.name for f in row_schema.fields}
+    if collide:
+        raise ValueError(
+            f"source table {source_table!r} schema contains reserved "
+            f"envelope column name(s) {sorted(collide)}; rename them at "
+            "the source (op/seq/secured are CDC bookkeeping columns)"
+        )
     ev = envelope.filter(F.col("source_table") == source_table)
     if ignore_source_deletes:
         # keep NULL-op rows: `op != 'delete'` is NULL for them and a

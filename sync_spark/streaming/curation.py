@@ -243,8 +243,17 @@ class CurationPipeline:
         # would be an illegal stream-stream self-join in append mode):
         # one map-side select keeps the event time for the watermark
         after = F.from_json("after_json", self.doc_schema)
+        # non-insert_only keeps NULL-op rows (malformed events): a bare
+        # `op != 'delete'` is NULL for them and would silently drop the
+        # exact class cdc.changes_for_table's no-silent-drop contract
+        # covers. Kept, they parse to all-NULL docs and die at the
+        # quality gate like any other unusable doc — the same
+        # deterministic path, not a hidden op-filter vanish (r8
+        # ADVICE). insert_only is an explicit opt-in to inserts only.
         op_filter = (
-            (F.col("op") == "insert") if insert_only else (F.col("op") != "delete")
+            (F.col("op") == "insert")
+            if insert_only
+            else ((F.col("op") != "delete") | F.col("op").isNull())
         )
         docs = env.filter(
             (F.col("source_table") == self.source_table) & op_filter

@@ -259,11 +259,13 @@ def test_lm_score_vocab_join_broadcasts(spark, sf_small):
 
 
 def test_q2_single_data_shuffle_window_min(spark, sf_small):
-    """Q2's decorrelated min-cost: exactly ONE data exchange (the
-    repartition(l_partkey) feeding both the pair distinct and the
-    per-part window via the subset-clustering rule), dims broadcast,
-    top-100 via TakeOrderedAndProject — the properties that make the
-    shape scale."""
+    """Q2's decorrelated min-cost (r9, pair-store form): ZERO data
+    exchanges in the query — the bucketed _pair_store scan reports
+    hash-partitioning on ps_partkey, which the per-part window
+    consumes directly; joins broadcast at this scale; top-100 via
+    TakeOrderedAndProject — the properties that make the shape
+    scale. (The pair dedup shuffle happens ONCE, in the shared store
+    build, not per query.)"""
     from sync_spark.operators.tpch_queries import q2_min_cost_supplier
 
     df = q2_min_cost_supplier(spark, sf_small)
@@ -272,12 +274,36 @@ def test_q2_single_data_shuffle_window_min(spark, sf_small):
     plan = plan_of(df).split("== Initial Plan ==")[0]
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
-    # hashpartitioning exchanges: only the single repartition — the
-    # distinct and the window both reuse its clustering
     import re
 
     data_exchanges = re.findall(r"Exchange hashpartitioning\([^)]*\)", plan)
-    assert len(data_exchanges) == 1, data_exchanges
+    assert len(data_exchanges) == 0, data_exchanges
+
+
+def test_q11_q16_read_pair_store_no_fact_scan(spark, sf_small):
+    """q11/q16 (r9): both read the shared bucketed pair store — no
+    lineitem scan in either plan, and q11's per-part aggregate adds
+    no hash exchange (the bucketed scan already clusters on
+    ps_partkey; its only exchange is the 1-row grand total)."""
+    import re
+
+    from sync_spark.operators.tpch_queries import (
+        q11_important_parts,
+        q16_supplier_part_counts,
+    )
+
+    q11 = q11_important_parts(spark, sf_small)
+    q11.collect()
+    plan11 = plan_of(q11).split("== Initial Plan ==")[0]
+    assert "lineitem" not in plan11
+    assert len(re.findall(r"Exchange hashpartitioning\([^)]*\)", plan11)) == 0, plan11[:1500]
+
+    q16 = q16_supplier_part_counts(spark, sf_small)
+    q16.collect()
+    plan16 = plan_of(q16).split("== Initial Plan ==")[0]
+    assert "lineitem" not in plan16
+    # the distinct-count runs at pair grain: partial aggregation first
+    assert "partial_count" in plan16 or "HashAggregate" in plan16
 
 
 def test_q20_fused_aggregate_single_shuffle(spark, sf_small):
@@ -498,6 +524,95 @@ def test_chunk_docs_no_shuffle(spark, sf_small):
     assert "rangepartitioning" not in plan, plan[:1200]
     assert "Window" not in plan and "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+_SCALING_COLS = {
+    # one unambiguous marker column per SF-scaling relation: a
+    # broadcast-hinted subtree that still outputs one of these reads
+    # the scaling table itself, not a cardinality-collapsed derivative
+    "c_custkey",   # customer  (150k × SF)
+    "p_partkey",   # part      (200k × SF)
+    "s_suppkey",   # supplier  (10k × SF)
+    "o_orderkey",  # orders
+    "l_orderkey",  # lineitem
+    "event_id",    # events
+}
+
+_RELATIONAL_MODULES = (
+    "operators.relational",
+    "operators.batch_queries",
+    "operators.extended_queries",
+    "operators.tpch_queries",
+    "operators.function_queries",
+    "operators.countquery",
+    "operators.monitor",
+    "operators.sketch_queries",
+    "operators.passthrough",
+)
+
+
+def _broadcast_hint_violations(df) -> list[str]:
+    """Walk the ANALYZED logical plan; return every broadcast
+    ResolvedHint whose subtree scans an SF-scaling relation without a
+    cardinality-collapsing barrier (Aggregate / Limit) in between.
+
+    Barrier rule: a global/grouped Aggregate or a Limit bounds what
+    reaches the broadcast (q15's 1-row max, q22's scalar average,
+    q11's grand total), so hints above them are legitimate. A
+    broadcast of an aggregate KEYED on a scaling column would slip
+    through — no such hint exists in the repo, and the guard's job is
+    to reject the base-relation hints the r8 verdict flagged."""
+    violations: list[str] = []
+
+    def out_names(node) -> set:
+        out = node.output()
+        return {out.apply(i).name() for i in range(out.size())}
+
+    def scans_scaling(node) -> bool:
+        cls = node.getClass().getSimpleName()
+        if cls in ("Aggregate", "GlobalLimit", "LocalLimit"):
+            return False
+        if cls.endswith("Relation") and out_names(node) & _SCALING_COLS:
+            return True
+        ch = node.children()
+        return any(scans_scaling(ch.apply(i)) for i in range(ch.size()))
+
+    def walk(node):
+        cls = node.getClass().getSimpleName()
+        if cls == "ResolvedHint" and "broadcast" in node.hints().toString().lower():
+            child = node.children().apply(0)
+            if scans_scaling(child):
+                violations.append(node.toString()[:400])
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return violations
+
+
+def test_no_hard_broadcast_hint_on_scaling_relations(spark, sf_small):
+    """r8 verdict #1 made permanent: a hard F.broadcast on a relation
+    that grows with SF (customer/part/supplier/orders/lineitem/events)
+    is never AQE-demoted — at 100 TB it forces a multi-GB hash build.
+    Hints are legal only on fixed-cardinality dims (nation=25,
+    region=5) and on cardinality-collapsed derivatives (scalar
+    aggregates, limited frames). Every relational-family registry
+    query is walked; the q4/q21 A/B (commit 62e7ae7) showed unhinted
+    plans are equal-or-faster locally because AQE picks the same
+    broadcast when the runtime size allows."""
+    from sync_spark.registry import all_queries
+
+    bad: dict[str, list[str]] = {}
+    for name, spec in sorted(all_queries().items()):
+        mod = getattr(spec.spark_fn, "__module__", "") or ""
+        if not mod.endswith(_RELATIONAL_MODULES):
+            continue
+        df = spec.spark_fn(spark, sf_small)
+        v = _broadcast_hint_violations(df)
+        if v:
+            bad[name] = v
+    assert not bad, f"hard broadcast hints on scaling relations: {bad}"
 
 
 def test_rrf_single_kernel_pass_cached(spark, sf_small):

@@ -633,3 +633,78 @@ class TestHybridIndexTopk:
         )
         assert got == want
         assert len(got) > 0
+
+
+class TestIndexedRegistryRows:
+    """r9 registry rows: the index-serving twins must be bit-identical
+    to their scan-form semantics on the REAL sf tables, and their
+    plans must be bucket-pruned (PartitionFilters), never corpus
+    scans."""
+
+    def test_t_rrf_indexed_equals_scan_form(self, spark, sf_small):
+        got = sorted(
+            tuple(r) for r in rt.t_rrf_indexed(spark, sf_small).collect()
+        )
+        want = sorted(
+            tuple(r) for r in rt.t_rrf_fuse(spark, sf_small).collect()
+        )
+        assert got == want
+        assert len(got) > 0
+
+    def test_t_hybrid_indexed_equals_leg_fusion(self, spark, sf_small):
+        """The registry row == fusing its own two index legs through
+        the shared tail at the same parameters (the legs themselves
+        are pinned == their scan forms elsewhere)."""
+        from pyspark.sql import functions as F
+
+        from sync_spark.operators import ann_index as ai
+
+        bm = rt._corpus_bm25_index(spark, sf_small)
+        ann = rt._corpus_ann_index(spark, sf_small)
+        qvecs = (
+            rt._t(spark, sf_small, "embeddings")
+            .filter(F.col("vec_id").isin(rt.HYBRID_QIDS))
+        )
+        slist = rt.bm25_index_topk(spark, bm, k=rt.RRF_LIST).select(
+            "query_id", "doc_id", "rk"
+        )
+        dlist = ai.ann_index_topk(spark, ann, qvecs, k=rt.RRF_LIST).select(
+            F.col("query_id").cast("int").alias("query_id"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("rk"),
+        )
+        want = sorted(
+            tuple(r)
+            for r in rt.rrf_fuse_ranked(dlist, slist, rt.RRF_TOPK).collect()
+        )
+        got = sorted(
+            tuple(r) for r in rt.t_hybrid_indexed(spark, sf_small).collect()
+        )
+        assert got == want
+        assert len(got) > 0
+
+    def test_t_rrf_indexed_plan_bucket_pruned(self, spark, sf_small):
+        """Both legs read via lookup_keys: the executed plan carries a
+        PartitionFilters IN-list over __bucket and never scans the
+        documents corpus."""
+        import re
+
+        df = rt.t_rrf_indexed(spark, sf_small)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PartitionFilters: \[__bucket#\d+ IN", plan), plan[:1500]
+        assert "documents.parquet" not in plan
+
+    def test_index_store_reuse_and_staleness_key(self, spark, sf_small, tmp_path):
+        """Second call reuses the same on-disk home (no rebuild); a
+        different source fingerprint yields a different home."""
+        import os
+
+        p1 = rt._corpus_bm25_index(spark, sf_small)
+        mtime = os.path.getmtime(p1)
+        p2 = rt._corpus_bm25_index(spark, sf_small)
+        assert p1 == p2
+        assert os.path.getmtime(p2) == mtime  # untouched on reuse
+        # a different corpus (different stat fingerprint) → new home
+        k1 = rt._src_stat(sf_small, "documents")
+        k2 = rt._src_stat("/root/testdata/sf0.01", "documents")
+        assert k1 != k2
