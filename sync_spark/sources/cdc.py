@@ -222,6 +222,88 @@ def kafka_envelope(raw: DataFrame) -> DataFrame:
     return raw.select(*cols)
 
 
+DEBEZIUM_OP_CASE = (
+    "CASE __dbz_op WHEN 'c' THEN 'insert' WHEN 'r' THEN 'insert' "
+    "WHEN 'u' THEN 'update' WHEN 'd' THEN 'delete' END"
+)
+
+
+def debezium_envelope(raw: DataFrame) -> DataFrame:
+    """Map Debezium wire records (a KAFKA_RAW_SCHEMA frame whose
+    ``value`` carries Debezium's change-event JSON) onto the canonical
+    change envelope — the adapter that lets a real Debezium topic
+    drive the pipeline with no custom producer, closing the
+    live-change-stream seam offline (reference behavior:
+    pkg/syncer/mongodb/mongodb.go:527-610 tails the raw change stream;
+    a Debezium deployment publishes the same events to Kafka).
+
+    Layout consumed — both standard JsonConverter renderings:
+    ``schemas.enable=true`` ({"schema": ..., "payload": {event}}) and
+    ``schemas.enable=false`` (the event object at top level), where
+    event = {"before": obj|null, "after": obj|null,
+    "source": {"table": ...}, "op": "c"|"r"|"u"|"d", "ts_ms": millis}
+    and the message KEY carries the PK struct the same two ways.
+
+    Mapping onto ENVELOPE_SCHEMA:
+    - op: c/r → insert (r = snapshot read; the idempotent MERGE makes
+      snapshot rows indistinguishable from stream inserts), u →
+      update, d → delete. An UNKNOWN op code maps to NULL and flows
+      to the pipeline's malformed-op quarantine — never silently
+      dropped (the changes_for_table no-silent-drop contract).
+    - TOMBSTONES (value IS NULL — Debezium's log-compaction marker
+      after every delete) are transport artifacts, not data: dropped
+      here, exactly once, where the wire layout is known.
+    - ts: payload.ts_ms (epoch millis).
+    - key_json: the key struct (Debezium rides the PK on the message
+      key); after_json: the after image (null on delete → key-only
+      row downstream); before_key_json: the before image when the
+      connector publishes one — a PK-changing UPDATE then folds into
+      changes_for_table's synthesized old-key delete. Connectors that
+      instead SPLIT a PK change into DELETE + CREATE (+ tombstone)
+      need no synthesis and fold identically (both shapes pinned in
+      tests/test_debezium_fixture.py).
+    - seq = offset: same per-partition monotonicity argument as
+      kafka_envelope (Debezium keys messages by PK, so each key's
+      events share a partition).
+
+    get_json_object extracts the nested objects as JSON TEXT without
+    needing the table's row schema — the envelope stays schemaless and
+    changes_for_table applies the typed projection later, exactly as
+    for the file transport."""
+    v = F.col("value").cast("string")
+    k = F.col("key").cast("string")
+
+    def field(path: str):
+        # schemas.enable=true nests the event under $.payload
+        return F.coalesce(
+            F.get_json_object(v, f"$.payload.{path}"),
+            F.get_json_object(v, f"$.{path}"),
+        )
+
+    key_json = F.coalesce(
+        F.get_json_object(k, "$.payload"), F.get_json_object(k, "$"),
+    )
+    return (
+        raw.filter(F.col("value").isNotNull())  # tombstones out
+        .withColumn("__dbz_op", field("op"))
+        .select(
+            F.expr(DEBEZIUM_OP_CASE).alias("op"),
+            # broker timestamp is the fallback when the payload
+            # carries no ts_ms (same rule as kafka_envelope)
+            F.coalesce(
+                F.timestamp_millis(field("ts_ms").cast("long")),
+                F.col("timestamp"),
+            ).alias("ts"),
+            field("source.table").alias("source_table"),
+            key_json.alias("key_json"),
+            field("after").alias("after_json"),
+            field("before").alias("before_key_json"),
+            F.lit(False).alias("secured"),
+            F.col("offset").cast("long").alias("seq"),
+        )
+    )
+
+
 def pk_changed_pred(
     envelope_cols: list[str],
     row_schema: T.StructType,

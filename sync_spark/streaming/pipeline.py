@@ -78,6 +78,25 @@ class TableTarget:
     ignore_deletes: bool = False
 
 
+def lakehouse_merge_available() -> bool:
+    """Probe for an in-JVM lakehouse MERGE backend (delta-spark /
+    Iceberg runtime). When one lands in the environment, _apply_batch
+    is the single seam to swap: its bucketed read-merge-overwrite
+    becomes ``MERGE INTO`` against the table format with the SAME
+    apply_changes change set (the plan is backend-agnostic; only the
+    write primitive changes). Probed at call time, not import time, so
+    adding the jar to a running deployment's env needs no code change.
+    This container ships neither package, so the bucketed store is the
+    active backend (equivalence to the Delta protocol is pinned
+    offline by test_delta_export.py's jar-free read-back instead)."""
+    import importlib.util
+
+    return (
+        importlib.util.find_spec("delta") is not None
+        or importlib.util.find_spec("pyiceberg") is not None
+    )
+
+
 def _write_atomic(df: DataFrame, path: str) -> None:
     """Overwrite ``path`` with df via stage + rename-aside swap: the
     old dir is renamed aside before the new one lands, so there is no

@@ -740,3 +740,12 @@ def test_export_exhausted_preserves_distinct_null_seq_rows(spark, pipeline_dirs,
     ).write.mode("overwrite").parquet(f"{dlq_table}/batch_id=1")
     export_exhausted_dlq(spark, pipeline_dirs["dlq"], "users", out_dir)
     assert spark.read.parquet(f"{out_dir}/table=users").count() == 3
+
+
+def test_lakehouse_probe_reports_backend():
+    """The jar probe answers without raising in any environment; in
+    this container neither delta-spark nor pyiceberg ships, so the
+    bucketed backend must be the active one."""
+    from sync_spark.streaming.pipeline import lakehouse_merge_available
+
+    assert lakehouse_merge_available() is False

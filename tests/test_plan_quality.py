@@ -282,9 +282,11 @@ def test_q2_single_data_shuffle_window_min(spark, sf_small):
 
 def test_q11_q16_read_pair_store_no_fact_scan(spark, sf_small):
     """q11/q16 (r9): both read the shared bucketed pair store — no
-    lineitem scan in either plan, and q11's per-part aggregate adds
-    no hash exchange (the bucketed scan already clusters on
-    ps_partkey; its only exchange is the 1-row grand total)."""
+    lineitem scan in either plan. q11's per-part aggregate runs ONCE
+    at construction (bucketed scan clusters on ps_partkey → no
+    exchange) into an eager checkpoint; the returned plan is a
+    filter+sort over that materialization with no hash exchange at
+    all."""
     import re
 
     from sync_spark.operators.tpch_queries import (

@@ -684,15 +684,23 @@ class TestIndexedRegistryRows:
         assert len(got) > 0
 
     def test_t_rrf_indexed_plan_bucket_pruned(self, spark, sf_small):
-        """Both legs read via lookup_keys: the executed plan carries a
-        PartitionFilters IN-list over __bucket and never scans the
-        documents corpus."""
+        """The posting read is bucket-pruned (PartitionFilters IN-list
+        over __bucket — asserted on the un-materialized ranker leg,
+        since t_rrf_indexed itself materializes the shared postings at
+        construction and its returned plan reads the checkpoint), and
+        the returned fused plan never scans the documents corpus."""
         import re
+
+        path = rt._corpus_bm25_index(spark, sf_small)
+        leg = rt.bm25_index_topk(spark, path, k=rt.RRF_LIST)
+        leg_plan = leg._jdf.queryExecution().executedPlan().toString()
+        assert re.search(r"PartitionFilters: \[__bucket#\d+ IN", leg_plan), leg_plan[:1500]
 
         df = rt.t_rrf_indexed(spark, sf_small)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert re.search(r"PartitionFilters: \[__bucket#\d+ IN", plan), plan[:1500]
         assert "documents.parquet" not in plan
+        # both rankers read the ONE materialized posting snapshot
+        assert plan.count("ExistingRDD") >= 2 or "Scan ExistingRDD" in plan
 
     def test_index_store_reuse_and_staleness_key(self, spark, sf_small, tmp_path):
         """Second call reuses the same on-disk home (no rebuild); a
