@@ -31,29 +31,60 @@ from sync_spark.functions import multimodal as M
 from sync_spark.operators.relational import _t
 
 
-def _spread_ids(ids: DataFrame) -> DataFrame:
+_MEDIA_ROWS_PER_TASK = 256
+
+
+def _spread_ids(ids: DataFrame, sf_dir: str | None = None) -> DataFrame:
     """Media-kernel spread (r9, kernel_spread discipline applied to
     media): at bench scale the id frame rides ONE tiny parquet split,
     which would serialize the whole synthesize+decode island on a
     single core — decode is MB/s-class CPU work while scan splits are
     sized for IO (128 MB), the worst mismatch in the repo. Round-robin
-    the ids to the core count BEFORE payload synthesis: the exchange
-    moves bare longs, so it is noise at any scale, and it only fires
-    when the scan is NARROWER than the core count (at 100 TB a real
-    media manifest has thousands of splits and this is a no-op —
-    never a forced full-corpus shuffle). tests/test_multimodal.py
-    asserts the decode island actually lands on ≥ min(cap, rows)
-    distinct tasks."""
+    the ids BEFORE payload synthesis: the exchange moves bare longs,
+    so it is noise at any scale, and it only fires when the scan is
+    NARROWER than the target width (at 100 TB a real media manifest
+    has thousands of splits and this is a no-op — never a forced
+    full-corpus shuffle).
+
+    Width is WORK-proportional, not blindly the core count: parquet
+    footer row count (pyarrow, no Spark job) ÷ _MEDIA_ROWS_PER_TASK,
+    capped at defaultParallelism — measured at sf0.1 (2000 media),
+    8 tasks beat 32 (0.59s vs 1.39s isolated; the full-suite bench
+    session amplified the 32-way fan to 25s through python-worker
+    state), while sf1-scale corpora still hit the full core count,
+    where the spread wins 3.7× over serial (SCALE.md §r9).
+    tests/test_multimodal.py asserts the decode island actually lands
+    on the computed width."""
     sc = ids.sparkSession.sparkContext
     cap = sc.defaultParallelism
-    if ids.rdd.getNumPartitions() >= cap:
+    width = cap
+    if sf_dir is not None:
+        try:
+            import os
+
+            import pyarrow.parquet as pq
+
+            path = os.path.join(sf_dir, "embeddings.parquet")
+            if os.path.isfile(path):
+                n = pq.ParquetFile(path).metadata.num_rows
+            else:
+                n = sum(
+                    pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                    for f in os.listdir(path)
+                    if f.endswith(".parquet")
+                )
+            width = min(cap, max(1, n // _MEDIA_ROWS_PER_TASK))
+        except Exception:
+            width = cap  # unknown layout: prefer parallelism
+    if width <= 1 or ids.rdd.getNumPartitions() >= width:
         return ids
-    return ids.repartition(cap)
+    return ids.repartition(width)
 
 
 def m_media_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _spread_ids(
-        _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("media_id"))
+        _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("media_id")),
+        sf_dir,
     )
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -108,7 +139,8 @@ def m_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _spread_ids(
         _t(spark, sf_dir, "embeddings")
         .select(F.col("vec_id").alias("media_id"))
-        .filter(F.col("media_id") % 2 == 1)
+        .filter(F.col("media_id") % 2 == 1),
+        sf_dir,
     )
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -167,7 +199,8 @@ def m_media_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _spread_ids(
         _t(spark, sf_dir, "embeddings")
         .select(F.col("vec_id").alias("media_id"))
-        .filter(F.col("media_id") % 2 == 0)
+        .filter(F.col("media_id") % 2 == 0),
+        sf_dir,
     )
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -216,7 +249,8 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = _spread_ids(
         _t(spark, sf_dir, "embeddings")
         .select(F.col("vec_id").alias("media_id"))
-        .filter(F.col("media_id") % 2 == 1)
+        .filter(F.col("media_id") % 2 == 1),
+        sf_dir,
     )
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

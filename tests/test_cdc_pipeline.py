@@ -749,3 +749,22 @@ def test_lakehouse_probe_reports_backend():
     from sync_spark.streaming.pipeline import lakehouse_merge_available
 
     assert lakehouse_merge_available() is False
+
+
+def test_reserved_envelope_names_rejected(spark):
+    """r9 (ADVICE r8): a source schema carrying op/seq/secured would be
+    silently shadowed by the envelope bookkeeping columns (and never
+    schema-evolve into the target) — changes_for_table must refuse
+    loudly instead."""
+    import pyspark.sql.types as T
+
+    import pytest as _pytest
+
+    from sync_spark.sources.cdc import ENVELOPE_SCHEMA, changes_for_table
+
+    env = spark.createDataFrame([], ENVELOPE_SCHEMA)
+    bad = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("secured", T.BooleanType())]
+    )
+    with _pytest.raises(ValueError, match="reserved envelope column"):
+        changes_for_table(env, "t", bad, ["id"])

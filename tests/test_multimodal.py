@@ -510,6 +510,7 @@ def test_media_kernel_spread_fans_out(spark, sf_small):
     from sync_spark.operators.relational import _t
 
     cap = spark.sparkContext.defaultParallelism
+    # sf_dir=None → full-parallelism spread (unknown manifest size)
     ids = _spread_ids(
         _t(spark, sf_small, "embeddings").select(F.col("vec_id").alias("media_id"))
     )
@@ -530,6 +531,17 @@ def test_media_kernel_spread_fans_out(spark, sf_small):
     # no-op guarantee: never a forced shuffle on a wide scan)
     wide = ids  # already cap partitions
     assert _spread_ids(wide) is wide
+    # work-proportional width: with the sf_dir manifest probe, the
+    # width is footer_rows // _MEDIA_ROWS_PER_TASK capped at cores —
+    # sf0.001's 500 media ids stay on their single split (width 1,
+    # identity), so tiny corpora never pay a 32-way fan
+    from sync_spark.operators.media_queries import _MEDIA_ROWS_PER_TASK
+
+    narrow = _t(spark, sf_small, "embeddings").select(
+        F.col("vec_id").alias("media_id")
+    )
+    assert 500 // _MEDIA_ROWS_PER_TASK <= 1
+    assert _spread_ids(narrow, sf_small) is narrow
 
 
 def test_media_decode_throughput_measured(spark, sf_small):
