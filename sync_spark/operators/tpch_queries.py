@@ -981,7 +981,16 @@ def _pair_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    name = "ps_pairs_" + hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
+    # pid suffix: two CONCURRENT sessions (each with its own in-memory
+    # catalog) would otherwise race rmtree+saveAsTable on one managed
+    # location; per-process names make the store private to the
+    # session that builds it (cross-session reuse is impossible anyway
+    # — the catalog entry dies with the session)
+    name = (
+        "ps_pairs_"
+        + hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
+        + f"_{os.getpid()}"
+    )
     if not spark.catalog.tableExists(name):
         # the catalog is in-memory but the warehouse directory is not:
         # a PREVIOUS session's table files survive at the managed

@@ -258,3 +258,49 @@ class TestDebeziumEnvelope:
         assert sorted(map(tuple, once.collect())) == sorted(
             map(tuple, twice.collect())
         )
+
+
+class TestDebeziumMongoLayout:
+    """The Debezium MongoDB connector (the reference's actual source,
+    pkg/syncer/mongodb) emits ``payload.after`` as a JSON STRING (the
+    extended-JSON rendering of the document), not a nested object —
+    get_json_object returns the string itself in that case, which IS
+    the after-image JSON, so the adapter handles both renderings with
+    the same expression. Pin it."""
+
+    def test_after_as_string_parses(self, spark):
+        import datetime
+
+        v = json.dumps(
+            {
+                "schema": _VALUE_SCHEMA_BLOCK,
+                "payload": {
+                    "before": None,
+                    # Mongo connector: after is a STRING of JSON
+                    "after": json.dumps({"id": 11, "name": "mongo-doc"}),
+                    "source": {"connector": "mongodb", "table": "users"},
+                    "op": "c",
+                    "ts_ms": 1704412800010,
+                },
+            }
+        )
+        raw = spark.createDataFrame(
+            [
+                (
+                    _key(11).encode(),
+                    v.encode(),
+                    "dbserver1.inventory.users",
+                    0,
+                    0,
+                    datetime.datetime(2024, 1, 5),
+                    0,
+                )
+            ],
+            KAFKA_RAW_SCHEMA,
+        )
+        env = debezium_envelope(raw)
+        changes = changes_for_table(env, "users", ROW_SCHEMA, ["id"])
+        rows = changes.collect()
+        assert len(rows) == 1
+        assert rows[0]["id"] == 11 and rows[0]["name"] == "mongo-doc"
+        assert rows[0]["op"] == "insert"
