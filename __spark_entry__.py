@@ -29,13 +29,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Contract note (ADVICE r6): most callables return a fully LAZY
     DataFrame, but a few (t_token_budget_sample, t_dsir_select,
-    d_source_overlap) run a bounded collect at CONSTRUCTION time and
-    embed the result (a cutoff scalar, a ratio-array literal, a
-    source-bitmask CASE) as constants in the returned plan — a
-    construction-time snapshot. Re-executing such a DataFrame after
-    the underlying table changed silently reuses the stale constants;
-    call the registry function again to re-derive them. Each of the
-    three operators documents this on its own docstring."""
+    d_source_overlap, and — since r9 — q11_important_parts and
+    t_rrf_indexed) run a bounded collect/materialization at
+    CONSTRUCTION time and embed the result (a cutoff scalar, a
+    ratio-array literal, a source-bitmask CASE, a grand-total literal
+    over an eager checkpoint, a materialized pruned-postings frame)
+    in the returned plan — a construction-time snapshot. Re-executing
+    such a DataFrame after the underlying table changed silently
+    reuses the stale constants; call the registry function again to
+    re-derive them. Each operator documents this on its own
+    docstring. q2/q11/q16 additionally build (once per session) a
+    shared bucketed pair store at construction; t_rrf_indexed /
+    t_hybrid_indexed build their persisted index homes on first use
+    (reused across sessions via an on-disk corpus fingerprint)."""
     return {name: spec.spark_fn for name, spec in all_queries().items()}
 
 
