@@ -27,21 +27,24 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Contract note (ADVICE r6): most callables return a fully LAZY
-    DataFrame, but a few (t_token_budget_sample, t_dsir_select,
-    d_source_overlap, and — since r9 — q11_important_parts and
-    t_rrf_indexed) run a bounded collect/materialization at
-    CONSTRUCTION time and embed the result (a cutoff scalar, a
-    ratio-array literal, a source-bitmask CASE, a grand-total literal
-    over an eager checkpoint, a materialized pruned-postings frame)
-    in the returned plan — a construction-time snapshot. Re-executing
-    such a DataFrame after the underlying table changed silently
-    reuses the stale constants; call the registry function again to
-    re-derive them. Each operator documents this on its own
-    docstring. q2/q11/q16 additionally build (once per session) a
-    shared bucketed pair store at construction; t_rrf_indexed /
-    t_hybrid_indexed build their persisted index homes on first use
-    (reused across sessions via an on-disk corpus fingerprint)."""
+    Contract note (ADVICE r6; r10 unified): most callables return a
+    fully LAZY DataFrame, but a few (t_token_budget_sample,
+    t_dsir_select, d_source_overlap, q11_important_parts, and the
+    q2/q11/q16 shared pair store) run a bounded
+    collect/materialization at CONSTRUCTION time and embed the result
+    (a cutoff scalar, a ratio-array literal, a source-bitmask CASE, a
+    grand-total literal over an eager checkpoint, a bucketed derived
+    table) in the returned plan — a construction-time snapshot. ALL
+    of them now route through ONE audited code path,
+    sync_spark/operators/materialized.py::materialized_input, which
+    fingerprints the source files (size+mtime, member-file-aware) and
+    rebuilds the snapshot when they change — so calling the registry
+    function again after a data change is GUARANTEED to re-derive;
+    only a DataFrame the caller kept across the change replays stale
+    constants (documented there). t_rrf_indexed is fully lazy since
+    r10 (single-pass index serving); t_rrf_indexed / t_hybrid_indexed
+    build their persisted index homes on first use, reused across
+    sessions via the same fingerprint rule."""
     return {name: spec.spark_fn for name, spec in all_queries().items()}
 
 

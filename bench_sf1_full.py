@@ -155,14 +155,32 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return sorted(runs)[1]
 
+    def duckdb_canary() -> float:
+        """Control-side box probe (r9 verdict #6): two epochs in a row
+        the headline ratio moved mostly because the DuckDB control ran
+        in a different box epoch (0.48× → 0.69× with Spark flat).
+        Per-query interleaving already keeps the ratio honest WITHIN a
+        session; this canary pair makes cross-ROUND readers able to
+        normalize the control by its own probe."""
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            con.execute(q1_spec.oracle).fetchall()
+            runs.append(time.perf_counter() - t0)
+        return sorted(runs)[1]
+
     canary_before = canary()
+    dd_canary_before = duckdb_canary()
 
     out: dict = {
         "metric": "sync_spark_full_registry_sf1",
         "sf": 0.1 * args.factor,
         "note": f"{args.factor}x key-shifted replication of sf0.1 (all 10 tables, "
         "FKs shifted together); Spark 3-run count() medians, DuckDB oracle "
-        f"medians with a {DUCKDB_CAP_S:.0f}s interrupt cap",
+        f"medians with a {DUCKDB_CAP_S:.0f}s interrupt cap; SAME-SESSION "
+        "per-query interleaved A/B (each query's oracle runs immediately "
+        "after its Spark runs) with BOTH engines canaried before/after so "
+        "cross-round ratio drift is attributable to box epochs",
         "queries": {},
     }
     def drop_leftover_blocks() -> None:
@@ -229,6 +247,12 @@ def main() -> None:
         "query": "q1_pricing_summary",
         "before": round(canary_before, 4) if canary_before is not None else None,
         "after": round(canary_after, 4) if canary_after is not None else None,
+    }
+    dd_canary_after = duckdb_canary()
+    out["canary_duckdb"] = {
+        "query": "q1_pricing_summary",
+        "before": round(dd_canary_before, 4),
+        "after": round(dd_canary_after, 4),
     }
     out["degraded"] = degraded
     out["value"] = round(sum(v["spark_sec"] for v in out["queries"].values()), 3)

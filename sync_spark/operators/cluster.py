@@ -70,17 +70,46 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.col("label"),
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                "mid_label"
+            ),
+        )
+        # POINTER JUMP (r9 verdict #7 — halve the pass count on
+        # chain-heavy graphs): after the neighbor step, shortcut each
+        # node's label to its label's OWN label (L(v) ← min(L(v),
+        # L(L(v)))). Propagation alone needs O(diameter) rounds; with
+        # the jump the pointer chains halve per round, so convergence
+        # is O(log diameter) — the standard pointer-doubling
+        # acceleration (Kiveris et al.'s alternation achieves the same
+        # bound by rewriting edges; this variant keeps the edge set
+        # immutable, which preserves the checkpointed-loop structure).
+        # CORRECTNESS invariant unchanged: L(v) is always the id of a
+        # node REACHABLE from v (labels start as self, the neighbor
+        # step moves them along edges, and the jump composes two
+        # reachability hops), monotonically decreasing and bounded by
+        # the component min — so the fixpoint is exactly min-reachable.
+        # The lookup side is the PREVIOUS round's CHECKPOINTED label
+        # function, not `stepped` itself — a stepped-vs-stepped
+        # self-join would execute the neighbor aggregation twice per
+        # round, spending the very pass count the jump saves.
+        lut = labels.select(
+            F.col("node").alias("__t_node"), F.col("label").alias("__t_label")
+        )
         # ONE materialization per round: checkpoint the (old, new)
         # pair, then both the convergence check and the next round's
         # input are cheap reads of the checkpointed data
         updated = (
-            labels.join(neighbor_min, "node", "left")
+            stepped.join(lut, stepped.mid_label == lut.__t_node, "left")
             .select(
                 "node",
                 F.col("label"),
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "new_label"
-                ),
+                F.least(
+                    F.col("mid_label"),
+                    F.coalesce(F.col("__t_label"), F.col("mid_label")),
+                ).alias("new_label"),
             )
             .localCheckpoint(eager=True)
         )

@@ -1,0 +1,108 @@
+"""Construction-time-snapshot discipline, unified (r9 verdict #4).
+
+A handful of registry operators legitimately run a BOUNDED collect or
+materialization when the query is BUILT and embed the result in the
+returned plan — a histogram cutoff scalar (t_token_budget_sample), a
+ratio-array literal (t_dsir_select), a source-bitmask CASE
+(d_source_overlap), an eager per-part checkpoint + grand-total literal
+(q11), a shared bucketed pair store (q2/q11/q16). Each is individually
+justified (the alternative re-derives a corpus-scale kernel inside the
+plan), but r9 shipped them as seven bespoke build-at-construction code
+paths whose shared contract — "re-call the registry function after the
+data changes" — lived only in scattered docstrings, so a caller holding
+a stale DataFrame got silently stale constants.
+
+``materialized_input`` is now the ONE audited code path:
+
+- the snapshot is keyed on (kind, sf_dir, Spark application id) and
+  fingerprinted on the SOURCE FILES' (size, mtime) — directory-layout
+  parquet folds every member file, the same rule the persisted
+  retrieval indexes use (retrieval._src_stat delegates here);
+- a repeat call with an UNCHANGED fingerprint reuses the snapshot
+  (no re-collect — cheaper than the old re-derive-every-call), and a
+  call after the source changed rebuilds it, which ENFORCES the
+  re-derivation half of the contract instead of documenting it;
+- the application id in the key scopes session-owned values (eager
+  checkpoints, catalog tables) to the session that built them — a new
+  session never sees another session's dead blocks.
+
+The returned plan is STILL a snapshot: re-executing a DataFrame the
+caller kept across a data change replays the embedded constants. What
+this helper removes is the foot-gun one level up — calling the
+registry function again is now guaranteed to notice the change.
+
+Memoized values must be bounded (scalars, literal strings, ≤1000-entry
+lists, table names, checkpointed KB-scale frames) — the memo is
+process-lifetime, cleared wholesale past 128 entries.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Sequence, TypeVar
+
+from pyspark.sql import SparkSession
+
+_V = TypeVar("_V")
+
+_memo: dict[tuple, tuple[str, object]] = {}
+
+
+def file_fingerprint(label: str, path: str) -> str:
+    """(size, mtime) token for one source file or directory-layout
+    parquet. Directory layouts fold every member file's
+    (relpath, size, mtime_ns) — rewriting a part file IN PLACE does
+    not move the directory's own stat, so the directory stat alone
+    would silently reuse stale snapshots (r9 ADVICE)."""
+    if os.path.isdir(path):
+        parts = []
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                fp = os.path.join(root, f)
+                st = os.stat(fp)
+                parts.append(
+                    f"{os.path.relpath(fp, path)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+        return f"{label}:dir:" + ";".join(parts)
+    st = os.stat(path)
+    return f"{label}:{st.st_size}:{int(st.st_mtime)}"
+
+
+def source_fingerprint(sf_dir: str, tables: Sequence[str]) -> str:
+    """Fingerprint of the named sf-dir tables (missing files stamp as
+    'absent' rather than raising — the build itself will surface a
+    real read error with a better message)."""
+    parts = []
+    for t in sorted(tables):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            parts.append(file_fingerprint(t, p))
+        except OSError:
+            parts.append(f"{t}:absent")
+    return "|".join(parts)
+
+
+def materialized_input(
+    spark: SparkSession,
+    kind: str,
+    sf_dir: str,
+    tables: Sequence[str],
+    build_fn: Callable[[], _V],
+) -> _V:
+    """Build-once / rebuild-on-change for construction-time snapshots.
+
+    ``kind`` names the snapshot (one per operator family);
+    ``tables`` are the sf-dir sources whose change must invalidate it;
+    ``build_fn`` performs the bounded collect/materialization and
+    returns the value to embed.
+    """
+    fp = source_fingerprint(sf_dir, tables)
+    key = (kind, sf_dir, spark.sparkContext.applicationId)
+    hit = _memo.get(key)
+    if hit is not None and hit[0] == fp:
+        return hit[1]  # type: ignore[return-value]
+    val = build_fn()
+    if len(_memo) > 128:
+        _memo.clear()
+    _memo[key] = (fp, val)
+    return val

@@ -34,7 +34,9 @@ from sync_spark.operators.relational import _t
 _MEDIA_ROWS_PER_TASK = 256
 
 
-def _spread_ids(ids: DataFrame, sf_dir: str | None = None) -> DataFrame:
+def _spread_ids(
+    ids: DataFrame, sf_dir: str | None = None, frac: float = 1.0
+) -> DataFrame:
     """Media-kernel spread (r9, kernel_spread discipline applied to
     media): at bench scale the id frame rides ONE tiny parquet split,
     which would serialize the whole synthesize+decode island on a
@@ -54,7 +56,14 @@ def _spread_ids(ids: DataFrame, sf_dir: str | None = None) -> DataFrame:
     state), while sf1-scale corpora still hit the full core count,
     where the spread wins 3.7× over serial (SCALE.md §r9).
     tests/test_multimodal.py asserts the decode island actually lands
-    on the computed width."""
+    on the computed width.
+
+    ``frac``: the caller's known selectivity over the source table
+    (r9 verdict #3 — the resize/resample rows filter to one id parity
+    AFTER this function used to size width from the FULL footer
+    count, over-fanning the island 2× relative to the rows actually
+    spread). Width derives from the rows the kernel will actually
+    process: ``footer_rows · frac``."""
     sc = ids.sparkSession.sparkContext
     cap = sc.defaultParallelism
     width = cap
@@ -73,7 +82,7 @@ def _spread_ids(ids: DataFrame, sf_dir: str | None = None) -> DataFrame:
                     for f in os.listdir(path)
                     if f.endswith(".parquet")
                 )
-            width = min(cap, max(1, n // _MEDIA_ROWS_PER_TASK))
+            width = min(cap, max(1, int(n * frac) // _MEDIA_ROWS_PER_TASK))
         except Exception:
             width = cap  # unknown layout: prefer parallelism
     if width <= 1 or ids.rdd.getNumPartitions() >= width:
@@ -141,6 +150,7 @@ def m_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("media_id"))
         .filter(F.col("media_id") % 2 == 1),
         sf_dir,
+        frac=0.5,
     )
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -201,6 +211,7 @@ def m_media_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("media_id"))
         .filter(F.col("media_id") % 2 == 0),
         sf_dir,
+        frac=0.5,
     )
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -251,6 +262,7 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("media_id"))
         .filter(F.col("media_id") % 2 == 1),
         sf_dir,
+        frac=0.5,
     )
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -894,17 +894,26 @@ def _index_home_root() -> str:
     import os
     import tempfile
 
-    return os.environ.get("SYNC_SPARK_INDEX_DIR") or os.path.join(
-        tempfile.gettempdir(), "sync_spark_indexes"
-    )
+    if os.environ.get("SYNC_SPARK_INDEX_DIR"):
+        return os.environ["SYNC_SPARK_INDEX_DIR"]
+    # scope the default root per-uid: a world-shared /tmp path is a
+    # cross-user collision/poisoning surface (two users' identical
+    # corpus fingerprints would race on one store the second user may
+    # not even be able to rename into)
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    return os.path.join(tempfile.gettempdir(), f"sync_spark_indexes_{uid}")
 
 
 def _src_stat(sf_dir: str, table: str) -> str:
+    """Source fingerprint for the persisted-index home name — the
+    shared operators.materialized rule (directory-layout corpora fold
+    every member file; rewriting a part IN PLACE must never silently
+    reuse a stale index)."""
     import os
 
-    p = os.path.join(sf_dir, f"{table}.parquet")
-    st = os.stat(p)
-    return f"{table}:{st.st_size}:{int(st.st_mtime)}"
+    from sync_spark.operators.materialized import file_fingerprint
+
+    return file_fingerprint(table, os.path.join(sf_dir, f"{table}.parquet"))
 
 
 def _ensure_store(home: str, build_fn) -> str:
@@ -930,8 +939,18 @@ def _ensure_store(home: str, build_fn) -> str:
     os.makedirs(os.path.dirname(home), exist_ok=True)
     try:
         os.rename(stage, home)
-    except OSError:
-        shutil.rmtree(stage, ignore_errors=True)  # lost the race
+    except OSError as e:
+        shutil.rmtree(stage, ignore_errors=True)
+        # the rename fails legitimately only when a concurrent builder
+        # won the race (home now exists and is readable). Any OTHER
+        # failure (permissions, cross-device, quota) must surface —
+        # swallowing it would leave NO index on disk and callers would
+        # die later on an unrelated read error
+        if read_meta(idx) is None:
+            raise RuntimeError(
+                f"index build failed: rename into {home!r} failed ({e}) "
+                "and no concurrent builder produced a readable index"
+            ) from e
     return idx
 
 
@@ -971,26 +990,50 @@ def _pruned_postings(
     spark: SparkSession,
     path: str,
     queries: list[tuple[int, list[str]]],
-    materialize: bool = False,
 ) -> DataFrame:
     """The ≤|terms|-bucket posting lookup shared by every index-side
-    ranker. ``materialize=True`` eagerly checkpoints the (small,
-    posting-match-sized) frame so MULTIPLE rankers over the same query
-    batch read it once — each lookup_keys CONSTRUCTION costs ~0.9s
-    warm (store listing + driver-side bucket-id batch) and each leg's
-    plan would otherwise re-read the store twice (scores + df); the
-    measured t_rrf_indexed cost dropped ~4× with the shared
-    materialization."""
+    ranker — lazy: the bucket ids for the literal terms come from the
+    process-wide memo in sources/bucketed.py (one driver job per
+    distinct term set per process, not per call), so constructing this
+    frame on the serving path costs no Spark job after first use."""
     import pyspark.sql.types as T
 
     from sync_spark.sources.bucketed import lookup_keys
 
     terms = sorted({t for _, ts in queries for t in ts})
-    postings = lookup_keys(
+    return lookup_keys(
         spark, path, [(t,) for t in terms],
         schema=T._parse_datatype_string(_POSTING_SCHEMA),
     )
-    return postings.localCheckpoint(eager=True) if materialize else postings
+
+
+# stats are 2 scalar constants per persisted index — read them
+# DRIVER-side (pyarrow, no Spark job, no broadcast stage in the
+# serving plan) and memoize on the stats dir's mtime_ns: _write_stats
+# swaps the whole directory atomically, so every rebuild/extend moves
+# the mtime and invalidates the memo.
+_stats_memo: dict[str, tuple[int, tuple[int, int]]] = {}
+
+
+def _read_stats(path: str) -> tuple[int, int]:
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    sp = _stats_path(path)
+    mt = os.stat(sp).st_mtime_ns
+    hit = _stats_memo.get(sp)
+    if hit is not None and hit[0] == mt:
+        return hit[1]
+    n = l = 0
+    for f in sorted(glob.glob(os.path.join(sp, "*.parquet"))):
+        t = pq.read_table(f)
+        if t.num_rows:
+            n += sum(v.as_py() for v in t.column("n"))
+            l += sum(v.as_py() for v in t.column("l"))
+    _stats_memo[sp] = (mt, (n, l))
+    return n, l
 
 
 def _index_ranked(
@@ -1005,12 +1048,13 @@ def _index_ranked(
     """Shared scoring tail for the index-side rankers: per-term df is
     an aggregate OF the pruned postings (a posting row exists exactly
     when tf > 0, so the scan form's per-term CASE is the join itself),
-    stats ride a 1-row broadcast, top-k is the same
+    stats are driver-read literals (2 scalar constants per index — no
+    parquet scan or broadcast stage in the plan), top-k is the same
     WindowGroupLimit-bounded window as the scan forms."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    stats = spark.read.parquet(_stats_path(path))
+    n_docs, total_l = _read_stats(path)
     qmap = spark.createDataFrame(
         [(qid, t) for qid, ts in queries for t in ts], "query_id int, tok string"
     )
@@ -1018,7 +1062,8 @@ def _index_ranked(
     scores = (
         postings.join(F.broadcast(qmap), "tok")
         .join(F.broadcast(df_tbl), "tok")
-        .crossJoin(F.broadcast(stats))
+        .withColumn("n", F.lit(n_docs).cast("bigint"))
+        .withColumn("l", F.lit(total_l).cast("bigint"))
         .select("query_id", "doc_id", F.expr(contrib_sql).alias("c"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c").alias(score_name))
@@ -1061,35 +1106,126 @@ def tfidf_index_topk(
     )
 
 
+def rrf_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: list[tuple[int, list[str]]] | None = None,
+    list_depth: int = RRF_LIST,
+    topk: int = RRF_TOPK,
+) -> DataFrame:
+    """BM25+TF-IDF RRF served from the persisted inverted index as ONE
+    single-pass plan (r9 verdict #1: the two-leg form planned ~10
+    sub-100ms driver jobs per serving call — lookup construction,
+    postings checkpoint, per-leg stats broadcasts, fusion join — pure
+    scheduler floor at any scale). Here one serving invocation is one
+    lazy frame whose action runs TWO exchanges total:
+
+    - ONE bucket-pruned posting scan (PartitionFilters; bucket ids
+      come from the process-wide literal-key memo — no driver job
+      after first use);
+    - per-term df via a tok-partitioned window over that scan
+      (exchange #1) — no self-join, no second store read;
+    - BOTH rankers' integer contributions in one projection against
+      driver-read stats literals;
+    - one explicit repartition on query_id (exchange #2) that
+      satisfies the clustering of EVERYTHING downstream: the
+      (query_id, doc_id) score aggregation, both rank windows, and
+      the final fused window all reuse it — no further shuffle;
+    - NO fusion join: each candidate pair is one row carrying both
+      scores, so per-leg rank + reciprocal fold into a projection.
+
+    Bit-exactness to the two-list semantics (T_RRF_SQL): each leg's
+    rank window orders (score DESC, doc_id ASC) over ALL candidate
+    pairs; pairs with a zero score in that leg sort strictly after
+    every positive pair, so positive pairs receive exactly the ranks
+    the score>0-filtered window would assign, and the
+    ``score > 0 AND rk <= depth`` guard reproduces the list
+    membership test. A pair qualifying in neither list folds to
+    rrf 0 and is dropped — precisely the rows the full-outer join
+    never produced.
+
+    Trade-off, stated: fusing both rankers into one pass gives up the
+    per-leg MAP-side WindowGroupLimit (the partial top-``depth`` cut
+    below the shuffle — it can't push below a shuffle two differently-
+    ordered windows share). What shuffles instead is the candidate-
+    pair grain — bounded by the pruned posting matches of the query
+    batch, the frame this plan already scans — not the corpus; the
+    final group limits above the exchange still bound the sorts.
+
+    Serving-latency discipline: the whole tail is ONE spark.sql
+    statement over a postings temp view (three py4j round-trips
+    total) — the equivalent DataFrame-API chain paid ~1s per call in
+    driver-side per-transformation analysis, which the bench times as
+    part of the query. df is a (query_id, tok) window INSIDE the
+    query_id exchange (count of posting docs per term — identical to
+    the per-tok count since the join only replicates rows across
+    queries, never within one), so no tok-keyed shuffle exists at
+    all."""
+    if queries is None:
+        queries = BM25_QUERIES
+    n_docs, total_l = _read_stats(path)
+    postings = _pruned_postings(spark, path, queries)
+    view = f"__rrf_idx_postings_{abs(hash(path)) % 10**8}"
+    postings.createOrReplaceTempView(view)
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in queries for t in ts
+    )
+    return spark.sql(f"""
+WITH qmap AS (
+  SELECT * FROM VALUES {qvals} AS q(query_id, tok)
+), joined AS (
+  SELECT /*+ BROADCAST(q), REPARTITION(query_id) */
+         q.query_id, p.tok, p.doc_id, p.tf, p.dl
+  FROM {view} p JOIN qmap q USING (tok)
+), withdf AS (
+  SELECT query_id, doc_id, tf, dl,
+         CAST({n_docs} AS BIGINT) AS n, CAST({total_l} AS BIGINT) AS l,
+         COUNT(1) OVER (PARTITION BY query_id, tok) AS df
+  FROM joined
+), scored AS (
+  SELECT query_id, doc_id,
+         SUM({_BM25_INDEX_CONTRIB}) AS b_score,
+         SUM({_TFIDF_INDEX_CONTRIB}) AS t_score
+  FROM withdf
+  GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT query_id, doc_id, b_score, t_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY b_score DESC, doc_id ASC) AS b_rk,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY t_score DESC, doc_id ASC) AS t_rk
+  FROM scored
+), fused AS (
+  SELECT query_id, doc_id,
+         (CASE WHEN b_score > 0 AND b_rk <= {list_depth}
+               THEN CAST(1000000 AS BIGINT) DIV ({RRF_K} + b_rk)
+               ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN t_score > 0 AND t_rk <= {list_depth}
+                 THEN CAST(1000000 AS BIGINT) DIV ({RRF_K} + t_rk)
+                 ELSE CAST(0 AS BIGINT) END) AS rrf_e6
+  FROM ranked
+)
+SELECT CAST(query_id AS INT) AS query_id, CAST(rk AS BIGINT) AS rk,
+       doc_id, CAST(rrf_e6 AS BIGINT) AS rrf_e6
+FROM (
+  SELECT query_id, doc_id, rrf_e6,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY rrf_e6 DESC, doc_id ASC) AS rk
+  FROM fused WHERE rrf_e6 > 0
+) WHERE rk <= {topk}
+""")
+
+
 def t_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t_rrf_fuse served ENTIRELY from the persisted inverted index —
-    bit-identical to T_RRF_SQL: the BM25 leg scores with
-    bm25_index_topk's contrib (pytest-pinned == the scan form), the
-    TF-IDF leg with _tfidf_contrib's, BOTH over ONE materialized
-    pruned-postings frame, fused by the shared rrf_fuse_ranked tail.
-    Both legs' >0 score filters and (score DESC, doc_id ASC)
-    tiebreaks mirror the scan form exactly.
-
-    Cost shape: ONE ≤ |terms|-bucket posting read (bucket-pruned,
-    PartitionFilters in the scan), eagerly materialized and shared by
-    both rankers; two list-depth-bounded windows over posting-match
-    rows; a driver-scale fusion join — never a corpus scan, so the
-    cost is flat in corpus size where the scan form grows linearly.
-    The index build (one-time per corpus, _corpus_bm25_index) happens
-    at CONSTRUCTION on first use and is reused across queries and
-    sessions via the on-disk store; the postings materialization is a
-    construction-time snapshot (t_dsir_select contract)."""
+    bit-identical to T_RRF_SQL via the single-pass rrf_index_topk
+    kernel (see its docstring for the plan shape and the exactness
+    argument). Fully LAZY after the one-time index build
+    (_corpus_bm25_index, reused across queries and sessions via the
+    on-disk store): no construction-time snapshot remains on this row
+    — the returned frame re-reads the store on every action."""
     path = _corpus_bm25_index(spark, sf_dir)
-    postings = _pruned_postings(spark, path, BM25_QUERIES, materialize=True)
-    b = _index_ranked(
-        spark, path, postings, BM25_QUERIES, _BM25_INDEX_CONTRIB, "score_e4",
-        RRF_LIST,
-    ).select("query_id", "doc_id", "rk")
-    t = _index_ranked(
-        spark, path, postings, BM25_QUERIES, _TFIDF_INDEX_CONTRIB, "score_e6",
-        RRF_LIST,
-    ).select("query_id", "doc_id", "rk")
-    return rrf_fuse_ranked(b, t, RRF_TOPK)
+    return rrf_index_topk(spark, path, BM25_QUERIES)
 
 
 def t_hybrid_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -407,11 +407,15 @@ def t_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents-wide ORDER BY + running sum would funnel 100 TB through
     one partition for the same answer (granularity: one bucket).
 
-    CONSTRUCTION-TIME SNAPSHOT (ADVICE r6): the histogram collect runs
-    eagerly here and the cutoff is embedded as a literal — the
-    returned DataFrame is not a lazy view over changing data;
-    re-derive by calling this function again after the table changes.
+    CONSTRUCTION-TIME SNAPSHOT (ADVICE r6; r10 unified): the histogram
+    collect and cutoff go through operators.materialized — one audited
+    build-once/fingerprint path shared by every snapshot operator.
+    Re-calling this function after the documents table changed is
+    GUARANTEED to re-derive the cutoff; re-executing a previously
+    returned DataFrame replays the embedded literal.
     """
+    from sync_spark.operators.materialized import materialized_input
+
     d = _t(spark, sf_dir, "documents")
     staged = d.select("doc_id", "text", T.tokens(F.col("text")).alias("__toks"))
     scored = staged.select(
@@ -422,21 +426,28 @@ def t_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(999),
         ).alias("qbucket"),
     )
-    hist = sorted(
-        (
-            (int(r["qbucket"]), int(r["btok"]))
-            for r in scored.groupBy("qbucket").agg(F.sum("n_tokens").alias("btok")).collect()
-        ),
-        key=lambda t: -t[0],
+
+    def _cutoff() -> int:
+        hist = sorted(
+            (
+                (int(r["qbucket"]), int(r["btok"]))
+                for r in scored.groupBy("qbucket").agg(F.sum("n_tokens").alias("btok")).collect()
+            ),
+            key=lambda t: -t[0],
+        )
+        total = sum(b for _, b in hist)
+        cutoff, cum = 1000, 0
+        for qb, btok in hist:
+            cum += btok
+            if cum <= 0.5 * total:
+                cutoff = qb
+            else:
+                break
+        return cutoff
+
+    cutoff = materialized_input(
+        spark, "t_token_budget_cutoff", sf_dir, ["documents"], _cutoff
     )
-    total = sum(b for _, b in hist)
-    cutoff, cum = 1000, 0
-    for qb, btok in hist:
-        cum += btok
-        if cum <= 0.5 * total:
-            cutoff = qb
-        else:
-            break
     return scored.filter(F.col("qbucket") >= cutoff).select(
         "doc_id", "n_tokens", "qbucket"
     )
@@ -1811,11 +1822,12 @@ def t_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is THE published recipe for "give me the 1% of CommonCrawl
     that looks like Wikipedia" at pretraining scale.
 
-    CONSTRUCTION-TIME SNAPSHOT (ADVICE r6): the fit phase collects the
-    per-bucket ratio table eagerly and embeds it as an array literal
-    in the scoring plan — re-derive by calling this function again
-    after the table changes (the returned DataFrame is not a lazy view
-    of the fit).
+    CONSTRUCTION-TIME SNAPSHOT (ADVICE r6; r10 unified): the fit
+    phase's per-bucket ratio table goes through
+    operators.materialized (the shared build-once/fingerprint path),
+    then embeds as an array literal in the scoring plan — re-calling
+    this function after the table changed re-fits; re-executing a
+    kept DataFrame replays the embedded literal.
 
     Model: features are unigrams (``u:w``) and bigrams (``b:w1 w2``)
     hashed into ``_DSIR_B`` buckets with the same 56-bit md5 hash the
@@ -1888,7 +1900,8 @@ def t_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM __dk4
 )"""
 
-    btab = spark.sql(f"""
+    def _fit_ratios() -> list[int]:
+        btab = spark.sql(f"""
 WITH __d_src AS (
   -- the empty-doc gate lives HERE as a cheap string predicate: a
   -- size(feats) filter downstream gets pushed below the spread
@@ -1905,14 +1918,21 @@ FROM (
 )
 GROUP BY bucket
 """).collect()
-    c_r = {int(r["bucket"]): int(r["c_r"]) for r in btab}
-    c_t = {int(r["bucket"]): int(r["c_t"]) for r in btab}
-    n_r, n_t = sum(c_r.values()), sum(c_t.values())
-    r6 = []
-    for b in range(_DSIR_B):
-        p9_t = ((c_t.get(b, 0) + 1) * 10**9) // (n_t + _DSIR_B)
-        p9_r = ((c_r.get(b, 0) + 1) * 10**9) // (n_r + _DSIR_B)
-        r6.append((p9_t * 10**6) // max(p9_r, 1))
+        c_r = {int(r["bucket"]): int(r["c_r"]) for r in btab}
+        c_t = {int(r["bucket"]): int(r["c_t"]) for r in btab}
+        n_r, n_t = sum(c_r.values()), sum(c_t.values())
+        r6 = []
+        for b in range(_DSIR_B):
+            p9_t = ((c_t.get(b, 0) + 1) * 10**9) // (n_t + _DSIR_B)
+            p9_r = ((c_r.get(b, 0) + 1) * 10**9) // (n_r + _DSIR_B)
+            r6.append((p9_t * 10**6) // max(p9_r, 1))
+        return r6
+
+    from sync_spark.operators.materialized import materialized_input
+
+    r6 = materialized_input(
+        spark, "t_dsir_ratios", sf_dir, ["documents"], _fit_ratios
+    )
     r6_lit = "array(" + ", ".join(f"{v}L" for v in r6) + ")"
 
     return spark.sql(f"""
@@ -2339,11 +2359,23 @@ def d_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays — and the fingerprint frame then collapses to MASK grain
     (≤ 2^|sources| rows) BEFORE any pair expansion: the i ≤ j
     combination explode runs over dozens of rows, not millions."""
+    from sync_spark.operators.materialized import materialized_input
+
     d = _t(spark, sf_dir, "documents")
     spread_hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
     d.createOrReplaceTempView("__so_documents")
-    srcs = sorted(
-        r[0] for r in d.select("source").distinct().collect() if r[0] is not None
+    # bounded collect (≤ |sources|, a label set) through the shared
+    # snapshot path — the bitmask CASE embeds these as literals
+    srcs = materialized_input(
+        spark,
+        "d_source_overlap_sources",
+        sf_dir,
+        ["documents"],
+        lambda: sorted(
+            r[0]
+            for r in d.select("source").distinct().collect()
+            if r[0] is not None
+        ),
     )
     if not srcs:
         return spark.createDataFrame(

@@ -803,21 +803,30 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly), and the store's ps_partkey bucketing means this
     groupBy adds NO exchange. The per-part table materializes ONCE
     through an eager localCheckpoint and the grand total is collected
-    from it at CONSTRUCTION time (1 row — the t_dsir_select
-    documented snapshot contract: re-executing the returned frame
-    reuses the collected total; call the function again after data
-    changes). The r8 form evaluated the whole per-part aggregate
-    TWICE (once under the broadcast total, once for the filter side)
-    — measured 2× the single-pass cost at sf1."""
-    per_part = (
-        _pair_store(spark, sf_dir)
-        .groupBy(F.col("ps_partkey").alias("l_partkey"))
-        .agg(F.sum("pair_revenue").alias("value"))
-        .localCheckpoint(eager=True)
+    from it at CONSTRUCTION time — both now routed through
+    operators.materialized (r10, one audited snapshot path):
+    re-calling this function after lineitem changed rebuilds the
+    checkpoint and total; re-executing a kept frame replays them.
+    The r8 form evaluated the whole per-part aggregate TWICE (once
+    under the broadcast total, once for the filter side) — measured
+    2× the single-pass cost at sf1."""
+    from sync_spark.operators.materialized import materialized_input
+
+    def _build():
+        pp = (
+            _pair_store(spark, sf_dir)
+            .groupBy(F.col("ps_partkey").alias("l_partkey"))
+            .agg(F.sum("pair_revenue").alias("value"))
+            .localCheckpoint(eager=True)
+        )
+        t = pp.agg(
+            F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_parts")
+        ).first()
+        return pp, t
+
+    per_part, tot = materialized_input(
+        spark, "q11_per_part", sf_dir, ["lineitem"], _build
     )
-    tot = per_part.agg(
-        F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_parts")
-    ).first()
     return (
         per_part.filter(
             F.col("value") * 10 * F.lit(tot["n_parts"]) > F.lit(tot["total"]) * 11
@@ -951,6 +960,40 @@ PARTSUPP_CTE = f"""WITH partsupp AS (
 """
 
 
+def _sweep_dead_pair_stores(warehouse: str, own_name: str) -> None:
+    """Reap orphaned pair-store directories (r9 verdict #5 / ADVICE):
+    the managed-table name is pid-suffixed, and a session rmtree's
+    only its OWN name — so every bench/test session leaked one
+    ``ps_pairs_<hash>_<dead-pid>`` directory (~|lineitem|/8 rows each)
+    into the warehouse forever. Before building, remove every sibling
+    ``ps_pairs_*_<pid>`` whose pid is no longer alive; a LIVE
+    concurrent session's store is untouched (its pid kills the
+    check), and races with a just-died session are harmless — the
+    loser's rmtree of an already-deleted tree is a no-op."""
+    import os
+    import re
+    import shutil
+
+    if not os.path.isdir(warehouse):
+        return
+    pat = re.compile(r"^ps_pairs_[0-9a-f]+_(\d+)$")
+    for entry in os.listdir(warehouse):
+        if entry == own_name:
+            continue
+        m = pat.match(entry)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe, sends nothing
+            continue  # pid alive — a concurrent session owns it
+        except ProcessLookupError:
+            pass  # dead owner — orphan, safe to reap
+        except PermissionError:
+            continue  # alive under another uid — leave it
+        shutil.rmtree(os.path.join(warehouse, entry), ignore_errors=True)
+
+
 def _pair_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MATERIALIZED partsupp-like pair relation (r9, verdict #4):
     q2/q11/q16 each used to re-derive the distinct (l_partkey,
@@ -973,13 +1016,17 @@ def _pair_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Session-scoped by design: the catalog is in-memory, so the table
     is rebuilt lazily per session (one job, amortized over every
-    consumer and every bench repetition); the testdata is immutable
-    within a session, so no staleness check is needed. NOTE this is
+    consumer and every bench repetition). NOTE this is
     construction-time work (a write job runs when the consumer query
-    is BUILT, like t_dsir_select's documented snapshot contract)."""
+    is BUILT) — routed through operators.materialized (r10): the
+    build-once check and the lineitem fingerprint live on the shared
+    snapshot path, so a changed source rebuilds the store even within
+    one session."""
     import hashlib
     import os
     import shutil
+
+    from sync_spark.operators.materialized import materialized_input
 
     # pid suffix: two CONCURRENT sessions (each with its own in-memory
     # catalog) would otherwise race rmtree+saveAsTable on one managed
@@ -991,19 +1038,21 @@ def _pair_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         + hashlib.md5(sf_dir.encode("utf-8")).hexdigest()[:10]
         + f"_{os.getpid()}"
     )
-    if not spark.catalog.tableExists(name):
-        # the catalog is in-memory but the warehouse directory is not:
-        # a PREVIOUS session's table files survive at the managed
-        # location and saveAsTable refuses (LOCATION_ALREADY_EXISTS).
-        # The files are a derivation of immutable testdata, so clearing
-        # the stale location and rebuilding is always safe
-        loc = os.path.join(
-            spark.conf.get(
-                "spark.sql.warehouse.dir", "spark-warehouse"
-            ).removeprefix("file:"),
-            name,
-        )
+    def _build() -> str:
+        # rebuild-from-scratch discipline: drop a same-session stale
+        # catalog entry (source changed under us — the fingerprint
+        # said so), and clear a PREVIOUS session's surviving files at
+        # the managed location (the catalog is in-memory but the
+        # warehouse directory is not; saveAsTable refuses with
+        # LOCATION_ALREADY_EXISTS otherwise). The files are a
+        # derivation of the source, so clearing is always safe
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        loc = os.path.join(warehouse, name)
         shutil.rmtree(loc, ignore_errors=True)
+        _sweep_dead_pair_stores(warehouse, name)
         li = _t(spark, sf_dir, "lineitem")
         pairs = (
             li.groupBy("l_partkey", "l_suppkey")
@@ -1030,7 +1079,11 @@ def _pair_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             .sortBy("ps_partkey")
             .saveAsTable(name)
         )
-    return spark.table(name)
+        return name
+
+    return spark.table(
+        materialized_input(spark, "pair_store", sf_dir, ["lineitem"], _build)
+    )
 
 
 def synth_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -356,6 +356,53 @@ def bucketize_in_place(
     write_bucketed(df, path, keys, n_buckets)
 
 
+# bucket ids for literal key tuples are a pure function of
+# (key types, values, n_buckets) — xxhash64 is content-addressed and
+# session-independent — so the one-row Spark expression batch that
+# computes them is memoized process-wide. A serving workload that
+# re-issues the same query-term lookup every invocation (the
+# retrieval index paths) pays the driver job once per process, not
+# once per call. Bounded: cleared wholesale past 256 entries.
+_literal_bucket_memo: dict = {}
+
+
+def _literal_bucket_ids(
+    spark: SparkSession,
+    keys: Sequence[str],
+    n_buckets: int,
+    key_types: dict,
+    key_values: Sequence[Sequence],
+) -> list[int]:
+    try:
+        memo_key = (
+            tuple(keys),
+            n_buckets,
+            tuple(sorted(key_types.items())),
+            tuple(tuple(kv) for kv in key_values),
+        )
+    except TypeError:
+        memo_key = None  # unhashable literal (e.g. array key) — skip memo
+    if memo_key is not None and memo_key in _literal_bucket_memo:
+        return _literal_bucket_memo[memo_key]
+    # one local expression evaluation (createDataFrame of k tuples),
+    # not a table job
+    kv_df = spark.createDataFrame(
+        [tuple(kv) for kv in key_values],
+        ", ".join(f"{k} {key_types[k]}" for k in keys),
+    )
+    buckets = [
+        r.b
+        for r in kv_df.select(
+            bucket_expr(keys, n_buckets).alias("b")
+        ).distinct().collect()
+    ]
+    if memo_key is not None:
+        if len(_literal_bucket_memo) > 256:
+            _literal_bucket_memo.clear()
+        _literal_bucket_memo[memo_key] = buckets
+    return buckets
+
+
 def lookup_keys(
     spark: SparkSession,
     path: str,
@@ -396,18 +443,7 @@ def lookup_keys(
     else:
         stored = read_target(spark, path).schema
         key_types = {k: stored[k].dataType.simpleString() for k in keys}
-    # bucket ids for the literal keys: one local expression evaluation
-    # (createDataFrame of k tuples), not a table job
-    kv_df = spark.createDataFrame(
-        [tuple(kv) for kv in key_values],
-        ", ".join(f"{k} {key_types[k]}" for k in keys),
-    )
-    buckets = [
-        r.b
-        for r in kv_df.select(
-            bucket_expr(keys, n_buckets).alias("b")
-        ).distinct().collect()
-    ]
+    buckets = _literal_bucket_ids(spark, keys, n_buckets, key_types, key_values)
     df = read_buckets(spark, path, buckets, schema=schema)
     pred = None
     for kv in key_values:

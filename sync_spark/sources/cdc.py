@@ -241,8 +241,11 @@ def debezium_envelope(raw: DataFrame) -> DataFrame:
     ``schemas.enable=true`` ({"schema": ..., "payload": {event}}) and
     ``schemas.enable=false`` (the event object at top level), where
     event = {"before": obj|null, "after": obj|null,
-    "source": {"table": ...}, "op": "c"|"r"|"u"|"d", "ts_ms": millis}
-    and the message KEY carries the PK struct the same two ways.
+    "source": {"table": ...} (relational connectors) or
+    {"db": ..., "rs": ..., "collection": ...} (the MongoDB
+    connector — no "table" field), "op": "c"|"r"|"u"|"d",
+    "ts_ms": millis} and the message KEY carries the PK struct the
+    same two ways.
 
     Mapping onto ENVELOPE_SCHEMA:
     - op: c/r → insert (r = snapshot read; the idempotent MERGE makes
@@ -294,7 +297,15 @@ def debezium_envelope(raw: DataFrame) -> DataFrame:
                 F.timestamp_millis(field("ts_ms").cast("long")),
                 F.col("timestamp"),
             ).alias("ts"),
-            field("source.table").alias("source_table"),
+            # relational connectors put the table name at source.table;
+            # the MongoDB connector (the reference's actual source)
+            # emits source.collection and NO table field — coalesce so
+            # real Mongo topics don't yield NULL source_table (which
+            # changes_for_table's equality filter would silently drop,
+            # violating the no-silent-drop contract)
+            F.coalesce(
+                field("source.table"), field("source.collection")
+            ).alias("source_table"),
             key_json.alias("key_json"),
             field("after").alias("after_json"),
             field("before").alias("before_key_json"),

@@ -50,3 +50,23 @@ def test_driver_and_distributed_paths_agree(spark):
     }
     assert fast == slow
     assert fast[8] == 1 and fast[9] == 2 and fast[11] == 10 and fast[0] == 0
+
+
+def test_pointer_jump_converges_logarithmically(spark):
+    """A 100-node chain (diameter 99) must converge in O(log d)
+    rounds via the pointer jump — max_iter=12 would hard-fail the
+    pre-r10 pure-propagation loop (one hop per round)."""
+    from pyspark.sql import Row
+
+    n = 100
+    nodes = spark.createDataFrame([Row(id=i) for i in range(n)])
+    edges = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(n - 1)]
+    )
+    out = {
+        r.id: r.cluster_id
+        for r in connected_components(
+            nodes, edges, driver_threshold=0, max_iter=12
+        ).collect()
+    }
+    assert out == {i: 0 for i in range(n)}

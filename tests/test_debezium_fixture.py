@@ -278,7 +278,16 @@ class TestDebeziumMongoLayout:
                     "before": None,
                     # Mongo connector: after is a STRING of JSON
                     "after": json.dumps({"id": 11, "name": "mongo-doc"}),
-                    "source": {"connector": "mongodb", "table": "users"},
+                    # the REAL Mongo-connector source block: db/rs/
+                    # collection — there is NO "table" field (the
+                    # adapter must read source.collection)
+                    "source": {
+                        "connector": "mongodb",
+                        "name": "dbserver1",
+                        "db": "inventory",
+                        "rs": "rs0",
+                        "collection": "users",
+                    },
                     "op": "c",
                     "ts_ms": 1704412800010,
                 },

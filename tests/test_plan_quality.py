@@ -308,6 +308,49 @@ def test_q11_q16_read_pair_store_no_fact_scan(spark, sf_small):
     assert "partial_count" in plan16 or "HashAggregate" in plan16
 
 
+def test_pair_store_sweeps_dead_pid_orphans(spark, sf_small):
+    """A previous session's pid-suffixed pair-store directory (owner
+    pid dead) is reaped by the next build; the live session's own
+    store and non-pair-store entries survive (r9 verdict #5: the
+    leak grew the warehouse forever across bench sessions)."""
+    import os
+
+    from sync_spark.operators import tpch_queries as tq
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    os.makedirs(warehouse, exist_ok=True)
+    # a pid that cannot be alive: max_pid+1 is unreachable, but any
+    # huge value past pid_max works (kill(pid,0) -> ProcessLookupError)
+    dead = os.path.join(warehouse, "ps_pairs_deadbeef01_99999999")
+    os.makedirs(dead, exist_ok=True)
+    open(os.path.join(dead, "part-0.parquet"), "w").close()
+    keeper = os.path.join(warehouse, "not_a_pair_store_99999999")
+    os.makedirs(keeper, exist_ok=True)
+    try:
+        store = tq._pair_store(spark, sf_small)
+        assert store.limit(1).count() >= 0
+        assert not os.path.exists(dead), "dead-pid orphan not reaped"
+        assert os.path.exists(keeper), "unrelated dir must survive"
+        # own live store untouched by a SECOND build (reuse path)
+        import hashlib
+
+        own = os.path.join(
+            warehouse,
+            "ps_pairs_"
+            + hashlib.md5(sf_small.encode()).hexdigest()[:10]
+            + f"_{os.getpid()}",
+        )
+        assert os.path.exists(own)
+        tq._pair_store(spark, sf_small)
+        assert os.path.exists(own)
+    finally:
+        import shutil
+
+        shutil.rmtree(keeper, ignore_errors=True)
+
+
 def test_q20_fused_aggregate_single_shuffle(spark, sf_small):
     """Q20's partsupp synthesis and correlated quantity sum are ONE
     conditional aggregate: a single pair-key exchange, no join

@@ -684,11 +684,12 @@ class TestIndexedRegistryRows:
         assert len(got) > 0
 
     def test_t_rrf_indexed_plan_bucket_pruned(self, spark, sf_small):
-        """The posting read is bucket-pruned (PartitionFilters IN-list
-        over __bucket — asserted on the un-materialized ranker leg,
-        since t_rrf_indexed itself materializes the shared postings at
-        construction and its returned plan reads the checkpoint), and
-        the returned fused plan never scans the documents corpus."""
+        """The fused single-pass serving plan (rrf_index_topk) is
+        itself bucket-pruned (PartitionFilters IN-list over __bucket),
+        never scans the documents corpus, and reads the posting store
+        EXACTLY ONCE (the r10 restructure: df via a tok window over
+        the one scan, both rankers in one projection, no fusion
+        join)."""
         import re
 
         path = rt._corpus_bm25_index(spark, sf_small)
@@ -699,8 +700,10 @@ class TestIndexedRegistryRows:
         df = rt.t_rrf_indexed(spark, sf_small)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "documents.parquet" not in plan
-        # both rankers read the ONE materialized posting snapshot
-        assert plan.count("ExistingRDD") >= 2 or "Scan ExistingRDD" in plan
+        assert re.search(r"PartitionFilters: \[__bucket#\d+ IN", plan), plan[:1500]
+        # ONE store scan in the whole serving plan
+        n_scans = len(re.findall(r"Scan parquet", plan))
+        assert n_scans == 1, f"expected 1 posting scan, got {n_scans}"
 
     def test_index_store_reuse_and_staleness_key(self, spark, sf_small, tmp_path):
         """Second call reuses the same on-disk home (no rebuild); a
