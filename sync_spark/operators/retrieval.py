@@ -369,29 +369,10 @@ RRF_K = 60          # the standard RRF damping constant (Cormack 2009)
 RRF_LIST = 100      # per-ranker candidate-list depth
 RRF_TOPK = 10
 
-# Bounded cache lifetime for the fused score tables (r8 ADVICE): the
-# rankers return LAZY frames, so the operator can't know when a caller
-# is done with the persisted score table — instead each new invocation
-# evicts the previous one (at most ONE live score cache per session,
-# same discipline as dedup._doc_shingles_cached). A still-lazy older
-# result simply recomputes; long-lived library sessions never
-# accumulate cached blocks. The bench/driver harnesses additionally
-# clearCache() between queries.
-_live_score_cache: list[DataFrame] = []
-
-
-def _persist_score_table(df: DataFrame) -> DataFrame:
-    # evict BEFORE persisting the replacement: the cache manager keys
-    # on the LOGICAL PLAN, so unpersisting an equal-plan old handle
-    # after the new persist would evict the fresh cache too
-    while _live_score_cache:
-        try:
-            _live_score_cache.pop().unpersist()
-        except Exception:
-            pass  # session already stopped
-    out = df.persist()
-    _live_score_cache.append(out)
-    return out
+# NOTE (r10): the r8 bounded score-table cache (_persist_score_table /
+# _live_score_cache) is GONE — the fused single-pass tails consume the
+# stacked score table exactly once, so there is nothing left to share
+# across branches and no persisted blocks to manage.
 
 
 def _tfidf_contrib(i: int, j: int, div: str) -> str:
@@ -410,6 +391,7 @@ def _rrf_sql(
     spread_hint: str = "",
     table: str = "documents",
     stacked_only: bool = False,
+    fused_tail: bool = False,
 ) -> str:
     """Reciprocal-rank fusion of two rankers over the same corpus pass
     structure as _bm25_sql: per query, fuse the BM25 top-RRF_LIST and
@@ -486,9 +468,54 @@ WITH tok1 AS (
   FROM tf CROSS JOIN stats
 ), stacked AS (
   {stacked}
-){_RRF_TAIL.format(div=div, k=RRF_K, list=RRF_LIST, topk=RRF_TOPK) if not stacked_only else '''
-SELECT query_id, doc_id, b_score, t_score FROM stacked'''}
+){_tail_of(stacked_only, fused_tail, div)}
 """
+
+
+def _tail_of(stacked_only: bool, fused_tail: bool, div: str) -> str:
+    if stacked_only:
+        return "\nSELECT query_id, doc_id, b_score, t_score FROM stacked"
+    tail = _RRF_TAIL_FUSED if fused_tail else _RRF_TAIL
+    return tail.format(div=div, k=RRF_K, list=RRF_LIST, topk=RRF_TOPK)
+
+
+# Fused single-pass tail (r10): each candidate pair carries BOTH
+# scores, so per-leg rank + reciprocal fold into one projection — no
+# blist/tlist branches, no fusion join, and the stacked subtree is
+# consumed exactly ONCE (no persist barrier needed). Rank validity:
+# zero-score rows sort strictly after every positive row in that
+# leg's ordering, so positive rows receive exactly the ranks the
+# score>0-filtered window would assign, and the ``score > 0 AND
+# rk <= list`` guard reproduces list membership bit-exactly. Stated
+# trade vs the two-branch tail: the per-leg MAP-side WindowGroupLimit
+# cannot push below the one shuffle two differently-ordered windows
+# share — what shuffles is the candidate grain (b>0 OR t>0 — the
+# posting-match-sized set), never the corpus.
+_RRF_TAIL_FUSED = """, cand AS (
+  SELECT query_id, doc_id, b_score, t_score FROM stacked
+  WHERE b_score > 0 OR t_score > 0
+), rankedp AS (
+  SELECT query_id, doc_id, b_score, t_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY b_score DESC, doc_id ASC) AS b_rk,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY t_score DESC, doc_id ASC) AS t_rk
+  FROM cand
+), fused AS (
+  SELECT query_id, doc_id,
+         (CASE WHEN b_score > 0 AND b_rk <= {list}
+               THEN CAST(1000000 AS BIGINT) {div} ({k} + b_rk)
+               ELSE CAST(0 AS BIGINT) END)
+         + (CASE WHEN t_score > 0 AND t_rk <= {list}
+                 THEN CAST(1000000 AS BIGINT) {div} ({k} + t_rk)
+                 ELSE CAST(0 AS BIGINT) END) AS rrf_e6
+  FROM rankedp
+)
+SELECT CAST(query_id AS INT) AS query_id, CAST(rk AS BIGINT) AS rk,
+       doc_id, CAST(rrf_e6 AS BIGINT) AS rrf_e6
+FROM (
+  SELECT query_id, doc_id, rrf_e6,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id ASC) AS rk
+  FROM fused WHERE rrf_e6 > 0
+) WHERE rk <= {topk}"""
 
 
 _RRF_TAIL = """, blist AS (
@@ -529,72 +556,22 @@ def t_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     default). Both candidate lists are WindowGroupLimit-bounded; the
     fusion join touches ≤ 100·|queries| rows per side.
 
-    Plan shape (r8 fix): the (doc_id, query_id, b_score, t_score)
-    score table materializes ONCE through a persist() barrier and
-    both rank branches read the cache. The all-SQL form inlined the
-    whole corpus kernel into EACH ranker branch (two scans per
-    branch: tf + stats) and projection collapse multiplied the
-    tokenizer into the generate — measured 10-53s at sf1 vs ~2s for
-    the scan-form BM25. The cached frame is |matching docs|·|queries|
-    integer rows (columnar, KBs per million docs); at 100 TB a
-    deployment would materialize the same table to parquet between
-    ranker jobs."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
+    Plan shape (r10 — the fused single-pass tail, _RRF_TAIL_FUSED):
+    ONE spark.sql statement. The r8 two-branch form needed a persist()
+    barrier because each rank branch re-read the stacked score table
+    (the all-SQL two-branch form re-inlined the whole corpus kernel
+    per branch — measured 10-53s at sf1); the fused tail consumes
+    stacked exactly ONCE (each candidate pair is one row carrying
+    both scores; ranks + the reciprocal fold are projections, the
+    fusion join is gone), so the corpus kernel runs once per
+    statement-inherent scan (tf + stats — the same two scans as
+    t_bm25_topk) with NO cache, NO fusion join, and no DataFrame-tail
+    analysis overhead. See _RRF_TAIL_FUSED for the rank-validity
+    argument and the stated map-side-group-limit trade."""
     hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
     _t(spark, sf_dir, "documents").createOrReplaceTempView("__rrf_documents")
-    # persist via the bounded score-cache (lifetime contract on
-    # _persist_score_table). Zero-score rows are dropped BEFORE the
-    # persist — both rank branches filter them anyway, and without
-    # this the cache is corpus-grain (|docs|·|queries|), not
-    # match-sized (r8 review)
-    stacked = _persist_score_table(
-        spark.sql(_rrf_sql("spark", hint, "__rrf_documents", stacked_only=True))
-        .where("b_score > 0 OR t_score > 0")
-    )
-
-    def toplist(score_col: str) -> DataFrame:
-        w = Window.partitionBy("query_id").orderBy(
-            F.col(score_col).desc(), F.col("doc_id").asc()
-        )
-        return (
-            stacked.where(F.col(score_col) > 0)
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= RRF_LIST)
-            .select(
-                "query_id",
-                "doc_id",
-                F.expr(f"CAST(1000000 AS BIGINT) DIV ({RRF_K} + rk)").alias("recip"),
-            )
-        )
-
-    b, t = toplist("b_score").alias("b"), toplist("t_score").alias("t")
-    fused = b.join(
-        t,
-        (F.col("b.query_id") == F.col("t.query_id"))
-        & (F.col("b.doc_id") == F.col("t.doc_id")),
-        "full_outer",
-    ).select(
-        F.coalesce(F.col("b.query_id"), F.col("t.query_id")).alias("query_id"),
-        F.coalesce(F.col("b.doc_id"), F.col("t.doc_id")).alias("doc_id"),
-        (
-            F.coalesce(F.col("b.recip"), F.lit(0))
-            + F.coalesce(F.col("t.recip"), F.lit(0))
-        ).alias("rrf_e6"),
-    )
-    fw = Window.partitionBy("query_id").orderBy(
-        F.col("rrf_e6").desc(), F.col("doc_id").asc()
-    )
-    return (
-        fused.withColumn("rk", F.row_number().over(fw))
-        .where(F.col("rk") <= RRF_TOPK)
-        .select(
-            F.col("query_id").cast("int").alias("query_id"),
-            F.col("rk").cast("bigint").alias("rk"),
-            "doc_id",
-            F.col("rrf_e6").cast("bigint").alias("rrf_e6"),
-        )
+    return spark.sql(
+        _rrf_sql("spark", hint, "__rrf_documents", fused_tail=True)
     )
 
 
@@ -1281,23 +1258,70 @@ def _disc_literals(dialect: str) -> tuple[str, str]:
     )
 
 
-def _eval_sql(dialect: str, spread_hint: str = "", table: str = "documents") -> str:
-    """One retrieval-eval query text — in practice only the ``duckdb``
-    rendering is executed (the Spark side is DataFrame-built in
-    t_retrieval_eval so the stacked score table can sit behind a
-    persist() barrier, which a single SQL text cannot express without
-    re-inlining the corpus kernel per ranker branch — the measured
-    t_rrf_fuse anti-pattern): both rankers' scores come from the
-    SHARED stacked score table (_rrf_sql stacked_only — one corpus
-    kernel), ground truth = TF-IDF top-{k}, system = BM25 top-{k},
-    and the metric arithmetic is BIGINT with the nDCG discount table
-    embedded via _disc_literals. (The dense ranking is NOT the ground
-    truth here on purpose: the fixture's embeddings are synthetic and
+def _eval_sql(
+    dialect: str,
+    spread_hint: str = "",
+    table: str = "documents",
+    fused: bool = False,
+) -> str:
+    """One retrieval-eval query text. ``fused=False`` is the two-list
+    LEFT JOIN form (the DuckDB oracle — the semantics definition);
+    ``fused=True`` (the Spark serving form since r10) computes both
+    ranks per candidate pair in one pass and aggregates WITHOUT the
+    gt⋈sys join: gt membership and the system rank become per-row
+    CASE masks, so the stacked score table is consumed exactly once
+    and no persist barrier is needed (the r8 DataFrame form existed
+    only to share the stacked table across the two rank branches).
+    Both rankers' scores come from the SHARED stacked score table
+    (_rrf_sql stacked_only — one corpus kernel), ground truth =
+    TF-IDF top-{k}, system = BM25 top-{k}, and the metric arithmetic
+    is BIGINT with the nDCG discount table embedded via
+    _disc_literals. (The dense ranking is NOT the ground truth here
+    on purpose: the fixture's embeddings are synthetic and
     uncorrelated with the text, so dense-vs-lexical overlap is
-    empty — a metric fixture must have signal to exercise the math.)"""
+    empty — a metric fixture must have signal to exercise the math.)
+
+    Fused-form exactness: ranks computed over the (b>0 OR t>0)
+    candidate set equal the per-leg filtered ranks for every
+    positive-score row (zero rows sort last), ``is_rel ⟺ t_score > 0
+    AND grk <= k`` reproduces gt membership, and masking rk to
+    ``b_score > 0 AND rk <= k`` reproduces the LEFT JOIN's matched
+    rank (NULL otherwise) — restricting the aggregate to is_rel rows
+    makes every aggregate expression identical to the joined form's."""
     spark = dialect == "spark"
     div = "DIV" if spark else "//"
     disc, idcg = _disc_literals(dialect)
+    if fused:
+        return f"""
+WITH both_scores AS (
+  {_rrf_sql(dialect, spread_hint, table, stacked_only=True)}
+), cand AS (
+  SELECT query_id, doc_id, b_score, t_score FROM both_scores
+  WHERE b_score > 0 OR t_score > 0
+), rankedp AS (
+  SELECT query_id, b_score, t_score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY t_score DESC, doc_id ASC) AS grk,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY b_score DESC, doc_id ASC) AS brk
+  FROM cand
+), marked AS (
+  SELECT query_id,
+         (t_score > 0 AND grk <= {BM25_K}) AS is_rel,
+         CASE WHEN b_score > 0 AND brk <= {BM25_K} THEN brk END AS rk
+  FROM rankedp
+), agg AS (
+  SELECT CAST(query_id AS INT) AS query_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rel,
+         CAST(COUNT(rk) AS BIGINT) AS hits,
+         CAST(COALESCE(CAST(1000000 AS BIGINT) {div} MIN(rk), 0) AS BIGINT) AS mrr_e6,
+         CAST(COALESCE(SUM(CASE WHEN rk IS NOT NULL THEN {disc} END), 0) AS BIGINT) AS dcg_e6
+  FROM marked WHERE is_rel GROUP BY query_id
+)
+SELECT query_id, n_rel, hits,
+       CAST((hits * 1000000) {div} n_rel AS BIGINT) AS recall_e6,
+       mrr_e6,
+       CAST((dcg_e6 * 1000000) {div} {idcg} AS BIGINT) AS ndcg_e6
+FROM agg
+"""
     return f"""
 WITH both_scores AS (
   {_rrf_sql(dialect, spread_hint, table, stacked_only=True)}
@@ -1346,59 +1370,18 @@ def t_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both dialects (log2 never touches an engine's libm — the
     repo-wide log-free discipline).
 
-    Plan shape: mirrors t_rrf_fuse — the (doc, query, b_score,
-    t_score) score table materializes ONCE through a persist()
-    barrier (one corpus kernel pass), each ranking is a
-    WindowGroupLimit-bounded window over the cache, and the metric
-    join + aggregate run on two {k}·|queries|-row lists —
-    driver-scale. Queries with no TF-IDF match have no ground-truth
-    set and are absent by definition."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
-
+    Plan shape (r10 — the fused no-join form, _eval_sql fused=True):
+    ONE spark.sql statement consuming the stacked score table exactly
+    once — both rankings are windows over the same candidate pass, gt
+    membership and the system rank are per-row masks, and the metric
+    aggregate runs directly on the is_rel rows (the r8 persist
+    barrier existed only to share the stacked table across two rank
+    branches; with one consumer it is pure overhead). Queries with no
+    TF-IDF match have no ground-truth set and are absent by
+    definition (the aggregate is restricted to is_rel rows)."""
     hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
     _t(spark, sf_dir, "documents").createOrReplaceTempView("__eval_documents")
-    # persist lifetime + match-sized filter: same contract as t_rrf_fuse
-    stacked = _persist_score_table(
-        spark.sql(_rrf_sql("spark", hint, "__eval_documents", stacked_only=True))
-        .where("b_score > 0 OR t_score > 0")
-    )
-
-    def ranked(score_col: str, rk_name: str) -> DataFrame:
-        w = Window.partitionBy("query_id").orderBy(
-            F.col(score_col).desc(), F.col("doc_id").asc()
-        )
-        return (
-            stacked.where(F.col(score_col) > 0)
-            .withColumn(rk_name, F.row_number().over(w))
-            .where(F.col(rk_name) <= BM25_K)
-            .select("query_id", "doc_id", rk_name)
-        )
-
-    gt = ranked("t_score", "grk").drop("grk")
-    sys_ = ranked("b_score", "rk")
-    disc, idcg = _disc_literals("spark")
-    agg = (
-        gt.join(sys_, ["query_id", "doc_id"], "left")
-        .groupBy(F.col("query_id").cast("int").alias("query_id"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rel"),
-            F.count("rk").cast("long").alias("hits"),
-            F.coalesce(
-                F.expr("CAST(1000000 AS BIGINT) DIV MIN(rk)"), F.lit(0)
-            ).cast("long").alias("mrr_e6"),
-            F.coalesce(
-                F.expr(f"SUM(CASE WHEN rk IS NOT NULL THEN {disc} END)"),
-                F.lit(0),
-            ).cast("long").alias("dcg_e6"),
-        )
-    )
-    return agg.select(
-        "query_id", "n_rel", "hits",
-        F.expr("(hits * 1000000) DIV n_rel").cast("long").alias("recall_e6"),
-        "mrr_e6",
-        F.expr(f"(dcg_e6 * 1000000) DIV {idcg}").cast("long").alias("ndcg_e6"),
-    )
+    return spark.sql(_eval_sql("spark", hint, "__eval_documents", fused=True))
 
 
 T_RETRIEVAL_EVAL_SQL = _eval_sql("duckdb", "", "documents")

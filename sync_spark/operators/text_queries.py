@@ -2024,52 +2024,52 @@ def t_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     one per-lang rank/cumsum window; the per-lang cumsum is the same
     shape as t_pack_offsets — at 100 TB swap in its two-phase
     distributed prefix sum if a single language's doc list outgrows a
-    partition."""
-    from pyspark.sql import Window
+    partition.
 
-    d = _t(spark, sf_dir, "documents")
-    docs = d.select("doc_id", "lang", T.token_count(F.col("text")).alias("n_tok"))
-    avail = docs.groupBy("lang").agg(F.sum("n_tok").alias("avail"))
-
-    wj = Window.orderBy(F.col("avail").asc(), F.col("lang").asc())
-    wall = Window.partitionBy()
-    lt = (
-        avail.withColumn("j", F.row_number().over(wj))
-        .withColumn(
-            "prefix",
-            F.coalesce(
-                F.sum("avail").over(wj.rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0),
-            ),
-        )
-        .withColumn("nlangs", F.count(F.lit(1)).over(wall))
-        .withColumn("total", F.sum("avail").over(wall))
-        .withColumn("budget", F.expr(f"(total * {_UNIMAX_PCT}) DIV 100"))
-        .withColumn("theta_j", F.expr("(budget - prefix) DIV (nlangs - j + 1)"))
-        .withColumn("valid", F.col("avail") >= F.col("theta_j"))
-    )
-    # θ* = θ at the FIRST valid row (min j); first_value over the
-    # valid-desc, j-asc ordering — no collect, stays declarative
-    lt = lt.withColumn(
-        "theta",
-        F.first(F.when(F.col("valid"), F.col("theta_j"))).over(
-            Window.orderBy(F.col("valid").desc(), F.col("j").asc()).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ),
-    ).withColumn("alloc", F.least(F.col("avail"), F.col("theta")))
-    alloc_tab = lt.select("lang", "avail", "alloc")
-
-    sel_w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
-    )
-    return (
-        docs.join(F.broadcast(alloc_tab), "lang")
-        .withColumn("cum_tok", F.sum("n_tok").over(sel_w))
-        .filter(F.col("cum_tok") <= F.col("alloc"))
-        .select("lang", "doc_id", "n_tok", "cum_tok", "alloc")
-        .orderBy("lang", "cum_tok")
-    )
+    r10: ONE spark.sql statement (the DataFrame chain spent ~0.4s per
+    call in per-transformation analysis — the d_source_overlap /
+    simhash lesson applied here); the BROADCAST hint on the L-row
+    allocation table replaces the F.broadcast wrapper (plan-guarded
+    by test_unimax_alloc_table_broadcasts)."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__um_documents")
+    return spark.sql(f"""
+WITH docs AS (
+  SELECT doc_id, lang,
+         CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) END AS n_tok
+  FROM __um_documents
+), avail AS (
+  SELECT lang, SUM(n_tok) AS avail FROM docs GROUP BY lang
+), lt AS (
+  SELECT lang, avail,
+         ROW_NUMBER() OVER (ORDER BY avail ASC, lang ASC) AS j,
+         COALESCE(SUM(avail) OVER (ORDER BY avail ASC, lang ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+         COUNT(*) OVER () AS nlangs,
+         SUM(avail) OVER () AS total
+  FROM avail
+), lt2 AS (
+  SELECT *, ((total * {_UNIMAX_PCT}) DIV 100 - prefix) DIV (nlangs - j + 1) AS theta_j,
+         avail >= ((total * {_UNIMAX_PCT}) DIV 100 - prefix) DIV (nlangs - j + 1) AS valid
+  FROM lt
+), lt3 AS (
+  SELECT *, FIRST_VALUE(CASE WHEN valid THEN theta_j END)
+              OVER (ORDER BY valid DESC, j ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS theta
+  FROM lt2
+), alloc_tab AS (
+  SELECT lang, avail, LEAST(avail, theta) AS alloc FROM lt3
+), ranked AS (
+  SELECT /*+ BROADCAST(a) */ d.lang, d.doc_id, d.n_tok, a.alloc,
+         SUM(d.n_tok) OVER (PARTITION BY d.lang
+                            ORDER BY md5(CAST(d.doc_id AS STRING)) ASC, d.doc_id ASC) AS cum_tok
+  FROM docs d JOIN alloc_tab a USING (lang)
+)
+SELECT lang, doc_id, n_tok,
+       CAST(cum_tok AS BIGINT) AS cum_tok, CAST(alloc AS BIGINT) AS alloc
+FROM ranked WHERE cum_tok <= alloc
+ORDER BY lang, cum_tok
+""")
 
 
 T_UNIMAX_SQL = rf"""

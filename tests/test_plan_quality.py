@@ -328,6 +328,12 @@ def test_pair_store_sweeps_dead_pid_orphans(spark, sf_small):
     open(os.path.join(dead, "part-0.parquet"), "w").close()
     keeper = os.path.join(warehouse, "not_a_pair_store_99999999")
     os.makedirs(keeper, exist_ok=True)
+    # the sweep runs on BUILD; an earlier test in the session may have
+    # built the store already (memo hit skips _build) — clear the
+    # snapshot memo so this call takes the build path
+    from sync_spark.operators import materialized as mz
+
+    mz._memo.clear()
     try:
         store = tq._pair_store(spark, sf_small)
         assert store.limit(1).count() >= 0
@@ -660,15 +666,26 @@ def test_no_hard_broadcast_hint_on_scaling_relations(spark, sf_small):
     assert not bad, f"hard broadcast hints on scaling relations: {bad}"
 
 
-def test_rrf_single_kernel_pass_cached(spark, sf_small):
-    """t_rrf_fuse (r8): the score table materializes ONCE behind an
-    InMemoryRelation and both ranker branches read the cache — the
-    all-SQL form inlined the corpus kernel into each branch (4 scans,
-    multiplied tokenize; 10-53s at sf1). Both rank windows carry a
-    group limit; nothing Python."""
-    from sync_spark.operators.retrieval import t_rrf_fuse
+def test_rrf_single_kernel_pass_fused(spark, sf_small):
+    """t_rrf_fuse (r10 fused tail): the stacked score table is
+    consumed exactly ONCE — the corpus scans in the statement are the
+    two statement-inherent ones (tf + stats, the t_bm25_topk shape),
+    NOT two per ranker branch (the r8 all-SQL anti-pattern: 4 scans,
+    multiplied tokenize, 10-53s at sf1) and NOT behind a persist
+    (nothing left to share). No rank-list fusion join; the fused
+    top-k window still carries a group limit; nothing Python. The
+    eval twin shares the same fused shape."""
+    import re
 
+    from sync_spark.operators.retrieval import t_retrieval_eval, t_rrf_fuse
+
+    for fn in (t_rrf_fuse, t_retrieval_eval):
+        plan = plan_of(fn(spark, sf_small))
+        n_scans = len(re.findall(r"Scan parquet", plan))
+        assert n_scans == 2, f"{fn.__name__}: expected 2 corpus scans, got {n_scans}"
+        assert "InMemoryTableScan" not in plan
+        assert "SortMergeJoin" not in plan  # no rank-list join
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the fused rrf top-k filter still pushes a window group limit
     plan = plan_of(t_rrf_fuse(spark, sf_small))
-    assert "InMemoryTableScan" in plan, plan[:1500]
-    assert plan.count("WindowGroupLimit") >= 2
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
