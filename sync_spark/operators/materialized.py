@@ -88,6 +88,7 @@ def materialized_input(
     sf_dir: str,
     tables: Sequence[str],
     build_fn: Callable[[], _V],
+    validate: Callable[[_V], bool] | None = None,
 ) -> _V:
     """Build-once / rebuild-on-change for construction-time snapshots.
 
@@ -95,12 +96,27 @@ def materialized_input(
     ``tables`` are the sf-dir sources whose change must invalidate it;
     ``build_fn`` performs the bounded collect/materialization and
     returns the value to embed.
-    """
+
+    ``validate``: REQUIRED for any value holding session-managed state
+    (an eager localCheckpoint, a catalog table) — plain scalars/lists
+    never go stale, but an external actor can destroy managed state
+    under an unchanged fingerprint (bench harnesses unpersist ALL
+    RDDs between queries, a caller may DROP the table), and serving a
+    memo hit whose blocks are gone fails much later with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND inside the CONSUMER's action.
+    On a memo hit the validator runs first (cheap: a one-partition
+    probe or a catalog lookup); False or an exception → rebuild."""
     fp = source_fingerprint(sf_dir, tables)
     key = (kind, sf_dir, spark.sparkContext.applicationId)
     hit = _memo.get(key)
     if hit is not None and hit[0] == fp:
-        return hit[1]  # type: ignore[return-value]
+        if validate is None:
+            return hit[1]  # type: ignore[return-value]
+        try:
+            if validate(hit[1]):  # type: ignore[arg-type]
+                return hit[1]  # type: ignore[return-value]
+        except Exception:
+            pass  # destroyed state — fall through to rebuild
     val = build_fn()
     if len(_memo) > 128:
         _memo.clear()

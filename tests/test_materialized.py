@@ -96,3 +96,21 @@ class TestSnapshotOperatorsRederive:
         os.replace(p + ".new", p)
         n2 = t_token_budget_sample(spark, mutable_sf).count()
         assert n2 < n1  # re-derived over the smaller corpus
+
+    def test_q11_survives_external_unpersist_all(self, spark):
+        """bench_sf1_full's drop_leftover_blocks unpersists EVERY
+        persistent RDD between queries — a memoized eager checkpoint
+        served after that must be detected (validator probe) and
+        rebuilt, not fail later inside the consumer's action with
+        CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (the r10 sf1 bench crash)."""
+        from sync_spark.operators.tpch_queries import q11_important_parts
+
+        sf = "/root/testdata/sf0.001"
+        first = q11_important_parts(spark, sf)
+        n1 = first.count()
+        # the harness's between-queries sweep
+        jsc = spark.sparkContext._jsc
+        for rdd in jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        again = q11_important_parts(spark, sf)
+        assert again.count() == n1
