@@ -91,10 +91,11 @@ def replay_log(delta_dir: str) -> dict:
     """Replay the full log the way a Delta reader does: later actions
     win per path. Returns {'files': {path: add_action}, 'metaData':
     last metaData or None, 'protocol': last protocol or None,
-    'version': last version or -1}."""
+    'txns': {appId: highest version}, 'version': last version or -1}."""
     files: dict[str, dict] = {}
     meta: Optional[dict] = None
     proto: Optional[dict] = None
+    txns: dict[str, int] = {}
     versions = log_versions(delta_dir)
     for v in versions:
         for action in _read_actions(delta_dir, v):
@@ -106,12 +107,37 @@ def replay_log(delta_dir: str) -> dict:
                 meta = action["metaData"]
             elif "protocol" in action:
                 proto = action["protocol"]
+            elif "txn" in action:
+                t = action["txn"]
+                txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
     return {
         "files": files,
         "metaData": meta,
         "protocol": proto,
+        "txns": txns,
         "version": versions[-1] if versions else -1,
     }
+
+
+def write_commit(delta_dir: str, version: int, actions: list[dict]) -> None:
+    """Append one log version atomically: stage under a dot-tmp name,
+    ``os.replace`` into the final ``{version:020d}.json``. Raises if
+    the version already exists (single-writer put-if-absent — the
+    local-FS stand-in for Delta's LogStore contract)."""
+    os.makedirs(_log_path(delta_dir), exist_ok=True)
+    final = _version_file(delta_dir, version)
+    if os.path.exists(final):
+        raise RuntimeError(
+            f"delta commit conflict: version {version} already exists in "
+            f"{delta_dir!r} (concurrent writer?)"
+        )
+    tmp = os.path.join(
+        _log_path(delta_dir), f".tmp_{version:020d}_{uuid.uuid4().hex[:8]}.json"
+    )
+    with open(tmp, "w") as fh:
+        for action in actions:
+            fh.write(json.dumps(action, separators=(",", ":")) + "\n")
+    os.replace(tmp, final)
 
 
 def _live_files(store_path: str) -> dict[str, dict]:
@@ -243,20 +269,7 @@ def export_delta(
             }
         )
 
-    os.makedirs(_log_path(delta_dir), exist_ok=True)
-    final = _version_file(delta_dir, version)
-    if os.path.exists(final):
-        raise RuntimeError(
-            f"delta export conflict: version {version} already exists in "
-            f"{delta_dir!r} (concurrent exporter?)"
-        )
-    tmp = os.path.join(
-        _log_path(delta_dir), f".tmp_{version:020d}_{uuid.uuid4().hex[:8]}.json"
-    )
-    with open(tmp, "w") as fh:
-        for action in actions:
-            fh.write(json.dumps(action, separators=(",", ":")) + "\n")
-    os.replace(tmp, final)
+    write_commit(delta_dir, version, actions)
     return version
 
 
@@ -273,6 +286,22 @@ def read_export(spark: SparkSession, delta_dir: str, version: Optional[int] = No
     version = state["version"]
     files = state["files"]
     if not files:
+        if state["metaData"] is not None:
+            # a valid empty table (e.g. a freshly-bootstrapped delta
+            # store): the log's schemaString is the schema, exactly as
+            # a Delta reader would present it
+            import json as _json
+
+            from pyspark.sql import types as T
+
+            full = T.StructType.fromJson(
+                _json.loads(state["metaData"]["schemaString"])
+            )
+            part_cols = set(state["metaData"].get("partitionColumns") or [])
+            rows = T.StructType(
+                [f for f in full.fields if f.name not in part_cols]
+            )
+            return spark.createDataFrame([], rows)
         raise ValueError(f"no active files at version {version} in {delta_dir!r}")
     paths = [os.path.join(delta_dir, p) for p in sorted(files)]
     # basePath keeps partition discovery consistent; mergeSchema
@@ -338,10 +367,13 @@ def vacuum_export(delta_dir: str, keep_versions: int = 2) -> dict:
     # checkpoint-seeded replay per retained version; union = survivors
     survivors: set[str] = set()
     per_version: dict[int, dict[str, dict]] = {}
+    cutoff_txns: dict[str, int] = {}
     for v in retained:
         st = replay_with_checkpoint(delta_dir, v)
         per_version[v] = st["files"]
         survivors |= set(st["files"])
+        if v == retained[0]:
+            cutoff_txns = st.get("txns") or {}
     latest = replay_with_checkpoint(delta_dir, all_versions[-1])
     meta, proto = latest["metaData"], latest["protocol"]
 
@@ -379,6 +411,11 @@ def vacuum_export(delta_dir: str, keep_versions: int = 2) -> dict:
             base_actions.append({"protocol": proto})
         if meta:
             base_actions.append({"metaData": meta})
+        # carry writer-txn state through the collapse: dropping it
+        # would reset every streaming writer's idempotence watermark
+        # and let a crash-replayed batch double-apply
+        for app, tv in sorted(cutoff_txns.items()):
+            base_actions.append({"txn": {"appId": app, "version": tv}})
         if cp_stale:
             # Self-correcting base commit for the crash window between
             # the os.replace below and the _last_checkpoint unlink: a
@@ -484,12 +521,14 @@ def write_checkpoint(
     files = state["files"]
     meta = state["metaData"]
     proto = state["protocol"]
+    txns = state.get("txns") or {}
     if meta is None or proto is None:
         raise ValueError("log replay found no metaData/protocol — corrupt log?")
 
     proto_t = pa.struct(
         [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
     )
+    txn_t = pa.struct([("appId", pa.string()), ("version", pa.int64())])
     format_t = pa.struct(
         [("provider", pa.string()), ("options", pa.map_(pa.string(), pa.string()))]
     )
@@ -523,15 +562,20 @@ def write_checkpoint(
          "dataChange": False}
         for _, a in sorted(files.items())
     ]
-    n = 2 + len(add_rows)
+    txn_rows = [
+        {"appId": app, "version": v} for app, v in sorted(txns.items())
+    ]
+    n = 2 + len(add_rows) + len(txn_rows)
     protocol_col = [proto] + [None] * (n - 1)
     meta_col = [None, meta_row] + [None] * (n - 2)
-    add_col = [None, None] + add_rows
+    add_col = [None, None] + add_rows + [None] * len(txn_rows)
+    txn_col = [None] * (2 + len(add_rows)) + txn_rows
     table = pa.table(
         {
             "protocol": pa.array(protocol_col, type=proto_t),
             "metaData": pa.array(meta_col, type=meta_t),
             "add": pa.array(add_col, type=add_t),
+            "txn": pa.array(txn_col, type=txn_t),
         }
     )
     final = _checkpoint_file(delta_dir, version)
@@ -585,6 +629,7 @@ def replay_with_checkpoint(delta_dir: str, version: Optional[int] = None) -> dic
         # pure-JSON replay trimmed to `version`
         files: dict[str, dict] = {}
         meta = proto = None
+        txns: dict[str, int] = {}
         for v in log_versions(delta_dir):
             if v > version:
                 break
@@ -597,12 +642,16 @@ def replay_with_checkpoint(delta_dir: str, version: Optional[int] = None) -> dic
                     meta = action["metaData"]
                 elif "protocol" in action:
                     proto = action["protocol"]
+                elif "txn" in action:
+                    t = action["txn"]
+                    txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
         return {"files": files, "metaData": meta, "protocol": proto,
-                "version": version}
+                "txns": txns, "version": version}
 
     tbl = pq.read_table(_checkpoint_file(delta_dir, lc["version"]))
     files = {}
     meta = proto = None
+    txns = {}
     for row in tbl.to_pylist():
         if row.get("protocol"):
             proto = row["protocol"]
@@ -617,6 +666,9 @@ def replay_with_checkpoint(delta_dir: str, version: Optional[int] = None) -> dic
             a = dict(row["add"])
             a["partitionValues"] = dict(a.get("partitionValues") or [])
             files[a["path"]] = a
+        if row.get("txn"):  # column absent in pre-r11 checkpoints
+            t = row["txn"]
+            txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
     for v in log_versions(delta_dir):
         if v <= lc["version"] or v > version:
             continue
@@ -629,4 +681,8 @@ def replay_with_checkpoint(delta_dir: str, version: Optional[int] = None) -> dic
                 meta = action["metaData"]
             elif "protocol" in action:
                 proto = action["protocol"]
-    return {"files": files, "metaData": meta, "protocol": proto, "version": version}
+            elif "txn" in action:
+                t = action["txn"]
+                txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
+    return {"files": files, "metaData": meta, "protocol": proto,
+            "txns": txns, "version": version}
