@@ -83,7 +83,11 @@ def read_jdbc(
     """Partitioned JDBC read. Pick ONE of (partition_column + bounds)
     or explicit predicates; neither → single-partition read (only for
     tiny tables)."""
-    props = dict(properties or {})
+    from sync_spark.sources.jdbc_dialects import connection_properties
+
+    # dialect-correct defaults from the URL (zero-date handling, UTC
+    # session pin, cursor fetch, driver class); caller props win
+    props = connection_properties(url, **(properties or {}))
     if predicates is not None and partition_column is not None:
         raise ValueError("pass either predicates or partition_column, not both")
     if predicates is not None:
@@ -119,7 +123,9 @@ def write_jdbc(
     createTableColumnTypes — needed when the dialect's default string
     mapping is non-comparable (e.g. Derby maps StringType to CLOB,
     which cannot appear in WHERE predicates)."""
-    props = dict(properties or {})
+    from sync_spark.sources.jdbc_dialects import connection_properties
+
+    props = connection_properties(url, **(properties or {}))
     props.setdefault("batchsize", str(batch_size))
     w = df.write
     if column_types:
