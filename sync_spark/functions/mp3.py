@@ -1,0 +1,264 @@
+"""MPEG audio (MP3) frame-header walk — metadata decode without codec
+libraries (SURVEY.md §2.10 multimodal; VERDICT r10 #6).
+
+Scope, stated precisely: this is the MP3 analog of the GIF row's
+"light walk" — a spec-correct parse of the public MPEG-1/2/2.5 frame
+header layout (ISO/IEC 11172-3 §2.4.1.3 framing: 11-bit sync,
+version/layer ids, bitrate + sampling-rate table indices, padding
+bit), stepping frame to frame by the derived frame length, skipping
+ID3v1/ID3v2 tags, and honoring a Xing/Info or VBRI header's exact
+frame count when one is present. It yields sample rate, channel
+count, CBR/VBR-ness and an EXACT duration (frames × samples-per-frame
+/ rate) for real-world MP3 files. Full PCM synthesis (huffman
+spectral decode + IMDCT + polyphase filterbank) requires the ISO
+huffman code tables and synthesis window coefficients — table data
+this offline container has no source for — so the SAMPLE path stays
+behind the documented codec boundary (`_decode_payload` raises for
+it), while the metadata path is real, like GIF duration before LZW.
+
+Scale posture: pure byte-walk per payload (no allocation proportional
+to audio length), run inside the existing Arrow `mapInPandas` media
+islands — work-proportional to corpus bytes, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# bitrate kbps tables, indexed [1..14]; index 0 = free-format (we
+# cannot step free-format frames without scanning for the next sync,
+# handled explicitly), 15 = invalid
+_BITRATES = {
+    # (version_group, layer): 14 entries for index 1..14
+    ("V1", 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    ("V1", 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    ("V1", 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ("V2", 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    ("V2", 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    ("V2", 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+
+_RATES = {
+    # version bits: 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _samples_per_frame(version_bits: int, layer: int) -> int:
+    if layer == 1:
+        return 384
+    if layer == 2:
+        return 1152
+    # layer III: 1152 for MPEG1, 576 for MPEG2/2.5
+    return 1152 if version_bits == 3 else 576
+
+
+def parse_frame_header(b: bytes, pos: int) -> dict | None:
+    """Parse the 4-byte frame header at ``pos``. Returns the frame
+    descriptor (incl. total frame_bytes) or None if the bytes are not
+    a valid header (bad sync / reserved version / reserved layer /
+    invalid bitrate / invalid rate / free-format)."""
+    if pos + 4 > len(b):
+        return None
+    h = struct.unpack(">I", b[pos : pos + 4])[0]
+    if (h >> 21) & 0x7FF != 0x7FF:
+        return None
+    version_bits = (h >> 19) & 0x3  # 3=MPEG1 2=MPEG2 0=MPEG2.5 1=reserved
+    layer_bits = (h >> 17) & 0x3  # 3=LayerI 2=LayerII 1=LayerIII 0=reserved
+    if version_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits  # 1/2/3
+    bitrate_idx = (h >> 12) & 0xF
+    rate_idx = (h >> 10) & 0x3
+    if bitrate_idx in (0, 15) or rate_idx == 3:
+        return None  # free-format unsupported; reserved rate invalid
+    vgroup = "V1" if version_bits == 3 else "V2"
+    bitrate = _BITRATES[(vgroup, layer)][bitrate_idx - 1] * 1000
+    rate = _RATES[version_bits][rate_idx]
+    padding = (h >> 9) & 0x1
+    channel_mode = (h >> 6) & 0x3  # 3 = mono
+    if layer == 1:
+        frame_bytes = (12 * bitrate // rate + padding) * 4
+    else:
+        # Layer III MPEG2/2.5 frames carry 576 samples → 72 factor
+        factor = 144 if (layer == 2 or version_bits == 3) else 72
+        frame_bytes = factor * bitrate // rate + padding
+    return {
+        "version_bits": version_bits,
+        "layer": layer,
+        "bitrate": bitrate,
+        "sample_rate": rate,
+        "padding": padding,
+        "channels": 1 if channel_mode == 3 else 2,
+        "crc": (h >> 16) & 0x1 == 0,  # protection bit 0 = CRC present
+        "samples": _samples_per_frame(version_bits, layer),
+        "frame_bytes": frame_bytes,
+    }
+
+
+def _skip_id3v2(b: bytes) -> int:
+    """Offset past a leading ID3v2 tag (syncsafe 28-bit size), 0 if
+    none."""
+    if len(b) >= 10 and b[:3] == b"ID3":
+        size = (
+            ((b[6] & 0x7F) << 21)
+            | ((b[7] & 0x7F) << 14)
+            | ((b[8] & 0x7F) << 7)
+            | (b[9] & 0x7F)
+        )
+        return 10 + size + (10 if b[5] & 0x10 else 0)  # footer flag
+    return 0
+
+
+def _xing_frames(b: bytes, pos: int, hdr: dict) -> int | None:
+    """Exact frame count from a Xing/Info (or VBRI) header in the
+    first frame, or None. Xing offset = 4-byte header (+2 CRC) +
+    side-info bytes (MPEG1: 17 mono / 32 stereo; MPEG2/2.5: 9 / 17);
+    VBRI sits at a fixed 32 bytes past the header."""
+    if hdr["layer"] == 3:
+        if hdr["version_bits"] == 3:
+            side = 17 if hdr["channels"] == 1 else 32
+        else:
+            side = 9 if hdr["channels"] == 1 else 17
+        off = pos + 4 + (2 if hdr["crc"] else 0) + side
+        if b[off : off + 4] in (b"Xing", b"Info"):
+            flags_off = off + 4
+            if flags_off + 4 <= len(b):
+                (flags,) = struct.unpack(">I", b[flags_off : flags_off + 4])
+                if flags & 0x1 and flags_off + 8 <= len(b):
+                    (frames,) = struct.unpack(
+                        ">I", b[flags_off + 4 : flags_off + 8]
+                    )
+                    return frames
+    voff = pos + 4 + 32
+    if b[voff : voff + 4] == b"VBRI" and voff + 18 <= len(b):
+        (frames,) = struct.unpack(">I", b[voff + 14 : voff + 18])
+        return frames
+    return None
+
+
+def mp3_meta(payload: bytes) -> dict:
+    """Walk every frame: returns {sample_rate, channels, n_frames,
+    duration_ms, bitrate (CBR nominal or average), vbr: bool}.
+
+    Raises ValueError when no valid frame sequence exists. A truncated
+    trailing frame is ignored (its header is counted only if the full
+    frame body is present — the same complete-units rule the WAV
+    parser applies to its data chunk). A Xing/Info/VBRI frame count,
+    when present, is authoritative for duration (the first frame is
+    then metadata, not audio, and excluded from the walked count)."""
+    pos = _skip_id3v2(payload)
+    end = len(payload)
+    if end >= 128 and payload[-128:-125] == b"TAG":
+        end -= 128  # ID3v1 trailer
+    first = parse_frame_header(payload, pos)
+    # resync tolerance: leading junk before the first header (common
+    # after sloppy tag writers) — scan forward for a sync that ALSO
+    # chains to a second valid header, the standard false-sync filter
+    scan = pos
+    while first is None and scan + 4 <= end:
+        scan = payload.find(b"\xff", scan + 1)
+        if scan < 0:
+            break
+        cand = parse_frame_header(payload, scan)
+        if cand is not None:
+            nxt = scan + cand["frame_bytes"]
+            if nxt + 4 > end or parse_frame_header(payload, nxt) is not None:
+                first, pos = cand, scan
+    if first is None:
+        raise ValueError("no MPEG audio frame found")
+
+    vbr_frames = _xing_frames(payload, pos, first)
+    n = 0
+    bitrate_sum = 0
+    bitrates = set()
+    cur = pos
+    while cur + 4 <= end:
+        hdr = parse_frame_header(payload, cur)
+        if hdr is None:
+            break  # stream ends at first non-frame byte (tag/garbage)
+        if cur + hdr["frame_bytes"] > end:
+            break  # truncated trailing frame: not a complete unit
+        n += 1
+        bitrate_sum += hdr["bitrate"]
+        bitrates.add(hdr["bitrate"])
+        cur += hdr["frame_bytes"]
+    if n == 0:
+        raise ValueError("no complete MPEG audio frame")
+
+    if vbr_frames is not None:
+        frames_for_duration = vbr_frames
+        audio_frames = max(n - 1, 0)  # the Xing frame itself is metadata
+        vbr = True
+    else:
+        frames_for_duration = n
+        audio_frames = n
+        vbr = len(bitrates) > 1
+    duration_ms = int(
+        frames_for_duration * first["samples"] * 1000 // first["sample_rate"]
+    )
+    return {
+        "sample_rate": first["sample_rate"],
+        "channels": first["channels"],
+        "n_frames": audio_frames if vbr_frames is not None else n,
+        "duration_ms": duration_ms,
+        "bitrate": (bitrate_sum // n) if n else first["bitrate"],
+        "vbr": vbr,
+    }
+
+
+def mp3_payload(
+    media_id: int,
+    n_frames: int = 38,
+    rate: int = 44100,
+    bitrate_kbps: int = 128,
+    channels: int = 2,
+    id3v2: bool = False,
+) -> bytes:
+    """Deterministic structurally-valid CBR MPEG-1 Layer III fixture:
+    correct headers with the spec's padding cadence (at 44100 Hz /
+    128 kbps the exact frame size is 417.96 bytes, so the padding bit
+    must toggle to keep the byte stream on schedule — computed here
+    with the same integer arithmetic a conformant encoder uses),
+    frame bodies filled with a media_id-seeded byte pattern (the walk
+    never reads them). The fixture exercises every branch of
+    ``mp3_meta`` except VBR headers, which tests build explicitly."""
+    if channels not in (1, 2):
+        raise ValueError("channels must be 1 or 2")
+    rate_idx = {44100: 0, 48000: 1, 32000: 2}[rate]
+    br_idx = 1 + _BITRATES[("V1", 3)].index(bitrate_kbps)
+    bitrate = bitrate_kbps * 1000
+    out = bytearray()
+    if id3v2:
+        body = b"\x00" * 23
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+             (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+        ) + body
+    # padding schedule: frame i is padded iff the running remainder
+    # of (144*bitrate % rate) accumulates past a rate boundary
+    rest = 0
+    for i in range(n_frames):
+        base = 144 * bitrate // rate
+        rem = 144 * bitrate % rate
+        rest += rem
+        padding = 1 if rest >= rate else 0
+        if padding:
+            rest -= rate
+        h = (
+            (0x7FF << 21)
+            | (3 << 19)  # MPEG1
+            | (1 << 17)  # Layer III
+            | (1 << 16)  # no CRC
+            | (br_idx << 12)
+            | (rate_idx << 10)
+            | (padding << 9)
+            | ((3 if channels == 1 else 0) << 6)
+        )
+        frame = bytearray(struct.pack(">I", h))
+        body_len = base + padding - 4
+        frame += bytes(((media_id + i + j) % 251) for j in range(body_len))
+        out += frame
+    return bytes(out)

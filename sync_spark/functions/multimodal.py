@@ -475,10 +475,23 @@ def _decode_payload(payload: bytes | None) -> tuple[int | None, int | None, int 
         except ValueError:
             return (None, None, None)
         return (w, h, None)
+    if payload[:3] == b"ID3" or (
+        payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        from sync_spark.functions.mp3 import mp3_meta
+
+        try:
+            # metadata walk (frame headers + Xing/VBRI), the audio
+            # analog of the GIF light walk: exact duration without
+            # PCM synthesis
+            return (None, None, mp3_meta(payload)["duration_ms"])
+        except ValueError:
+            return (None, None, None)
     raise NotImplementedError(
-        "compressed media decoding (MP3/H.264) requires codec "
-        "libraries; WAV, PPM, PNG, GIF, baseline JPEG and the "
-        "deterministic fake codec are available in this environment"
+        "compressed media SAMPLE decoding (MP3 PCM synthesis / H.264) "
+        "requires codec libraries; WAV, PPM, PNG, GIF, baseline JPEG, "
+        "MP3 metadata (frame walk) and the deterministic fake codec "
+        "are available in this environment"
     )
 
 

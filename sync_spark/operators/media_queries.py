@@ -296,3 +296,55 @@ SELECT vec_id AS media_id,
 FROM embeddings, LATERAL UNNEST(range(0, 2 + vec_id % 3)) AS t(i)
 WHERE vec_id % 2 = 1
 """
+
+
+def m_media_mp3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated MP3 metadata decode (VERDICT r10 #6): build
+    structurally-valid CBR MPEG-1 Layer III streams per vec_id — rate,
+    bitrate, channel mode, ID3v2 prefix and ID3v1 trailer all varying
+    — and decode them through the REAL engine path
+    (``decode_media`` → ``_decode_payload`` → mp3 frame walk with the
+    spec's padding cadence and tag skipping). The oracle states the
+    closed form: duration_ms = floor(n_frames · 1152 · 1000 / rate).
+    PCM synthesis stays behind the documented codec boundary; rate /
+    channel / VBR extraction is pinned bit-exact in
+    tests/test_mp3.py."""
+    ids = _spread_ids(
+        _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("media_id")),
+        sf_dir,
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sync_spark.functions.mp3 import mp3_payload
+
+        for pdf in it:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                p = mp3_payload(
+                    mid,
+                    n_frames=20 + mid % 17,
+                    rate=[44100, 48000, 32000][mid % 3],
+                    bitrate_kbps=[96, 128, 160, 192][mid % 4],
+                    channels=1 if mid % 7 == 0 else 2,
+                    id3v2=(mid % 5 == 0),
+                )
+                if mid % 6 == 0:
+                    p += b"TAG" + bytes(125)  # ID3v1 trailer
+                rows["media_id"].append(mid)
+                rows["kind"].append("audio")
+                rows["payload"].append(p)
+            yield pd.DataFrame(rows)
+
+    media = ids.mapInPandas(build, "media_id long, kind string, payload binary")
+    return M.decode_media(media).select("media_id", "kind", "duration_ms")
+
+
+M_MP3_SQL = """
+SELECT vec_id AS media_id,
+       'audio' AS kind,
+       CAST(((20 + vec_id % 17) * 1152 * 1000)
+            // (CASE vec_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)
+            AS INT) AS duration_ms
+FROM embeddings
+"""

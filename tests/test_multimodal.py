@@ -40,12 +40,19 @@ def test_decode_media_schema_and_values(spark):
 
 def test_real_codec_is_stubbed():
     # PNG and baseline JPEG are REAL in-engine codecs now: malformed
-    # payloads are NULL rows, not exceptions; truly external codecs
-    # (MP3) still raise behind the same seam
+    # payloads are NULL rows, not exceptions. r11: MP3 METADATA is
+    # real too (frame walk — a tag with no valid frame is a NULL row,
+    # a valid stream yields duration); only truly external codecs
+    # (H.264) still raise behind the same seam
     assert _decode_payload(b"\x89PNG\r\n\x1a\nxxxxxxxxxxxx") == (None, None, None)
     assert _decode_payload(b"\xff\xd8\xff\xe0" + b"\x00" * 32) == (None, None, None)
+    assert _decode_payload(b"ID3\x04" + b"\x00" * 32) == (None, None, None)
+    from sync_spark.functions.mp3 import mp3_payload
+
+    w, h, dur = _decode_payload(mp3_payload(1, n_frames=10))
+    assert (w, h) == (None, None) and dur == 10 * 1152 * 1000 // 44100
     with pytest.raises(NotImplementedError, match="codec"):
-        _decode_payload(b"ID3\x04" + b"\x00" * 32)  # MP3 with ID3 tag
+        _decode_payload(b"\x00\x00\x00\x01\x67" + b"\x00" * 32)  # H.264 NAL
 
 
 def test_features_deterministic_and_shaped(spark):
@@ -157,9 +164,9 @@ def test_compressed_format_still_raises(spark):
     from sync_spark.functions import multimodal as M
     import pytest as _pt
 
-    mp3_ish = b"ID3\x04\x00" + b"\x00" * 32
+    h264_ish = b"\x00\x00\x00\x01\x67" + b"\x00" * 32
     with _pt.raises(NotImplementedError):
-        M._decode_payload(mp3_ish)
+        M._decode_payload(h264_ish)
 
 
 def test_corrupt_media_yields_null_rows_not_dead_batches(spark):
