@@ -44,6 +44,9 @@ SENTINELS = ["q10_returned_items", "d_embed_neardup_lsh"]
 SAMPLE_EVERY = 10
 
 
+from sync_spark.hostmeter import cpu_times, frac_window as steal_frac  # noqa: E402
+
+
 def dir_mb(path: str) -> float:
     total = 0
     for root, _dirs, files in os.walk(path, onerror=lambda e: None):
@@ -145,12 +148,14 @@ def main() -> None:
             rdd.unpersist()
         spark.catalog.clearCache()
 
-    def timed(name: str) -> float:
+    def timed(name: str) -> tuple[float, dict]:
+        c0 = cpu_times()
         t0 = time.perf_counter()
         specs[name].spark_fn(spark, args.dir).count()
         dt = time.perf_counter() - t0
+        cpu = steal_frac(c0, cpu_times())
         drop_leftover_blocks()
-        return round(dt, 3)
+        return round(dt, 3), cpu
 
     # warm-up: JVM, footers, python worker pool
     specs["q1_pricing_summary"].spark_fn(spark, args.dir).count()
@@ -161,9 +166,15 @@ def main() -> None:
 
     def sentinel_pass(pos: int) -> None:
         for s in SENTINELS:
-            dt = timed(s)
-            out["sentinel_series"][s].append({"after_n_queries": pos, "sec": dt})
-            print(f"## sentinel {s} @ {pos}: {dt}s", file=sys.stderr, flush=True)
+            dt, cpu = timed(s)
+            out["sentinel_series"][s].append(
+                {"after_n_queries": pos, "sec": dt, "cpu": cpu}
+            )
+            print(
+                f"## sentinel {s} @ {pos}: {dt}s steal={cpu['steal']:.0%}",
+                file=sys.stderr,
+                flush=True,
+            )
 
     sentinel_pass(0)
     out["samples"].append({"n": 0, **jvm_sample(spark)})
@@ -172,9 +183,13 @@ def main() -> None:
     if args.limit:
         names = names[: args.limit]
     for i, name in enumerate(names, 1):
-        dt = timed(name)
-        out["queries"][name] = dt
-        print(f"# [{i}/{len(names)}] {name}: {dt}s", file=sys.stderr, flush=True)
+        dt, cpu = timed(name)
+        out["queries"][name] = {"sec": dt, "cpu": cpu}
+        print(
+            f"# [{i}/{len(names)}] {name}: {dt}s steal={cpu['steal']:.0%}",
+            file=sys.stderr,
+            flush=True,
+        )
         if i % SAMPLE_EVERY == 0:
             out["samples"].append({"n": i, **jvm_sample(spark)})
         if i % 35 == 0:

@@ -1,0 +1,100 @@
+"""Host-contention meter: /proc/stat CPU accounting around a timed
+window.
+
+Round-11 root-cause instrument: the r10 sf1 artifact's "aged-session
+decay" (q10 8.5s in-suite vs 1.37s solo) was neither heap, GC,
+listener-state, nor block litter — a 96-run fresh-session sentinel
+loop showed pearson(steal%, log seconds) = 0.80 with ZERO drift at
+calm windows (medians flat at the solo values after 60+ iterations in
+ONE session), and live vmstat during an inflated window read 26-36%
+hypervisor steal. The engine was never sick; the box is multi-tenant.
+
+Stage barriers amplify modest steal: a 32-task stage waits on the
+unluckiest task, so a few stolen vCPUs double a query with ~10 stages
+even at 5-10% average steal — the same straggler math that makes
+speculative execution standard on real clusters (at local[N] the OS
+scheduler already migrates runnable threads, so speculation would
+only duplicate work; no engine knob reclaims stolen machine time).
+
+What the engine CAN do is measure honestly: benches record per-run
+steal and re-draw contended runs, so a committed artifact documents
+the box weather it was drawn under instead of mis-charging it to the
+plan."""
+
+from __future__ import annotations
+
+import os
+
+CONTENDED_STEAL = 0.05  # ambient at/above this marks a row as contended
+RELATIVE_CALM = 0.03  # a run within 3pp of the query's best-run steal is calm
+
+# IMPORTANT calibration fact: steal is partly SELF-INDUCED — at full
+# local[32] width on a quiet host this box already reads ~9% steal
+# (the hypervisor slightly undersupplies 32 vCPUs), so an absolute
+# threshold conflates a query's own width with neighbor episodes.
+# Run qualification is therefore RELATIVE to the same query's own
+# minimum-steal draw; the absolute threshold only labels rows whose
+# AMBIENT (minimum observed) steal stayed elevated across every draw.
+
+_FIELDS = ["user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal"]
+
+
+def cpu_times() -> dict:
+    """Aggregate /proc/stat cpu line in seconds per category."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    hz = os.sysconf("SC_CLK_TCK")
+    return {n: int(v) / hz for n, v in zip(_FIELDS, parts[1:9])}
+
+
+def frac_window(before: dict, after: dict) -> dict:
+    """Fraction of machine time per category inside a window."""
+    tot = sum(after.values()) - sum(before.values())
+    if tot <= 0:
+        return {k: 0.0 for k in ("steal", "system", "user", "idle")}
+    return {
+        k: round((after[k] - before[k]) / tot, 4)
+        for k in ("steal", "system", "user", "idle")
+    }
+
+
+def steal_during(fn):
+    """Run ``fn()``; return (result, elapsed_s, steal_frac)."""
+    import time
+
+    c0 = cpu_times()
+    t0 = time.perf_counter()
+    res = fn()
+    dt = time.perf_counter() - t0
+    return res, dt, frac_window(c0, cpu_times())["steal"]
+
+
+def calm_median(runs: list[tuple[float, float]]) -> tuple[float, dict]:
+    """Median over the calm draws of one query's (sec, steal) runs.
+
+    Calm = steal within RELATIVE_CALM of the query's own best draw
+    (self-calibrating: a wide query's self-induced steal is its own
+    baseline). Returns (median_sec, info) where info carries
+    ``ambient`` (min steal seen) and ``contended`` when ambient never
+    dropped below CONTENDED_STEAL — i.e. every draw happened under an
+    elevated-steal episode and the number is weather-bounded."""
+    m = min(st for _, st in runs)
+    calm = sorted(t for t, st in runs if st <= m + RELATIVE_CALM)
+    info: dict = {"ambient": round(m, 3),
+                  "max_steal": round(max(st for _, st in runs), 3)}
+    if m >= CONTENDED_STEAL:
+        info["contended"] = True
+    return calm[len(calm) // 2], info
+
+
+def need_more_runs(runs: list[tuple[float, float]], target: int = 3,
+                   max_total: int = 6) -> bool:
+    """Draw again when fewer than 2 calm runs exist (relative rule)
+    and the budget allows; benches call this after each draw."""
+    if len(runs) >= max_total:
+        return False
+    if len(runs) < target:
+        return True
+    m = min(st for _, st in runs)
+    calm = sum(1 for _, st in runs if st <= m + RELATIVE_CALM)
+    return calm < 2
