@@ -64,37 +64,51 @@ def main() -> None:
     # round-4 verdict's own wording)
     MEDIAN_THRESHOLD_S = 0.0
 
+    from sync_spark.hostmeter import calm_median, cpu_times, frac_window, need_more_runs
+
     timings: dict[str, float] = {}
+    steal_ambient: dict[str, float] = {}
+    contended: list[str] = []
     repeated: list[str] = []
     for name, spec in sorted(specs.items()):
-        runs: list[float] = []
+        # per-run hypervisor steal recorded; a run whose steal is well
+        # above the same query's best draw was taken during a neighbor
+        # episode — box weather, not plan cost (r11 root cause,
+        # sync_spark/hostmeter.py): re-draw up to 3 extra runs and
+        # take the median over the calm draws
+        runs: list[tuple[float, float]] = []
         n = 0
-        for attempt in range(3):
+        while True:
+            c0 = cpu_times()
             t0 = time.perf_counter()
             df = spec.spark_fn(spark, sf_dir)
             n = df.count()
-            runs.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            runs.append((dt, frac_window(c0, cpu_times())["steal"]))
             # queries are independent: drop any operator-internal
             # caches so memory doesn't accumulate and timings stay
             # isolated. clearCache only evicts the SQL cache — the
             # localCheckpoint blocks and broadcasts some operators
             # create are freed by the ContextCleaner only after the
-            # DRIVER-side Python references die, so force a gc here:
-            # without it a 139-query × 3-run session accumulates
-            # executor blocks and the dedup/window families inflate
-            # 2-4× over their standalone medians late in the suite
-            # (r9 measured: d_decontaminate 1.91s in-suite vs 0.93s
-            # standalone; same plans)
+            # DRIVER-side Python references die, so force a gc here
+            # (r9: without it executor blocks accumulate and the
+            # dedup/window families inflate late in the suite)
             spark.catalog.clearCache()
             import gc
 
             gc.collect()
-            if attempt == 0 and runs[0] <= MEDIAN_THRESHOLD_S:
+            if len(runs) == 1 and runs[0][0] <= MEDIAN_THRESHOLD_S:
                 break
-        timings[name] = round(sorted(runs)[len(runs) // 2], 4)
+            if not need_more_runs(runs):
+                break
+        med, info = calm_median(runs)
+        timings[name] = round(med, 4)
+        steal_ambient[name] = info["ambient"]
+        if info.get("contended"):
+            contended.append(name)
         if len(runs) > 1:
             repeated.append(name)
-        detail = "/".join(f"{t:.2f}" for t in runs)
+        detail = "/".join(f"{t:.2f}@{st:.0%}" for t, st in runs)
         print(f"# {name}: {timings[name]:.3f}s runs=[{detail}] rows={n}", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -132,6 +146,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "repeated_to_median": repeated,
+        "steal_ambient": steal_ambient,
+        "steal_contended": contended,
         "sf": sf_val,
         "canary": {
             "query": "q1_pricing_summary",
