@@ -487,11 +487,22 @@ def _decode_payload(payload: bytes | None) -> tuple[int | None, int | None, int 
             return (None, None, mp3_meta(payload)["duration_ms"])
         except ValueError:
             return (None, None, None)
+    if payload[:3] == b"\x00\x00\x01" or payload[:4] == b"\x00\x00\x00\x01":
+        from sync_spark.functions.h264 import h264_meta
+
+        try:
+            # Annex-B SPS walk: real coded dims (crop applied), no
+            # entropy decode — what ffprobe reports for resolution
+            m = h264_meta(payload)
+            return (m["width"], m["height"], None)
+        except ValueError:
+            return (None, None, None)
     raise NotImplementedError(
-        "compressed media SAMPLE decoding (MP3 PCM synthesis / H.264) "
-        "requires codec libraries; WAV, PPM, PNG, GIF, baseline JPEG, "
-        "MP3 metadata (frame walk) and the deterministic fake codec "
-        "are available in this environment"
+        "compressed media SAMPLE decoding (MP3 PCM synthesis / H.264 "
+        "pixel reconstruction) and container demuxing (MKV/MP4) require "
+        "codec libraries; WAV, PPM, PNG, GIF, baseline JPEG, MP3 "
+        "metadata (frame walk), H.264 metadata (SPS walk) and the "
+        "deterministic fake codec are available in this environment"
     )
 
 

@@ -348,3 +348,49 @@ SELECT vec_id AS media_id,
             AS INT) AS duration_ms
 FROM embeddings
 """
+
+
+def m_media_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated H.264 metadata decode: build structurally-valid
+    baseline-profile Annex-B streams per vec_id (SPS geometry with
+    exact 4:2:0 cropping for non-MB-multiple dims, PPS, IDR slice
+    NALs) and decode through the REAL engine path (``decode_media`` →
+    ``_decode_payload`` → SPS walk, functions/h264.py). The oracle
+    states the closed form for the cropped dims. Pixel reconstruction
+    stays behind the codec boundary; profile/level/frame-count
+    extraction is pinned in tests/test_h264.py."""
+    ids = _spread_ids(
+        _t(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("media_id")),
+        sf_dir,
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from sync_spark.functions.h264 import h264_payload
+
+        for pdf in it:
+            rows = {"media_id": [], "kind": [], "payload": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                rows["media_id"].append(mid)
+                rows["kind"].append("video")
+                rows["payload"].append(
+                    h264_payload(
+                        mid,
+                        width=18 + (mid % 24) * 2,
+                        height=12 + (mid % 17) * 2,
+                        n_frames=1 + mid % 4,
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    media = ids.mapInPandas(build, "media_id long, kind string, payload binary")
+    return M.decode_media(media).select("media_id", "kind", "width", "height")
+
+
+M_H264_SQL = """
+SELECT vec_id AS media_id,
+       'video' AS kind,
+       CAST(18 + (vec_id % 24) * 2 AS INT) AS width,
+       CAST(12 + (vec_id % 17) * 2 AS INT) AS height
+FROM embeddings
+"""

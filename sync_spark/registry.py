@@ -212,6 +212,7 @@ def _populate() -> None:
     register("m_media_resample", mq.m_media_resample, mq.M_RESAMPLE_SQL)
     register("m_frame_sample", mq.m_frame_sample, mq.M_FRAME_SAMPLE_SQL)
     register("m_media_mp3", mq.m_media_mp3, mq.M_MP3_SQL)
+    register("m_media_h264", mq.m_media_h264, mq.M_H264_SQL)
     register("q14_promo_revenue", th.q14_promo_revenue, th.Q14_SQL)
 
     from sync_spark.operators import sketch_queries as sk

@@ -105,9 +105,10 @@ def test_decode_payload_wiring():
     assert _decode_payload(p) == (None, None, 25 * 1152 * 1000 // 32000)
     # corrupt MPEG stream → NULL row, not a dead batch
     assert _decode_payload(b"\xff\xfb" + bytes(64)) == (None, None, None)
-    # H.264 stays behind the boundary
+    # container demux stays behind the boundary (H.264 metadata is
+    # real as of r11 — see test_h264.py)
     with pytest.raises(NotImplementedError):
-        _decode_payload(b"\x00\x00\x00\x01\x67" + bytes(32))
+        _decode_payload(b"\x1a\x45\xdf\xa3" + bytes(32))
 
 
 def test_m_media_mp3_vs_oracle(spark):

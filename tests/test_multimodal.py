@@ -51,8 +51,14 @@ def test_real_codec_is_stubbed():
 
     w, h, dur = _decode_payload(mp3_payload(1, n_frames=10))
     assert (w, h) == (None, None) and dur == 10 * 1152 * 1000 // 44100
+    # r11: H.264 metadata is real (SPS walk); a malformed NAL stream
+    # is a NULL row, a valid one yields the cropped dims
+    assert _decode_payload(b"\x00\x00\x00\x01\x65" + b"\x88" * 32) == (None, None, None)
+    from sync_spark.functions.h264 import h264_payload
+
+    assert _decode_payload(h264_payload(1, width=30, height=18)) == (30, 18, None)
     with pytest.raises(NotImplementedError, match="codec"):
-        _decode_payload(b"\x00\x00\x00\x01\x67" + b"\x00" * 32)  # H.264 NAL
+        _decode_payload(b"\x1a\x45\xdf\xa3" + b"\x00" * 32)  # Matroska/EBML
 
 
 def test_features_deterministic_and_shaped(spark):
@@ -164,9 +170,9 @@ def test_compressed_format_still_raises(spark):
     from sync_spark.functions import multimodal as M
     import pytest as _pt
 
-    h264_ish = b"\x00\x00\x00\x01\x67" + b"\x00" * 32
+    mkv_ish = b"\x1a\x45\xdf\xa3" + b"\x00" * 32
     with _pt.raises(NotImplementedError):
-        M._decode_payload(h264_ish)
+        M._decode_payload(mkv_ish)
 
 
 def test_corrupt_media_yields_null_rows_not_dead_batches(spark):
