@@ -718,9 +718,21 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     region AMERICA... the fixture has generic regions, so the market
     is region of the CUSTOMER's nation = the region containing
     NATION_3. Share = decimal-sum(case)/decimal-sum — both sums exact,
-    one final double division (identical IEEE op in both engines)."""
+    one final double division (identical IEEE op in both engines).
+
+    Shape (r11): market membership gates ORDERS, not output columns —
+    the customer⋈market semi reduces orders to the market slice (20%)
+    BEFORE the lineitem join, a semi-join pushdown the no-CBO
+    Catalyst cannot derive from the post-join filter. The fact path
+    then joins one pre-reduced orders build instead of full orders +
+    customer + a late semi (interleaved sf1 A/B: 1.69s → 1.15s calm
+    median; scripts/ab_midtail.py). At 100 TB the same shape holds:
+    every reduction happens before the big-table join, and AQE still
+    owns the join strategy for the SF-scaling relations (no hard
+    broadcast hints — r9 family rule; the same rewrite measured 2×
+    WORSE on q7, where the unreduced plan is already a single-scan
+    all-broadcast pipeline, so it is applied only where measured)."""
     li = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = _t(spark, sf_dir, "nation")
@@ -735,6 +747,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("cn.n_regionkey") == F.col("target_region"),
     ).select(F.col("cn.n_nationkey").alias("mkt_nk"))
+    mkt_c = c.join(F.broadcast(cn), c.c_nationkey == F.col("mkt_nk"), "left_semi")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(mkt_c, F.col("o_custkey") == mkt_c.c_custkey, "left_semi")
+    )
     sn = n.select(
         F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
     )
@@ -742,8 +760,6 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(cn), c.c_nationkey == F.col("mkt_nk"), "left_semi")
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
     )
