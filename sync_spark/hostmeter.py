@@ -78,13 +78,17 @@ def calm_median(runs: list[tuple[float, float]]) -> tuple[float, dict]:
     ``ambient`` (min steal seen) and ``contended`` when ambient never
     dropped below CONTENDED_STEAL — i.e. every draw happened under an
     elevated-steal episode and the number is weather-bounded."""
+    import statistics
+
     m = min(st for _, st in runs)
     calm = sorted(t for t, st in runs if st <= m + RELATIVE_CALM)
     info: dict = {"ambient": round(m, 3),
                   "max_steal": round(max(st for _, st in runs), 3)}
     if m >= CONTENDED_STEAL:
         info["contended"] = True
-    return calm[len(calm) // 2], info
+    # true median: an even calm count must not take the upper-middle
+    # (that biased x_range_join 0.40 -> 0.56 in a discarded draw)
+    return float(statistics.median(calm)), info
 
 
 def need_more_runs(runs: list[tuple[float, float]], target: int = 3,
