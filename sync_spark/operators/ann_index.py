@@ -129,6 +129,58 @@ def build_ann_index(
     return int(obs.get["n"])
 
 
+def ann_query_rows(queries: DataFrame, params: dict) -> list[tuple]:
+    """Hash a (small) query batch into the LSH row representation
+    entirely without a Python-worker job: ONE JVM-only collect of
+    (id, raw, qv, qn) — quantization and norm run as the shared
+    ``_quantize``/``_norm2`` Column expressions INSIDE the collect job,
+    so the int64 values are bit-identical to ``lsh_rows``'s — then the
+    per-table bucket bits via the same numpy matmul the lsh_rows
+    kernel runs (identical hyperplanes, identical float64 ops ⇒
+    identical sign bits; float32→float64 widening is exact on both
+    paths). Returns [(id, qv, qn, tbl, bucket), ...] — one row per
+    (vector, table), the ``lsh_rows`` grain.
+
+    Motivation (r11, guide §4): the previous per-call
+    ``lsh_rows(queries).collect()`` spun a pandas_udf worker batch +
+    posexplode for ≤ a few dozen rows — the Python boundary cost more
+    than the matmul. Serving calls are per-query-batch, so this is on
+    the latency path."""
+    import numpy as np
+
+    from sync_spark.operators.similarity import _norm2, _quantize, hyperplanes
+
+    n_planes, n_tables = params["n_planes"], params["n_tables"]
+    rows = (
+        queries.filter(F.col(params["vec_col"]).isNotNull())
+        .select(
+            F.col(params["id_col"]).alias("qid"),
+            F.col(params["vec_col"]).alias("raw"),
+        )
+        .withColumn("qv", _quantize(F.col("raw")))
+        .withColumn("qn", _norm2(F.col("qv")))
+        .collect()
+    )
+    if not rows:
+        return []
+    plane_sets = [
+        hyperplanes(params["dim"], n_planes, params["seed"] + 7919 * t)
+        for t in range(n_tables)
+    ]
+    planes = np.asarray(
+        [p for table in plane_sets for p in table], dtype=np.float64
+    )
+    weights = 1 << np.arange(n_planes)
+    x = np.asarray([list(r["raw"]) for r in rows], dtype=np.float64)
+    bits = (x @ planes.T) > 0
+    ids = bits.reshape(len(x), n_tables, n_planes) @ weights
+    return [
+        (int(r["qid"]), list(r["qv"]), int(r["qn"]), t, int(ids[i, t]))
+        for i, r in enumerate(rows)
+        for t in range(n_tables)
+    ]
+
+
 def ann_index_topk(
     spark: SparkSession,
     path: str,

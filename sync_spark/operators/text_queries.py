@@ -2030,13 +2030,23 @@ def t_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     call in per-transformation analysis — the d_source_overlap /
     simhash lesson applied here); the BROADCAST hint on the L-row
     allocation table replaces the F.broadcast wrapper (plan-guarded
-    by test_unimax_alloc_table_broadcasts)."""
+    by test_unimax_alloc_table_broadcasts).
+
+    r11 (guide §1.2 per-task work): n_tok is the ONLY thing this query
+    needs from the text, and the docs CTE is consumed twice (avail
+    aggregate + ranked join — ReuseExchange can't merge them, they
+    prune different columns), so both corpus passes paid a full
+    split() array materialization just to take its size.
+    regexp_count(trim, '\\s+') + 1 counts the same separator runs with
+    the same Java regex and allocates nothing — identical n_tok for
+    every non-empty trimmed string (no leading/trailing runs after
+    trim), empty handled by the same CASE arm. Oracle untouched."""
     _t(spark, sf_dir, "documents").createOrReplaceTempView("__um_documents")
     return spark.sql(f"""
 WITH docs AS (
   SELECT doc_id, lang,
          CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
-              ELSE CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) END AS n_tok
+              ELSE CAST(regexp_count(trim(text), '\\\\s+') + 1 AS BIGINT) END AS n_tok
   FROM __um_documents
 ), avail AS (
   SELECT lang, SUM(n_tok) AS avail FROM docs GROUP BY lang

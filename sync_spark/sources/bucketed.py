@@ -254,6 +254,48 @@ def read_target(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# r11 (guide §6 file listing / §1 serving floor): DataFrameReader
+# .parquet() re-lists the store's partition tree on EVERY construction
+# — on the serving paths (lookup_keys per query batch, ANN/posting
+# bucket reads) that driver-side listing measured 0.2-0.5s per call
+# against a 32-bucket store, dwarfing the pruned read itself. The LAZY
+# base frame (no filters applied) is memoized per (application, path,
+# schema, store mtime): every store mutation goes through _swap_dir's
+# directory rename inside ``path``, which moves path's mtime_ns, so
+# extend/remove/rebuild invalidates the entry by key. Results are
+# never cached — the memoized object is an unexecuted plan whose every
+# action re-reads the files it listed.
+_base_frame_memo: dict = {}
+
+
+def _base_frame(spark: SparkSession, path: str, schema: T.StructType | None) -> DataFrame:
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = None  # let reader.parquet raise its standard error
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(path),
+        schema.simpleString() if schema is not None else None,
+        mtime,
+    )
+    if mtime is not None:
+        hit = _base_frame_memo.get(key)
+        if hit is not None:
+            return hit
+    reader = spark.read.option("basePath", path)
+    if schema is not None:
+        reader = reader.schema(
+            T.StructType(list(schema.fields) + [T.StructField(BUCKET_COL, T.IntegerType())])
+        )
+    df = reader.parquet(path)
+    if mtime is not None:
+        if len(_base_frame_memo) > 64:
+            _base_frame_memo.clear()
+        _base_frame_memo[key] = df
+    return df
+
+
 def read_buckets(
     spark: SparkSession,
     path: str,
@@ -271,12 +313,7 @@ def read_buckets(
     files missing a column yield NULLs, by name. Without it the
     first-footer schema wins (pre-evolution behavior)."""
     recover_interrupted_swaps(path)
-    reader = spark.read.option("basePath", path)
-    if schema is not None:
-        reader = reader.schema(
-            T.StructType(list(schema.fields) + [T.StructField(BUCKET_COL, T.IntegerType())])
-        )
-    df = reader.parquet(path)
+    df = _base_frame(spark, path, schema)
     return df.filter(F.col(BUCKET_COL).isin(list(buckets))).drop(BUCKET_COL)
 
 
