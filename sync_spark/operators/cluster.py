@@ -161,8 +161,23 @@ def _driver_union_find(nodes: DataFrame, edge_rows: list, id_col: str) -> DataFr
     mapping = [(n, find(n)) for n in parent]
     spark = nodes.sparkSession
     id_field = nodes.select(id_col).schema.fields[0]
-    if mapping:
-        schema = f"{id_col} {id_field.dataType.simpleString()}, cluster_id {id_field.dataType.simpleString()}"
+    id_type = id_field.dataType.simpleString()
+    if mapping and id_type in ("bigint", "int", "smallint", "tinyint") and len(mapping) <= 50_000:
+        # r11 (guide §4 — the Python boundary): createDataFrame(list)
+        # parallelizes a PICKLED RDD, so every downstream action of the
+        # assembly re-ran 32 Python-worker tasks just to deserialize a
+        # few hundred labels. A VALUES literal plans as a JVM
+        # LocalRelation: the broadcast build is driver-side, no Python
+        # workers, no scan tasks. Bounded: integer ids only and
+        # ≤ 50k pairs of SQL text (the small regime is already capped
+        # by driver_threshold edges).
+        vals = ", ".join(f"({a},{b})" for a, b in mapping)
+        touched = spark.sql(
+            f"SELECT CAST(col1 AS {id_type}) AS {id_col}, "
+            f"CAST(col2 AS {id_type}) AS cluster_id FROM VALUES {vals}"
+        )
+    elif mapping:
+        schema = f"{id_col} {id_type}, cluster_id {id_type}"
         # NOTE: no coalesce(1) here — a no-shuffle coalesce on the
         # parallelized mapping measured 10s where the plain 32-slice
         # frame takes 1s (single task dragging every pickled slice

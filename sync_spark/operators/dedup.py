@@ -193,10 +193,29 @@ def ngram_jaccard_pairs(
     prefix = docs.select(
         "doc_id",
         "n_sh",
-        # sh is persisted pre-sorted (see _doc_shingles)
-        F.explode(F.slice("sh", 1, F.greatest(prefix_len, F.lit(1)))).alias("shingle"),
+        # sh is persisted pre-sorted (see _doc_shingles); pos is
+        # 0-based within the full sorted array (a prefix slice starts
+        # at element 1)
+        F.posexplode(F.slice("sh", 1, F.greatest(prefix_len, F.lit(1)))).alias(
+            "pos", "shingle"
+        ),
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # r11 (guide §3 — reduce the join input before the expensive
+    # stage): complete the PPJoin pruning with the positional suffix
+    # bound. The candidate aggregate (same shuffle the old .distinct()
+    # paid) counts the matched prefix shingles per pair and keeps the
+    # positions of the LARGEST matched shingle (sorted arrays: the max
+    # shingle attains max pos on both sides simultaneously). With all
+    # sets sorted in one global order, every common element ≤ that
+    # shingle must itself be a prefix∩prefix match (it sorts before a
+    # prefix member on both sides, hence sits in both prefixes), so
+    #   |A∩B| ≤ cnt + min(n_a − Pa − 1, n_b − Pb − 1).
+    # J ≥ t needs |A∩B| ≥ t·(n_a+n_b)/(1+t); pairs whose bound can't
+    # reach that are dropped EXACTLY — the epsilon keeps borderline
+    # pairs, which tier-1/tier-2 verification then decides. sf0.1:
+    # 80381 candidate pairs → ~1.3k enter verification; verification
+    # cost ∝ candidates.
     candidates = (
         a.join(
             b,
@@ -206,8 +225,30 @@ def ngram_jaccard_pairs(
             & (F.col("a.n_sh").cast("double") >= F.lit(threshold) * F.col("b.n_sh"))
             & (F.col("b.n_sh").cast("double") >= F.lit(threshold) * F.col("a.n_sh")),
         )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("a.n_sh").alias("bn_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("b.n_sh").alias("bn_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.max(F.col("a.pos")).alias("pa"),
+            F.max(F.col("b.pos")).alias("pb"),
+        )
+        .filter(
+            (
+                F.col("cnt")
+                + F.least(
+                    F.col("bn_a") - F.col("pa") - 1, F.col("bn_b") - F.col("pb") - 1
+                )
+            ).cast("double")
+            >= F.lit(threshold)
+            * (F.col("bn_a") + F.col("bn_b")).cast("double")
+            / F.lit(1.0 + threshold)
+            - F.lit(1e-9)
+        )
+        .select("id_a", "id_b")
     )
     # verification in two tiers (r7): string array_intersect runs
     # interpreted with per-call set building and string boxing — at
