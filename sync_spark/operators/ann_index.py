@@ -46,7 +46,6 @@ import pyspark.sql.types as T
 
 from sync_spark.operators.similarity import _scored_topk, lsh_rows
 from sync_spark.sources.bucketed import (
-    bucket_expr,
     read_buckets,
     read_meta,
     update_touched_buckets,
@@ -204,37 +203,34 @@ def ann_index_topk(
     doesn't already do.) A query workload touches colliding buckets,
     never the corpus: ~n_tables/2^n_planes of the index per query, and
     none of the quantize/matmul prep the scan form repays per batch."""
+    from sync_spark.operators.localrel import arrow_local_frame
+    from sync_spark.sources.bucketed import _literal_bucket_ids
+
     params = read_params(path)
     meta = read_meta(path)
-    # hash the query batch ONCE and land it driver-side: it is the
-    # small side by assumption (the scoring tail broadcasts it
-    # regardless), and the literal rows both (a) yield the driver-side
-    # store-bucket ids for partition pruning and (b) become a local
-    # relation in the join — no second matmul job, no cache-lifetime
-    # management
-    q_rows = lsh_rows(
-        queries, "query_id", "qv", "qn",
-        n_planes=params["n_planes"], n_tables=params["n_tables"],
-        id_col=params["id_col"], vec_col=params["vec_col"],
-        dim=params["dim"], seed=params["seed"],
-    ).collect()
-    keys = sorted({(int(r["tbl"]), int(r["bucket"])) for r in q_rows})
-    q = spark.createDataFrame(
-        q_rows, "query_id long, qv array<bigint>, qn bigint, tbl int, bucket int"
+    # hash the query batch ONCE, driver-side (r11: ann_query_rows —
+    # one JVM-only collect + driver numpy, no Python-worker job): the
+    # batch is the small side by assumption (the scoring tail
+    # broadcasts it regardless), and the literal rows both (a) yield
+    # the driver-side store-bucket ids for partition pruning and
+    # (b) become an Arrow-backed local relation in the join — no
+    # second matmul job, no pickled-RDD Python tasks, no
+    # cache-lifetime management
+    q_rows = ann_query_rows(queries, params)
+    q = arrow_local_frame(
+        spark, q_rows, "query_id long, qv array<bigint>, qn bigint, tbl int, bucket int"
     )
-    if not keys:
+    if not q_rows:
         kv_empty = spark.createDataFrame([], _INDEX_SCHEMA)
         return _scored_topk(
             kv_empty.select("neighbor_id", "cv", "cn", "tbl", "bucket"),
             q, k, on=["tbl", "bucket"], dedup=True,
         )
-    kv = spark.createDataFrame(keys, "tbl int, bucket int")
-    buckets = [
-        int(r.b)
-        for r in kv.select(
-            bucket_expr(["tbl", "bucket"], meta["n_buckets"]).alias("b")
-        ).distinct().collect()
-    ]
+    keys = sorted({(r[3], r[4]) for r in q_rows})
+    buckets = _literal_bucket_ids(
+        spark, ["tbl", "bucket"], meta["n_buckets"],
+        {"tbl": "int", "bucket": "int"}, keys,
+    )
     cand = read_buckets(
         spark, path, buckets,
         schema=T._parse_datatype_string(_INDEX_SCHEMA),

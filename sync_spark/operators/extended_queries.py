@@ -607,29 +607,32 @@ def a_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix — the product-analytics staple the
     monitoring surface grows into: users cohorted by first-active
     week, then distinct active users per (cohort_week, week_offset).
-    Two aggregations + one join, all partial-aggregated. The cohort
-    table is user-grain — NOT broadcastable at 100 TB — so no
-    broadcast hint: both sides already hash-partition on user_id from
-    their aggregations, and AQE picks broadcast only when the
-    measured size allows it."""
-    ev = _t(spark, sf_dir, "events")
-    week = F.date_trunc("week", F.col("ts")).cast("date")
-    activity = ev.select("user_id", week.alias("week")).distinct()
-    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    joined = activity.join(cohorts, "user_id")
-    return (
-        joined.groupBy(
-            "cohort_week",
-            (F.datediff("week", "cohort_week") / 7).cast("long").alias("week_offset"),
-        )
-        .agg(F.countDistinct("user_id").alias("n_users"))
-        .select(
-            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
-            "week_offset",
-            "n_users",
-        )
-        .orderBy("cohort_week", "week_offset")
-    )
+    Shape (r11, guide §2.4): the r5 form consumed the distinct
+    activity table twice (cohort aggregate + join), so the events
+    scan and the (user_id, week) dedup both ran twice and the cohort
+    attach was a user-grain join. cohort_week is just
+    MIN(week) OVER (PARTITION BY user_id) on the SAME activity rows —
+    one scan, the distinct keeps its map-side partial dedup, and the
+    join is gone. The user-grain window partitioning is the key the
+    join would have shuffled on anyway; no broadcast hints (cohort
+    data is user-grain, never broadcastable at 100 TB)."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("__ret_events")
+    return spark.sql("""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM __ret_events
+), c AS (
+  SELECT user_id, week,
+         MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM act
+)
+SELECT date_format(cohort_week, 'yyyy-MM-dd') AS cohort_week,
+       CAST(datediff(week, cohort_week) / 7 AS BIGINT) AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM c
+GROUP BY c.cohort_week, CAST(datediff(week, cohort_week) / 7 AS BIGINT)
+ORDER BY cohort_week, week_offset
+""")
 
 
 A_RETENTION_SQL = """
@@ -650,28 +653,46 @@ ORDER BY cohort_week, week_offset
 def a_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis (view → click → purchase, each step
     strictly AFTER the previous step's first completion): distinct
-    users completing each prefix. Sequential-dependency aggregation
-    as three chained min-aggregate + join stages — every shuffle is
-    on user_id, so the per-step frames stay co-partitioned. The
-    per-step frames are user-grain — NOT broadcastable at 100 TB —
-    so no forced broadcast hint; AQE downgrades to broadcast at small
-    scale on its own measured sizes."""
-    ev = _t(spark, sf_dir, "events")
+    users completing each prefix.
 
-    def first_after(event_type: str, prev: Optional[DataFrame], prev_col: str, out: str):
-        e = ev.filter(F.col("event_type") == event_type).select("user_id", "ts")
-        if prev is not None:
-            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_col))
-        return e.groupBy("user_id").agg(F.min("ts").alias(out))
-
-    v = first_after("view", None, "", "t1")
-    c = first_after("click", v, "t1", "t2")
-    p = first_after("purchase", c, "t2", "t3")
-    return (
-        v.agg(F.count(F.lit(1)).alias("step1_users"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("step2_users")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("step3_users")))
-    )
+    Shape (r11, guide §2.4): three LAYERED unbounded windows over ONE
+    user_id partitioning — t1 = min view ts, t2 = min click ts > t1,
+    t3 = min purchase ts > t2 — then a same-partitioning per-user
+    collapse and one global count. The r4 chained join-aggregate form
+    inlined each step's subtree into every later step (v evaluated
+    4×, c 2×: 7 event scans, 6 exchanges, 10 broadcasts at bench
+    scale); this is one scan and one real exchange, identical counts
+    (a user with no view has NULL t1, so the t2 CASE never fires —
+    exactly the inner join's drop). At 100 TB the window ships the
+    same (user_id, type, ts) rows the step joins already shuffled,
+    on the same key."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("__funnel_events")
+    return spark.sql("""
+WITH w AS (
+  SELECT user_id, event_type, ts FROM __funnel_events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), a AS (
+  SELECT user_id, event_type, ts,
+         MIN(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM w
+), b AS (
+  SELECT user_id, event_type, ts, t1,
+         MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM a
+), c AS (
+  SELECT user_id, t1, t2,
+         MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM b
+), u AS (
+  SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+  FROM c GROUP BY user_id
+)
+SELECT COUNT(t1) AS step1_users, COUNT(t2) AS step2_users, COUNT(t3) AS step3_users
+FROM u
+""")
 
 
 A_FUNNEL_SQL = """

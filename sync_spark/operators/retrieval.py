@@ -929,7 +929,9 @@ def hybrid_index_topk(
     meta = read_meta(ann_path)
     q_rows = ai.ann_query_rows(query_vectors, params)
     aq_schema = "query_id long, qv array<bigint>, qn bigint, tbl int, bucket int"
-    aq = spark.createDataFrame(q_rows, aq_schema)
+    from sync_spark.operators.localrel import arrow_local_frame
+
+    aq = arrow_local_frame(spark, q_rows, aq_schema)
     if q_rows:
         keys = sorted({(r[3], r[4]) for r in q_rows})
         buckets = _literal_bucket_ids(

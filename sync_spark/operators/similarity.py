@@ -236,11 +236,15 @@ def margin_mine(
     emitted-cosine contract) and the margin math is unchanged."""
     fwd = cosine_topk_kernel(queries, side_b, k=k, id_col=id_col, vec_col=vec_col)
     e6 = F.round(F.col("cosine") * 1000000).cast("long")
-    # materialize the |queries|·k-row forward result ONCE: the
-    # candidate set, the forward means, and the final join all read
-    # it, and without the cut each consumer re-derives the full
-    # kernel scan. KB-sized by construction — the
+    # materialize the (expensive) pair lineage exactly ONCE, fully in
+    # parallel: the candidate set, the forward means, and the final
+    # join all read it, and without the cut each consumer re-derives
+    # the full kernel scan. KB-sized by construction — the
     # bounded-materialization discipline, not a corpus persist.
+    # (r11 A/B: a collected Arrow local relation + isin-literal
+    # candidate pushdown measured ~1s SLOWER at sf0.1 — the 800-term
+    # In literal costs more to plan/evaluate than the broadcast
+    # semi-join it replaced; rejected, checkpoint form kept.)
     fwd_e = fwd.select("query_id", "neighbor_id", e6.alias("cos_e6")).localCheckpoint(
         eager=True
     )
@@ -373,33 +377,29 @@ def ivf_topk(
     cent = np.asarray(centroids, dtype=np.float64)  # (n_lists, dim)
     cent_sq = (cent * cent).sum(axis=1)  # ‖c‖² per centroid
 
-    def _cells_batch(embs: pd.Series, n: int) -> pd.Series:
-        x = np.asarray(list(embs), dtype=np.float64)  # (batch, dim)
+    def _cells_np(x: "np.ndarray", n: int) -> "np.ndarray":
+        """ONE definition of the cell ranking for both venues (the
+        corpus pandas_udf and the driver-side query prep) so the
+        argpartition/argsort tie behavior cannot drift."""
         # rank by ‖x-c‖² = ‖x‖² - 2x·c + ‖c‖² (‖x‖² constant per row)
         d = cent_sq[None, :] - 2.0 * (x @ cent.T)
         if n == 1:
-            order = np.argmin(d, axis=1).astype(np.int32)[:, None]
-        else:
-            # partial selection, then order the selected n (cheaper
-            # than a full sort when n_lists is large)
-            top = np.argpartition(d, n - 1, axis=1)[:, :n]
-            row_d = np.take_along_axis(d, top, axis=1)
-            order = np.take_along_axis(top, np.argsort(row_d, axis=1), axis=1).astype(np.int32)
-        return pd.Series(list(order))
+            return np.argmin(d, axis=1).astype(np.int32)[:, None]
+        # partial selection, then order the selected n (cheaper
+        # than a full sort when n_lists is large)
+        top = np.argpartition(d, n - 1, axis=1)[:, :n]
+        row_d = np.take_along_axis(d, top, axis=1)
+        return np.take_along_axis(top, np.argsort(row_d, axis=1), axis=1).astype(np.int32)
 
     @pandas_udf("int")
     def nearest_cell_udf(embs: pd.Series) -> pd.Series:
-        return _cells_batch(embs, 1).map(lambda a: int(a[0]))
+        x = np.asarray(list(embs), dtype=np.float64)
+        return pd.Series(_cells_np(x, 1)[:, 0])
 
-    @pandas_udf("array<int>")
-    def probe_cells_udf(embs: pd.Series) -> pd.Series:
-        return _cells_batch(embs, n_probe).map(list)
-
-    # deterministic kernels; the flag stops CollapseProject from
+    # deterministic kernel; the flag stops CollapseProject from
     # substituting the udf into the explode projection and running
     # the distance matmul twice per row (see bucket_ids_udf)
     nearest_cell_udf = nearest_cell_udf.asNondeterministic()
-    probe_cells_udf = probe_cells_udf.asNondeterministic()
 
     # NULL embeddings are dropped up front (the numpy kernel would
     # crash on a None element; the old Column path silently dropped
@@ -412,13 +412,34 @@ def ivf_topk(
         .withColumn("cn", _norm2(F.col("cv")))
         .drop("craw")
     )
-    q = (
+    # r11 (guide §4): the query batch is bounded — quantize it inside
+    # ONE JVM-only collect (same _quantize/_norm2 Columns), rank its
+    # probe cells with the shared numpy kernel driver-side, and plan
+    # the exploded rows as an Arrow-backed local relation. The old
+    # chain paid a Python-worker dispatch (probe_cells_udf) per call
+    # for a handful of rows; the corpus side keeps the distributed
+    # kernel — that is the side that scales.
+    from sync_spark.operators.localrel import arrow_local_frame
+
+    rows = (
         queries.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qraw"))
-        .withColumn("cell", F.explode(probe_cells_udf(F.col("qraw"))))
-        .withColumn("qv", _quantize(F.col("qraw")))
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("raw"))
+        .withColumn("qv", _quantize(F.col("raw")))
         .withColumn("qn", _norm2(F.col("qv")))
-        .drop("qraw")
+        .collect()
+    )
+    q_rows = []
+    if rows:
+        x = np.asarray([list(r["raw"]) for r in rows], dtype=np.float64)
+        cells = _cells_np(x, n_probe)
+        q_rows = [
+            (int(r["qid"]), int(cell), list(r["qv"]), int(r["qn"]))
+            for r, row_cells in zip(rows, cells)
+            for cell in row_cells
+        ]
+    q = arrow_local_frame(
+        corpus.sparkSession, q_rows,
+        "query_id long, cell int, qv array<bigint>, qn bigint",
     )
     return _scored_topk(c, q, k, on="cell")
 
@@ -498,28 +519,10 @@ def ivfpq_topk(
             {"cell": cells.astype("int32"), "codes": list(codes), "rnorm": rnorm}
         )
 
-    @pandas_udf("array<array<double>>")
-    def adc_udf(embs: pd.Series) -> pd.Series:
-        x = np.asarray(list(embs), dtype=np.float64)
-        tables = [x[:, bounds[j] : bounds[j + 1]] @ books[j].T for j in range(m)]
-        return pd.Series(
-            [[list(tables[j][i]) for j in range(m)] for i in range(len(x))]
-        )
-
-    @pandas_udf("array<int>")
-    def probe_cells_udf(embs: pd.Series) -> pd.Series:
-        x = np.asarray(list(embs), dtype=np.float64)
-        d = coarse_sq[None, :] - 2.0 * (x @ coarse.T)
-        n = min(n_probe, len(coarse))
-        top = np.argpartition(d, n - 1, axis=1)[:, :n]
-        return pd.Series([list(map(int, row)) for row in top])
-
-    # deterministic kernels; the flag stops CollapseProject from
+    # deterministic kernel; the flag stops CollapseProject from
     # inlining the udf into downstream projections and running the
     # matmul once per consuming expression (see nearest_cell_udf)
     encode_udf = encode_udf.asNondeterministic()
-    adc_udf = adc_udf.asNondeterministic()
-    probe_cells_udf = probe_cells_udf.asNondeterministic()
 
     c = (
         corpus.filter(F.col(vec_col).isNotNull())
@@ -532,12 +535,34 @@ def ivfpq_topk(
             F.col("enc.rnorm").alias("rnorm"),
         )
     )
-    q = (
+    # r11 (guide §4): ADC tables and probe cells for the bounded query
+    # batch are driver-side numpy over ONE plain collect (identical
+    # float64 matmuls the former adc_udf/probe_cells_udf ran in a
+    # Python worker), planned as an Arrow-backed local relation — two
+    # Python-worker dispatches gone from every serving call; the
+    # corpus-side encode keeps the distributed kernel.
+    from sync_spark.operators.localrel import arrow_local_frame
+
+    rows = (
         queries.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qraw"))
-        .withColumn("adc", adc_udf(F.col("qraw")))
-        .withColumn("cell", F.explode(probe_cells_udf(F.col("qraw"))))
-        .drop("qraw")
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("raw"))
+        .collect()
+    )
+    q_rows = []
+    if rows:
+        x = np.asarray([list(r["raw"]) for r in rows], dtype=np.float64)
+        tables = [x[:, bounds[j] : bounds[j + 1]] @ books[j].T for j in range(m)]
+        d = coarse_sq[None, :] - 2.0 * (x @ coarse.T)
+        n = min(n_probe, len(coarse))
+        top = np.argpartition(d, n - 1, axis=1)[:, :n]
+        q_rows = [
+            (int(r["qid"]), [list(tables[j][i]) for j in range(m)], int(cell))
+            for i, r in enumerate(rows)
+            for cell in top[i]
+        ]
+    q = arrow_local_frame(
+        corpus.sparkSession, q_rows,
+        "query_id long, adc array<array<double>>, cell int",
     )
     approx = (
         c.join(F.broadcast(q), "cell")
@@ -870,7 +895,21 @@ def ann_lsh_topk(
         n_planes=n_planes, n_tables=n_tables, id_col=id_col,
         vec_col=vec_col, dim=dim, seed=seed,
     )
-    q = lsh_rows(queries, "query_id", "qv", "qn", **opts)
+    # r11 (guide §4): the QUERY side is a bounded batch — hash it
+    # driver-side (ann_index.ann_query_rows: one JVM-only collect +
+    # driver numpy, bit-identical to the lsh_rows kernel) and plan it
+    # as an Arrow-backed local relation; the old per-call
+    # lsh_rows(queries) pandas_udf pass paid a Python-worker dispatch
+    # for a few dozen rows. The corpus side keeps the distributed
+    # kernel — that is the side that scales.
+    from sync_spark.operators.ann_index import ann_query_rows
+    from sync_spark.operators.localrel import arrow_local_frame
+
+    q_rows = ann_query_rows(queries, dict(opts))
+    q = arrow_local_frame(
+        queries.sparkSession, q_rows,
+        "query_id long, qv array<bigint>, qn bigint, tbl int, bucket int",
+    )
     c = lsh_rows(corpus, "neighbor_id", "cv", "cn", **opts)
     return _scored_topk(c, q, k, on=["tbl", "bucket"], dedup=True)
 
