@@ -111,14 +111,20 @@ def gram_array(toks: Column, k: int) -> Column:
     )
 
 
-def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int,
+    spread_width: int | None = None,
+) -> DataFrame:
     """Two-step shingling: materialize the token array as a column
     FIRST, then build n-grams with element_at (gram_array). Higher-
     order lambdas run interpreted (no codegen), so an un-materialized
     split() child would be re-evaluated per element — measured 13×
-    slower."""
+    slower. ``spread_width`` (r11): callers over testdata-layout
+    tables pass kernel_spread_width_from_files so construction skips
+    the optimizer-stats + .rdd plan probes (~0.2s/call)."""
     toks = spread_for_kernel(
-        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks"))
+        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")),
+        width=spread_width,
     )
     gram = gram_array(F.col("toks"), n)
     # the ONE persisted shingle column is stored SORTED: the jaccard
@@ -135,7 +141,10 @@ def _doc_shingles(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFram
 _live_shingle_cache: list[DataFrame] = []
 
 
-def _doc_shingles_cached(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _doc_shingles_cached(
+    df: DataFrame, text_col: str, id_col: str, n: int,
+    spread_width: int | None = None,
+) -> DataFrame:
     """Persisted shingle table with derived size column.
 
     ORDER MATTERS: persist BEFORE attaching size(sh)/filters. Catalyst
@@ -157,7 +166,9 @@ def _doc_shingles_cached(df: DataFrame, text_col: str, id_col: str, n: int) -> D
             _live_shingle_cache.pop().unpersist()
         except Exception:
             pass  # session already stopped
-    base = _doc_shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    base = _doc_shingles(df, text_col, id_col, n, spread_width).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     _live_shingle_cache.append(base)
     return base.withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
 
@@ -168,10 +179,86 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    spread_width: int | None = None,
+) -> DataFrame:
+    """PPJoin pairs through ONE spark.sql analysis pass (r11, guide
+    §4/§1.4 — query-construction latency is pure Python/py4j
+    overhead): the persisted shingle table registers as a temp view
+    and the whole downstream (prefix index, candidate aggregate,
+    two-tier verification) runs as one SQL statement
+    (``ngram_jaccard_pairs_sql``), replacing the ~40-call Column
+    chain that cost ~0.3s of construction per call at bench scale.
+    Algorithm documentation and the agreement-pinned reference chain
+    live in ``ngram_jaccard_pairs_frames``. ``spread_width``: see
+    _doc_shingles — pass the file-stat width so the shingle build
+    skips its plan probes; callers sharing one bench session should
+    pass the SAME value so the shingle cache stays plan-equal."""
+    docs = _doc_shingles_cached(df, text_col, id_col, n, spread_width)
+    docs.createOrReplaceTempView("__njp_docs")
+    return df.sparkSession.sql(ngram_jaccard_pairs_sql("__njp_docs", threshold))
+
+
+def ngram_jaccard_pairs_sql(docs_view: str, threshold: float = 0.8) -> str:
+    """SQL-text twin of ``ngram_jaccard_pairs_frames``' downstream
+    over a (doc_id, sh SORTED, n_sh) shingle view — identical prefix
+    slice, size-ratio + positional-suffix pruning, and two-tier
+    (hashed-long, then exact-string) verification; agreement is
+    pytest-pinned and must stay in lockstep with the frames form."""
+    t = f"{threshold!r}D"
+    t1 = f"{(1.0 + threshold)!r}D"
+    return f"""
+WITH __nj_prefix AS (
+  SELECT doc_id, n_sh, pos, shingle
+  FROM {docs_view}
+  LATERAL VIEW posexplode(slice(sh, 1,
+      greatest(CAST(n_sh - ceil({t} * n_sh) + 1 AS INT), 1))) __njx AS pos, shingle
+), __nj_cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM __nj_prefix a JOIN __nj_prefix b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   AND CAST(a.n_sh AS DOUBLE) >= {t} * b.n_sh
+   AND CAST(b.n_sh AS DOUBLE) >= {t} * a.n_sh
+  GROUP BY a.doc_id, a.n_sh, b.doc_id, b.n_sh
+  HAVING CAST(COUNT(*) + least(a.n_sh - MAX(a.pos) - 1,
+                               b.n_sh - MAX(b.pos) - 1) AS DOUBLE)
+         >= {t} * CAST(a.n_sh + b.n_sh AS DOUBLE) / {t1} - 1e-9
+), __nj_va AS (
+  SELECT doc_id AS id_a, sh AS sh_a, n_sh AS n_a,
+         transform(sh, x -> xxhash64(x)) AS shh_a
+  FROM {docs_view}
+), __nj_vb AS (
+  SELECT doc_id AS id_b, sh AS sh_b, n_sh AS n_b,
+         transform(sh, x -> xxhash64(x)) AS shh_b
+  FROM {docs_view}
+), __nj_t1 AS (
+  SELECT id_a, id_b, n_a, n_b, sh_a, sh_b,
+         size(array_intersect(shh_a, shh_b)) AS ih
+  FROM __nj_cand JOIN __nj_va USING (id_a) JOIN __nj_vb USING (id_b)
+), __nj_t2 AS (
+  SELECT id_a, id_b, n_a, n_b, size(array_intersect(sh_a, sh_b)) AS inter
+  FROM __nj_t1
+  WHERE CAST(ih AS DOUBLE) / CAST(n_a + n_b - ih AS DOUBLE) >= {t}
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard
+  FROM __nj_t2
+) WHERE jaccard >= {t}
+"""
+
+
+def ngram_jaccard_pairs_frames(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
 ) -> DataFrame:
     """EXACT Jaccard ≥ threshold pairs — prefix-filtered inverted
     index (PPJoin-style; Xiao et al., "Efficient Similarity Joins for
-    Near Duplicate Detection", WWW'08 — public algorithm).
+    Near Duplicate Detection", WWW'08 — public algorithm). Reference
+    DataFrame form of ``ngram_jaccard_pairs`` (the hot path runs the
+    SQL twin); kept for the lockstep agreement test.
 
     Exactness argument: sort every shingle set in one global
     (lexicographic) order and index only its first
@@ -313,8 +400,93 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    spread_width: int | None = None,
+) -> DataFrame:
+    """MinHash-LSH pairs through ONE spark.sql analysis pass (r11,
+    guide §4/§1.4): the persisted shingle table registers as a temp
+    view and the signature aggregate, banding join and exact-Jaccard
+    verification run as one SQL statement (the 32 per-seed min-agg
+    Columns plus 8 band structs cost ~0.55s of py4j construction per
+    call at bench scale). Algorithm documentation and the
+    agreement-pinned reference chain live in
+    ``minhash_lsh_pairs_frames``. ``spread_width``: see
+    ngram_jaccard_pairs."""
+    assert num_hashes % bands == 0
+    docs = _doc_shingles_cached(df, text_col, id_col, n, spread_width)
+    docs.createOrReplaceTempView("__mhp_docs")
+    return df.sparkSession.sql(
+        minhash_lsh_pairs_sql("__mhp_docs", num_hashes, bands, threshold)
+    )
+
+
+def minhash_lsh_pairs_sql(
+    docs_view: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> str:
+    """SQL-text twin of ``minhash_lsh_pairs_frames``' downstream over
+    a (doc_id, sh, n_sh) shingle view — identical seeded-min
+    signatures, band hashing (xxhash64 over the r signature longs,
+    seed-order preserved), candidate distinct and exact-Jaccard
+    verification; agreement is pytest-pinned and must stay in
+    lockstep with the frames form."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    t = f"{threshold!r}D"
+    mins = ",\n         ".join(
+        f"min(xxhash64({i}, shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_structs = ",\n      ".join(
+        "struct({i} AS band, xxhash64({cols}) AS band_hash)".format(
+            i=i, cols=", ".join(f"h{i * r + j}" for j in range(r))
+        )
+        for i in range(bands)
+    )
+    return f"""
+WITH __mh_sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM (SELECT doc_id, shingle
+        FROM {docs_view} LATERAL VIEW explode(sh) __mhx AS shingle)
+  GROUP BY doc_id
+), __mh_band AS (
+  SELECT doc_id, b.band AS band, b.band_hash AS band_hash
+  FROM __mh_sig
+  LATERAL VIEW explode(array(
+      {band_structs})) __mhb AS b
+), __mh_cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM __mh_band a JOIN __mh_band b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+), __mh_va AS (
+  SELECT doc_id AS id_a, sh AS sh_a, n_sh AS n_a FROM {docs_view}
+), __mh_vb AS (
+  SELECT doc_id AS id_b, sh AS sh_b, n_sh AS n_b FROM {docs_view}
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard
+  FROM (
+    SELECT id_a, id_b, n_a, n_b, size(array_intersect(sh_a, sh_b)) AS inter
+    FROM __mh_cand JOIN __mh_va USING (id_a) JOIN __mh_vb USING (id_b)
+  )
+) WHERE jaccard >= {t}
+"""
+
+
+def minhash_lsh_pairs_frames(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
 ) -> DataFrame:
     """MinHash→LSH candidate generation + exact-Jaccard verification.
+    Reference DataFrame form of ``minhash_lsh_pairs`` (the hot path
+    runs the SQL twin); kept for the lockstep agreement test.
 
     Bands of r = num_hashes/bands rows; docs colliding in ≥1 band are
     candidates (P[collision] = 1-(1-s^r)^b). Verification recomputes
@@ -902,6 +1074,34 @@ def decontaminate_hits(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
+
+
+def decontaminate_hits_sql(
+    corpus_src: str,
+    bench_src: str,
+    k: int = 5,
+    window: int = 4,
+    prefix: str = "__dh",
+) -> str:
+    """CTE-text twin of ``decontaminate_hits`` (r11, guide §4 — the
+    two winnow Column chains plus their optimizer-stats/.rdd spread
+    probes cost ~0.6s of per-call construction at bench scale; the
+    SQL form is one analysis pass and the caller supplies a file-stat
+    REPARTITION hint instead). Emits ``winnow_sql_kernel`` CTEs for
+    both sides plus ``{prefix}hits`` (doc_id, n_hits BIGINT) counting
+    (fingerprint, benchmark-doc) collisions per corpus doc — join
+    multiplicities identical to the DataFrame form (per-doc fps are
+    already distinct from the kernel). Keep in lockstep with
+    decontaminate_hits (agreement-tested)."""
+    ck = winnow_sql_kernel("doc_id", "text", corpus_src, k=k, window=window,
+                           prefix=f"{prefix}c")
+    bk = winnow_sql_kernel("doc_id", "text", bench_src, k=k, window=window,
+                           prefix=f"{prefix}b")
+    return f"""{ck}, {bk}, {prefix}hits AS (
+  SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM {prefix}cfp c JOIN {prefix}bfp b ON c.fp = b.fp
+  GROUP BY c.doc_id
+)"""
 
 
 def span_dedup(

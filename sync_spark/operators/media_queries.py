@@ -67,6 +67,7 @@ def _spread_ids(
     sc = ids.sparkSession.sparkContext
     cap = sc.defaultParallelism
     width = cap
+    scan_splits = None
     if sf_dir is not None:
         try:
             import os
@@ -83,9 +84,34 @@ def _spread_ids(
                     if f.endswith(".parquet")
                 )
             width = min(cap, max(1, int(n * frac) // _MEDIA_ROWS_PER_TASK))
+            # r11 (guide §1/§4 — construction cost): the already-wide
+            # guard used ids.rdd.getNumPartitions(), a plan→RDD
+            # translation costing ~0.1s PER QUERY CONSTRUCTION across
+            # six media queries. Estimate the scan width from file
+            # bytes instead (the kernel_spread_width_from_files
+            # discipline): ceil(bytes/maxPartitionBytes) UNDERestimates
+            # splits (maxSplitBytes ≤ maxPartitionBytes), so the worst
+            # case is a redundant bare-long repartition — while at
+            # 100 TB thousands of estimated splits ≥ width (≤ cap)
+            # still make the spread a no-op, never a forced shuffle.
+            from sync_spark.operators.dedup import _parse_byte_size
+            from sync_spark.sources.readers import table_size_bytes
+
+            size = table_size_bytes(sf_dir, "embeddings")
+            if size is not None:
+                max_split = _parse_byte_size(
+                    ids.sparkSession.conf.get(
+                        "spark.sql.files.maxPartitionBytes", "134217728"
+                    )
+                )
+                scan_splits = max(1, (size + max_split - 1) // max_split)
         except Exception:
             width = cap  # unknown layout: prefer parallelism
-    if width <= 1 or ids.rdd.getNumPartitions() >= width:
+    if scan_splits is None:
+        # unknown layout: fall back to the plan probe rather than
+        # guessing (a wrong guess here could force a shuffle at scale)
+        scan_splits = ids.rdd.getNumPartitions()
+    if width <= 1 or scan_splits >= width:
         return ids
     return ids.repartition(width)
 

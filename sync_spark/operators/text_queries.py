@@ -149,7 +149,18 @@ def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     does the O(n²) cross join, Spark does the scalable plan; results
     must agree exactly."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8)
+    return dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.8,
+        spread_width=_doc_kernel_width(spark, sf_dir),
+    )
+
+
+def _doc_kernel_width(spark: SparkSession, sf_dir: str) -> int:
+    """The ONE spread width every documents-table shingle kernel in
+    the registry passes down (r11): file-stat sized, no plan probes —
+    and shared so consecutive kernel calls keep the persisted shingle
+    plan EQUAL (the cache is keyed on plan equality)."""
+    return dedup.kernel_spread_width_from_files(spark, sf_dir, "documents")
 
 
 D_JACCARD_SQL = r"""
@@ -176,9 +187,10 @@ def d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sync_spark.operators.cluster import dedup_clusters
 
     d = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", n=3, threshold=0.8).select(
-        "id_a", "id_b"
-    )
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.8,
+        spread_width=_doc_kernel_width(spark, sf_dir),
+    ).select("id_a", "id_b")
     return dedup_clusters(d, pairs).orderBy("doc_id")
 
 
@@ -216,7 +228,10 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic given fixed seeds; candidates are verified with
     exact Jaccard so every returned pair truly clears the threshold."""
     d = _t(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8)
+    return dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8,
+        spread_width=_doc_kernel_width(spark, sf_dir),
+    )
 
 
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -811,13 +826,31 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination over the synthetic corpus: docs from
     source 'src0' act as the held-out eval set; every other document
     is flagged if it shares a winnowing fingerprint (≥ 8-token
-    verbatim run) with any eval doc. See dedup.decontaminate."""
-    d = _t(spark, sf_dir, "documents")
-    bench = d.filter(F.col("source") == "src0")
-    corpus = d.filter(F.col("source") != "src0")
-    return dedup.decontaminate(
-        corpus, bench, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W, min_shared=1
+    verbatim run) with any eval doc. See dedup.decontaminate.
+
+    ONE spark.sql analysis pass (r11, guide §4): the DataFrame
+    composition (two winnow chains + two plan-probe spreads) cost
+    ~0.6s of construction per call at bench scale; the
+    decontaminate_hits_sql twin with the file-stat spread hint is
+    one pass (agreement pytest-pinned). No spread on the eval side —
+    benchmark sets are small by definition (the bloom discipline)."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__dd_documents")
+    hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
+    hits = dedup.decontaminate_hits_sql(
+        "__dd_corpus", "__dd_bench", k=_WINNOW_K, window=_WINNOW_W
     )
+    return spark.sql(f"""
+WITH __dd_corpus AS (
+  SELECT {hint} doc_id, text FROM __dd_documents WHERE source <> 'src0'
+), __dd_bench AS (
+  SELECT doc_id, text FROM __dd_documents WHERE source = 'src0'
+), {hits}
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0L) AS n_hits,
+       COALESCE(h.n_hits, 0L) >= 1 AS contaminated
+FROM (SELECT doc_id FROM __dd_documents WHERE source <> 'src0') d
+LEFT JOIN __dhhits h ON d.doc_id = h.doc_id
+""")
 
 
 D_DECONTAM_SQL = f"""
@@ -895,9 +928,9 @@ def t_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 for identical output. Shingles are per-doc distinct by
     construction, so count(*) IS the document frequency."""
     d = _t(spark, sf_dir, "documents")
-    sh = dedup._doc_shingles_cached(d, "text", "doc_id", 3).select(
-        "doc_id", F.explode("sh").alias("shingle")
-    )
+    sh = dedup._doc_shingles_cached(
+        d, "text", "doc_id", 3, _doc_kernel_width(spark, sf_dir)
+    ).select("doc_id", F.explode("sh").alias("shingle"))
     return (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
@@ -1064,10 +1097,22 @@ def t_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # left-join the hits aggregate only: flags already carries every
     # corpus doc, so decontaminate's own corpus-doc-list scan is
-    # redundant here (clean = no collision reached min_shared=1)
-    hits = dedup.decontaminate_hits(
-        corpus, bench, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W
-    )
+    # redundant here (clean = no collision reached min_shared=1).
+    # The hits leg runs as ONE spark.sql pass (r11, guide §4 — same
+    # construction-cost rewrite as d_decontaminate; mixing the sql
+    # frame into the surrounding Column plan is free)
+    d.createOrReplaceTempView("__cu_documents")
+    hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
+    hits = spark.sql(f"""
+WITH __cu_corpus AS (
+  SELECT {hint} doc_id, text FROM __cu_documents WHERE source <> 'src0'
+), __cu_bench AS (
+  SELECT doc_id, text FROM __cu_documents WHERE source = 'src0'
+), {dedup.decontaminate_hits_sql(
+        "__cu_corpus", "__cu_bench", k=_WINNOW_K, window=_WINNOW_W
+    )}
+SELECT doc_id, n_hits FROM __dhhits
+""")
     out = (
         flags.withColumn(
             "is_survivor",
@@ -1256,7 +1301,8 @@ def d_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(
-        d, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8
+        d, "text", "doc_id", n=3, num_hashes=32, bands=8, threshold=0.8,
+        spread_width=_doc_kernel_width(spark, sf_dir),
     ).select("id_a", "id_b")
     return dedup_clusters(d, pairs).orderBy("doc_id")
 
@@ -1763,28 +1809,39 @@ def d_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME shared_fp_counts kernel probe_fp_index runs against the
     persisted fp-bucketed store (operators/incremental.py); the store
     leg is filesystem state with no SQL oracle and stays
-    pytest-gated (test_incremental_index.py pins persisted == this)."""
-    from sync_spark.operators.incremental import shared_fp_counts
+    pytest-gated (test_incremental_index.py pins persisted == this).
 
-    d = _t(spark, sf_dir, "documents")
-    corpus = d.filter(F.col("doc_id") % 7 != 0)
-    incoming = d.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
-    corpus_fps = (
-        dedup.winnow_fingerprint_rows(
-            corpus, "text", "doc_id", k=_WINNOW_K, window=_WINNOW_W
-        )
-        .select("fp")
-        .distinct()
+    ONE spark.sql analysis pass (r11, guide §4 — same
+    construction-cost rewrite as d_decontaminate: two winnow Column
+    chains + two plan-probe spreads → one statement with the
+    file-stat hint; agreement with the shared_fp_counts composition
+    is pytest-pinned). The corpus-side .distinct() is dropped — the
+    LEFT SEMI join is unaffected by right-side duplicates, which is
+    shared_fp_counts' own discipline."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__ip_documents")
+    hint = dedup.kernel_spread_hint(spark, sf_dir, "documents")
+    ck = dedup.winnow_sql_kernel(
+        "doc_id", "text", "__ip_corpus", k=_WINNOW_K, window=_WINNOW_W, prefix="__ic"
     )
-    out = shared_fp_counts(
-        incoming, corpus_fps, "text", "doc_id",
-        k=_WINNOW_K, window=_WINNOW_W, min_shared=2,
+    ik = dedup.winnow_sql_kernel(
+        "doc_id", "text", "__ip_incoming", k=_WINNOW_K, window=_WINNOW_W, prefix="__ii"
     )
-    return out.select(
-        "doc_id",
-        F.col("n_shared_fps").cast("long").alias("n_shared_fps"),
-        "is_dup",
-    )
+    return spark.sql(f"""
+WITH __ip_corpus AS (
+  SELECT {hint} doc_id, text FROM __ip_documents WHERE doc_id % 7 <> 0
+), __ip_incoming AS (
+  SELECT {hint} doc_id, text FROM __ip_documents WHERE doc_id % 7 = 0
+), {ck}, {ik}, __ip_hits AS (
+  SELECT i.doc_id, COUNT(DISTINCT i.fp) AS n_shared_fps
+  FROM __iifp i LEFT SEMI JOIN __icfp c ON i.fp = c.fp
+  GROUP BY i.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared_fps, 0) AS BIGINT) AS n_shared_fps,
+       COALESCE(h.n_shared_fps, 0) >= 2 AS is_dup
+FROM (SELECT doc_id FROM __ip_documents WHERE doc_id % 7 = 0) d
+LEFT JOIN __ip_hits h ON d.doc_id = h.doc_id
+""")
 
 
 D_INCREMENTAL_PROBE_SQL = f"""

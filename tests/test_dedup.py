@@ -86,6 +86,84 @@ class TestWinnowSqlKernel:
         )
         assert got == want and len(got) > 0
 
+    def test_pair_kernel_sql_twins_agree_with_frames(self, spark, sf_small):
+        """ngram_jaccard_pairs / minhash_lsh_pairs (one-analysis-pass
+        SQL twins) must produce exactly the reference DataFrame
+        chains' rows — same prefix/suffix pruning, same seeded
+        signatures and banding, same jaccard doubles."""
+        from sync_spark.operators import dedup
+        from sync_spark.operators.relational import _t
+
+        d = _t(spark, sf_small, "documents")
+        for sql_fn, frames_fn in [
+            (dedup.ngram_jaccard_pairs, dedup.ngram_jaccard_pairs_frames),
+            (dedup.minhash_lsh_pairs, dedup.minhash_lsh_pairs_frames),
+        ]:
+            got = sorted(map(tuple, sql_fn(d, "text", "doc_id", n=3).collect()))
+            want = sorted(map(tuple, frames_fn(d, "text", "doc_id", n=3).collect()))
+            assert got == want and len(got) > 0
+
+    def test_decontaminate_hits_sql_agrees_with_operator(self, spark, sf_small):
+        """decontaminate_hits_sql (one-analysis-pass twin) must
+        reproduce decontaminate_hits' (doc_id, n_hits) rows exactly —
+        same kernels, same join multiplicities."""
+        from pyspark.sql import functions as F
+
+        from sync_spark.operators import dedup
+        from sync_spark.operators.relational import _t
+
+        d = _t(spark, sf_small, "documents")
+        want = dedup.decontaminate_hits(
+            d.filter(F.col("source") != "src0"),
+            d.filter(F.col("source") == "src0"),
+            "text", "doc_id", k=5, window=4,
+        )
+        d.createOrReplaceTempView("__dh_agree_docs")
+        got = spark.sql(
+            "WITH __dh_c AS (SELECT doc_id, text FROM __dh_agree_docs"
+            " WHERE source <> 'src0'), "
+            "__dh_b AS (SELECT doc_id, text FROM __dh_agree_docs"
+            " WHERE source = 'src0'), "
+            + dedup.decontaminate_hits_sql("__dh_c", "__dh_b", k=5, window=4)
+            + " SELECT doc_id, n_hits FROM __dhhits"
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ) and got.count() > 0
+
+    def test_incremental_probe_sql_agrees_with_shared_fp_counts(self, spark, sf_small):
+        """The d_incremental_probe one-pass SQL must reproduce the
+        shared_fp_counts composition it replaced (r11)."""
+        from pyspark.sql import functions as F
+
+        from sync_spark.operators import dedup
+        from sync_spark.operators.incremental import shared_fp_counts
+        from sync_spark.operators.relational import _t
+        from sync_spark.operators.text_queries import (
+            _WINNOW_K,
+            _WINNOW_W,
+            d_incremental_probe,
+        )
+
+        d = _t(spark, sf_small, "documents")
+        corpus_fps = dedup.winnow_fingerprint_rows(
+            d.filter(F.col("doc_id") % 7 != 0), "text", "doc_id",
+            k=_WINNOW_K, window=_WINNOW_W,
+        ).select("fp").distinct()
+        want = shared_fp_counts(
+            d.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text"),
+            corpus_fps, "text", "doc_id",
+            k=_WINNOW_K, window=_WINNOW_W, min_shared=2,
+        ).select(
+            "doc_id",
+            F.col("n_shared_fps").cast("long").alias("n_shared_fps"),
+            "is_dup",
+        )
+        got = d_incremental_probe(spark, sf_small)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ) and got.count() > 0
+
     def test_winnow_pairs_sql_agrees_with_operator(self, spark):
         from sync_spark.operators.dedup import winnow_pairs, winnow_pairs_sql
 
