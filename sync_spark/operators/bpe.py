@@ -195,7 +195,13 @@ def bpe_train(
 
 
 def bpe_merges_df(spark: SparkSession, merges: list[tuple]) -> DataFrame:
-    return spark.createDataFrame(
+    # Arrow-backed local frame (r11 opt round, guide §4): the pickled
+    # createDataFrame(list) form scheduled 32 Python-worker tasks on
+    # every action of t_bpe_train just to deserialize ≤ n_merges rows
+    from sync_spark.operators.localrel import arrow_local_frame
+
+    return arrow_local_frame(
+        spark,
         [(int(r), l, rt, int(c)) for r, l, rt, c in merges],
         "rank int, left string, right string, pair_count long",
     )

@@ -45,8 +45,12 @@ def connected_components(
     # parallel: the distributed loop would otherwise re-evaluate the
     # whole pair join a second time when building `both`.
     # MEMORY_AND_DISK checkpoint storage spills rather than OOMs if
-    # the edge list is huge.
-    edges_m = edges.select("id_a", "id_b").localCheckpoint(eager=True)
+    # the edge list is huge. LAZY checkpoint (r11 opt round, guide
+    # §1.2): the regime-probe count() below is the first action, so it
+    # materializes the checkpoint AND returns the count in ONE job —
+    # an eager checkpoint paid a separate materialization job per
+    # clustering call for nothing.
+    edges_m = edges.select("id_a", "id_b").localCheckpoint(eager=False)
     # regime probe is a count() against the checkpoint — per-partition
     # longs to the driver, never rows (r8 verdict: the previous
     # limit(threshold+1).collect() shipped up to threshold Row objects

@@ -245,8 +245,13 @@ def margin_mine(
     # candidate pushdown measured ~1s SLOWER at sf0.1 — the 800-term
     # In literal costs more to plan/evaluate than the broadcast
     # semi-join it replaced; rejected, checkpoint form kept.)
+    # LAZY checkpoint (r11 opt round, guide §1.2): the backward
+    # kernel's bounded query collect (bq, below) is the first action
+    # over this frame, so it materializes the checkpoint en route —
+    # the eager form paid a separate forward-kernel job at
+    # construction, then the collect ran again over the blocks.
     fwd_e = fwd.select("query_id", "neighbor_id", e6.alias("cos_e6")).localCheckpoint(
-        eager=True
+        eager=False
     )
     avgf = fwd_e.groupBy("query_id").agg(
         F.expr("SUM(cos_e6) DIV COUNT(1)").alias("avg_fwd_e6")
@@ -589,14 +594,18 @@ def ivfpq_topk(
         .filter(F.col("arank") <= refine * k)
         .select("query_id", "neighbor_id")
         # the shortlist feeds BOTH the rescore pairs and the corpus
-        # semi-join below — persist + materialize so the encode+ADC
-        # pipeline executes once per action. persist (not
-        # localCheckpoint) keeps the LINEAGE: on a cluster a lost
-        # executor recomputes the partition instead of permanently
-        # failing the job, the posture the 100 TB path needs
+        # semi-join below — persist so the encode+ADC pipeline
+        # executes once per action: the BlockManager's per-block
+        # compute lock already serializes concurrent first readers of
+        # a cached partition, so the former eager count() here bought
+        # no extra single-evaluation guarantee — it only spent one
+        # whole pipeline job at CONSTRUCTION time (r11 opt round,
+        # guide §1.2). persist (not localCheckpoint) keeps the
+        # LINEAGE: on a cluster a lost executor recomputes the
+        # partition instead of permanently failing the job, the
+        # posture the 100 TB path needs
         .persist()
     )
-    cand.count()
     # exact rescore of the shortlisted pairs: identical quantization /
     # rounding / tiebreak discipline as every other variant. The
     # semi-join FIRST so the quantize/norm HOFs run on the ~refine·k·
@@ -713,7 +722,16 @@ def embed_neardup_exact(
     )
     spark = corpus.sparkSession
     pairs = [(bi * n_blocks + bj, bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)]
-    bp = spark.createDataFrame(pairs, "pair int, bi int, bj int")
+    # VALUES literal, not createDataFrame(list): the pickled-RDD local
+    # relation scheduled Python-worker tasks for BOTH broadcast builds
+    # (side_a and side_b) on every action, just to deserialize
+    # B(B+1)/2 integer triples (r11 opt round, guide §4 — same move as
+    # the union-find mapping in cluster.py)
+    vals = ", ".join(f"({p},{bi},{bj})" for p, bi, bj in pairs)
+    bp = spark.sql(
+        "SELECT CAST(col1 AS int) AS pair, CAST(col2 AS int) AS bi, "
+        f"CAST(col3 AS int) AS bj FROM VALUES {vals}"
+    )
     side_a = v.join(F.broadcast(bp), v.blk == bp.bi).select(
         "pair", "bi", "bj", F.lit("a").alias("side"), "vid", "qv", "nrm"
     )
