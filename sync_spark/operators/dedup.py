@@ -379,17 +379,26 @@ def ngram_jaccard_pairs_frames(
     )
 
 
+def _seeded_hash(i: int):
+    """Single-arg lambda factory for seeded xxhash64 inside transform.
+    NOT a default-arg closure: ``lambda s, i=i: ...`` declares TWO
+    parameters, and pyspark's HOF builder binds a two-parameter lambda
+    as (element, array_index) — silently replacing the seed with the
+    element position (caught by the frames/SQL agreement test)."""
+    return lambda s: F.xxhash64(F.lit(i), s)
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
-    """k seeded xxhash64-min signatures per doc (deterministic)."""
+    """k seeded xxhash64-min signatures per doc (deterministic).
+    Per-row array_min/transform form — see minhash_lsh_pairs_sql for
+    the shuffle-elimination rationale."""
     docs = _doc_shingles_cached(df, text_col, id_col, n)
-    posting = docs.select("doc_id", F.explode("sh").alias("shingle"))
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
+        F.array_min(F.transform(F.col("sh"), _seeded_hash(i))) for i in range(num_hashes)
     ]
-    sig = posting.groupBy("doc_id").agg(*mins)
-    return sig.select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+    return docs.select("doc_id", F.array(*mins).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -434,8 +443,19 @@ def minhash_lsh_pairs_sql(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     t = f"{threshold!r}D"
+    # per-ROW signatures (r11 opt round, guide §2.1 — remove the
+    # shuffle outright): min(xxhash64(i, shingle)) GROUP BY doc_id is
+    # exactly array_min(transform(sh, s -> xxhash64(i, s))) over the
+    # doc's own shingle array — same hash values, same minimum, no
+    # explode, no exchange. The old explode + GROUP BY form shuffled a
+    # (doc_id, 32 partial mins) row per map partition and paid a
+    # two-stage aggregate; this form is map-side only, which is also
+    # the right 100 TB shape (the signature step becomes
+    # embarrassingly parallel). sh is non-empty by the view's
+    # size(sh) > 0 filter, so array_min never sees an empty array.
     mins = ",\n         ".join(
-        f"min(xxhash64({i}, shingle)) AS h{i}" for i in range(num_hashes)
+        f"array_min(transform(sh, __s -> xxhash64({i}, __s))) AS h{i}"
+        for i in range(num_hashes)
     )
     band_structs = ",\n      ".join(
         "struct({i} AS band, xxhash64({cols}) AS band_hash)".format(
@@ -447,9 +467,7 @@ def minhash_lsh_pairs_sql(
 WITH __mh_sig AS (
   SELECT doc_id,
          {mins}
-  FROM (SELECT doc_id, shingle
-        FROM {docs_view} LATERAL VIEW explode(sh) __mhx AS shingle)
-  GROUP BY doc_id
+  FROM {docs_view}
 ), __mh_band AS (
   SELECT doc_id, b.band AS band, b.band_hash AS band_hash
   FROM __mh_sig
@@ -496,9 +514,14 @@ def minhash_lsh_pairs_frames(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     docs_cached = _doc_shingles_cached(df, text_col, id_col, n)
-    posting = docs_cached.select("doc_id", F.explode("sh").alias("shingle"))
-    mins = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)]
-    sig = posting.groupBy("doc_id").agg(*mins).select(
+    # per-ROW signatures — lockstep twin of the SQL form's array_min/
+    # transform rewrite (see minhash_lsh_pairs_sql): identical hash
+    # values and minima, no explode/groupBy shuffle
+    mins = [
+        F.array_min(F.transform(F.col("sh"), _seeded_hash(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = docs_cached.select("doc_id", *mins).select(
         "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
     )
     band_rows = sig.select(
