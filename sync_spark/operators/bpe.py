@@ -200,11 +200,13 @@ def bpe_merges_df(spark: SparkSession, merges: list[tuple]) -> DataFrame:
     # every action of t_bpe_train just to deserialize ≤ n_merges rows
     from sync_spark.operators.localrel import arrow_local_frame
 
+    # coalesce(1): consumed as an RDD (count/collect), where the local
+    # relation would otherwise plan core-count near-empty tasks
     return arrow_local_frame(
         spark,
         [(int(r), l, rt, int(c)) for r, l, rt, c in merges],
         "rank int, left string, right string, pair_count long",
-    )
+    ).coalesce(1)
 
 
 def bpe_encode_words(

@@ -200,7 +200,14 @@ def _driver_union_find(nodes: DataFrame, edge_rows: list, id_col: str) -> DataFr
         .join(F.broadcast(touched.select(id_col)), id_col, "left_anti")
         .withColumn("cluster_id", F.col(id_col))
     )
-    return touched.unionByName(singletons)
+    # coalesce(1) on the UNION side only (r11 opt round): a VALUES
+    # LocalTableScan consumed as an RDD plans leafNodeDefaultParallelism
+    # (= core count) near-empty tasks — 32 tasks to ship a few hundred
+    # driver literals into the union. The broadcast build above stays
+    # on the raw frame: LocalTableScan.executeCollect() short-circuits
+    # driver-side, and a Coalesce on top would force it back through a
+    # task. Bounded: ≤ driver_threshold rows by construction.
+    return touched.coalesce(1).unionByName(singletons)
 
 
 def dedup_clusters(
