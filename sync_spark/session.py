@@ -37,6 +37,18 @@ def get_spark(app_name: str = "sync_spark", shuffle_partitions: int | None = Non
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # DataFrame debug-context capture (SPARK-47274) decorates every
+        # DataFrame/Column API call with a Python stack walk plus THREE
+        # py4j round-trips (conf.get + PySparkCurrentOrigin.set/clear)
+        # purely to enrich error messages with user call sites. That is
+        # a per-API-call DRIVER tax — independent of data scale and of
+        # core count — measured at 16.4s -> 11.9s summed query
+        # construction across the 141-query registry (interleaved
+        # per-query A/B pairs, r11 opt round). Serving/bench sessions
+        # run analyzed, tested plans; error-site enrichment belongs in
+        # development sessions, so it is off here (static conf — must
+        # be set at build time).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
