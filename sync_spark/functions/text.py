@@ -201,6 +201,70 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(bpe_pretokens(text))
 
 
+# --- staged-expression memo (r11 optimization round, guide §1.2
+# per-call driver work) ---
+
+_STAGED: dict = {}
+
+
+def staged_expr(key: str, builder) -> Column:
+    """Reuse one frame-independent Column expression tree per
+    SparkContext. Building a Column pays py4j round-trips
+    proportional to tree size (one HOF lambda is ~36 commands ≈ 15 ms;
+    ``langid_toks`` alone measures ~75 ms), and the tree is an
+    immutable unresolved expression over fixed attribute NAMES — the
+    exact same JVM object every caller would rebuild from scratch.
+    Keyed by IDENTITY on the live SparkContext, so a restarted
+    JVM/gateway gets a fresh cache and stale py4j handles can never be
+    served. Plans only: a Column holds no data and no session state,
+    and resolves against each consuming plan independently — reusing
+    it is bit-identical to rebuilding it."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return builder()
+    if _STAGED.get("__sc") is not sc:
+        _STAGED.clear()
+        _STAGED["__sc"] = sc
+    if key not in _STAGED:
+        _STAGED[key] = builder()
+    return _STAGED[key]
+
+
+def tokens_named(text_name: str = "text") -> Column:
+    """Memoized ``tokens(col(text_name))``."""
+    return staged_expr(f"tokens({text_name})", lambda: tokens(F.col(text_name)))
+
+
+def quality_named(toks_name: str = "__toks", text_name: str = "text") -> Column:
+    """Memoized ``quality_score_toks(col(toks_name), col(text_name))``."""
+    return staged_expr(
+        f"quality({toks_name},{text_name})",
+        lambda: quality_score_toks(F.col(toks_name), F.col(text_name)),
+    )
+
+
+def langid_named(toks_name: str = "__toks") -> Column:
+    """Memoized ``langid_toks(col(toks_name))``."""
+    return staged_expr(f"langid({toks_name})", lambda: langid_toks(F.col(toks_name)))
+
+
+def fingerprint_named(text_name: str = "text") -> Column:
+    """Memoized ``fingerprint(col(text_name))``."""
+    return staged_expr(f"fingerprint({text_name})", lambda: fingerprint(F.col(text_name)))
+
+
+def avg_token_len_named(text_name: str = "text") -> Column:
+    """Memoized ``avg_token_len(col(text_name))``."""
+    return staged_expr(f"avg_token_len({text_name})", lambda: avg_token_len(F.col(text_name)))
+
+
+def punct_ratio_named(text_name: str = "text") -> Column:
+    """Memoized ``punct_ratio(col(text_name))``."""
+    return staged_expr(f"punct_ratio({text_name})", lambda: punct_ratio(F.col(text_name)))
+
+
 def winnow_hash(gram: Column) -> Column:
     """56-bit k-gram hash for winnowing: first 14 hex digits of md5 —
     chosen because DuckDB computes the identical value

@@ -122,11 +122,15 @@ def _doc_shingles(
     slower. ``spread_width`` (r11): callers over testdata-layout
     tables pass kernel_spread_width_from_files so construction skips
     the optimizer-stats + .rdd plan probes (~0.2s/call)."""
+    from sync_spark.functions.text import staged_expr, tokens_named
+
     toks = spread_for_kernel(
-        df.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("toks")),
+        df.select(F.col(id_col).alias("doc_id"), tokens_named(text_col).alias("toks")),
         width=spread_width,
     )
-    gram = gram_array(F.col("toks"), n)
+    # memoized (r11 opt round): the gram HOF is a fixed expression over
+    # the staged "toks" attribute — one build per (n, k) per context
+    gram = staged_expr(f"dedup.gram_array(toks,{n})", lambda: gram_array(F.col("toks"), n))
     # the ONE persisted shingle column is stored SORTED: the jaccard
     # prefix index explodes a slice of the sorted set (a Generate over
     # a computed array_sort(...) re-evaluates the sort per generated
@@ -907,18 +911,18 @@ def winnow_fps_columns(
     Rows with zero grams (docs shorter than k tokens) keep an EMPTY
     ``out`` array — no row loss, callers filter or explode as they
     need."""
-    from sync_spark.functions.text import winnow_hash
+    from sync_spark.functions.text import staged_expr, tokens_named, winnow_hash
 
     helper_ng, helper_hs = f"__{out}_ng", f"__{out}_hs"
-    t = df.withColumn("__wtoks", tokens(F.col(text_col))).withColumn(
+    t = df.withColumn("__wtoks", tokens_named(text_col)).withColumn(
         helper_ng, F.size("__wtoks") - F.lit(k - 1)
     )
+
     # fused gram→hash transform: one array materialization, not two.
     # sequence() is guarded by when(): a bare sequence(1, ng) with
     # ng <= 0 generates a DESCENDING sequence (the short-doc hazard)
-    t = t.withColumn(
-        helper_hs,
-        F.when(F.col(helper_ng) < 1, F.array().cast("array<bigint>")).otherwise(
+    def _hs_expr() -> Column:
+        return F.when(F.col(helper_ng) < 1, F.array().cast("array<bigint>")).otherwise(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(F.col(helper_ng), F.lit(1))),
                 lambda i: winnow_hash(
@@ -927,8 +931,12 @@ def winnow_fps_columns(
                     )
                 ),
             )
-        ),
-    )
+        )
+
+    # both heavy expressions read only the fixed helper attributes, so
+    # they memoize per (out, k, window) — see staged_expr (r11 opt)
+    t = t.withColumn(helper_hs, staged_expr(f"winnow.hs({out},{k})", _hs_expr))
+
     # Sliding window-min WITHOUT referencing the hash column inside a
     # lambda body: wins[p] = least(hs[p], ..., hs[p+window-1]) built as
     # a zip_with chain against shifted slices. Every lambda here reads
@@ -940,23 +948,23 @@ def winnow_fps_columns(
     # the lambda; CollapseProject inlines the single-use transform into
     # the body, and an inlined subexpression re-evaluates PER ELEMENT —
     # measured as an 80s-at-sf0.001 quadratic blow-up.)
-    hs = F.col(helper_hs)
-    acc = hs
-    for j in range(1, window):
-        # start beyond the array end yields an empty slice; zip_with
-        # null-pads the shorter side and least() skips nulls, which IS
-        # the truncated-tail-window rule (short docs keep their
-        # global min at position 1)
-        shifted = F.slice(hs, j + 1, F.greatest(F.size(hs) - j, F.lit(1)))
-        acc = F.zip_with(acc, shifted, lambda a, b: F.least(a, b))
-    nw = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(1))
-    # array_distinct in-row — no dedupe shuffle
-    t = t.withColumn(
-        out,
-        F.when(F.size(hs) < 1, F.array().cast("array<bigint>")).otherwise(
+    def _out_expr() -> Column:
+        hs = F.col(helper_hs)
+        acc = hs
+        for j in range(1, window):
+            # start beyond the array end yields an empty slice; zip_with
+            # null-pads the shorter side and least() skips nulls, which IS
+            # the truncated-tail-window rule (short docs keep their
+            # global min at position 1)
+            shifted = F.slice(hs, j + 1, F.greatest(F.size(hs) - j, F.lit(1)))
+            acc = F.zip_with(acc, shifted, lambda a, b: F.least(a, b))
+        nw = F.greatest(F.size(hs) - F.lit(window - 1), F.lit(1))
+        # array_distinct in-row — no dedupe shuffle
+        return F.when(F.size(hs) < 1, F.array().cast("array<bigint>")).otherwise(
             F.array_distinct(F.slice(acc, 1, nw))
-        ),
-    )
+        )
+
+    t = t.withColumn(out, staged_expr(f"winnow.out({out},{k},{window})", _out_expr))
     return t.drop("__wtoks", helper_ng, helper_hs)
 
 

@@ -21,13 +21,13 @@ def t_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     # tokens staged once: every signal reads the array attribute
     # (expression-sharing form — analysis AND eval tokenize once)
-    staged = d.select("doc_id", "text", T.tokens(F.col("text")).alias("__toks"))
+    staged = d.select("doc_id", "text", T.tokens_named().alias("__toks"))
     return staged.select(
         "doc_id",
         F.size("__toks").alias("n_tokens"),
-        T.avg_token_len(F.col("text")).alias("avg_token_len"),
-        T.punct_ratio(F.col("text")).alias("punct_ratio"),
-        T.quality_score_toks(F.col("__toks"), F.col("text")).alias("quality"),
+        T.avg_token_len_named().alias("avg_token_len"),
+        T.punct_ratio_named().alias("punct_ratio"),
+        T.quality_named().alias("quality"),
     )
 
 
@@ -56,11 +56,11 @@ FROM t
 
 def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
-    staged = d.select("doc_id", "lang", T.tokens(F.col("text")).alias("__toks"))
+    staged = d.select("doc_id", "lang", T.tokens_named().alias("__toks"))
     return staged.select(
         "doc_id",
         F.col("lang").alias("lang_label"),
-        T.langid_toks(F.col("__toks")).alias("lang_pred"),
+        T.langid_named().alias("lang_pred"),
     )
 
 
@@ -115,7 +115,7 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        T.fingerprint(F.col("text")).alias("fp"),
+        T.fingerprint_named().alias("fp"),
     )
 
 
@@ -432,12 +432,12 @@ def t_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sync_spark.operators.materialized import materialized_input
 
     d = _t(spark, sf_dir, "documents")
-    staged = d.select("doc_id", "text", T.tokens(F.col("text")).alias("__toks"))
+    staged = d.select("doc_id", "text", T.tokens_named().alias("__toks"))
     scored = staged.select(
         "doc_id",
         F.size("__toks").alias("n_tokens"),
         F.least(
-            F.floor(T.quality_score_toks(F.col("__toks"), F.col("text")) * 1000).cast("int"),
+            F.floor(T.quality_named() * 1000).cast("int"),
             F.lit(999),
         ).alias("qbucket"),
     )
@@ -546,7 +546,7 @@ def repetition_signals(d: DataFrame, text_col: str = "text", id_col: str = "doc_
     partitioning. No UDFs, no driver loops."""
     # shared tokens() helper: empty/whitespace-only text → [] (raw
     # split would yield [''] and report a phantom token)
-    toks = d.select(F.col(id_col).alias("doc_id"), T.tokens(F.col(text_col)).alias("toks"))
+    toks = d.select(F.col(id_col).alias("doc_id"), T.tokens_named(text_col).alias("toks"))
     base = toks.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
@@ -969,13 +969,13 @@ def t_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure reuse of the registry's signal operators — one join on
     doc_id, no new math."""
     d = _t(spark, sf_dir, "documents")
-    staged = d.select("doc_id", "lang", "text", T.tokens(F.col("text")).alias("__toks"))
+    staged = d.select("doc_id", "lang", "text", T.tokens_named().alias("__toks"))
     quality = staged.select(
         "doc_id",
         "lang",
         F.size("__toks").alias("n_tokens"),
-        T.quality_score_toks(F.col("__toks"), F.col("text")).alias("quality"),
-        T.langid_toks(F.col("__toks")).alias("lang_pred"),
+        T.quality_named().alias("quality"),
+        T.langid_named().alias("lang_pred"),
     )
     rep = repetition_signals(d).select("doc_id", "dup_token_frac", "top_token_share")
     j = quality.join(rep, "doc_id")
@@ -1045,7 +1045,7 @@ def t_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.filter(F.col("source") != "src0")
     bench = d.filter(F.col("source") == "src0")
     staged = (
-        corpus.select("doc_id", "lang", "text", T.tokens(F.col("text")).alias("__toks"))
+        corpus.select("doc_id", "lang", "text", T.tokens_named().alias("__toks"))
         # sorted tokens and run starts stay BOUND ATTRIBUTES (each
         # referenced >1×, so CollapseProject keeps their stages — an
         # inlined array_sort inside the lambda would re-sort per
@@ -1063,9 +1063,9 @@ def t_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.size("__toks").alias("n_tokens"),
-        T.quality_score_toks(F.col("__toks"), F.col("text")).alias("quality"),
-        T.langid_toks(F.col("__toks")).alias("lang_pred"),
-        T.fingerprint(F.col("text")).alias("fp"),
+        T.quality_named().alias("quality"),
+        T.langid_named().alias("lang_pred"),
+        T.fingerprint_named().alias("fp"),
         F.size(F.array_distinct("__toks")).alias("n_distinct"),
         # mode count = max run length of the sorted array: gaps between
         # consecutive run-start positions (sentinel size+1 closes the
@@ -2233,7 +2233,7 @@ def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     footprint class as a broadcast."""
     d = _t(spark, sf_dir, "documents")
     toks = dedup.spread_for_kernel(
-        d.select("doc_id", T.tokens(F.col("text")).alias("toks"))
+        d.select("doc_id", T.tokens_named().alias("toks"))
     )
     feats = toks.withColumn(
         "feats",
