@@ -580,12 +580,10 @@ def repetition_signals(d: DataFrame, text_col: str = "text", id_col: str = "doc_
         .groupBy("doc_id")
         .agg(F.max("count").alias("top_bigram_n"))
     )
-    out = (
-        base.join(tok_top, "doc_id", "left")
-        .join(big_top, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
+    # the three share expressions read only fixed attribute names —
+    # memoized per context (staged_expr, r11 opt round)
+    def _shares() -> list:
+        return [
             F.when(F.col("n_tokens") == 0, F.lit(0.0))
             .otherwise(
                 F.round(
@@ -611,7 +609,13 @@ def repetition_signals(d: DataFrame, text_col: str = "text", id_col: str = "doc_
                 )
             )
             .alias("top_bigram_share"),
-        )
+        ]
+
+    shares = T.staged_expr("repetition.shares", _shares)
+    out = (
+        base.join(tok_top, "doc_id", "left")
+        .join(big_top, "doc_id", "left")
+        .select("doc_id", "n_tokens", *shares)
     )
     return out
 
