@@ -147,7 +147,7 @@ def ann_query_rows(queries: DataFrame, params: dict) -> list[tuple]:
     the latency path."""
     import numpy as np
 
-    from sync_spark.operators.similarity import _norm2, _quantize, hyperplanes
+    from sync_spark.operators.similarity import _norm2_named, _quantize_named, hyperplanes
 
     n_planes, n_tables = params["n_planes"], params["n_tables"]
     rows = (
@@ -156,8 +156,8 @@ def ann_query_rows(queries: DataFrame, params: dict) -> list[tuple]:
             F.col(params["id_col"]).alias("qid"),
             F.col(params["vec_col"]).alias("raw"),
         )
-        .withColumn("qv", _quantize(F.col("raw")))
-        .withColumn("qn", _norm2(F.col("qv")))
+        .withColumn("qv", _quantize_named("raw"))
+        .withColumn("qn", _norm2_named("qv"))
         .collect()
     )
     if not rows:

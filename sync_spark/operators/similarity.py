@@ -52,6 +52,28 @@ def _norm2(a: Column) -> Column:
     )
 
 
+# memoized named forms (r11 opt round): every call site passes a plain
+# named column, and each HOF build costs ~36 py4j commands — see
+# functions.text.staged_expr (same tree, same math, built once per
+# context)
+def _quantize_named(name: str) -> Column:
+    from sync_spark.functions.text import staged_expr
+
+    return staged_expr(f"sim.quantize({name})", lambda: _quantize(F.col(name)))
+
+
+def _norm2_named(name: str) -> Column:
+    from sync_spark.functions.text import staged_expr
+
+    return staged_expr(f"sim.norm2({name})", lambda: _norm2(F.col(name)))
+
+
+def _dot_named(a: str, b: str) -> Column:
+    from sync_spark.functions.text import staged_expr
+
+    return staged_expr(f"sim.dot({a},{b})", lambda: _dot(F.col(a), F.col(b)))
+
+
 def _scored_topk(c, q, k: int, on=None, dedup=False):
     """Shared scoring tail: join corpus(c: neighbor_id, cv, cn) with
     broadcast queries(q: query_id, qv, qn), exact quantized cosine,
@@ -63,7 +85,7 @@ def _scored_topk(c, q, k: int, on=None, dedup=False):
     joined = c.crossJoin(F.broadcast(q)) if on is None else c.join(F.broadcast(q), on)
     scored = joined.filter(F.col("neighbor_id") != F.col("query_id")).withColumn(
         "cosine",
-        _dot(F.col("qv"), F.col("cv")).cast("double")
+        _dot_named("qv", "cv").cast("double")
         / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))),
     )
     if dedup:
@@ -86,11 +108,11 @@ def cosine_topk(
     """Exact brute-force cosine top-k: broadcast queries × corpus scan,
     per-query window top-k. Ties broken by corpus id."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), _quantize(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", _norm2(F.col("qv")))
+        F.col(id_col).alias("query_id"), _quantize_named(vec_col).alias("qv")
+    ).withColumn("qn", _norm2_named("qv"))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _quantize(F.col(vec_col)).alias("cv")
-    ).withColumn("cn", _norm2(F.col("cv")))
+        F.col(id_col).alias("neighbor_id"), _quantize_named(vec_col).alias("cv")
+    ).withColumn("cn", _norm2_named("cv"))
     return _scored_topk(c, q, k)
 
 
@@ -127,7 +149,7 @@ def cosine_topk_kernel(
     # in numpy could flip an exact-.5 component)
     qrows = (
         queries.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col), _quantize(F.col(vec_col)).alias("qv"))
+        .select(F.col(id_col), _quantize_named(vec_col).alias("qv"))
         .collect()
     )
     if not qrows:
@@ -173,7 +195,7 @@ def cosine_topk_kernel(
             )
 
     src = corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("vid"), _quantize(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("vid"), _quantize_named(vec_col).alias("qv")
     )
     emitted = src.mapInPandas(
         gen, "query_id long, neighbor_id long, dot long, qn long, cn long"
@@ -413,8 +435,8 @@ def ivf_topk(
         corpus.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("craw"))
         .withColumn("cell", nearest_cell_udf(F.col("craw")))
-        .withColumn("cv", _quantize(F.col("craw")))
-        .withColumn("cn", _norm2(F.col("cv")))
+        .withColumn("cv", _quantize_named("craw"))
+        .withColumn("cn", _norm2_named("cv"))
         .drop("craw")
     )
     # r11 (guide §4): the query batch is bounded — quantize it inside
@@ -429,8 +451,8 @@ def ivf_topk(
     rows = (
         queries.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("raw"))
-        .withColumn("qv", _quantize(F.col("raw")))
-        .withColumn("qn", _norm2(F.col("qv")))
+        .withColumn("qv", _quantize_named("raw"))
+        .withColumn("qn", _norm2_named("qv"))
         .collect()
     )
     q_rows = []
@@ -613,14 +635,14 @@ def ivfpq_topk(
     # sits above the scan, so without the prune Catalyst evaluates it
     # for every corpus row before the broadcast probe)
     qv = queries.select(
-        F.col(id_col).alias("query_id"), _quantize(F.col(vec_col)).alias("qv")
-    ).withColumn("qn", _norm2(F.col("qv")))
+        F.col(id_col).alias("query_id"), _quantize_named(vec_col).alias("qv")
+    ).withColumn("qn", _norm2_named("qv"))
     slim = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("craw")
     ).join(F.broadcast(cand.select("neighbor_id")), "neighbor_id", "left_semi")
     cv = slim.select(
-        "neighbor_id", _quantize(F.col("craw")).alias("cv")
-    ).withColumn("cn", _norm2(F.col("cv")))
+        "neighbor_id", _quantize_named("craw").alias("cv")
+    ).withColumn("cn", _norm2_named("cv"))
     return _scored_topk(cv, cand.join(qv, "query_id"), k, on="neighbor_id")
 
 
@@ -710,8 +732,8 @@ def embed_neardup_exact(
     """
     v = (
         corpus.filter(F.col(vec_col).isNotNull())
-        .select(F.col(id_col).alias("vid"), _quantize(F.col(vec_col)).alias("qv"))
-        .withColumn("nrm", _norm2(F.col("qv")))
+        .select(F.col(id_col).alias("vid"), _quantize_named(vec_col).alias("qv"))
+        .withColumn("nrm", _norm2_named("qv"))
         # zero-norm vectors (all-zero/empty embeddings) can never reach
         # a positive threshold, but they collapse the kernel's loose
         # bound to 0 and would push O(z·n/B) junk candidate rows
@@ -870,8 +892,8 @@ def lsh_rows(
     return (
         df.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias(out_id), F.col(vec_col).alias("raw"))
-        .withColumn(vec, _quantize(F.col("raw")))
-        .withColumn(norm, _norm2(F.col(vec)))
+        .withColumn(vec, _quantize_named("raw"))
+        .withColumn(norm, _norm2_named(vec))
         .withColumn("bids", bucket_ids_udf(F.col("raw")))
         .select(
             out_id,
@@ -985,10 +1007,10 @@ def semantic_dedup(
         corpus.filter(F.col(vec_col).isNotNull())
         .select(
             F.col(id_col).alias("id"),
-            _quantize(F.col(vec_col)).alias("qv"),
+            _quantize_named(vec_col).alias("qv"),
             cell_udf(F.col(vec_col)).alias("cell"),
         )
-        .withColumn("qn", _norm2(F.col("qv")))
+        .withColumn("qn", _norm2_named("qv"))
     )
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__cell_n"))
     assigned = assigned.join(F.broadcast(sizes), "cell").withColumn(
