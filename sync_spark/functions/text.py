@@ -207,9 +207,9 @@ def bpe_token_count(text: Column) -> Column:
 _STAGED: dict = {}
 
 
-def staged_expr(key: str, builder) -> Column:
-    """Reuse one frame-independent Column expression tree per
-    SparkContext. Building a Column pays py4j round-trips
+def staged_expr(key: str, builder):
+    """Reuse one frame-independent Column expression tree (or list of
+    trees) per SparkContext. Building a Column pays py4j round-trips
     proportional to tree size (one HOF lambda is ~36 commands ≈ 15 ms;
     ``langid_toks`` alone measures ~75 ms), and the tree is an
     immutable unresolved expression over fixed attribute NAMES — the

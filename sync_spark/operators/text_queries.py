@@ -681,14 +681,19 @@ def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("doc_id") * 7, F.lit(256)).cast("string"),
     )
     full = d.select("doc_id", contact.alias("full_text"))
-    n_email, n_phone, n_ip = T.pii_counts(F.col("full_text"))
-    return full.select(
-        "doc_id",
-        T.redact_pii(F.col("full_text")).alias("redacted"),
-        n_email.cast("int").alias("n_emails"),
-        n_phone.cast("int").alias("n_phones"),
-        n_ip.cast("int").alias("n_ips"),
-    )
+
+    # library expressions over the fixed "full_text" attribute —
+    # memoized per context (staged_expr, r11 opt round)
+    def _pii_cols() -> list:
+        n_email, n_phone, n_ip = T.pii_counts(F.col("full_text"))
+        return [
+            T.redact_pii(F.col("full_text")).alias("redacted"),
+            n_email.cast("int").alias("n_emails"),
+            n_phone.cast("int").alias("n_phones"),
+            n_ip.cast("int").alias("n_ips"),
+        ]
+
+    return full.select("doc_id", *T.staged_expr("pii.cols(full_text)", _pii_cols))
 
 
 T_PII_SQL = r"""
