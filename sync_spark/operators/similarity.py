@@ -1011,6 +1011,20 @@ def semantic_dedup(
             cell_udf(F.col(vec_col)).alias("cell"),
         )
         .withColumn("qn", _norm2_named("qv"))
+        # this frame feeds BOTH the broadcast cell-size aggregate and
+        # the stream side of the salt join below — without a persist
+        # each action scans the corpus and pays the cell_udf Python
+        # dispatch TWICE (the broadcast build is its own query stage
+        # and cannot ReuseExchange with the stream side). persist (not
+        # localCheckpoint — lineage kept for the lost-executor
+        # posture, same trade as ivfpq_topk's shortlist) makes the
+        # assignment pass run once per action; the BlockManager's
+        # per-block compute lock serializes the two consumers. The
+        # cached projection is the quantized corpus (id, qv, cell, qn)
+        # — at 100 TB MEMORY_AND_DISK spills rather than OOMs, and the
+        # saved second full-corpus scan + Python pass is strictly
+        # larger than the cache write
+        .persist()
     )
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__cell_n"))
     assigned = assigned.join(F.broadcast(sizes), "cell").withColumn(
