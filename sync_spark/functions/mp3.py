@@ -45,6 +45,13 @@ _RATES = {
     0: (11025, 12000, 8000),
 }
 
+# fixture frame-body pattern: value at index k is k % 251, repeated so
+# any (start % 251, body_len<=861) window is one slice. Slicing is
+# byte-identical to the per-byte generator it replaces and removes the
+# ~1 ms/payload Python loop that dominated mp3_payload (the decode
+# walk it feeds is ~40 us)
+_BODY_PAT = bytes(j % 251 for j in range(251)) * 5
+
 
 def _samples_per_frame(version_bits: int, layer: int) -> int:
     if layer == 1:
@@ -259,6 +266,7 @@ def mp3_payload(
         )
         frame = bytearray(struct.pack(">I", h))
         body_len = base + padding - 4
-        frame += bytes(((media_id + i + j) % 251) for j in range(body_len))
+        s = (media_id + i) % 251
+        frame += _BODY_PAT[s : s + body_len]
         out += frame
     return bytes(out)
