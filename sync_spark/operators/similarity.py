@@ -745,25 +745,32 @@ def embed_neardup_exact(
     spark = corpus.sparkSession
     pairs = [(bi * n_blocks + bj, bi, bj) for bi in range(n_blocks) for bj in range(bi, n_blocks)]
     # VALUES literal, not createDataFrame(list): the pickled-RDD local
-    # relation scheduled Python-worker tasks for BOTH broadcast builds
-    # (side_a and side_b) on every action, just to deserialize
-    # B(B+1)/2 integer triples (r11 opt round, guide §4 — same move as
-    # the union-find mapping in cluster.py)
-    vals = ", ".join(f"({p},{bi},{bj})" for p, bi, bj in pairs)
+    # relation scheduled Python-worker tasks for the broadcast build
+    # on every action, just to deserialize integer triples (r11 opt
+    # round, guide §4 — same move as the union-find mapping in
+    # cluster.py). ONE tile-membership row per (pair, side): 'a'
+    # matches a vector whose block equals bi, 'b' matches bj —
+    # diagonal tiles take their rows once (side a; a side-b copy would
+    # double every row in the group for no information). Tagging the
+    # side in the BROADCAST rows lets one equi join build both tile
+    # sides: the old side_a/side_b join pair evaluated v — a full
+    # corpus scan + quantize HOF pass — TWICE per action and unioned
+    # the copies (guide §2.4: remove the second scan outright; the
+    # replication stays ×B rows through the same single shuffle).
+    rows = []
+    for p, bi, bj in pairs:
+        rows.append((p, bi, bj, "a", bi))
+        if bi != bj:
+            rows.append((p, bi, bj, "b", bj))
+    vals = ", ".join(f"({p},{bi},{bj},'{s}',{mb})" for p, bi, bj, s, mb in rows)
     bp = spark.sql(
         "SELECT CAST(col1 AS int) AS pair, CAST(col2 AS int) AS bi, "
-        f"CAST(col3 AS int) AS bj FROM VALUES {vals}"
+        "CAST(col3 AS int) AS bj, col4 AS side, CAST(col5 AS int) AS mblk "
+        f"FROM VALUES {vals}"
     )
-    side_a = v.join(F.broadcast(bp), v.blk == bp.bi).select(
-        "pair", "bi", "bj", F.lit("a").alias("side"), "vid", "qv", "nrm"
+    tiles = v.join(F.broadcast(bp), v.blk == bp.mblk).select(
+        "pair", "bi", "bj", "side", "vid", "qv", "nrm"
     )
-    # diagonal tiles take their rows once (side a) — adding the side-b
-    # copy would double every row in the group for no information
-    bp_off = bp.filter(F.col("bi") != F.col("bj"))
-    side_b = v.join(F.broadcast(bp_off), v.blk == bp_off.bj).select(
-        "pair", "bi", "bj", F.lit("b").alias("side"), "vid", "qv", "nrm"
-    )
-    tiles = side_a.unionByName(side_b)
 
     # kernel prefilter: keep dot ≥ (τ - 1e-6)·‖a‖‖b‖ so the shuffle
     # output is ~the matching pairs, not the full n² — the exact
