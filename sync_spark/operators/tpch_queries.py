@@ -490,9 +490,19 @@ ORDER BY custdist DESC, c_count DESC
 
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q15: supplier(s) with MAX quarterly revenue — revenue CTE +
-    scalar-max join. The max comparison happens in EXACT decimal
+    scalar-max filter. The max comparison happens in EXACT decimal
     (double ties could split across engines); the output casts at the
-    end."""
+    end.
+
+    r11 opt: the scalar max rides an unpartitioned window over the
+    SUPPLIER-GRAIN aggregate instead of a second aggregate joined
+    back — the subquery form re-evaluated rev's whole lineage (a
+    second lineitem scan + shuffle per action; ReuseExchange cannot
+    merge the two subtrees because they prune different columns).
+    The window's single-partition pass is over post-aggregate rows
+    (|suppliers|, KB–MB at any SF), while the scan it removes is the
+    FACT table — the right trade at 100 TB, not a local[32] tune.
+    Decimal equality keeps ties bit-exact; rows kept are identical."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -502,10 +512,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
         ).alias("total_rev")
     )
-    mx = rev.agg(F.max("total_rev").alias("mx"))
+    mx_w = F.max("total_rev").over(Window.partitionBy())
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(mx), rev.total_rev == F.col("mx"))
+        rev.withColumn("mx", mx_w)
+        .filter(F.col("total_rev") == F.col("mx"))
         .join(s, F.col("supplier_no") == s.s_suppkey)
         .select(
             "s_suppkey",
