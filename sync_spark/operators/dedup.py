@@ -667,20 +667,11 @@ def simhash_near_pairs(
     )
 
 
-def simhash_pairs_sql(
-    src: str,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_hamming: int = 3,
-    bits: int = 64,
-) -> str:
-    """SQL-text twin of ``simhash`` + ``simhash_near_pairs`` for
-    one-analysis-pass consumers (the DataFrame chain builds the
-    64-term signature expression through ~400 py4j Column calls —
-    measured 1.5s of construction per call at bench scale, the same
-    analysis-cost trap winnow_sql_kernel exists for). Identical
-    lane-packed aggregation, signature reassembly, pigeonhole chunk
-    join, and exact popcount verify; agreement is pytest-pinned."""
+def _simhash_chunk_ctes(src: str, id_col: str, text_col: str, bits: int) -> str:
+    """The shared CTE text producing the pigeonhole chunk relation
+    ``__shc`` (doc_id, simhash, chunk, chunk_val) — ONE definition of
+    the lane-packed signature SQL so the full twin and the cached form
+    below cannot drift."""
     assert bits % 2 == 0
     lanes = ",\n         ".join(
         f"SUM((shiftright(h, {j * 2}) & 1) + shiftleft(shiftright(h, {j * 2 + 1}) & 1, 32)) AS p{j}"
@@ -692,8 +683,7 @@ def simhash_pairs_sql(
         for i in range(bits)
     )
     n_chunks = bits // 16
-    return f"""
-WITH __sht AS (
+    return f"""__sht AS (
   SELECT {id_col} AS doc_id, xxhash64(tok) AS h
   FROM {src}
   LATERAL VIEW explode(CASE WHEN length(trim({text_col})) = 0
@@ -712,7 +702,30 @@ WITH __sht AS (
          shiftrightunsigned(simhash, chunk * 16) & 65535 AS chunk_val
   FROM __shs
   LATERAL VIEW explode(sequence(0, {n_chunks - 1})) __shk AS chunk
-), __shp AS (
+)"""
+
+
+def simhash_pairs_sql(
+    src: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> str:
+    """SQL-text twin of ``simhash`` + ``simhash_near_pairs`` for
+    one-analysis-pass consumers (the DataFrame chain builds the
+    64-term signature expression through ~400 py4j Column calls —
+    measured 1.5s of construction per call at bench scale, the same
+    analysis-cost trap winnow_sql_kernel exists for). Identical
+    lane-packed aggregation, signature reassembly, pigeonhole chunk
+    join, and exact popcount verify; agreement is pytest-pinned.
+
+    NOTE: Catalyst INLINES the ``__shc`` CTE into both sides of the
+    pair self-join, so this single statement computes the signature
+    aggregation twice per action — ``simhash_pairs_cached`` below is
+    the benched form that materializes the chunk relation once."""
+    return f"""
+WITH {_simhash_chunk_ctes(src, id_col, text_col, bits)}, __shp AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          a.simhash AS sh_a, b.simhash AS sh_b
   FROM __shc a JOIN __shc b
@@ -721,6 +734,53 @@ WITH __sht AS (
 SELECT id_a, id_b, bit_count(sh_a ^ sh_b) AS hamming
 FROM __shp WHERE bit_count(sh_a ^ sh_b) <= {max_hamming}
 """
+
+
+def simhash_pairs_cached(
+    spark,
+    src: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """One-signature-pass form of ``simhash_pairs_sql`` (r11 opt
+    round): the single-statement twin's chunk CTE is inlined by
+    Catalyst into BOTH sides of the pigeonhole self-join, so each
+    action ran the token explode + 33-lane aggregation + signature
+    reassembly twice. Here the chunk relation (4 rows/doc of four
+    longs — the signature index, tiny next to the corpus text) is
+    built by ONE spark.sql statement (same analysis-cost rationale as
+    the twin) and persisted, so the self-join's two sides read the
+    cache; the join/verify tail is a handful of py4j calls. persist
+    (not localCheckpoint) keeps the lineage for the lost-executor
+    posture. Row equality with the twin is pytest-pinned."""
+    chunks = spark.sql(
+        f"WITH {_simhash_chunk_ctes(src, id_col, text_col, bits)} "
+        "SELECT doc_id, simhash, chunk, chunk_val FROM __shc"
+    ).persist()
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def winnow_fingerprint_rows(

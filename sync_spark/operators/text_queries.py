@@ -236,11 +236,14 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, hamming ≤ 3 (rows-only). One spark.sql
-    analysis pass (r7: the DataFrame chain's 64-term signature
-    expression cost 1.5s of construction; dedup.simhash_pairs_sql is
-    the agreement-tested twin)."""
+    analysis pass for the 64-term signature SQL (r7: the DataFrame
+    chain's signature expression cost 1.5s of construction), with the
+    chunk relation persisted so the pigeonhole self-join computes the
+    signatures ONCE per action instead of twice (r11 opt round;
+    dedup.simhash_pairs_sql stays the agreement-tested
+    single-statement twin)."""
     _t(spark, sf_dir, "documents").createOrReplaceTempView("__sh_documents")
-    return spark.sql(dedup.simhash_pairs_sql("__sh_documents"))
+    return dedup.simhash_pairs_cached(spark, "__sh_documents")
 
 
 # ---------------------------------------------------------------------------

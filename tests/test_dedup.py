@@ -86,6 +86,26 @@ class TestWinnowSqlKernel:
         )
         assert got == want and len(got) > 0
 
+    def test_simhash_pairs_cached_agrees_with_twin(self, spark, sf_small):
+        """simhash_pairs_cached (one-signature-pass benched form) must
+        produce exactly the single-statement twin's rows — the persist
+        changes evaluation count, never values."""
+        from sync_spark.operators.dedup import simhash_pairs_cached, simhash_pairs_sql
+        from sync_spark.operators.relational import _t
+
+        d = _t(spark, sf_small, "documents")
+        d.createOrReplaceTempView("__sh_agree_docs")
+        want = sorted(
+            map(tuple, spark.sql(simhash_pairs_sql("__sh_agree_docs")).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                simhash_pairs_cached(spark, "__sh_agree_docs").collect(),
+            )
+        )
+        assert got == want and len(got) > 0
+
     def test_pair_kernel_sql_twins_agree_with_frames(self, spark, sf_small):
         """ngram_jaccard_pairs / minhash_lsh_pairs (one-analysis-pass
         SQL twins) must produce exactly the reference DataFrame
