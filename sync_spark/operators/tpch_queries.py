@@ -602,12 +602,17 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     branded = li.join(p, li.l_partkey == p.p_partkey).select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    per_part = branded.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum(dec("l_quantity")).alias("sum_qty"),
-        F.count(F.lit(1)).cast("decimal(18,0)").alias("n_qty"),
-    )
+    # r11 opt: the correlated per-part aggregate rides a window over
+    # the SAME branded rows instead of a groupBy joined back — the
+    # join form re-evaluated branded's lineage (a second lineitem
+    # scan + part join per action; the subtrees prune differently so
+    # ReuseExchange never merges them). One fact scan, one part-key
+    # shuffle; the sums are the same DECIMAL aggregates, so the
+    # integer comparison below is bit-identical.
+    w = Window.partitionBy("l_partkey")
     return (
-        branded.join(per_part, branded.l_partkey == F.col("pk"))
+        branded.withColumn("sum_qty", F.sum(dec("l_quantity")).over(w))
+        .withColumn("n_qty", F.count(F.lit(1)).over(w).cast("decimal(18,0)"))
         .filter(dec("l_quantity") * F.lit(5) * F.col("n_qty") < F.col("sum_qty"))
         .agg(
             (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
