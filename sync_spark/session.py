@@ -49,6 +49,21 @@ def get_spark(app_name: str = "sync_spark", shuffle_partitions: int | None = Non
         # development sessions, so it is off here (static conf — must
         # be set at build time).
         .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # let AQE own the output partitioning of persisted frames
+        # (default false pins a cached plan's pre-AQE shuffle shape, so
+        # a persisted aggregate caches shuffle.partitions near-empty
+        # partitions and every consumer schedules them as tasks —
+        # d_simhash_pairs' cached chunk relation ran 100 near-empty
+        # tasks per action at bench scale). Interleaved calm-window
+        # A/Bs (r11 opt round, second continuation): 6/6 wins on the
+        # simhash floor (1.06 -> 0.84s at sf0.001), statistical wash
+        # on every other persisted operator at sf0.001/sf0.1; a
+        # hot-window draw of the same A/B read 2/6 — decided in the
+        # calm window. Scale posture: coalescing near-empty cached
+        # partitions is what the conf exists for; values are
+        # partitioning-independent throughout (the repo's order-free
+        # aggregate discipline), confirmed by the full driver-sim
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
