@@ -46,11 +46,14 @@ _RATES = {
 }
 
 # fixture frame-body pattern: value at index k is k % 251, repeated so
-# any (start % 251, body_len<=861) window is one slice. Slicing is
+# any (start % 251, body_len) window is one slice. Slicing is
 # byte-identical to the per-byte generator it replaces and removes the
 # ~1 ms/payload Python loop that dominated mp3_payload (the decode
-# walk it feeds is ~40 us)
-_BODY_PAT = bytes(j % 251 for j in range(251)) * 5
+# walk it feeds is ~40 us). Sized for the max representable V1 L3
+# frame (320 kbps @ 32 kHz: base 1440, body 1437) plus the worst
+# 250-byte slice start, so no bitrate a future caller picks can
+# silently truncate the slice (asserted at the slice site).
+_BODY_PAT = bytes(j % 251 for j in range(251)) * 7
 
 
 def _samples_per_frame(version_bits: int, layer: int) -> int:
@@ -267,6 +270,9 @@ def mp3_payload(
         frame = bytearray(struct.pack(">I", h))
         body_len = base + padding - 4
         s = (media_id + i) % 251
+        # a short slice would emit frames shorter than their headers
+        # claim — corrupting the fixture with no error downstream
+        assert s + body_len <= len(_BODY_PAT), (s, body_len)
         frame += _BODY_PAT[s : s + body_len]
         out += frame
     return bytes(out)

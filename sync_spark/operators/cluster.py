@@ -166,6 +166,7 @@ def _driver_union_find(nodes: DataFrame, edge_rows: list, id_col: str) -> DataFr
     spark = nodes.sparkSession
     id_field = nodes.select(id_col).schema.fields[0]
     id_type = id_field.dataType.simpleString()
+    values_literal = False
     if mapping and id_type in ("bigint", "int", "smallint", "tinyint") and len(mapping) <= 50_000:
         # r11 (guide §4 — the Python boundary): createDataFrame(list)
         # parallelizes a PICKLED RDD, so every downstream action of the
@@ -180,6 +181,7 @@ def _driver_union_find(nodes: DataFrame, edge_rows: list, id_col: str) -> DataFr
             f"SELECT CAST(col1 AS {id_type}) AS {id_col}, "
             f"CAST(col2 AS {id_type}) AS cluster_id FROM VALUES {vals}"
         )
+        values_literal = True
     elif mapping:
         schema = f"{id_col} {id_type}, cluster_id {id_type}"
         # NOTE: no coalesce(1) here — a no-shuffle coalesce on the
@@ -206,8 +208,13 @@ def _driver_union_find(nodes: DataFrame, edge_rows: list, id_col: str) -> DataFr
     # driver literals into the union. The broadcast build above stays
     # on the raw frame: LocalTableScan.executeCollect() short-circuits
     # driver-side, and a Coalesce on top would force it back through a
-    # task. Bounded: ≤ driver_threshold rows by construction.
-    return touched.coalesce(1).unionByName(singletons)
+    # task. Bounded: ≤ driver_threshold rows by construction. Applied
+    # to the VALUES branch ONLY: on the pickled createDataFrame
+    # fallback a no-shuffle coalesce(1) drags every pickled slice
+    # through one Python worker (measured 10s vs 1s — the NOTE above).
+    if values_literal:
+        touched = touched.coalesce(1)
+    return touched.unionByName(singletons)
 
 
 def dedup_clusters(

@@ -736,6 +736,11 @@ FROM __shp WHERE bit_count(sh_a ^ sh_b) <= {max_hamming}
 """
 
 
+# most-recent persisted simhash chunk relation; same bounded-leak
+# discipline as _live_shingle_cache above
+_live_chunk_cache: list[DataFrame] = []
+
+
 def simhash_pairs_cached(
     spark,
     src: str,
@@ -754,11 +759,22 @@ def simhash_pairs_cached(
     the twin) and persisted, so the self-join's two sides read the
     cache; the join/verify tail is a handful of py4j calls. persist
     (not localCheckpoint) keeps the lineage for the lost-executor
-    posture. Row equality with the twin is pytest-pinned."""
+    posture. Row equality with the twin is pytest-pinned.
+
+    Cache lifetime mirrors _doc_shingles_cached: each call evicts the
+    previous chunk cache (bounded to ONE live entry), so a long-lived
+    session serving varying sources doesn't accumulate persisted chunk
+    relations and driver-side plan references."""
+    while _live_chunk_cache:
+        try:
+            _live_chunk_cache.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
     chunks = spark.sql(
         f"WITH {_simhash_chunk_ctes(src, id_col, text_col, bits)} "
         "SELECT doc_id, simhash, chunk, chunk_val FROM __shc"
     ).persist()
+    _live_chunk_cache.append(chunks)
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (
         a.join(

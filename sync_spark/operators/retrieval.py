@@ -922,7 +922,7 @@ def hybrid_index_topk(
     tag = abs(hash((bm25_path, ann_path))) % 10**8
     pview = f"__hyx_postings_{tag}"
     postings.createOrReplaceTempView(pview)
-    qvals = ", ".join(f"({qid}, '{t}')" for qid, ts in queries for t in ts)
+    qvals = _qmap_values(queries)
 
     # ---- dense-leg inputs: driver-hashed query rows + pruned buckets ----
     params = ai.read_params(ann_path)
@@ -1116,6 +1116,20 @@ def _corpus_ann_index(spark: SparkSession, sf_dir: str) -> str:
     )
 
 
+def _qmap_values(queries: list[tuple[int, list[str]]]) -> str:
+    """VALUES tuples for the (query_id, tok) broadcast qmap. Tokens
+    are single-quote-escaped ('' per the SQL standard) so a quoted
+    term can't break the statement; an empty term list yields one
+    all-NULL tuple (VALUES needs ≥1 row to parse; a NULL tok matches
+    nothing in the inner posting join) instead of a parse error."""
+    vals = ", ".join(
+        "({}, '{}')".format(int(qid), t.replace("'", "''"))
+        for qid, ts in queries
+        for t in ts
+    )
+    return vals or "(CAST(NULL AS INT), CAST(NULL AS STRING))"
+
+
 def _pruned_postings(
     spark: SparkSession,
     path: str,
@@ -1297,9 +1311,7 @@ def rrf_index_topk(
     postings = _pruned_postings(spark, path, queries)
     view = f"__rrf_idx_postings_{abs(hash(path)) % 10**8}"
     postings.createOrReplaceTempView(view)
-    qvals = ", ".join(
-        f"({qid}, '{t}')" for qid, ts in queries for t in ts
-    )
+    qvals = _qmap_values(queries)
     return spark.sql(f"""
 WITH qmap AS (
   SELECT * FROM VALUES {qvals} AS q(query_id, tok)

@@ -93,6 +93,7 @@ def _swap_dir(src: str, dst: str) -> None:
     recoverable (see ``recover_interrupted_swaps``); the parking name
     is dot-prefixed so Spark file listings / partition discovery never
     observe it."""
+    global _store_mutation_gen
     old = _old_name(dst)
     if os.path.exists(old):
         shutil.rmtree(old)
@@ -102,6 +103,10 @@ def _swap_dir(src: str, dst: str) -> None:
     os.rename(src, dst)
     if os.path.exists(old):
         shutil.rmtree(old)
+    # bump the in-process store generation: on filesystems with coarse
+    # (e.g. 1s) mtime granularity two swaps can land in one timestamp
+    # unit, so st_mtime_ns alone cannot invalidate the base-frame memo
+    _store_mutation_gen += 1
 
 
 def recover_interrupted_swaps(path: str) -> None:
@@ -267,6 +272,11 @@ def read_target(spark: SparkSession, path: str) -> DataFrame:
 # action re-reads the files it listed.
 _base_frame_memo: dict = {}
 
+# monotonic count of in-process _swap_dir mutations, part of the memo
+# key: two swaps inside one coarse-mtime unit still produce distinct
+# keys (cross-process mutations are covered by mtime_ns as before)
+_store_mutation_gen: int = 0
+
 
 def _base_frame(spark: SparkSession, path: str, schema: T.StructType | None) -> DataFrame:
     try:
@@ -278,6 +288,7 @@ def _base_frame(spark: SparkSession, path: str, schema: T.StructType | None) -> 
         os.path.abspath(path),
         schema.simpleString() if schema is not None else None,
         mtime,
+        _store_mutation_gen,
     )
     if mtime is not None:
         hit = _base_frame_memo.get(key)
