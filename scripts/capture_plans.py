@@ -19,7 +19,7 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r11"
+    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r12"
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark("plan_capture")
     for name, spec in sorted(all_queries().items()):

@@ -1688,7 +1688,14 @@ def t_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window's, so the in-row kernel stays. The df re-tokenize is the
     cheap pass (0.3s vs the kernel's 0.5s at sf0.1): the token SORT,
     not the second split, is the constant factor, and a sort-free
-    in-row tf does not exist without hash-collision risk."""
+    in-row tf does not exist without hash-collision risk.
+
+    RE-RACED at the r12 opt round (2026-08-18, post staged_expr /
+    debug-conf / AQE-cached-plan engine changes, per the r11 verdict's
+    ask): same rival (REPARTITION(tok) posting barrier, df from the
+    grouped postings, rows verified identical), interleaved 6-pair
+    same-session A/B at sf0.1 — current form won 5/6 pairs (medians
+    0.90s vs 1.07s). Rejection stands; this row is floor, not fat."""
     from sync_spark.sources.readers import table_rowcount
 
     d = _t(spark, sf_dir, "documents")
