@@ -383,26 +383,21 @@ def ngram_jaccard_pairs_frames(
     )
 
 
-def _seeded_hash(i: int):
-    """Single-arg lambda factory for seeded xxhash64 inside transform.
-    NOT a default-arg closure: ``lambda s, i=i: ...`` declares TWO
-    parameters, and pyspark's HOF builder binds a two-parameter lambda
-    as (element, array_index) — silently replacing the seed with the
-    element position (caught by the frames/SQL agreement test)."""
-    return lambda s: F.xxhash64(F.lit(i), s)
-
-
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
     """k seeded xxhash64-min signatures per doc (deterministic).
-    Per-row array_min/transform form — see minhash_lsh_pairs_sql for
-    the shuffle-elimination rationale."""
+    Explode + groupBy form — see minhash_lsh_pairs_sql for the sf1
+    A/B that picked the codegen'd aggregate over the interpreted
+    per-row transform() form (identical values either way)."""
     docs = _doc_shingles_cached(df, text_col, id_col, n)
-    mins = [
-        F.array_min(F.transform(F.col("sh"), _seeded_hash(i))) for i in range(num_hashes)
-    ]
-    return docs.select("doc_id", F.array(*mins).alias("signature"))
+    ex = docs.select("doc_id", F.explode("sh").alias("shingle"))
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    ).select("doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -447,19 +442,23 @@ def minhash_lsh_pairs_sql(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     t = f"{threshold!r}D"
-    # per-ROW signatures (r11 opt round, guide §2.1 — remove the
-    # shuffle outright): min(xxhash64(i, shingle)) GROUP BY doc_id is
-    # exactly array_min(transform(sh, s -> xxhash64(i, s))) over the
-    # doc's own shingle array — same hash values, same minimum, no
-    # explode, no exchange. The old explode + GROUP BY form shuffled a
-    # (doc_id, 32 partial mins) row per map partition and paid a
-    # two-stage aggregate; this form is map-side only, which is also
-    # the right 100 TB shape (the signature step becomes
-    # embarrassingly parallel). sh is non-empty by the view's
-    # size(sh) > 0 filter, so array_min never sees an empty array.
-    mins = ",\n         ".join(
-        f"array_min(transform(sh, __s -> xxhash64({i}, __s))) AS h{i}"
-        for i in range(num_hashes)
+    # explode + GROUP BY signatures — REVERTED to this form in the
+    # r12 opt round after an sf1 interleaved A/B. The r11 per-row
+    # rewrite (array_min(transform(sh, s -> xxhash64(i, s))) × 32, no
+    # exchange) computes identical minima, but every transform() is an
+    # INTERPRETED higher-order function allocating a fresh array per
+    # row: at sf1 (50k docs) the 32 interpreted passes measured
+    # 7.0-7.9s against 3.6-4.4s for this codegen'd explode + hash-agg
+    # in the same session (rows verified identical, 250,600 pairs);
+    # at sf0.1 the two forms are within the per-stage floor of each
+    # other (1.0-1.6 vs 1.3-1.5s interleaved) and at sf0.001 a wash.
+    # The shuffle this form pays carries doc-grain PARTIAL minima
+    # (map-side hash aggregation folds the exploded shingles before
+    # the exchange — num_docs × 32 longs, not the shingle grain), so
+    # it is also the right 100 TB shape: codegen'd per-element work,
+    # bounded shuffle bytes, no interpreted lambda on the hot path.
+    mins_agg = ",\n         ".join(
+        f"MIN(xxhash64({i}, shingle)) AS h{i}" for i in range(num_hashes)
     )
     band_structs = ",\n      ".join(
         "struct({i} AS band, xxhash64({cols}) AS band_hash)".format(
@@ -468,10 +467,12 @@ def minhash_lsh_pairs_sql(
         for i in range(bands)
     )
     return f"""
-WITH __mh_sig AS (
+WITH __mh_ex AS (
+  SELECT doc_id, shingle FROM {docs_view} LATERAL VIEW explode(sh) __mhx AS shingle
+), __mh_sig AS (
   SELECT doc_id,
-         {mins}
-  FROM {docs_view}
+         {mins_agg}
+  FROM __mh_ex GROUP BY doc_id
 ), __mh_band AS (
   SELECT doc_id, b.band AS band, b.band_hash AS band_hash
   FROM __mh_sig
@@ -518,14 +519,17 @@ def minhash_lsh_pairs_frames(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     docs_cached = _doc_shingles_cached(df, text_col, id_col, n)
-    # per-ROW signatures — lockstep twin of the SQL form's array_min/
-    # transform rewrite (see minhash_lsh_pairs_sql): identical hash
-    # values and minima, no explode/groupBy shuffle
-    mins = [
-        F.array_min(F.transform(F.col("sh"), _seeded_hash(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = docs_cached.select("doc_id", *mins).select(
+    # explode + groupBy signatures — lockstep twin of the SQL form's
+    # r12 codegen'd shape (see minhash_lsh_pairs_sql for the sf1 A/B
+    # that reverted the r11 per-row transform() form): identical hash
+    # values and minima
+    ex = docs_cached.select("doc_id", F.explode("sh").alias("shingle"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    ).select(
         "doc_id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
     )
     band_rows = sig.select(
