@@ -28,7 +28,7 @@ def connected_components(
     edges: DataFrame,
     id_col: str = "id",
     max_iter: int = 20,
-    driver_threshold: int = 200_000,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """nodes(id), edges(id_a, id_b) undirected → (id, cluster_id)
     where cluster_id = min node id reachable.
@@ -37,7 +37,16 @@ def connected_components(
     - edge list ≤ ``driver_threshold``: union-find on the driver. The
       near-dup pair graph is normally MINUSCULE next to the corpus
       (256 edges for 5000 docs on the test data), and the distributed
-      loop's per-round jobs are pure scheduling overhead there.
+      loop's per-round jobs are pure scheduling overhead there. The
+      boundary is sized by ABSOLUTE driver cost, not corpus scale:
+      1M edges arrive as ~16 MB of Arrow (sub-second collect) and
+      union-find touches them once (~2s of driver CPU) — cheaper than
+      even one round of the distributed loop's join+agg+checkpoint on
+      any cluster, and the loop needs O(log diameter) rounds. (r12:
+      raised from 200k after the sf1 pair graph, 250,600 edges, landed
+      just past the old boundary and paid ~4 rounds of loop jobs for
+      a graph the driver resolves in under a second; interleaved A/B
+      won 4/5 draws. The 200k value predates the Arrow edge collect.)
     - larger: the checkpointed min-label-propagation loop below, one
       join + one aggregation per round.
     """
@@ -57,7 +66,7 @@ def connected_components(
     # on EVERY clustering call just to pick the regime); rows are
     # collected only in the small case that actually consumes them
     if edges_m.count() <= driver_threshold:
-        return _driver_union_find(nodes, edges_m.collect(), id_col)
+        return _driver_union_find(nodes, edges_m, id_col)
     both = edges_m.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges_m.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -138,11 +147,16 @@ def connected_components(
     return cc_touched.unionByName(singletons)
 
 
-def _driver_union_find(nodes: DataFrame, edge_rows: list, id_col: str) -> DataFrame:
-    """Small-graph path: union-find over the already-collected edge
+def _driver_union_find(nodes: DataFrame, edges: DataFrame, id_col: str) -> DataFrame:
+    """Small-graph path: union-find over the driver-collected edge
     list with min-id roots (identical labels to min-label
     propagation), ship the touched-node mapping back, and anti-join
-    for singletons."""
+    for singletons. Edges arrive via Arrow ``toPandas`` (r12, guide
+    §6 — the Arrow driver transfer): 250k edges measured 0.68s vs
+    3.33s for the pickled-Row ``collect()``; ``.tolist()`` converts
+    the columns back to plain Python scalars so the union-find and
+    the VALUES/schema branches below see the same values as before."""
+    pdf = edges.toPandas()
     parent: dict = {}
 
     def find(x):
@@ -153,8 +167,7 @@ def _driver_union_find(nodes: DataFrame, edge_rows: list, id_col: str) -> DataFr
             parent[x], x = root, parent[x]
         return root
 
-    for r in edge_rows:
-        a, b = r[0], r[1]
+    for a, b in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -184,11 +197,16 @@ def _driver_union_find(nodes: DataFrame, edge_rows: list, id_col: str) -> DataFr
         values_literal = True
     elif mapping:
         schema = f"{id_col} {id_type}, cluster_id {id_type}"
-        # NOTE: no coalesce(1) here — a no-shuffle coalesce on the
-        # parallelized mapping measured 10s where the plain 32-slice
-        # frame takes 1s (single task dragging every pickled slice
-        # through one Python worker, per downstream use)
-        touched = spark.createDataFrame(mapping, schema)
+        # r12: mappings past the VALUES cap ship as an Arrow local
+        # frame (driver-serialized batches decoded JVM-side) instead
+        # of a pickled-RDD createDataFrame — no Python-worker tasks
+        # per downstream action. NOTE kept from the pickled era: no
+        # coalesce(1) here — collapsing the local frame to one slice
+        # measured 10s vs 1s by dragging every slice through a single
+        # decode task per downstream use.
+        from sync_spark.operators.localrel import arrow_local_frame
+
+        touched = arrow_local_frame(spark, mapping, schema)
     else:
         touched = nodes.select(
             F.col(id_col), F.col(id_col).alias("cluster_id")
