@@ -55,18 +55,24 @@ def connected_components(
     # whole pair join a second time when building `both`.
     # MEMORY_AND_DISK checkpoint storage spills rather than OOMs if
     # the edge list is huge. LAZY checkpoint (r11 opt round, guide
-    # §1.2): the regime-probe count() below is the first action, so it
-    # materializes the checkpoint AND returns the count in ONE job —
-    # an eager checkpoint paid a separate materialization job per
-    # clustering call for nothing.
+    # §1.2): the regime probe below is the first action, so it
+    # materializes the checkpoint in the same job.
     edges_m = edges.select("id_a", "id_b").localCheckpoint(eager=False)
-    # regime probe is a count() against the checkpoint — per-partition
-    # longs to the driver, never rows (r8 verdict: the previous
-    # limit(threshold+1).collect() shipped up to threshold Row objects
-    # on EVERY clustering call just to pick the regime); rows are
-    # collected only in the small case that actually consumes them
-    if edges_m.count() <= driver_threshold:
-        return _driver_union_find(nodes, edges_m, id_col)
+    # regime probe FOLDED into the edge collect (r12 continuation,
+    # guide §1.2): limit(threshold+1).toPandas() picks the regime AND
+    # delivers the rows the small case consumes in ONE job. The Arrow
+    # collect path executes CollectLimitExec.doExecute (per-partition
+    # LocalLimit + one-partition shuffle of ≤ threshold+1 narrow rows,
+    # full scan parallelism) — NOT the executeTake scale-up waves that
+    # made a pickled limit-collect probe a serializing hazard (the r8
+    # rejection, which predates the Arrow edge transfer). Measured at
+    # sf0.1: 3 jobs (AQE-staged count + checkpoint-read collect) → 1.
+    # Large regime: ≤ threshold+1 rows (~16 MB Arrow at the 1M cap)
+    # ship once and are discarded — bounded by the same absolute
+    # driver budget the small regime already accepts.
+    pdf = edges_m.limit(driver_threshold + 1).toPandas()
+    if len(pdf) <= driver_threshold:
+        return _driver_union_find(nodes, pdf, id_col)
     both = edges_m.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(edges_m.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -147,16 +153,18 @@ def connected_components(
     return cc_touched.unionByName(singletons)
 
 
-def _driver_union_find(nodes: DataFrame, edges: DataFrame, id_col: str) -> DataFrame:
+def _driver_union_find(nodes: DataFrame, pdf, id_col: str) -> DataFrame:
     """Small-graph path: union-find over the driver-collected edge
     list with min-id roots (identical labels to min-label
     propagation), ship the touched-node mapping back, and anti-join
-    for singletons. Edges arrive via Arrow ``toPandas`` (r12, guide
-    §6 — the Arrow driver transfer): 250k edges measured 0.68s vs
-    3.33s for the pickled-Row ``collect()``; ``.tolist()`` converts
-    the columns back to plain Python scalars so the union-find and
-    the VALUES/schema branches below see the same values as before."""
-    pdf = edges.toPandas()
+    for singletons. ``pdf`` is the already-collected pandas edge
+    frame — it arrives via Arrow ``toPandas`` (r12, guide §6 — the
+    Arrow driver transfer: 250k edges measured 0.68s vs 3.33s for the
+    pickled-Row ``collect()``), folded into the regime probe's
+    limit-collect (one job, see connected_components); ``.tolist()``
+    converts the columns back to plain Python scalars so the
+    union-find and the VALUES/schema branches below see the same
+    values as before."""
     parent: dict = {}
 
     def find(x):

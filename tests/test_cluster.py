@@ -52,6 +52,30 @@ def test_driver_and_distributed_paths_agree(spark):
     assert fast[8] == 1 and fast[9] == 2 and fast[11] == 10 and fast[0] == 0
 
 
+def test_regime_boundary_exact_threshold(spark):
+    """The folded limit-collect regime probe (r12 continuation) must
+    route a graph with EXACTLY driver_threshold edges to the driver
+    union-find (limit(t+1) returns t rows ≤ t) and one more edge to
+    the distributed loop — with identical labels either way."""
+    from pyspark.sql import Row
+
+    nodes = spark.createDataFrame([Row(id=i) for i in range(8)])
+    edges = spark.createDataFrame(
+        [Row(id_a=0, id_b=1), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4)]
+    )
+    at_threshold = {
+        r.id: r.cluster_id
+        for r in connected_components(nodes, edges, driver_threshold=3).collect()
+    }
+    below_threshold = {
+        r.id: r.cluster_id
+        for r in connected_components(nodes, edges, driver_threshold=2).collect()
+    }
+    expected = {0: 0, 1: 0, 2: 2, 3: 2, 4: 2, 5: 5, 6: 6, 7: 7}
+    assert at_threshold == expected
+    assert below_threshold == expected
+
+
 def test_pointer_jump_converges_logarithmically(spark):
     """A 100-node chain (diameter 99) must converge in O(log d)
     rounds via the pointer jump — max_iter=12 would hard-fail the
