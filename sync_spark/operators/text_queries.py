@@ -2116,14 +2116,31 @@ def t_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_count(trim, '\\s+') + 1 counts the same separator runs with
     the same Java regex and allocates nothing — identical n_tok for
     every non-empty trimmed string (no leading/trailing runs after
-    trim), empty handled by the same CASE arm. Oracle untouched."""
+    trim), empty handled by the same CASE arm. Oracle untouched.
+
+    r12 (guide §2.4/§5, the d_semantic_dedup trade): even after r11
+    the TWO consumers each re-ran the regex over the full corpus text
+    (the avail broadcast build is its own query stage — no
+    ReuseExchange across it). The narrow token frame (doc_id, lang,
+    n_tok — ~25 B/row, text column gone) is now persisted so the
+    regex pass runs once per action; the cache write is strictly
+    smaller than the second full-text scan + regex pass it removes,
+    and MEMORY_AND_DISK spills rather than OOMs at 100 TB. Interleaved
+    A/B (rows bit-equal): sf1 5/5 wins, median 1.85→1.37s; sf0.1 5/5,
+    0.69→0.64s. Unlike t_ppl_buckets (persist measured slower — its
+    dup subtree is a CHEAP arithmetic kernel where the cached-plan
+    barrier cost more than the recompute), unimax's dup work is a
+    Java-regex pass over every text byte."""
     _t(spark, sf_dir, "documents").createOrReplaceTempView("__um_documents")
+    spark.sql("""
+SELECT doc_id, lang,
+       CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(regexp_count(trim(text), '\\\\s+') + 1 AS BIGINT) END AS n_tok
+FROM __um_documents
+""").persist().createOrReplaceTempView("__um_docs")
     return spark.sql(f"""
 WITH docs AS (
-  SELECT doc_id, lang,
-         CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
-              ELSE CAST(regexp_count(trim(text), '\\\\s+') + 1 AS BIGINT) END AS n_tok
-  FROM __um_documents
+  SELECT doc_id, lang, n_tok FROM __um_docs
 ), avail AS (
   SELECT lang, SUM(n_tok) AS avail FROM docs GROUP BY lang
 ), lt AS (

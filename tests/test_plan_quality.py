@@ -402,6 +402,20 @@ def test_unimax_alloc_table_broadcasts(spark, sf_small):
     assert "EvalPython" not in plan
 
 
+def test_unimax_alloc_single_text_scan(spark, sf_small):
+    """r12: the narrow (doc_id, lang, n_tok) token frame is persisted
+    so the avail aggregate and the ranked join share ONE regex pass
+    over the text — the plan must read documents through a single
+    InMemoryRelation-wrapped parquet scan, not two inlined scans."""
+    plan = plan_of(tq.t_unimax_alloc(spark, sf_small))
+    # both consumers read the cached token frame ...
+    assert plan.count("InMemoryTableScan") == 2
+    # ... and every FileScan in the printout is the cached relation's
+    # child (toString re-prints the relation per consumer) — an
+    # inlined corpus scan would make FileScan outnumber the relation
+    assert plan.count("FileScan") == plan.count("InMemoryRelation")
+
+
 def test_source_overlap_inrow_pairs_broadcast_counts(spark, sf_small):
     """d_source_overlap (r6 single-pass bitmask shape): NO join of any
     kind — the per-fp source set is a bit_or'd long (codegen hash agg,
