@@ -2073,6 +2073,10 @@ LIMIT 100
 
 _UNIMAX_PCT = 60  # token budget as a percentage of the corpus
 
+# most-recent persisted unimax token frame; bounded-leak discipline
+# for long-lived sessions (see dedup._live_shingle_cache)
+_live_unimax_cache: list[DataFrame] = []
+
 
 def t_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UniMax-style per-language token-budget allocation (Chung et al.
@@ -2130,14 +2134,25 @@ def t_unimax_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.69→0.64s. Unlike t_ppl_buckets (persist measured slower — its
     dup subtree is a CHEAP arithmetic kernel where the cached-plan
     barrier cost more than the recompute), unimax's dup work is a
-    Java-regex pass over every text byte."""
+    Java-regex pass over every text byte. Cache lifetime follows the
+    _live_shingle_cache discipline (dedup.py): each call evicts the
+    previous call's token frame, bounding a long-lived session to one
+    live cache; evict BEFORE persisting so the plan-keyed cache
+    manager can't drop the fresh entry."""
     _t(spark, sf_dir, "documents").createOrReplaceTempView("__um_documents")
-    spark.sql("""
+    while _live_unimax_cache:
+        try:
+            _live_unimax_cache.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+    docs_cached = spark.sql("""
 SELECT doc_id, lang,
        CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
             ELSE CAST(regexp_count(trim(text), '\\\\s+') + 1 AS BIGINT) END AS n_tok
 FROM __um_documents
-""").persist().createOrReplaceTempView("__um_docs")
+""").persist()
+    _live_unimax_cache.append(docs_cached)
+    docs_cached.createOrReplaceTempView("__um_docs")
     return spark.sql(f"""
 WITH docs AS (
   SELECT doc_id, lang, n_tok FROM __um_docs
