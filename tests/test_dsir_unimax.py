@@ -68,3 +68,13 @@ def test_unimax_respects_caps_and_takes_small_langs_whole(spark, sf_small):
     # at least one language must be truncated at this budget (60% of
     # corpus with an en-heavy mix), or the waterfilling did nothing
     assert any(r["alloc"] < avail[lang] for lang, r in per_lang.items())
+
+
+def test_unimax_cache_bounded_to_one_live_entry(spark, sf_small):
+    """r12: the persisted token frame follows the _live_shingle_cache
+    discipline — repeated calls must evict the previous call's cache,
+    leaving exactly one live handle (bounded leak in long-lived
+    sessions)."""
+    tq.t_unimax_alloc(spark, sf_small).count()
+    tq.t_unimax_alloc(spark, sf_small).count()
+    assert len(tq._live_unimax_cache) == 1
